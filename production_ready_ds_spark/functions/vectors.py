@@ -1,0 +1,43 @@
+"""Embedding-vector column expressions (array<float> columns).
+
+All pure built-in higher-order functions (zip_with/aggregate) — JVM-side,
+no UDF, no Python worker. Math accumulates in double so results line up
+with DuckDB's list_cosine_similarity at 4-decimal rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ with double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(a: Column, n_dims: int = 4) -> Column:
+    """Coarse quantization bucket id from the sign bits of the first
+    ``n_dims`` components — a deterministic IVF-style partitioner for
+    ANN search (bucket count = 2^n_dims). Unlike random hyperplanes this
+    needs no seed exchange, so the DuckDB oracle can replicate it."""
+    bits = [
+        F.when(F.element_at(a, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")

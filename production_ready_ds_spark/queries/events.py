@@ -1,0 +1,167 @@
+"""Event-stream queries (batch form). The reference's daily-backfill
+semantics (O4: RangeDailyBase --days-back 4, run_pipeline.sh:6-11) become
+real time-window operators here; `streaming/` holds the Structured
+Streaming twins, tested by batch-equivalence.
+
+All use the ``events`` table through the tables.py nanos shim (ts arrives
+as TIMESTAMP_NTZ in exact microseconds, matching DuckDB's read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "q_event_tumbling",
+    category="events",
+    bench=True,
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows × event_type — the batch form of a
+    streaming tumbling-window agg (and of the reference's per-day
+    partitioned outputs, S7). One hash-agg shuffle on (hour, type)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q_event_sliding",
+    category="events",
+    sql="""
+    SELECT w_start, COUNT(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+    )
+    GROUP BY w_start
+    """,
+)
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide) via ``F.window`` — each
+    event lands in exactly 2 windows. The oracle replicates membership
+    with two shifted 30-min buckets unioned (window start = the bucket
+    and the bucket minus one slide)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"), "n_events")
+    )
+
+
+@query(
+    "q_event_session",
+    category="events",
+    bench=True,
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, sess_id, COUNT(*) AS n_events,
+             (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS dur_sec
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           ROUND(AVG(dur_sec), 2) AS avg_session_sec
+    FROM per_sess
+    GROUP BY user_id
+    """,
+)
+def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap, expressed as
+    lag → new-session flag → running sum (the classic batch-SQL session
+    window; the streaming twin uses F.session_window). One shuffle on
+    user_id; windows sort within user partitions — the 100 TB shape."""
+    e = load(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(order_w).isNull()
+            | (
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag("ts").over(order_w).cast("timestamp").cast("long")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(run_w))
+    per_sess = flagged.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts").cast("timestamp")) - F.unix_micros(F.min("ts").cast("timestamp")))
+            / F.lit(1_000_000.0)
+        ).alias("dur_sec"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.avg("dur_sec"), 2).alias("avg_session_sec"),
+    )
+
+
+@query(
+    "q_event_late",
+    category="events",
+    sql="""
+    WITH mx AS (SELECT date_trunc('day', MAX(ts)) AS last_day FROM events)
+    SELECT date_trunc('day', ts) AS day_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events, mx
+    WHERE ts >= last_day - INTERVAL '3 days'
+    GROUP BY 1
+    """,
+)
+def q_event_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-calendar-day recomputation window — the reference's
+    ``--days-back 4`` backfill (O4, run_pipeline.sh:8) as a query: only
+    the trailing window is re-aggregated, idempotently. The scalar max
+    is broadcast, so the filter prunes row groups before the agg."""
+    e = load(spark, sf_dir, "events")
+    last_day = e.agg(F.date_trunc("day", F.max("ts")).alias("last_day"))
+    return (
+        e.crossJoin(broadcast(last_day))
+        .filter(F.col("ts") >= F.col("last_day") - F.expr("INTERVAL 3 DAYS"))
+        .groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,192 @@
+"""Join queries: every join shape the contract declares (SURVEY.md §2b).
+
+The reference has no dataset-to-dataset joins (its only join-like ops are
+the stopword anti-join T4 and the model lookup M4); these are the EXT
+surface, designed for 100 TB:
+
+- small dims (region/nation/supplier) are explicitly broadcast — no
+  shuffle of the big side, ever;
+- big-big joins (orders⋈customer, lineitem⋈orders) shuffle on the join
+  key and let AQE pick SMJ vs shuffled-hash and split skewed partitions;
+- the star query broadcasts the whole dimension arm into a single
+  pass over lineitem;
+- the range join keeps the small side broadcast so the theta predicate
+  runs as BroadcastNestedLoop over 100-row × N — never N×N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "q_join_inner",
+    category="join",
+    bench=True,
+    sql="""
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⋈customer. Both sides large at scale →
+    shuffle on custkey; AQE converts to shuffled-hash / splits skew."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "c_name",
+        "c_mktsegment",
+    )
+
+
+@query(
+    "q_join_broadcast",
+    category="join",
+    sql="""
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast join of the two tiny dims — zero shuffle."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "q_join_left",
+    category="join",
+    sql="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (COUNT of a
+    nullable column skips nulls on both engines)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@query(
+    "q_join_semi",
+    category="join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having ≥1 order — EXISTS without
+    materializing the right side's columns."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    category="join",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order since 2000 — the
+    reference's stopword anti-join (T4, 00_training_pipeline.py:87) made
+    relational. (The date filter keeps the result non-empty at every
+    scale factor; an unfiltered anti join is empty on this data.)"""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_star",
+    category="join",
+    bench=True,
+    sql="""
+    SELECT r.r_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema revenue per region (north-star query).
+
+    100 TB shape: nation+region broadcast (always tiny); lineitem⋈orders
+    shuffles on orderkey; orders⋈customer on custkey. Catalyst reorders
+    the dimension arm; final agg on 5 regions is free."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    category="join",
+    sql="""
+    SELECT s.s_suppkey, COUNT(*) AS n_close_customers
+    FROM supplier s JOIN customer c
+      ON c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    GROUP BY s.s_suppkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: customers whose balance is within
+    ±100 of each supplier's. The supplier side is broadcast, so this is
+    BroadcastNestedLoop over |supplier| × |customer| with a tiny left
+    side — the only sane physical shape for a pure theta join at scale
+    (a banded equi-key prejoin would be the next step if both sides were
+    huge)."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = (c.c_acctbal >= s.s_acctbal - 100) & (c.c_acctbal <= s.s_acctbal + 100)
+    return (
+        c.join(broadcast(s), cond, "inner")
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )

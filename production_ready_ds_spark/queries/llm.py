@@ -1,0 +1,563 @@
+"""LLM-training-data-pipeline queries: deduplication, similarity search,
+text analysis, multimodal plumbing (the contract's north-star extension
+surface over ``documents`` and ``embeddings``).
+
+Scale design notes are per-query; the shared theme: nothing here ever
+does an unblocked O(n²) comparison — dedup joins are blocked by shingle /
+LSH band / label bucket, and brute-force cosine is only on the
+(broadcast) probe side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.text import STOPWORDS, stopword_ratio, tokens_expr
+from ..functions.vectors import cosine, sign_bucket
+from ..tables import load
+from . import query
+
+# --- thresholds (tuned on sf0.01 so every declared query returns rows) ---
+JACCARD_THRESHOLD = 0.5
+EMBED_COS_THRESHOLD = 0.25
+MINHASH_EST_THRESHOLD = 0.5
+
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> t <> '')"
+
+
+# ---------------------------------------------------------------- dedup --
+
+
+@query(
+    "q_dedup_exact",
+    category="llm-dedup",
+    bench=True,
+    sql="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash — one hash-groupBy shuffle, scales
+    linearly to 100 TB (the hash is 16 bytes/row regardless of doc size;
+    group keys are uniformly distributed so no skew)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingles(toks):
+    """Distinct 3-token shingles as a column expression (empty when the
+    doc has <3 tokens — guarded because F.sequence(1, 0) would count
+    DOWN, not produce an empty array)."""
+    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+_DUCK_SHINGLES = """
+    SELECT DISTINCT doc_id,
+           sg
+    FROM (SELECT doc_id, {toks} AS ts FROM documents),
+         UNNEST(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                               i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS u(sg)
+""".format(toks=_DUCK_TOKENS)
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    category="llm-dedup",
+    bench=True,
+    sql=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (ca.n + cb.n - n_common), 4) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard.
+
+    The pair join is blocked by shingle equality, so cost is
+    Σ_shingle (docs containing it)² — not |docs|². At 100 TB you'd first
+    cap hot shingles (drop shingles appearing in >K docs — they carry no
+    discriminative signal) and/or go through q_dedup_minhash; the shape
+    here (explode → join on shingle → group pair) is already the
+    distributed one."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(tokens_expr(F.col("text")))).alias("sg"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_MINHASH = 16
+_BAND_SIZE = 4
+
+
+@query("q_dedup_minhash", category="llm-dedup", sql=None)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates — rows-only (xxhash64 seeds are
+    engine-specific, so no cross-engine oracle; the estimator itself is
+    validated against exact Jaccard in tests/test_llm_ops.py).
+
+    Spark-native implementation (no MLlib vectors needed):
+    shingle → 16 per-shingle xxhash64 values (seeded by prefix literal)
+    → per-doc column-wise MIN (one hash-agg) → 4 bands of 4 → candidate
+    pairs = docs sharing any band key → estimated Jaccard = fraction of
+    agreeing signature components. At 100 TB: cost is linear in corpus
+    size + Σ_band-bucket (docs in bucket)², which is the whole point of
+    LSH — the only all-pairs work happens inside buckets."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(tokens_expr(F.col("text")))).alias("sg"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sg"))).alias(f"mh{i}") for i in range(_N_MINHASH)]
+    )
+    n_bands = _N_MINHASH // _BAND_SIZE
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(_N_MINHASH)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *[f"mh{i}" for i in range(_N_MINHASH)], "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0) for i in range(_N_MINHASH)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (agree / F.lit(float(_N_MINHASH))).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+@query("q_dedup_simhash", category="llm-dedup", sql=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document — rows-only (engine hash).
+
+    explode tokens → per-(doc, bit) signed contribution via xxhash64 bit
+    tests → per-doc bit-majority vote → fingerprint int. One explode +
+    one hash-agg; linear at scale. Near-dup = fingerprints within small
+    Hamming distance (tested in tests/test_llm_ops.py)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(32)
+        ]
+    )
+    fingerprint = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(32)
+    )
+    return sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------- similarity --
+
+
+@query(
+    "q_sim_cosine_topk",
+    category="llm-similarity",
+    bench=True,
+    sql="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS cos_sim
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors.
+
+    The probe side is tiny and broadcast; the corpus side streams — one
+    pass over N embeddings per batch of probes, then a per-probe top-k
+    window on k·|probes| rows. At 100 TB the same plan works with
+    partition-local top-k (the window input is already only
+    |probes|·|corpus| similarity rows reduced map-side); for large probe
+    sets switch to q_sim_topk_bucketed."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    sims = (
+        e.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("pe"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+_DUCK_BUCKET = (
+    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+
+@query(
+    "q_sim_topk_bucketed",
+    category="llm-similarity",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de, {_DUCK_BUCKET} AS bucket
+      FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, de AS pe, bucket FROM b WHERE vec_id < 10),
+    sims AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, e.de) AS cos_sim
+      FROM probes p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 3
+    """,
+)
+def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via deterministic coarse quantization (IVF-style): the
+    sign pattern of the first 4 dimensions partitions the corpus into 16
+    buckets; probes only compare within their bucket — the candidate set
+    shrinks ~16× (at scale: more planes / trained centroids, same join
+    shape: equi-join on bucket id then local top-k)."""
+    e = load(spark, sf_dir, "embeddings").withColumn("bucket", sign_bucket(F.col("embedding")))
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "bucket"
+    )
+    sims = (
+        e.join(broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("pe"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    category="llm-dedup",
+    sql=f"""
+    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.de, c.de), 4) AS cos_sim
+    FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.de, c.de) >= {EMBED_COS_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the ``label`` column
+    (the cluster/topic id acts as the blocking key — at 100 TB the block
+    is an ANN bucket instead, but the join shape is identical: equi-join
+    on block key + theta filter, never an unblocked cross join)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    c = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(c, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(sim >= EMBED_COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
+# -------------------------------------------------------- text analysis --
+
+
+@query(
+    "q_text_stats",
+    category="llm-text",
+    sql=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           ROUND(AVG(len({_DUCK_TOKENS})), 2) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (doc count, avg chars, avg tokens)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.size(tokens_expr(F.col("text"))).cast("double")), 2).alias("avg_tokens"),
+        )
+    )
+
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _duck_marker_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_distinct({_DUCK_TOKENS}), t -> t IN ({words})))"
+    )
+
+
+@query(
+    "q_lang_id",
+    category="llm-text",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_duck_marker_score('en')} AS s_en,
+             {_duck_marker_score('de')} AS s_de,
+             {_duck_marker_score('es')} AS s_es,
+             {_duck_marker_score('fr')} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification (n-gram-overlap heuristic):
+    score = |distinct tokens ∩ per-language marker list|, argmax with a
+    fixed priority order for ties — fully deterministic, pure column
+    expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_expr(F.col("text")))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+_DUCK_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@query(
+    "q_quality_score",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {_DUCK_TOKENS} AS ts FROM documents
+    ), f AS (
+      SELECT doc_id, n_chars,
+             len(ts) AS n_tokens,
+             CASE WHEN len(ts) > 0
+                  THEN len(list_filter(ts, x -> x IN ({_DUCK_STOP}))) * 1.0 / len(ts)
+                  ELSE 0.0 END AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(stop_ratio, 4) AS stop_ratio,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio), 4) AS quality
+    FROM f
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length saturation × (1 −
+    stopword ratio). The standard cheap pre-filter before expensive
+    LLM-pipeline stages; pure column math, linear scan at any scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n = F.size(toks)
+    ratio = stopword_ratio(toks)
+    quality = F.least(n / F.lit(100.0), F.lit(1.0)) * (F.lit(1.0) - ratio)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+@query(
+    "q_token_count",
+    category="llm-text",
+    sql=r"""
+    SELECT source,
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per source: whitespace tokens and a
+    BPE-ish regex segmentation (letter runs / digit runs / single
+    punctuation) — the budget-estimation primitive of a training-data
+    pipeline."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_ish_tokens"),
+        )
+    )
+
+
+@query(
+    "q_fingerprint",
+    category="llm-text",
+    sql=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_slice({_DUCK_TOKENS}, 1, 20), ' ')) AS prefix_fp
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the normalized 20-token prefix —
+    a cheap stable content id robust to trailing edits (the rolling-hash
+    fingerprint family; md5 chosen so the oracle can replicate it)."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(tokens_expr(F.col("text")), 1, 20), " ")
+    return d.select("doc_id", F.md5(prefix.cast("binary")).alias("prefix_fp"))
+
+
+# ------------------------------------------------------------ multimodal --
+
+
+@query(
+    "q_multimodal_meta",
+    category="llm-multimodal",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-payload plumbing: treat content as bytes + typed
+    metadata (the multimodal column model — for image/audio the payload
+    is the encoded media; here the UTF-8 text bytes stand in). Byte
+    length and content hash are computed JVM-side on the binary."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )

@@ -1,0 +1,85 @@
+"""Table registry for the synthetic testdata lake.
+
+Maps the TPC-H-ish star schema + LLM-pipeline tables (TESTDATA.md) to
+DataFrames with explicit, verified schemas (schema-on-write discipline —
+the reference reads everything as untyped CSV strings, reference
+00_training_pipeline.py:129-132; we keep columnar parquet + real types).
+
+Scale notes (100 TB design):
+- All reads are plain ``spark.read.parquet`` → vectorized reader,
+  predicate pushdown and column pruning are free from Catalyst.
+- ``events.ts`` is INT64 TIMESTAMP(NANOS); Spark 4 refuses it unless
+  ``spark.sql.legacy.parquet.nanosAsLong=true``, after which the column
+  arrives as a long of nanoseconds. We convert with integer division
+  (``ts div 1000`` → timestamp_micros) — float division would lose
+  precision at 1e18 magnitudes. This matches DuckDB's microsecond
+  truncation of the same column exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at ANY realistic scale factor
+# (region=5 rows, nation=25 rows always; supplier/part grow slowly).
+BROADCASTABLE = {"region", "nation", "supplier"}
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # UTC session tz makes the long→timestamp→ntz conversion below a pure
+    # wall-clock identity, matching DuckDB's naive microsecond read.
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover
+            pass
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one registry table as a typed DataFrame.
+
+    ``events`` gets the nanos→micros timestamp shim; everything else is a
+    straight vectorized parquet scan.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        _ensure_nanos_conf(spark)
+        df = spark.read.parquet(path)
+        # integer division keeps full microsecond precision (see module
+        # doc); TIMESTAMP_NTZ so downstream outputs compare tz-free like
+        # the other timestamp columns (o_orderdate, l_shipdate).
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (SQL entry point parity —
+    the reference enables Hive support but never registers a table;
+    reference 00_training_pipeline.py:121-126)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
