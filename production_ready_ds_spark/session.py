@@ -50,13 +50,37 @@ def get_spark(app_name: str = "production-ready-ds-spark", master: str | None = 
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
+    register_udf_modules()
     return builder.getOrCreate()
+
+
+def register_udf_modules() -> None:
+    """Register every module that defines worker-side Python (pandas
+    UDFs, mapInPandas/applyInPandas bodies) for cloudpickle
+    pickle-BY-VALUE. Without this, Spark pickles those functions by
+    module reference and Python workers must be able to import
+    ``production_ready_ds_spark`` — which fails whenever the driver
+    process wasn't started from the repo directory (true for the
+    verification driver, spark-submit from elsewhere, and any real
+    cluster without the package deployed). By-value pickling ships the
+    code inside the serialized task instead."""
+    from pyspark import cloudpickle
+
+    from .functions import stemmer
+    from .queries import udfs
+
+    for mod in (stemmer, udfs):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:  # pragma: no cover - already registered / old API
+            pass
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set the confs this engine relies on even when handed a foreign
     session (e.g. the verification driver's). All of these are
     runtime-settable in Spark 4."""
+    register_udf_modules()
     for key, value in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
