@@ -35,6 +35,8 @@ _MODULES = (
     "llm",
     "events",
     "ml",
+    "streaming_queries",
+    "multimodal",
 )
 
 

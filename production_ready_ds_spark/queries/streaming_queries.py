@@ -1,0 +1,98 @@
+"""Streaming queries in the declared catalog: each runs its Structured
+Streaming operator to completion (availableNow trigger → memory sink)
+and returns the materialized result, so the driver's DuckDB oracle can
+hash-check STREAMING results against batch SQL — the strongest form of
+the streaming≡batch equivalence test.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+
+
+def _run_stream(spark: SparkSession, sdf, mode: str) -> DataFrame:
+    name = f"q_stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "q_stream_tumbling",
+    category="streaming",
+    sql="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window counts (watermarked), run to
+    completion — hash-checked against the same batch SQL oracle as
+    q_event_tumbling."""
+    from ..streaming import stream_events, tumbling_counts
+
+    return _run_stream(spark, tumbling_counts(stream_events(spark, sf_dir)), "complete")
+
+
+@query(
+    "q_stream_session",
+    category="streaming",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT sess_id) AS n_sessions, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) aggregated per user —
+    oracle is the batch lag/cumulative-sum sessionization, proving
+    F.session_window's merge semantics match the SQL definition."""
+    from ..streaming import session_counts, stream_events
+
+    sessions = _run_stream(spark, session_counts(stream_events(spark, sf_dir)), "complete")
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "q_stream_dedup",
+    category="streaming",
+    sql="SELECT DISTINCT event_id, event_type FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates within the watermark horizon."""
+    from ..streaming import dedup_stream, stream_events
+
+    out = _run_stream(spark, dedup_stream(stream_events(spark, sf_dir)), "append")
+    return out.select("event_id", "event_type").distinct()

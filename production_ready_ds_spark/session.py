@@ -67,9 +67,11 @@ def register_udf_modules() -> None:
     from pyspark import cloudpickle
 
     from .functions import stemmer
+    from .operators import multimodal
     from .queries import udfs
+    from .sources import api_source
 
-    for mod in (stemmer, udfs):
+    for mod in (stemmer, udfs, multimodal, api_source):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API

