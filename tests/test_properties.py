@@ -1,0 +1,83 @@
+"""Property tests (SURVEY.md §5.2(5)): algebraic invariants of the
+engine's operators. Hypothesis drives the pure-Python kernels; Spark
+invariants use parametrized partitionings (a Spark job per hypothesis
+example would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from production_ready_ds_spark.functions.stemmer import porter_stem
+
+words = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=20)
+
+
+@given(words)
+@settings(max_examples=300, deadline=None)
+def test_stemmer_never_grows_and_stays_lower(w):
+    s = porter_stem(w)
+    assert len(s) <= len(w) + 1  # +1: step-1b can append 'e'
+    assert s == s.lower()
+
+
+@given(words)
+@settings(max_examples=300, deadline=None)
+def test_stemmer_deterministic(w):
+    assert porter_stem(w) == porter_stem(w)
+
+
+@given(st.lists(words, min_size=0, max_size=30))
+@settings(max_examples=25, deadline=None)  # each example is a Spark job
+def test_tokenizer_matches_python_reference(spark, toks):
+    """Spark's split/filter tokenizer ≡ the plain-Python regex split on
+    arbitrary whitespace-joined input."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.functions.text import tokens_expr
+
+    text = " ".join(toks)
+    want = [t for t in re.split(r"\W+", text.lower()) if t]
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(tokens_expr(F.col("text")).alias("t")).first().t
+    assert got == want
+
+
+@pytest.mark.parametrize("parts", [1, 3, 7, 32])
+def test_partial_aggregation_invariance(spark, sf_small, parts):
+    """Σ over any partitioning == Σ total (map-side combine soundness)."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    li = load(spark, sf_small, "lineitem").select("l_quantity")
+    total = li.agg(F.round(F.sum("l_quantity"), 2).alias("s")).first().s
+    repart = li.repartition(parts).agg(F.round(F.sum("l_quantity"), 2).alias("s")).first().s
+    assert total == repart
+
+
+def test_dedup_idempotence(spark, sf_small):
+    from production_ready_ds_spark.queries import catalog
+
+    q = catalog()["q_dedup_exact"].fn
+    once = q(spark, sf_small)
+    keep_ids = [r.keep_doc_id for r in once.collect()]
+    assert sorted(keep_ids) == sorted(set(keep_ids))
+    # re-deduping the survivors changes nothing
+    assert once.select("text_hash").distinct().count() == once.count()
+
+
+def test_join_cardinality_bounds(spark, sf_small):
+    from production_ready_ds_spark.tables import load
+
+    c = load(spark, sf_small, "customer")
+    o = load(spark, sf_small, "orders")
+    inner = c.join(o, c.c_custkey == o.o_custkey).count()
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert inner <= c.count() * o.count()
+    assert semi + anti == c.count()  # semi/anti partition the left side
+    assert inner >= semi  # every semi-match has ≥1 inner row
