@@ -37,6 +37,7 @@ _MODULES = (
     "ml",
     "streaming_queries",
     "multimodal",
+    "analytics",
 )
 
 

@@ -1,0 +1,260 @@
+"""Extended analytics surface: statistical aggregates, percentiles,
+arg-min/max, date arithmetic, regex scalars, collected arrays, window
+variants, the salted-skew-join pattern, and a TPC-H Q3-shaped classic.
+
+All oracle-checked; all built-in JVM expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+
+@query(
+    "q_stats_agg",
+    category="aggregation",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_stddev,
+           ROUND(VAR_SAMP(l_extendedprice), 2)    AS price_var,
+           ROUND(CORR(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS price_qty_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar) — all
+    partial-aggregatable, one shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
+    )
+
+
+@query(
+    "q_percentiles",
+    category="aggregation",
+    sql="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB swap for approx_percentile
+    (t-digest, partial-aggregatable) — declared here exact so the
+    oracle can verify the math."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+    )
+
+
+@query(
+    "q_argminmax",
+    category="aggregation",
+    sql="""
+    SELECT c_mktsegment,
+           arg_min(c_name, c_acctbal) AS poorest_customer,
+           arg_max(c_name, c_acctbal) AS richest_customer,
+           ROUND(MAX(c_acctbal), 2)   AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (SQL arg_min/arg_max): single-pass 'row achieving
+    the extreme' — replaces a self-join + window at any scale.
+    (c_acctbal values are unique in this data, so the result is
+    deterministic.)"""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "q_date_arith",
+    category="scalar-date",
+    sql="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 DAY                        AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '2001-12-31 00:00:00') AS age_days,
+           date_trunc('quarter', o_orderdate)                   AS quarter_start,
+           CAST(last_day(o_orderdate) AS TIMESTAMP)             AS month_end
+    FROM orders
+    """,
+)
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: interval add, datediff, quarter trunc, last_day.
+    All outputs kept as timestamp_ntz — DATE round-trips differently
+    through Arrow on the two engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2001-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+        F.date_trunc("quarter", "o_orderdate").cast("timestamp_ntz").alias("quarter_start"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+    )
+
+
+@query(
+    "q_regex_funcs",
+    category="scalar-string",
+    sql=r"""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1)            AS type_head,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')       AS name_devoweled,
+           regexp_matches(p_brand, '#1[0-9]$')               AS brand_teens
+    FROM part
+    """,
+)
+def q_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / global replace / match test."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("name_devoweled"),
+        F.col("p_brand").rlike(r"#1[0-9]$").alias("brand_teens"),
+    )
+
+
+@query(
+    "q_collect_sorted",
+    category="scalar-array",
+    sql="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list + sort_array ≡ SQL ordered list() — deterministic
+    array aggregation (the building block for per-key feature vectors)."""
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "q_window_variants",
+    category="window",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS best_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / percent_rank / first_value over one window
+    spec (shared sort — Spark evaluates all four in a single pass)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("best_price"),
+    )
+
+
+@query(
+    "q_join_salted",
+    category="join",
+    sql="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: the fact side gets a random-free deterministic
+    salt (orderkey % 8); the dim side explodes ×8 so every (key, salt)
+    pair still matches. Result is provably identical to the plain join
+    (the oracle IS the plain join) while a hot custkey's rows spread
+    over 8 reducers instead of 1. At 100 TB this is the manual fallback
+    when AQE's skew splitting can't apply (e.g. pre-agg joins)."""
+    n_salt = 8
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % n_salt).cast("int")
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    category="join",
+    bench=True,
+    sql="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dim filter → two equi
+    joins → agg → top-10. Catalyst pushes all three predicates to their
+    scans; the filtered customer side broadcasts at any SF where it
+    fits, and the final top-k is TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "orderdate")
+    )

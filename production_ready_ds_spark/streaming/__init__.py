@@ -13,6 +13,7 @@ windows.
 from .events import (
     dedup_stream,
     foreach_batch_daily_sink,
+    running_user_totals,
     session_counts,
     sliding_counts,
     stream_events,
@@ -22,6 +23,7 @@ from .events import (
 __all__ = [
     "dedup_stream",
     "foreach_batch_daily_sink",
+    "running_user_totals",
     "session_counts",
     "sliding_counts",
     "stream_events",

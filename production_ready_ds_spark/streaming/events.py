@@ -115,6 +115,41 @@ def dedup_stream(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataF
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count + value total, carried across micro-batches
+    in the state store (the arbitrary-stateful-processing surface — what
+    you reach for when watermarked windows can't express the logic).
+
+    State is one (count, total) pair per user — O(distinct users)
+    across the cluster, sharded by the group key. Each batch emits the
+    user's updated running totals (update output mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def foreach_batch_daily_sink(out_root: str):
     """foreachBatch sink writing each micro-batch as day-partitioned
     parquet — the streaming twin of the reference's per-day directory

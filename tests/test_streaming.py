@@ -92,3 +92,47 @@ def test_foreach_batch_daily_sink(spark, sf_small, tmp_path):
     # day-partitioned layout, prunable scan
     n_days = written.select("date").distinct().count()
     assert n_days == batch.selectExpr("to_date(ts) d").distinct().count()
+
+
+def test_stateful_running_totals_across_batches(spark, sf_small, tmp_path):
+    """applyInPandasWithState carries per-user state across MULTIPLE
+    micro-batches (3 files × maxFilesPerTrigger=1); the final cumulative
+    totals must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.streaming.events import running_user_totals
+
+    # stage events as 3 files → 3 micro-batches
+    src = str(tmp_path / "events_split")
+    batch = load(spark, sf_small, "events")
+    batch.withColumn("part", F.pmod("event_id", F.lit(3))).repartition(3, "part").drop(
+        "part"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2, "expected >= 3 micro-batches"
+
+    # last update per user == cumulative totals == batch groupBy
+    got = (
+        spark.table("t_state")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    assert _rows(got) == _rows(want)
