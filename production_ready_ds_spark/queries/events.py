@@ -165,3 +165,65 @@ def q_event_late(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_event_rollup",
+    category="events",
+    sql="""
+    SELECT date_trunc('day', ts) AS day_start,
+           date_trunc('hour', ts) AS hour_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+)
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass produces
+    hourly buckets, daily super-aggregates, and the grand total
+    (GROUP BY ROLLUP over two time_bucket granularities). At 100 TB this
+    is the materialized-rollup pattern — partial aggregation is map-side
+    per granularity, one shuffle; coarser tiers roll up from finer ones
+    instead of re-scanning raw data."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.rollup(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day_start"),
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query("q_sketch_hll", category="events", sql=None)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches, built into
+    Spark 3.5+): per-event_type user-count sketch via hll_sketch_agg,
+    then a re-aggregable union across types via hll_union_agg — the
+    100 TB cardinality pattern (sketches are small, associative, and
+    partial-aggregate map-side; the union tier costs bytes-per-sketch,
+    not rows). Rows-only: sketch binaries/estimates are engine-specific,
+    so no cross-engine oracle; the estimate-vs-exact error is asserted
+    in tests/test_oracle.py instead."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    ).unionByName(
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        ).select(
+            F.lit("__all__").alias("event_type"),
+            "approx_users",
+            F.lit(None).cast("long").alias("exact_users"),
+        )
+    )

@@ -16,7 +16,7 @@ surface, designed for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -189,4 +189,81 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(broadcast(s), cond, "inner")
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_close_customers"))
+    )
+
+
+@query(
+    "q_join_asof",
+    category="join",
+    bench=True,
+    sql="""
+    WITH u AS (
+      SELECT o_custkey AS k, o_orderdate AS t, 1 AS is_order,
+             o_orderkey, o_totalprice, CAST(NULL AS BIGINT) AS event_id
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, NULL, event_id FROM events
+    ), w AS (
+      SELECT *,
+             last_value(o_orderkey IGNORE NULLS) OVER win AS asof_orderkey,
+             last_value(o_totalprice IGNORE NULLS) OVER win AS asof_totalprice
+      FROM u
+      WINDOW win AS (PARTITION BY k ORDER BY t, is_order DESC, o_orderkey
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, k AS user_id, asof_orderkey,
+           ROUND(asof_totalprice, 2) AS asof_totalprice
+    FROM w WHERE is_order = 0
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest order of the same
+    customer with o_orderdate <= ts (ties on date broken by max
+    o_orderkey; events before any order get NULL).
+
+    Implemented as the union-and-window shape — tag both streams, union,
+    one window per customer carrying the last non-null order attributes
+    forward — NOT as a range self-join. Cost is one shuffle on the key +
+    one sort per partition: linear at 100 TB, where the naive
+    "max(t) <= t per row" range join is quadratic per key. This is the
+    standard distributed as-of (financial tick ⋈ quote) pattern."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp_ntz").alias("t"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    tagged = o.select(
+        "k", "t", F.lit(1).alias("is_order"), "o_orderkey", "o_totalprice",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        e.select(
+            "k", "t", F.lit(0).alias("is_order"),
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            "event_id",
+        )
+    )
+    # Orders sort before events at equal t (is_order DESC) so an order
+    # dated exactly at ts is visible; among same-date orders ascending
+    # o_orderkey makes last() pick the max. Event rows have NULL
+    # o_orderkey — their relative order never affects the carried value.
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.asc("t"), F.desc("is_order"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = tagged.withColumn(
+        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    ).withColumn("asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w))
+    return joined.filter(F.col("is_order") == 0).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "asof_orderkey",
+        F.round("asof_totalprice", 2).alias("asof_totalprice"),
     )

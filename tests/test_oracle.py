@@ -17,3 +17,14 @@ ALL = sorted(catalog())
 def test_query_matches_oracle(spark, sf_small, name):
     res = run_compare(spark, name, sf_small)
     assert res.ok, f"{name}: {res.detail} (spark_rows={res.spark_rows}, oracle_rows={res.oracle_rows})"
+
+
+def test_hll_sketch_estimate_close_to_exact(spark, sf_small):
+    """q_sketch_hll is rows-only for the driver; here the HLL estimate
+    is held to its error bound against the exact distinct count."""
+    rows = catalog()["q_sketch_hll"].fn(spark, sf_small).collect()
+    assert rows
+    for row in rows:
+        if row.exact_users is not None:
+            tol = max(3.0, 0.05 * row.exact_users)
+            assert abs(row.approx_users - row.exact_users) <= tol, row
