@@ -25,7 +25,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Direct cosine — O(3d) per evaluation. In pair-join queries,
+    precompute ``norm()`` on each side BELOW the join and use
+    ``cosine_prenormed`` so the per-pair cost is one dot product."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine given precomputed L2 norms (computed once per row below
+    the join instead of once per pair above it — 3× less higher-order-
+    function work on the join output)."""
+    return dot(a, b) / (norm_a * norm_b)
 
 
 def sign_bucket(a: Column, n_dims: int = 4) -> Column:

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.text import STOPWORDS, stopword_ratio, tokens_expr
-from ..functions.vectors import cosine, sign_bucket
+from ..functions.vectors import cosine, cosine_prenormed, norm, sign_bucket
 from ..tables import load
 from . import query
 
@@ -278,9 +278,11 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local top-k (the window input is already only
     |probes|·|corpus| similarity rows reduced map-side); for large probe
     sets switch to q_sim_topk_bucketed."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
     probes = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
     )
     sims = (
         e.crossJoin(broadcast(probes))
@@ -288,7 +290,9 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("pe"), F.col("embedding")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -337,9 +341,16 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets; probes only compare within their bucket — the candidate set
     shrinks ~16× (at scale: more planes / trained centroids, same join
     shape: equi-join on bucket id then local top-k)."""
-    e = load(spark, sf_dir, "embeddings").withColumn("bucket", sign_bucket(F.col("embedding")))
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("bucket", sign_bucket(F.col("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
     probes = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "bucket"
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+        "bucket",
     )
     sims = (
         e.join(broadcast(probes), "bucket")
@@ -347,7 +358,9 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("pe"), F.col("embedding")).alias("cos_sim"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -376,10 +389,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cluster/topic id acts as the blocking key — at 100 TB the block
     is an ANN bucket instead, but the join shape is identical: equi-join
     on block key + theta filter, never an unblocked cross join)."""
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    c = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         a.join(c, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(sim >= EMBED_COS_THRESHOLD)
