@@ -95,6 +95,9 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
 def run_compare(spark, name: str, sf_dir: str) -> CompareResult:
     """Run one catalog query against its oracle (or rows-only check)."""
     from .queries import catalog
+    from .session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # nanos shim, UTC, by-value UDF pickling
 
     q = catalog()[name]
     spark_pdf = q.fn(spark, sf_dir).toPandas()

@@ -258,3 +258,31 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "orderdate")
     )
+
+
+@query(
+    "q_unpivot",
+    category="scalar",
+    sql="""
+    SELECT p_partkey, 'p_size' AS metric,
+           ROUND(CAST(p_size AS DOUBLE), 2) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', ROUND(p_retailprice, 2) FROM part
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long): the inverse of q_pivot, via the
+    native ``DataFrame.unpivot`` (UNPIVOT in SQL) — a zero-shuffle
+    narrow transform (each input row expands to k output rows in place),
+    so it scales embarrassingly; the oracle states the same reshape as
+    UNION ALL."""
+    p = load(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "metric", "raw"
+    ).select("p_partkey", "metric", F.round("raw", 2).alias("value"))

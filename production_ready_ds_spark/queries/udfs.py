@@ -111,3 +111,49 @@ def q_mapinpandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts; oracle = same semantics in DuckDB list functions."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(_token_stats_batches, schema="doc_id long, n_tokens long, n_unique long")
+
+
+class _PositionedTokens:
+    """Python UDTF body: one input row (doc text) → one output row per
+    token with its 0-based position. Mirrors functions.text.tokens_expr
+    (lower → split on \\W+ → drop empties) so the DuckDB oracle can
+    replicate it relationally."""
+
+    def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature
+        if text is None:
+            return
+        for pos, tok in enumerate(t for t in re.split(r"\W+", text.lower()) if t):
+            yield doc_id, pos, tok
+
+
+@query(
+    "q_udtf_tokens",
+    category="udf",
+    sql=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id, i - 1 AS pos, ts[i] AS token
+    FROM t, UNNEST(range(1, len(ts) + 1)) AS r(i)
+    """,
+)
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table function): tokenization as a
+    LATERAL table-function join in SQL. The UDTF path is the escape
+    hatch for one-row→many-rows Python logic the built-in generators
+    can't express; here the logic IS expressible (q_tokenize_explode is
+    the fast path), which is what makes it oracle-checkable."""
+    from pyspark.sql.functions import udtf
+
+    fn = udtf(_PositionedTokens, returnType="doc_id: bigint, pos: int, token: string")
+    spark.udtf.register("positioned_tokens", fn)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_src")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM documents_udtf_src d,
+             LATERAL positioned_tokens(d.doc_id, d.text) t
+        """
+    )
