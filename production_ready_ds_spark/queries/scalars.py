@@ -191,3 +191,32 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "data").alias("has_data"),
         F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
     )
+
+
+@query(
+    "q_json_schema",
+    category="scalar-json",
+    sql="""
+    SELECT event_type,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_unparsed
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON parse (``from_json`` into a typed struct) — the
+    strict sibling of q_json_extract's per-path extraction: one parse
+    per row yields every field typed, malformed rows become NULL structs
+    (counted here), and downstream code reads struct fields instead of
+    re-parsing. The 100 TB rule: parse once, project many."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "struct<k:int>"))
+    return parsed.groupBy("event_type").agg(
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+        (F.count(F.lit(1)) - F.count("p.k")).cast("long").alias("n_unparsed"),
+    )

@@ -1,0 +1,72 @@
+"""Estimator-quality tests for the probabilistic dedup family.
+
+The driver's gate checks these queries rows-only (hash seeds are
+engine-specific); here their STATISTICAL claims are pinned against the
+exact n-gram Jaccard on the same fixed data — everything is
+deterministic (fixed seeds, fixed testdata), so the bounds are tight
+but stable.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from production_ready_ds_spark.queries import catalog
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_small, cat):
+    """Ground truth: exact 3-gram-shingle Jaccard pairs (j >= 0.5)."""
+    rows = cat["q_dedup_ngram_jaccard"].fn(spark, sf_small).collect()
+    return {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+
+
+def test_minhash_recalls_high_jaccard_pairs(spark, sf_small, cat, exact_pairs):
+    """16-hash/4-band LSH must surface nearly all true near-dup pairs
+    (measured: 26/28 at sf0.001; P[band collision] ≈ 0.88 per pair at
+    j=0.8, and the est>=0.5 filter removes a couple of edge pairs)."""
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in cat["q_dedup_minhash"].fn(spark, sf_small).collect()
+    }
+    high = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert high, "fixture data must contain near-dup pairs"
+    recall = sum(1 for p in high if p in est) / len(high)
+    assert recall >= 0.85, f"minhash recall {recall:.2f} over {len(high)} pairs"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small, cat, exact_pairs):
+    """Signature agreement / 16 is an unbiased Jaccard estimator with
+    std ≈ sqrt(j(1-j)/16) ≈ 0.1; hold every common pair to 2σ."""
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in cat["q_dedup_minhash"].fn(spark, sf_small).collect()
+    }
+    common = [p for p in est if p in exact_pairs]
+    assert common, "no overlap between minhash candidates and exact pairs"
+    for p in common:
+        assert abs(est[p] - exact_pairs[p]) <= 0.2, (p, est[p], exact_pairs[p])
+
+
+def test_simhash_separates_near_dups_from_random(spark, sf_small, cat, exact_pairs):
+    """Near-dup pairs must sit at small Hamming distance (measured max 6
+    of 32 bits) while the corpus-wide expectation for unrelated docs is
+    ~9.5 — the property that makes fingerprint bucketing work."""
+    sh = {r.doc_id: r.simhash for r in cat["q_dedup_simhash"].fn(spark, sf_small).collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    dists = [ham(sh[a], sh[b]) for (a, b) in exact_pairs]
+    assert dists
+    assert max(dists) <= 8, f"near-dup pair at hamming {max(dists)}"
+    ids = sorted(sh)
+    background = [ham(sh[ids[i]], sh[ids[-1 - i]]) for i in range(min(200, len(ids) // 2))]
+    assert sum(dists) / len(dists) < sum(background) / len(background), (
+        "simhash fails to separate near-dups from background"
+    )

@@ -101,3 +101,31 @@ def test_dedup_exact_single_shuffle(spark, sf_small, cat):
 def test_sim_topk_probe_side_broadcast(spark, sf_small, cat):
     df = cat["q_sim_cosine_topk"].fn(spark, sf_small)
     assert has_broadcast_join(df), "probe set must broadcast, corpus must stream"
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_small, cat):
+    """The as-of join must compile to union + one window exchange on the
+    key — never a join operator (the quadratic-per-key shape)."""
+    df = cat["q_join_asof"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "Join" not in s, s
+    assert shuffle_count(df) == 1, s
+
+
+def test_sim_topk_probes_broadcast(spark, sf_small, cat):
+    """Brute-force cosine must broadcast the probe side; the corpus
+    side streams in one pass."""
+    df = cat["q_sim_cosine_topk"].fn(spark, sf_small)
+    assert has_broadcast_join(df), explain_str(df)
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark, sf_small, cat):
+    """The shingle self-join reads its shuffle once (ReuseExchange) and
+    the whole query runs in <=3 exchanges: shingle (reused) + pair key."""
+    df = cat["q_dedup_ngram_jaccard"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 3, explain_str(df)
+
+
+def test_event_rollup_single_shuffle(spark, sf_small, cat):
+    df = cat["q_event_rollup"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 1, explain_str(df)
