@@ -131,7 +131,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sgs materialized in its own Project; size() and explode() both read
     # the attribute (CollapseProject keeps non-cheap exprs single-use).
     sgarr = tok.select("doc_id", _shingles(F.col("ts")).alias("sgs"))
-    sh = sgarr.select("doc_id", F.size("sgs").alias("n"), F.explode("sgs").alias("sg"))
+    # Join on the 64-bit shingle hash, not the string: 8-byte shuffle
+    # keys and cheap comparisons (collision odds ~1e-11 at these
+    # cardinalities — the standard shingle-hashing trade at scale).
+    sh = sgarr.select(
+        "doc_id", F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
+    ).select("doc_id", "n", F.xxhash64("sg").alias("sg"))
     a = sh.alias("a")
     # SHUFFLE_MERGE (not broadcast): both join inputs are the identical
     # shingle subplan, so Spark's ReuseExchange computes the shuffle once
