@@ -138,11 +138,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
     ).select("doc_id", "n", F.xxhash64("sg").alias("sg"))
     a = sh.alias("a")
-    # SHUFFLE_MERGE (not broadcast): both join inputs are the identical
-    # shingle subplan, so Spark's ReuseExchange computes the shuffle once
-    # — measured 2× faster at sf0.1, and broadcast of the full shingle
-    # table would be impossible at 100 TB anyway.
-    b = sh.hint("SHUFFLE_MERGE").alias("b")
+    # SHUFFLE_HASH (not broadcast — the shingle table is corpus-sized at
+    # 100 TB; not SMJ — hash probing skips two O(n log n) sorts, and
+    # Spark's shuffled-hash join spills since 3.1 so partition-fits-in-
+    # memory is not a correctness constraint). Known AQE quirk: adaptive
+    # stage creation misses the ReuseExchange that static planning gets
+    # on this self-join, so the shingle pipeline computes once per side;
+    # with AQE off ReuseExchange fires (asserted in tests/test_plans.py).
+    b = sh.hint("SHUFFLE_HASH").alias("b")
     pairs = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -200,7 +203,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", *[f"mh{i}" for i in range(_N_MINHASH)], "bk.band", "bk.key")
     a = bands.alias("a")
-    b = bands.hint("SHUFFLE_MERGE").alias("b")  # ReuseExchange on the self-join
+    b = bands.hint("SHUFFLE_HASH").alias("b")  # sort-free self-join (see q_dedup_ngram_jaccard)
     agree = sum(
         F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0) for i in range(_N_MINHASH)
     )

@@ -129,3 +129,17 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark, sf_small, cat):
 def test_event_rollup_single_shuffle(spark, sf_small, cat):
     df = cat["q_event_rollup"].fn(spark, sf_small)
     assert shuffle_count(df) <= 1, explain_str(df)
+
+
+def test_ngram_jaccard_static_plan_reuses_exchange(spark, sf_small, cat):
+    """With AQE off, the shingle self-join's two identical exchanges
+    collapse to one ReusedExchange (single tokenize+shingle pass).
+    Documents the known AQE quirk: adaptive stage creation currently
+    misses this reuse (one extra pass — linear, not asymptotic)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = cat["q_dedup_ngram_jaccard"].fn(spark, sf_small)
+        s = explain_str(df)
+        assert "ReusedExchange" in s, s
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
