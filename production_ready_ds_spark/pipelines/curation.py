@@ -1,0 +1,235 @@
+"""LLM training-data curation pipeline: the north-star extension ops
+composed into one incremental DAG over ``documents``:
+
+    ScoreDocuments → FilterQuality → DedupExact → DedupNear → CurationReport
+
+Each stage is a :class:`SparkTask` materializing a ParquetTarget, so the
+funnel is incremental and idempotent exactly like the reference's DAGs
+(O1/O2 semantics, reference 00_training_pipeline.py:26-27,65-66): rerun
+resumes after the last completed stage; delete one stage's output and
+only the suffix recomputes.
+
+Every transform is a pure DataFrame program over the same column
+expressions the declared queries use (q_quality_score / q_lang_id /
+q_dedup_exact / q_dedup_ngram_jaccard), so the pipeline inherits their
+oracle-checked semantics and their 100 TB shapes (linear scans, hash
+aggs on uniform keys, shingle-blocked pair join — never O(n²)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from ..functions.text import stopword_ratio, tokens_expr
+from ..tables import load
+from ..workflow import LocalTarget, Parameter, ParquetTarget, SparkTask
+
+
+def _stage_dir(root: str, stage: str) -> str:
+    return os.path.join(root, "curation", stage)
+
+
+class ScoreDocuments(SparkTask):
+    """Annotate every document with the curation signals: quality score
+    (length saturation × (1−stopword ratio)), marker-word language id,
+    and BPE-ish token count. One linear scan, no shuffle."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "scored"))
+
+    def main(self, spark):
+        from ..queries.llm import _LANG_MARKERS
+
+        d = load(spark, self.sf_dir, "documents")
+        toks = tokens_expr(F.col("text"))
+        n = F.size(toks)
+        quality = F.least(n / F.lit(100.0), F.lit(1.0)) * (
+            F.lit(1.0) - stopword_ratio(toks)
+        )
+        distinct_toks = F.array_distinct(toks)
+        scores = {
+            lang: F.size(F.array_intersect(distinct_toks, F.array(*[F.lit(w) for w in words])))
+            for lang, words in _LANG_MARKERS.items()
+        }
+        pred = (
+            F.when(
+                (scores["en"] >= scores["de"])
+                & (scores["en"] >= scores["es"])
+                & (scores["en"] >= scores["fr"]),
+                "en",
+            )
+            .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+            .when(scores["es"] >= scores["fr"], "es")
+            .otherwise("fr")
+        )
+        bpe = F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        )
+        d.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.round(quality, 4).alias("quality"),
+            pred.alias("pred_lang"),
+            bpe.cast("long").alias("n_bpe_tokens"),
+        ).write.mode("overwrite").parquet(self.output().path)
+
+
+class FilterQuality(SparkTask):
+    """Quality gate: drop documents below ``min_quality``. A pushed-down
+    predicate on the scored table — the cheap filter always runs before
+    the expensive dedup stages."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+    min_quality = Parameter(default=0.1)
+
+    def requires(self):
+        return ScoreDocuments(data_root=self.data_root, sf_dir=self.sf_dir)
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "filtered"))
+
+    def main(self, spark):
+        scored = spark.read.parquet(self.requires().output().path)
+        scored.filter(F.col("quality") >= float(self.min_quality)).write.mode(
+            "overwrite"
+        ).parquet(self.output().path)
+
+
+class DedupExact(SparkTask):
+    """Exact dedup: keep the min doc_id per content hash (q_dedup_exact
+    shape — one hash-groupBy on a uniform 16-byte key)."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+    min_quality = Parameter(default=0.1)
+
+    def requires(self):
+        return FilterQuality(
+            data_root=self.data_root, sf_dir=self.sf_dir, min_quality=self.min_quality
+        )
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "dedup_exact"))
+
+    def main(self, spark):
+        docs = spark.read.parquet(self.requires().output().path)
+        keep = (
+            docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        docs.join(keep, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            self.output().path
+        )
+
+
+class DedupNear(SparkTask):
+    """Near-dup removal: 3-gram-shingle Jaccard pairs (hash-blocked self
+    join, q_dedup_ngram_jaccard shape) → drop the higher doc_id of every
+    pair ≥ threshold. The keep-lowest heuristic is one pass; exact
+    duplicate-cluster resolution would iterate to connected components,
+    which at scale is the same pair table fed to an iterative
+    label-propagation loop."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+    min_quality = Parameter(default=0.1)
+    jaccard_threshold = Parameter(default=0.5)
+
+    def requires(self):
+        return DedupExact(
+            data_root=self.data_root, sf_dir=self.sf_dir, min_quality=self.min_quality
+        )
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "dedup_near"))
+
+    def main(self, spark):
+        from ..queries.llm import _shingles
+
+        docs = spark.read.parquet(self.requires().output().path)
+        tok = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+        sgarr = tok.select("doc_id", _shingles(F.col("ts")).alias("sgs"))
+        sh = sgarr.select(
+            "doc_id", F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
+        ).select("doc_id", "n", F.xxhash64("sg").alias("sg"))
+        a, b = sh.alias("a"), sh.hint("SHUFFLE_HASH").alias("b")
+        pairs = (
+            a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.min("a.n").alias("na"),
+                F.min("b.n").alias("nb"),
+            )
+        )
+        jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        drop = (
+            pairs.filter(jac >= float(self.jaccard_threshold))
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        docs.join(drop, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            self.output().path
+        )
+
+
+class CurationReport(SparkTask):
+    """Funnel summary: surviving docs + token budget per predicted
+    language, written as a small JSON (driver-side only for the ~k-row
+    final aggregate — never the data path)."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+    min_quality = Parameter(default=0.1)
+    jaccard_threshold = Parameter(default=0.5)
+
+    def requires(self):
+        return DedupNear(
+            data_root=self.data_root,
+            sf_dir=self.sf_dir,
+            min_quality=self.min_quality,
+            jaccard_threshold=self.jaccard_threshold,
+        )
+
+    def output(self):
+        return LocalTarget(os.path.join(self.data_root, "curation", "report.json"))
+
+    def main(self, spark):
+        final = spark.read.parquet(self.requires().output().path)
+        per_lang = (
+            final.groupBy("pred_lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_bpe_tokens").alias("n_tokens"),
+            )
+            .orderBy("pred_lang")
+            .collect()
+        )
+        report = {
+            "n_docs": int(sum(r.n_docs for r in per_lang)),
+            "n_tokens": int(sum(r.n_tokens for r in per_lang)),
+            "per_lang": {r.pred_lang: {"docs": int(r.n_docs), "tokens": int(r.n_tokens)} for r in per_lang},
+        }
+        with self.output().open("w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+
+
+def curation_dag(data_root: str, sf_dir: str, *, min_quality: float = 0.1,
+                 jaccard_threshold: float = 0.5) -> CurationReport:
+    """The full curation DAG rooted at its report task."""
+    return CurationReport(
+        data_root=data_root,
+        sf_dir=sf_dir,
+        min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold,
+    )
