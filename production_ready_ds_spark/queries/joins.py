@@ -267,3 +267,39 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_orderkey",
         F.round("asof_totalprice", 2).alias("asof_totalprice"),
     )
+
+
+@query(
+    "q_join_nullsafe",
+    category="join",
+    sql="""
+    WITH a AS (
+      SELECT CASE WHEN c_nationkey = 13 THEN NULL ELSE c_nationkey END AS nk,
+             COUNT(*) AS n_customers
+      FROM customer GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN n_nationkey = 13 THEN NULL ELSE n_nationkey END AS nk,
+             n_name
+      FROM nation
+    )
+    SELECT a.nk, b.n_name, a.n_customers
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping out — the semantics SQL
+    inner joins silently lose. Physically identical to a plain equi-join
+    (hashable key, broadcast/shuffle as usual); nation key 13 is
+    NULLed on both sides to exercise the NULL-matches-NULL row."""
+    nk_c = F.when(F.col("c_nationkey") == 13, F.lit(None)).otherwise(F.col("c_nationkey"))
+    a = (
+        load(spark, sf_dir, "customer")
+        .groupBy(nk_c.alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    nk_n = F.when(F.col("n_nationkey") == 13, F.lit(None)).otherwise(F.col("n_nationkey"))
+    b = load(spark, sf_dir, "nation").select(nk_n.alias("nk"), "n_name")
+    return a.join(broadcast(b), a["nk"].eqNullSafe(b["nk"])).select(
+        a["nk"].alias("nk"), "n_name", "n_customers"
+    )

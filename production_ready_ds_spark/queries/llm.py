@@ -619,3 +619,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.col("text")).cast("long").alias("payload_bytes"),
         F.md5(payload).alias("payload_md5"),
     )
+
+
+@query("q_sample_stratified", category="llm-text", sql=None)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy`` with per-stratum fractions,
+    fixed seed) — the corpus-mixing primitive of a training-data
+    pipeline (e.g. downsample dominant languages). Rows-only: the
+    sample is seed- and partitioning-dependent, so no cross-engine
+    oracle; the realized per-language rates are pinned to their
+    fractions in tests/test_llm_ops.py. At 100 TB this is a map-only
+    scan — each row draws against its stratum's threshold, no shuffle
+    (the plan stays a single stage; verified in tests/test_plans.py)."""
+    d = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25}
+    sample = d.sampleBy("lang", fractions=fractions, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -70,3 +70,22 @@ def test_simhash_separates_near_dups_from_random(spark, sf_small, cat, exact_pai
     assert sum(dists) / len(dists) < sum(background) / len(background), (
         "simhash fails to separate near-dups from background"
     )
+
+
+def test_stratified_sample_rates(spark, sf_small, cat):
+    """Realized per-language sampling rates track the declared
+    fractions (binomial 4σ bounds at the stratum sizes in testdata)."""
+    from production_ready_ds_spark.tables import load
+
+    totals = {r.lang: r.n for r in load(spark, sf_small, "documents")
+              .groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    sampled = {r.lang: r.n_sampled for r in cat["q_sample_stratified"].fn(spark, sf_small).collect()}
+    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25}
+    for lang, frac in fractions.items():
+        n = totals.get(lang, 0)
+        if n < 30:
+            continue
+        expect = frac * n
+        sigma = (n * frac * (1 - frac)) ** 0.5
+        got = sampled.get(lang, 0)
+        assert abs(got - expect) <= 4 * sigma, (lang, got, expect, sigma)

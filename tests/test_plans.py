@@ -143,3 +143,10 @@ def test_ngram_jaccard_static_plan_reuses_exchange(spark, sf_small, cat):
         assert "ReusedExchange" in s, s
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_stratified_sample_is_map_only(spark, sf_small, cat):
+    """sampleBy + final count is one shuffle total (the agg); the sample
+    itself must stay a map-side filter with no exchange."""
+    df = cat["q_sample_stratified"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 1, explain_str(df)
