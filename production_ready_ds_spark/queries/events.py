@@ -170,6 +170,7 @@ def q_event_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_event_rollup",
     category="events",
+    bench=True,
     sql="""
     SELECT date_trunc('day', ts) AS day_start,
            date_trunc('hour', ts) AS hour_start,
@@ -199,7 +200,7 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_hll", category="events", sql=None)
+@query("q_sketch_hll", category="events", bench=True, sql=None)
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (Apache DataSketches, built into
     Spark 3.5+): per-event_type user-count sketch via hll_sketch_agg,

@@ -166,7 +166,7 @@ _N_MINHASH = 16
 _BAND_SIZE = 4
 
 
-@query("q_dedup_minhash", category="llm-dedup", sql=None)
+@query("q_dedup_minhash", category="llm-dedup", bench=True, sql=None)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates — rows-only (xxhash64 seeds are
     engine-specific, so no cross-engine oracle; the estimator itself is

@@ -81,3 +81,35 @@ def test_join_cardinality_bounds(spark, sf_small):
     assert inner <= c.count() * o.count()
     assert semi + anti == c.count()  # semi/anti partition the left side
     assert inner >= semi  # every semi-match has ≥1 inner row
+
+
+def test_asof_join_semantics(spark, sf_small):
+    """As-of invariants, checked row-by-row against the raw inputs:
+    (1) a matched order belongs to the same customer and is dated at or
+    before the event; (2) the match is the LATEST such order (max date,
+    ties by max orderkey); (3) NULL exactly when the customer has no
+    order at or before the event."""
+    from collections import defaultdict
+
+    from production_ready_ds_spark.queries import catalog
+    from production_ready_ds_spark.tables import load
+
+    out = {r.event_id: r for r in catalog()["q_join_asof"].fn(spark, sf_small).collect()}
+    events = load(spark, sf_small, "events").select("event_id", "user_id", "ts").collect()
+    orders = defaultdict(list)
+    for o in load(spark, sf_small, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    ).collect():
+        orders[o.o_custkey].append(o)
+
+    assert len(out) == len(events)
+    for e in events:
+        row = out[e.event_id]
+        ets = e.ts.replace(tzinfo=None)
+        prior = [o for o in orders.get(e.user_id, [])
+                 if o.o_orderdate.replace(tzinfo=None) <= ets]
+        if not prior:
+            assert row.asof_orderkey is None, row
+        else:
+            best = max(prior, key=lambda o: (o.o_orderdate, o.o_orderkey))
+            assert row.asof_orderkey == best.o_orderkey, (e.event_id, row, best)
