@@ -221,51 +221,31 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer with o_orderdate <= ts (ties on date broken by max
     o_orderkey; events before any order get NULL).
 
-    Implemented as the union-and-window shape — tag both streams, union,
-    one window per customer carrying the last non-null order attributes
-    forward — NOT as a range self-join. Cost is one shuffle on the key +
-    one sort per partition: linear at 100 TB, where the naive
-    "max(t) <= t per row" range join is quadratic per key. This is the
-    standard distributed as-of (financial tick ⋈ quote) pattern."""
+    Delegates to operators.asof.asof_join — the union-and-window shape
+    (one shuffle on the key + per-partition sort, linear at 100 TB; the
+    naive "max(t′) <= t per row" range join is quadratic per key). The
+    operator's tie column is the first value column (o_orderkey), giving
+    the same max-orderkey tie-break the oracle states."""
+    from ..operators.asof import asof_join
+
     e = load(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("user_id").alias("k"),
-        F.col("ts").cast("timestamp_ntz").alias("t"),
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
     )
     o = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
         "o_orderkey",
         "o_totalprice",
     )
-    tagged = o.select(
-        "k", "t", F.lit(1).alias("is_order"), "o_orderkey", "o_totalprice",
-        F.lit(None).cast("long").alias("event_id"),
-    ).unionByName(
-        e.select(
-            "k", "t", F.lit(0).alias("is_order"),
-            F.lit(None).cast("long").alias("o_orderkey"),
-            F.lit(None).cast("double").alias("o_totalprice"),
-            "event_id",
-        )
+    joined = asof_join(
+        e, o, on="user_id", left_time="ts", right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
     )
-    # Orders sort before events at equal t (is_order DESC) so an order
-    # dated exactly at ts is visible; among same-date orders ascending
-    # o_orderkey makes last() pick the max. Event rows have NULL
-    # o_orderkey — their relative order never affects the carried value.
-    w = (
-        Window.partitionBy("k")
-        .orderBy(F.asc("t"), F.desc("is_order"), F.asc("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    joined = tagged.withColumn(
-        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
-    ).withColumn("asof_totalprice", F.last("o_totalprice", ignorenulls=True).over(w))
-    return joined.filter(F.col("is_order") == 0).select(
+    return joined.select(
         "event_id",
-        F.col("k").alias("user_id"),
-        "asof_orderkey",
-        F.round("asof_totalprice", 2).alias("asof_totalprice"),
+        "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round("o_totalprice", 2).alias("asof_totalprice"),
     )
 
 
