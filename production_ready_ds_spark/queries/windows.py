@@ -139,3 +139,34 @@ def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
     )
+
+
+@query(
+    "q_window_range_frame",
+    category="window",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_90d_spend
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, trailing-90-day spend at each
+    order — a VALUE-based frame (all rows within 90 days of the current
+    row's time), not a row-count frame; rows sharing a timestamp share
+    one frame. Same single shuffle + sort as any window; the frame scan
+    is a sliding two-pointer over the sorted partition."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+    )
