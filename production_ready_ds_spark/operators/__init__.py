@@ -1,6 +1,16 @@
-"""Reusable operator library (multimodal plumbing, plan-shape helpers).
+"""Reusable operator library.
 
 The relational/dedup/similarity operators live as catalog queries in
 ``production_ready_ds_spark.queries``; modules here hold the pieces
-that are operators in their own right rather than query shapes.
+that are operators in their own right rather than query shapes:
+
+- :mod:`.asof` — backward as-of join with tolerance (union+window shape)
+- :mod:`.upsert` — MERGE-style keyed upsert into parquet targets
+- :mod:`.bucketing` — bucketed-table helpers for exchange-free joins
+- :mod:`.multimodal` — opaque-binary payload plumbing (mapInPandas)
 """
+
+from .asof import asof_join
+from .upsert import UpsertError, upsert_parquet
+
+__all__ = ["asof_join", "upsert_parquet", "UpsertError"]

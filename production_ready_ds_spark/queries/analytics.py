@@ -286,3 +286,19 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "p_partkey", ["p_size", "p_retailprice"], "metric", "raw"
     ).select("p_partkey", "metric", F.round("raw", 2).alias("value"))
+
+
+@query("q_percentiles_approx", category="aggregation", sql=None)
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-
+    Khanna sketch, accuracy 1/10000) — partial-aggregatable, so each
+    partition contributes a small sketch and the merge costs bytes, not
+    rows (exact percentile must materialize every group value). Declared
+    rows-only (sketch internals are engine-specific); the estimate is
+    held to the GK error bound against the exact percentile in
+    tests/test_llm_ops.py."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50"),
+        F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 2).alias("p95"),
+    )

@@ -89,3 +89,16 @@ def test_stratified_sample_rates(spark, sf_small, cat):
         sigma = (n * frac * (1 - frac)) ** 0.5
         got = sampled.get(lang, 0)
         assert abs(got - expect) <= 4 * sigma, (lang, got, expect, sigma)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_small, cat):
+    """q_percentiles_approx is rows-only for the driver; here the GK
+    estimate is held within 1% of the exact per-group percentile."""
+    exact = {r.o_orderstatus: (r.p50, r.p95)
+             for r in cat["q_percentiles"].fn(spark, sf_small).collect()}
+    approx = {r.o_orderstatus: (r.p50, r.p95)
+              for r in cat["q_percentiles_approx"].fn(spark, sf_small).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, e, a)
