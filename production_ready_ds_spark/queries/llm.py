@@ -180,9 +180,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     size + Σ_band-bucket (docs in bucket)², which is the whole point of
     LSH — the only all-pairs work happens inside buckets."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingled_docs(d)
+    # hash each shingle string ONCE to a long; the 16 signature hashes
+    # re-hash that long with a seed literal (16 long-hashes per row
+    # instead of 16 string-hashes — same uniform family, ~2× cheaper).
+    sh = _shingled_docs(d).select("doc_id", F.xxhash64("sg").alias("sgh"))
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sg"))).alias(f"mh{i}") for i in range(_N_MINHASH)]
+        *[F.min(F.xxhash64(F.lit(i), F.col("sgh"))).alias(f"mh{i}") for i in range(_N_MINHASH)]
     )
     n_bands = _N_MINHASH // _BAND_SIZE
     bands = sig.select(
