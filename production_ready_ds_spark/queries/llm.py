@@ -638,3 +638,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25}
     sample = d.sampleBy("lang", fractions=fractions, seed=42)
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@query("q_minhash_dedup", category="llm-dedup", sql=None)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2b name-for-name alias of :func:`q_dedup_minhash`."""
+    return q_dedup_minhash(spark, sf_dir)
