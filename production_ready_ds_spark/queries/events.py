@@ -228,3 +228,53 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("exact_users"),
         )
     )
+
+
+@query(
+    "q_event_session_native",
+    category="events",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native dynamic-gap session windows (``F.session_window`` in
+    batch): events within 30 min of each other merge into one session
+    whose end = last event + gap. Semantically identical to the
+    lag+cumsum formulation (q_event_session) — the oracle derives the
+    same boundaries relationally — but executes as a single
+    session-merging aggregation, the exact operator the streaming twin
+    uses, so batch and streaming share session semantics by
+    construction."""
+    e = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy("user_id", sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
