@@ -73,8 +73,92 @@ def query(
     return wrap
 
 
+# SURVEY.md §2b declared contract queries, in the survey's own order.
+# catalog() emits these FIRST: the driver's correctness harness verifies a
+# bounded prefix of the catalog (round 1 stopped at 50 of 86 entries), so
+# contract rows must never trail extension rows.
+_CONTRACT_ORDER = (
+    "q_scan_project",
+    "q_filter_like",
+    "q_filter_range",
+    "q_cast_label",
+    "q_case_when",
+    "q_null_fill",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_star",
+    "q_join_range",
+    "q_agg_pricing",
+    "q_agg_having",
+    "q_agg_countdistinct",
+    "q_agg_approx_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_window_rank",
+    "q_window_rownum_dedup",
+    "q_window_lag",
+    "q_window_running",
+    "q_sort_topk",
+    "q_string_funcs",
+    "q_tokenize_explode",
+    "q_stopword_filter",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_sim_cosine_topk",
+    "q_minhash_dedup",
+    "q_event_tumbling",
+    "q_event_sliding",
+    "q_event_session",
+    "q_event_late",
+    "q_classify_shape",
+    "q_train_pipeline",
+    "q_udf_pandas",
+    "q_udaf_grouped",
+)
+
+# Extension queries most in need of driver-side evidence (new or recently
+# changed semantics) go right after the contract block; everything else
+# follows in registration order.
+_EXTENSION_PRIORITY = (
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_sim_topk_bucketed",
+    "q_dedup_minhash",
+)
+
+
 def catalog() -> dict[str, Query]:
-    """Import all query modules and return the full registry."""
+    """Import all query modules and return the registry, contract-first.
+
+    Ordering contract: the 48 SURVEY §2b names lead (survey order), then
+    extensions needing fresh driver evidence, then the rest in module
+    registration order. Raises if a declared contract query is missing so
+    a rename/regression fails loudly instead of silently dropping a row.
+    """
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
-    return dict(_REGISTRY)
+    missing = [n for n in _CONTRACT_ORDER if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(f"contract queries missing from registry: {missing}")
+    ordered: dict[str, Query] = {}
+    for name in (*_CONTRACT_ORDER, *_EXTENSION_PRIORITY):
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
