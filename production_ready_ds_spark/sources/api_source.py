@@ -17,6 +17,8 @@ deterministic synthetic posts (seeded per subreddit+slice); swapping
 
 from __future__ import annotations
 
+import zlib
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 _SCHEMA = "id string, title string, selftext string, subreddit string, created_ts long"
@@ -32,7 +34,10 @@ def _fetch_slice(subreddit: str, slice_id: int, limit: int, start_ts: int, end_t
     rows = []
     for i in range(limit):
         uid = slice_id * limit + i
-        rng = (hash((subreddit, uid)) & 0x7FFFFFFF)
+        # zlib.crc32, not builtin hash(): str hashing is PYTHONHASHSEED-
+        # salted per process, so rows must not depend on it — executors
+        # and restarted drivers would each see different "API" data.
+        rng = zlib.crc32(f"{subreddit}:{uid}".encode()) & 0x7FFFFFFF
         ts = start_ts + rng % max(end_ts - start_ts, 1)
         title = " ".join(
             _WORDS[(rng >> (3 * j)) % len(_WORDS)] for j in range(4)
@@ -100,4 +105,11 @@ class PostsApiDataSource(DataSource):
 
 
 def register_posts_api(spark) -> None:
+    # By-value pickling first: the DataSource class ships to Python
+    # workers via cloudpickle, and a driver started outside the repo
+    # (verification harness, spark-submit elsewhere) can't import this
+    # package on the worker side otherwise.
+    from ..session import register_udf_modules
+
+    register_udf_modules()
     spark.dataSource.register(PostsApiDataSource)

@@ -34,6 +34,30 @@ def test_posts_api_deterministic(spark):
     assert a == b
 
 
+def test_posts_api_cross_process_deterministic():
+    """Rows must be identical from a FRESH interpreter: builtin hash()
+    is PYTHONHASHSEED-salted per process, so _fetch_slice must not use
+    it (a restarted driver / foreign executor would see new data)."""
+    import subprocess
+    import sys
+
+    script = (
+        "from production_ready_ds_spark.sources.api_source import _fetch_slice;"
+        "print(_fetch_slice('datascience', 1, 5, 0, 1000))"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", script],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+        for _ in range(2)
+    }
+    assert len(outs) == 1
+    from production_ready_ds_spark.sources.api_source import _fetch_slice
+
+    assert outs.pop().strip() == str(_fetch_slice("datascience", 1, 5, 0, 1000))
+
+
 def test_posts_api_time_range_pushdown(spark):
     lo, hi = 1_500_000_000, 1_500_086_400  # one day
     df = _read(spark, limit=200, start_ts=lo, end_ts=hi)
