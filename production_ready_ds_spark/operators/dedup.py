@@ -1,0 +1,273 @@
+"""Scalable near-duplicate primitives: shingling, capped Jaccard pair
+generation, and connected-components duplicate clustering.
+
+These are the building blocks behind the ``q_dedup_*`` catalog queries
+and the curation pipeline's near-dup stage. Everything is blocked — the
+pair join keys on shingle hash, never all-pairs — and the dominant
+intermediate (the exploded shingle table) is materialized exactly once
+via an eager local checkpoint, because AQE's adaptive stage creation
+misses the ReuseExchange that static planning finds on identical
+self-join sides (measured 2× the dominant stage without it).
+
+100 TB notes per primitive are in the docstrings; the shared theme is
+that every step is a linear scan, a hash shuffle on a uniform key, or a
+bucket-local pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+from ..functions.text import tokens_expr
+
+#: Shingles appearing in more than this many documents are dropped
+#: before the pair join. A shingle shared by hundreds of documents is
+#: boilerplate (licence headers, navigation chrome, stop phrases): it
+#: carries no discriminative signal for near-dup detection, but its
+#: pair-join cost is df² — one stop-phrase shingle present in most of a
+#: 100 TB corpus would detonate the self-join on its own. The cap bounds
+#: per-shingle join work at df_cap² while leaving genuinely rare (i.e.
+#: informative) shingles untouched.
+DEFAULT_DF_CAP = 20
+
+DEFAULT_JACCARD_THRESHOLD = 0.5
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles as a column expression (empty when the
+    doc has <k tokens — guarded because ``F.sequence(1, 0)`` would count
+    DOWN, not produce an empty array)."""
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(sh)
+
+
+def shingled_docs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents → (id, sg) exploded distinct 3-token shingle strings.
+
+    Two-step projection on purpose: the token array is materialized in
+    its own Project before the explode — Catalyst does not collapse a
+    Project through Generate, so the tokenizer runs once per row. A
+    single fused expression would re-inline filter(split(lower(text)))
+    into every element_at lambda → O(tokens²) per document (measured 4×
+    slower at sf0.1)."""
+    tok = docs.select(id_col, tokens_expr(F.col(text_col)).alias("ts"))
+    return tok.select(id_col, F.explode(shingles(F.col("ts"))).alias("sg"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = DEFAULT_JACCARD_THRESHOLD,
+    df_cap: int | None = DEFAULT_DF_CAP,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs (doc_a, doc_b, jaccard) by 3-gram-shingle Jaccard.
+
+    Semantics with ``df_cap``: Jaccard over the CAPPED shingle sets —
+    shingles with doc-frequency > df_cap are removed from both the
+    intersection and the union, so the score measures overlap of
+    *informative* shingles only (boilerplate shared by many documents
+    neither connects nor pads any pair), and two identical documents
+    still score 1.0 however much boilerplate they contain.
+
+    Plan shape of the capped path (the scale story):
+      1. tokenize → shingle → explode → xxhash64 (8-byte keys; collision
+         odds ~1e-11 at these cardinalities).
+      2. doc-frequency per shingle via a count window on ``sg``, drop
+         hot shingles; post-cap per-doc count via a count window on the
+         id, CARRIED on the exploded rows so the pair join needs no
+         separate count table. Both windows live in the same single
+         lineage — no branch ever recomputes the tokenizer.
+      3. ONE eager localCheckpoint of the capped+counted rows: both
+         self-join sides read the materialized blocks (AQE misses the
+         ReuseExchange on identical self-join subplans, which would
+         otherwise recompute the whole pipeline per side — measured 2×
+         the dominant stage).
+      4. SHUFFLE_HASH self-join on ``sg`` (not broadcast — corpus-sized
+         at 100 TB; not SMJ — hash probing skips two O(n log n) sorts,
+         and Spark's shuffled-hash join spills since 3.1), group by the
+         pair, threshold filter.
+
+    Cost after the cap is Σ_shingle min(df, df_cap)² ≤ rows·df_cap —
+    linear in corpus size with a df_cap constant, which is what makes
+    the operator safe at 100 TB. (A grouped collect_list(≤cap) variant
+    that emits in-bucket pairs from an array — one fewer shuffle — was
+    measured 1.6× slower end-to-end at sf0.1: the generator breaks
+    whole-stage codegen and the pair rows lose map-side pre-aggregation;
+    the self-join keeps both.)
+    """
+    if df_cap is None:
+        # Uncapped legacy shape: per-doc counts are free (array size
+        # before the explode), single lineage into the checkpoint.
+        tok = docs.select(id_col, tokens_expr(F.col(text_col)).alias("ts"))
+        sgarr = tok.select(id_col, shingles(F.col("ts")).alias("sgs"))
+        sh = sgarr.select(
+            id_col, F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
+        ).select(id_col, "n", F.xxhash64("sg").alias("sg"))
+    else:
+        sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
+            id_col, F.xxhash64("sg").alias("sg")
+        )
+        w_sg = Window.partitionBy("sg")
+        sh = (
+            sh.withColumn("df", F.count(F.lit(1)).over(w_sg))
+            .filter(F.col("df") <= df_cap)
+            .drop("df")
+        )
+        w_doc = Window.partitionBy(id_col)
+        sh = sh.withColumn("n", F.count(F.lit(1)).over(w_doc))
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+    a = sh.alias("a")
+    b = sh.hint("SHUFFLE_HASH").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sg") == F.col("b.sg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.n").alias("na"),  # constant within the group
+            F.min("b.n").alias("nb"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    *,
+    max_iter: int = 25,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: (node, cluster_id) for
+    every node appearing in ``pairs``, where cluster_id is the MINIMUM
+    node id in the node's connected component.
+
+    This is the step between pair generation and the keep-decision that
+    a production dedup pipeline needs: pairs A~B and B~C must resolve to
+    ONE cluster {A,B,C} with one canonical document, not two independent
+    keep-lowest choices that can retain both B and C.
+
+    Algorithm: hash-min label propagation — every node starts labeled
+    with its own id; each round takes the min of its label and its
+    neighbors' labels; fixpoint = component minima. Rounds needed =
+    graph diameter, and near-dup graphs are overwhelmingly tiny cliques
+    and chains (diameter ≤ a few), so the loop converges in 2–4 rounds.
+    Each round is one shuffle join (edges ⋈ labels) plus one hash agg;
+    the edge list and each round's labels are eagerly checkpointed so
+    lineage stays flat and nothing recomputes. Convergence is detected
+    by the sum of labels (monotonically non-increasing; equal sums ⟺
+    fixpoint) — one scalar agg per round, no extra join. Node ids must
+    be numeric. At larger diameters switch to the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce"),
+    which converges in O(log²) rounds on the same join primitive.
+
+    Hybrid execution (the GraphX/GraphFrames pattern): a near-dup edge
+    list is usually many orders of magnitude smaller than the corpus —
+    256 pairs from 5 000 sf0.1 documents — and an iterative Spark loop
+    pays multi-second per-round scheduling overhead on a graph that fits
+    in kilobytes. When the DEDUPLICATED edge count is ≤
+    ``driver_threshold`` (explicitly counted, never assumed), the
+    component minima are computed with driver-side union-find on the
+    already-collected edge list — identical output, zero rounds. Above
+    the threshold the distributed label-propagation loop runs; at 100 TB
+    the pair table blows past any driver threshold and the loop is the
+    only path taken. Set ``driver_threshold=0`` to force the
+    distributed path (tests do).
+    """
+    # Materialize the pair list before mirroring it: the edge union
+    # references ``pairs`` twice (forward + reversed), and without this
+    # the whole upstream pair-generation pipeline would execute once
+    # per reference.
+    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=True
+    )
+    edges = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= driver_threshold:
+        return _driver_union_find(edges)
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        # lazy checkpoint: materialized by the _label_sum action below,
+        # so each round costs exactly ONE job (propagate+materialize+sum)
+        .localCheckpoint(eager=False)
+    )
+
+    def _label_sum(frame: DataFrame):
+        return frame.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _label_sum(labels)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["s"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = _label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Union-find over a small (≤ driver_threshold) collected edge list;
+    returns the same (node, cluster_id=component minimum) frame as the
+    distributed loop, with matching column types."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        s, d = row.s, row.d
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)  # union by min id
+
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        comp_min[root] = min(comp_min.get(root, node), node)
+    out = [(node, comp_min[find(node)]) for node in parent]
+    node_type = edges.schema["s"].dataType
+    schema = StructType(
+        [StructField("node", node_type), StructField("cluster_id", node_type)]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)

@@ -133,12 +133,12 @@ class DedupExact(SparkTask):
 
 
 class DedupNear(SparkTask):
-    """Near-dup removal: 3-gram-shingle Jaccard pairs (hash-blocked self
-    join, q_dedup_ngram_jaccard shape) → drop the higher doc_id of every
-    pair ≥ threshold. The keep-lowest heuristic is one pass; exact
-    duplicate-cluster resolution would iterate to connected components,
-    which at scale is the same pair table fed to an iterative
-    label-propagation loop."""
+    """Near-dup removal with transitive cluster resolution: 3-gram
+    Jaccard pairs (hash-blocked, hot-shingle-capped self join —
+    operators/dedup.py jaccard_pairs) → connected components → keep ONE
+    canonical doc (min doc_id) per duplicate cluster. Per-pair
+    keep-lowest would mishandle chains: A~B and B~C could retain both B
+    and C; label propagation resolves {A,B,C} to a single keeper."""
 
     data_root = Parameter()
     sf_dir = Parameter()
@@ -154,29 +154,14 @@ class DedupNear(SparkTask):
         return ParquetTarget(_stage_dir(self.data_root, "dedup_near"))
 
     def main(self, spark):
-        from ..queries.llm import _shingles
+        from ..operators.dedup import connected_components, jaccard_pairs
 
         docs = spark.read.parquet(self.requires().output().path)
-        tok = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
-        sgarr = tok.select("doc_id", _shingles(F.col("ts")).alias("sgs"))
-        sh = sgarr.select(
-            "doc_id", F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
-        ).select("doc_id", "n", F.xxhash64("sg").alias("sg"))
-        a, b = sh.alias("a"), sh.hint("SHUFFLE_HASH").alias("b")
-        pairs = (
-            a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(
-                F.count(F.lit(1)).alias("n_common"),
-                F.min("a.n").alias("na"),
-                F.min("b.n").alias("nb"),
-            )
-        )
-        jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-        drop = (
-            pairs.filter(jac >= float(self.jaccard_threshold))
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        pairs = jaccard_pairs(docs, threshold=float(self.jaccard_threshold))
+        clusters = connected_components(pairs)
+        # every clustered doc that is NOT its component's minimum
+        drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias("doc_id")
         )
         docs.join(drop, "doc_id", "left_anti").write.mode("overwrite").parquet(
             self.output().path

@@ -16,6 +16,12 @@ from pyspark.sql.functions import broadcast
 
 from ..functions.text import STOPWORDS, stopword_ratio, tokens_expr
 from ..functions.vectors import cosine, cosine_prenormed, norm, sign_bucket
+from ..operators.dedup import (
+    DEFAULT_DF_CAP,
+    connected_components,
+    jaccard_pairs,
+    shingled_docs,
+)
 from ..tables import load
 from . import query
 
@@ -23,6 +29,7 @@ from . import query
 JACCARD_THRESHOLD = 0.5
 EMBED_COS_THRESHOLD = 0.25
 MINHASH_EST_THRESHOLD = 0.5
+HOT_SHINGLE_DF_CAP = DEFAULT_DF_CAP
 
 _DUCK_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\W+'), t -> t <> '')"
 
@@ -52,35 +59,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled_docs(d) -> DataFrame:
-    """documents → (doc_id, sg) exploded distinct 3-token shingles.
-
-    Two-step projection on purpose: the token array is materialized in
-    its own Project before the explode — Catalyst does not collapse a
-    Project through Generate, so the tokenizer runs once per row. A
-    single fused expression would re-inline filter(split(lower(text)))
-    into every element_at lambda → O(tokens²) per document (measured 4×
-    slower at sf0.1)."""
-    tok = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
-    return tok.select("doc_id", F.explode(_shingles(F.col("ts"))).alias("sg"))
-
-
-def _shingles(toks):
-    """Distinct 3-token shingles as a column expression (empty when the
-    doc has <3 tokens — guarded because F.sequence(1, 0) would count
-    DOWN, not produce an empty array)."""
-    idx = F.when(F.size(toks) >= 3, F.sequence(F.lit(1), F.size(toks) - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
-    )
-    return F.array_distinct(sh)
-
-
 _DUCK_SHINGLES = """
     SELECT DISTINCT doc_id,
            sg
@@ -90,76 +68,89 @@ _DUCK_SHINGLES = """
 """.format(toks=_DUCK_TOKENS)
 
 
+# Shared CTE chain for the capped-Jaccard pair queries: shingles → drop
+# hot shingles (doc-frequency > cap) → post-cap per-doc counts → blocked
+# pair join → threshold filter. Mirrors operators/dedup.py jaccard_pairs
+# exactly (including the post-cap union semantics).
+_DUCK_JACCARD_CTES = f"""
+    sh AS (
+      SELECT doc_id, sg FROM (
+        SELECT doc_id, sg, COUNT(*) OVER (PARTITION BY sg) AS df
+        FROM ({_DUCK_SHINGLES})
+      ) WHERE df <= {HOT_SHINGLE_DF_CAP}
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             n_common * 1.0 / (ca.n + cb.n - n_common) AS jaccard
+      FROM rawpairs
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
 @query(
     "q_dedup_ngram_jaccard",
     category="llm-dedup",
     bench=True,
     sql=f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.sg = b.sg AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (ca.n + cb.n - n_common), 4) AS jaccard
-    FROM pairs
-    JOIN cnt ca ON doc_a = ca.doc_id
-    JOIN cnt cb ON doc_b = cb.doc_id
-    WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+    WITH {_DUCK_JACCARD_CTES}
+    SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard FROM pairs
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram-shingle Jaccard.
+    """Near-dup pairs by 3-gram-shingle Jaccard with a hot-shingle cap.
 
-    The pair join is blocked by shingle equality, so cost is
-    Σ_shingle (docs containing it)² — not |docs|². At 100 TB you'd first
-    cap hot shingles (drop shingles appearing in >K docs — they carry no
-    discriminative signal) and/or go through q_dedup_minhash; the shape
-    here (explode → join on shingle → group pair) is already the
-    distributed one.
-
-    Shuffle accounting (this exact shape measured 3× faster than the
-    separate-count variant at sf0.1): each exploded row CARRIES its
-    document's total shingle count ``n`` (+8 bytes/row), so the plan is
-    one reused exchange on ``sg`` for the self-join plus one exchange on
-    the pair key — no second scan for per-doc counts and no re-join of
-    the pair table against them."""
+    Thin wrapper over :func:`operators.dedup.jaccard_pairs` — see its
+    docstring for the full plan shape. The two scale guarantees: the
+    pair join is blocked by shingle hash (cost Σ min(df, cap)² ≤
+    rows·cap, linear — never |docs|²), and the exploded shingle table is
+    eagerly checkpointed so it materializes once even though both
+    self-join sides consume it (AQE misses the ReuseExchange here)."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
-    # sgs materialized in its own Project; size() and explode() both read
-    # the attribute (CollapseProject keeps non-cheap exprs single-use).
-    sgarr = tok.select("doc_id", _shingles(F.col("ts")).alias("sgs"))
-    # Join on the 64-bit shingle hash, not the string: 8-byte shuffle
-    # keys and cheap comparisons (collision odds ~1e-11 at these
-    # cardinalities — the standard shingle-hashing trade at scale).
-    sh = sgarr.select(
-        "doc_id", F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
-    ).select("doc_id", "n", F.xxhash64("sg").alias("sg"))
-    a = sh.alias("a")
-    # SHUFFLE_HASH (not broadcast — the shingle table is corpus-sized at
-    # 100 TB; not SMJ — hash probing skips two O(n log n) sorts, and
-    # Spark's shuffled-hash join spills since 3.1 so partition-fits-in-
-    # memory is not a correctness constraint). Known AQE quirk: adaptive
-    # stage creation misses the ReuseExchange that static planning gets
-    # on this self-join, so the shingle pipeline computes once per side;
-    # with AQE off ReuseExchange fires (asserted in tests/test_plans.py).
-    b = sh.hint("SHUFFLE_HASH").alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.min("a.n").alias("na"),  # constant within the group
-            F.min("b.n").alias("nb"),
-        )
+    return jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+
+
+@query(
+    "q_dedup_clusters",
+    category="llm-dedup",
+    bench=True,
+    sql=f"""
+    WITH RECURSIVE {_DUCK_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
     )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        pairs.filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: near-dup Jaccard pairs fed to
+    connected components (hash-min label propagation), one row per
+    clustered doc with cluster_id = min doc_id of its component.
+
+    This closes the gap between pair generation and the keep-decision:
+    chains A~B~C resolve to one cluster keeping only A, where a naive
+    per-pair keep-lowest can retain both B and C. Oracle = DuckDB
+    recursive CTE computing the same reachability minima."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 _N_MINHASH = 16
@@ -178,12 +169,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs sharing any band key → estimated Jaccard = fraction of
     agreeing signature components. At 100 TB: cost is linear in corpus
     size + Σ_band-bucket (docs in bucket)², which is the whole point of
-    LSH — the only all-pairs work happens inside buckets."""
+    LSH — the only all-pairs work happens inside buckets. The band frame
+    is eagerly checkpointed so the shingle→signature pipeline runs once
+    even though both self-join sides consume it (AQE misses the
+    ReuseExchange that static planning finds)."""
     d = load(spark, sf_dir, "documents")
     # hash each shingle string ONCE to a long; the 16 signature hashes
     # re-hash that long with a seed literal (16 long-hashes per row
     # instead of 16 string-hashes — same uniform family, ~2× cheaper).
-    sh = _shingled_docs(d).select("doc_id", F.xxhash64("sg").alias("sgh"))
+    sh = shingled_docs(d).select("doc_id", F.xxhash64("sg").alias("sgh"))
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("sgh"))).alias(f"mh{i}") for i in range(_N_MINHASH)]
     )
@@ -205,6 +199,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", *[f"mh{i}" for i in range(_N_MINHASH)], "bk.band", "bk.key")
+    # Materialize signatures+bands once (~600 B/doc); both self-join
+    # sides read the checkpointed blocks instead of recomputing the
+    # whole shingle→minhash pipeline per side.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.alias("a")
     b = bands.hint("SHUFFLE_HASH").alias("b")  # sort-free self-join (see q_dedup_ngram_jaccard)
     agree = sum(
@@ -388,34 +386,53 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_embedding",
     category="llm-dedup",
     sql=f"""
-    WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS de FROM embeddings)
+    WITH b AS (
+      SELECT vec_id, {_DUCK_BUCKET} AS bucket, CAST(embedding AS DOUBLE[]) AS de
+      FROM embeddings
+    )
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            ROUND(list_cosine_similarity(a.de, c.de), 4) AS cos_sim
-    FROM b a JOIN b c ON a.label = c.label AND a.vec_id < c.vec_id
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     WHERE list_cosine_similarity(a.de, c.de) >= {EMBED_COS_THRESHOLD}
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by the ``label`` column
-    (the cluster/topic id acts as the blocking key — at 100 TB the block
-    is an ANN bucket instead, but the join shape is identical: equi-join
-    on block key + theta filter, never an unblocked cross join)."""
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    """Embedding-cosine near-dup pairs, blocked by the sign-bucket ANN
+    key (sign pattern of the first 4 dimensions → 16 buckets; the same
+    quantization as q_sim_topk_bucketed). The join shape is the scale
+    contract: equi-join on the bucket id + theta filter inside the
+    bucket — never an unblocked cross join, and the blocking key's
+    cardinality GROWS with more planes, unlike a label/topic column
+    whose few distinct values leave O(block²) work at 100 TB.
+
+    Recall note: sign-bucket blocking misses near-dup pairs that
+    straddle a hyperplane (a vector pair with cos ≥ threshold but
+    opposite signs in one of the first 4 dims). Production multi-probe
+    fixes this: also emit each vector into buckets at Hamming distance 1
+    from its sign pattern whenever the corresponding |component| is
+    below a margin ε (≤5 bucket copies per vector here), which recovers
+    boundary pairs at a constant-factor cost. Kept single-probe here so
+    the DuckDB oracle mirrors the blocking exactly."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("bucket", sign_bucket(F.col("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("la"),
+        F.col("bucket").alias("ba"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
     )
     c = e.select(
         F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
+        F.col("bucket").alias("bb"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
     sim = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
-        a.join(c, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(sim >= EMBED_COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
     )

@@ -102,3 +102,92 @@ def test_approx_percentile_tracks_exact(spark, sf_small, cat):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) <= 0.01 * max(abs(e), 1.0), (k, e, a)
+
+
+# ------------------------- operator-level: cap + clustering ----------------
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_cap_kills_boilerplate_pairs(spark):
+    """One stop-phrase shared by every doc must not connect documents:
+    without the cap the pair join emits O(n²) candidate pairs off that
+    single hot shingle; with the cap the boilerplate carries no signal
+    and docs with disjoint real content produce ZERO pairs."""
+    from production_ready_ds_spark.operators.dedup import jaccard_pairs
+
+    boiler = "this content is provided under the creative commons license terms"
+    n = 30
+    docs = _mkdocs(
+        spark,
+        [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(n)],
+    )
+    uncapped = jaccard_pairs(docs, threshold=0.01, df_cap=None).count()
+    capped = jaccard_pairs(docs, threshold=0.01, df_cap=5).count()
+    assert uncapped == n * (n - 1) / 2, "hot shingle should connect every pair uncapped"
+    assert capped == 0, "capped run must drop all boilerplate-only pairs"
+
+
+def test_capped_jaccard_still_finds_real_near_dups(spark):
+    """The cap must not suppress genuine near-duplicates whose shared
+    shingles are rare."""
+    from production_ready_ds_spark.operators.dedup import jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = _mkdocs(
+        spark,
+        [
+            (1, base),
+            (2, base + " today"),  # near-dup of 1
+            (3, "completely different words about spark query engines at scale"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.5, df_cap=5).collect()}
+    assert (1, 2) in pairs
+    assert all(p[0] != 3 and p[1] != 3 for p in pairs)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("driver_threshold", [100_000, 0])
+def test_connected_components_resolves_chains(spark, driver_threshold):
+    """A~B, B~C, plus an unrelated D~E: one cluster {A,B,C} rooted at
+    min id, one {D,E} — the per-pair keep-lowest heuristic would keep
+    both B and C here. Both execution paths (driver union-find and the
+    distributed label-propagation loop) must agree."""
+    from production_ready_ds_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, driver_threshold=driver_threshold).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+@_pytest.mark.parametrize("driver_threshold", [100_000, 0])
+def test_connected_components_long_chain_converges(spark, driver_threshold):
+    """A 12-node path graph (diameter 11) must still reach fixpoint on
+    both execution paths."""
+    from production_ready_ds_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, driver_threshold=driver_threshold).collect()
+    }
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_connected_components_empty_pairs(spark):
+    from production_ready_ds_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0

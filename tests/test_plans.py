@@ -126,23 +126,24 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark, sf_small, cat):
     assert shuffle_count(df) <= 3, explain_str(df)
 
 
+def test_dedup_self_joins_read_checkpoint_not_parquet(spark, sf_small, cat):
+    """The expensive shingle/signature pipelines are eagerly
+    checkpointed, so the final plan's self-join consumes the
+    materialized RDD — the documents parquet must NOT appear (it would
+    mean the pipeline recomputes per join side; AQE misses the
+    ReuseExchange that would otherwise dedup it)."""
+    for name in ("q_dedup_ngram_jaccard", "q_dedup_minhash"):
+        df = cat[name].fn(spark, sf_small)
+        s = explain_str(df)
+        assert "ExistingRDD" in s, s
+        assert "parquet" not in s.lower(), f"{name} recomputes the scan: {s}"
+
+
 def test_event_rollup_single_shuffle(spark, sf_small, cat):
     df = cat["q_event_rollup"].fn(spark, sf_small)
     assert shuffle_count(df) <= 1, explain_str(df)
 
 
-def test_ngram_jaccard_static_plan_reuses_exchange(spark, sf_small, cat):
-    """With AQE off, the shingle self-join's two identical exchanges
-    collapse to one ReusedExchange (single tokenize+shingle pass).
-    Documents the known AQE quirk: adaptive stage creation currently
-    misses this reuse (one extra pass — linear, not asymptotic)."""
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        df = cat["q_dedup_ngram_jaccard"].fn(spark, sf_small)
-        s = explain_str(df)
-        assert "ReusedExchange" in s, s
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_stratified_sample_is_map_only(spark, sf_small, cat):
