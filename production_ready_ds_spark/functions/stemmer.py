@@ -156,11 +156,18 @@ def porter_stem(word: str) -> str:
 
 def stem_tokens_udf():
     """pandas UDF: array<string> tokens → array<string> stems (created
-    lazily — UDF construction needs an active SparkSession)."""
+    lazily — UDF construction needs an active SparkSession).
+
+    Uses the English Snowball (Porter2) stemmer — the algorithm the
+    reference stems with — so the golden-artifact replay is exact
+    (tests/test_reference_replay.py). ``porter_stem`` above is the
+    classic Porter predecessor, kept for comparison/property tests."""
     from pyspark.sql.functions import pandas_udf
+
+    from .snowball import snowball_stem
 
     def _stem_arrays(s):  # pd.Series -> pd.Series (no hints: pandas is
         # not module-global here, and pyspark eval's string annotations)
-        return s.map(lambda toks: [porter_stem(t) for t in toks] if toks is not None else None)
+        return s.map(lambda toks: [snowball_stem(t) for t in toks] if toks is not None else None)
 
     return pandas_udf(_stem_arrays, "array<string>")

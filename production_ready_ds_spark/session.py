@@ -76,12 +76,12 @@ def register_udf_modules() -> None:
     code inside the serialized task instead."""
     from pyspark import cloudpickle
 
-    from .functions import stemmer
+    from .functions import snowball, stemmer
     from .operators import multimodal
     from .queries import udfs
     from .sources import api_source
 
-    for mod in (stemmer, udfs, multimodal, api_source):
+    for mod in (stemmer, snowball, udfs, multimodal, api_source):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API

