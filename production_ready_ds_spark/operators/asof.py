@@ -46,6 +46,12 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in keys and c != right_time
     ]
+    if not value_cols:
+        raise ValueError(
+            "asof_join: right frame has no value columns (only keys and "
+            f"{right_time!r}) — pass value_cols explicitly or add columns "
+            "to attach"
+        )
     overlap = [c for c in value_cols if c in left.columns]
     if overlap:
         raise ValueError(f"value_cols collide with left columns: {overlap}")
@@ -75,22 +81,36 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_right.unionByName(tagged_left)
-    for c in value_cols:
-        carried = carried.withColumn(
-            _PREFIX + "m_" + c, F.last(_PREFIX + c, ignorenulls=True).over(w)
-        )
     if tolerance is not None:
-        # computed BEFORE the left-rows filter — a window expression in
-        # the post-filter select would only see left rows
-        carried = carried.withColumn(
-            _PREFIX + "m_t",
-            F.last(F.when(F.col(_IS_RIGHT) == 1, F.col(t)), ignorenulls=True).over(w),
-        )
-        in_window = F.col(_PREFIX + "m_t") >= (F.col(t) - tolerance)
+        # Each value travels WITH the time of the row it came from as a
+        # (t, v) struct, so the tolerance clock is per column: a newer
+        # right row whose value column is NULL must not refresh the
+        # window for a value that actually came from an older row.
+        # (Window exprs computed BEFORE the left-rows filter — a window
+        # in the post-filter select would only see left rows.)
+        for c in value_cols:
+            carried = carried.withColumn(
+                _PREFIX + "m_" + c,
+                F.last(
+                    F.when(
+                        (F.col(_IS_RIGHT) == 1) & F.col(_PREFIX + c).isNotNull(),
+                        F.struct(F.col(t).alias("t"), F.col(_PREFIX + c).alias("v")),
+                    ),
+                    ignorenulls=True,
+                ).over(w),
+            )
         picks = [
-            F.when(in_window, F.col(_PREFIX + "m_" + c)).alias(c) for c in value_cols
+            F.when(
+                F.col(_PREFIX + "m_" + c)["t"] >= (F.col(t) - tolerance),
+                F.col(_PREFIX + "m_" + c)["v"],
+            ).alias(c)
+            for c in value_cols
         ]
     else:
+        for c in value_cols:
+            carried = carried.withColumn(
+                _PREFIX + "m_" + c, F.last(_PREFIX + c, ignorenulls=True).over(w)
+            )
         picks = [F.col(_PREFIX + "m_" + c).alias(c) for c in value_cols]
 
     out_left = [c for c in left.columns if c not in keys and c != left_time]

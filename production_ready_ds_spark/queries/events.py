@@ -111,14 +111,18 @@ def q_event_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Gap compared in MICROseconds: casting to long would truncate
+    # sub-second precision, mis-sessionizing gaps in (1800, 1801) s and
+    # diverging from both the exact-interval oracle and the native
+    # session_window twin (events.ts carries sub-second precision).
     flagged = e.withColumn(
         "new_sess",
         F.when(
             F.lag("ts").over(order_w).isNull()
             | (
-                F.col("ts").cast("timestamp").cast("long")
-                - F.lag("ts").over(order_w).cast("timestamp").cast("long")
-                > 1800
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(order_w).cast("timestamp"))
+                > 1_800_000_000
             ),
             1,
         ).otherwise(0),

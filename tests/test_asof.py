@@ -86,3 +86,40 @@ def test_asof_join_rejects_column_collision(frames):
             trades.withColumnRenamed("trade_id", "px"),
             quotes, on="sym", left_time="tt", right_time="qt",
         )
+
+
+def test_asof_no_value_cols_raises(spark):
+    from production_ready_ds_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame([(1, 5)], "k long, rt long")
+    import pytest
+
+    with pytest.raises(ValueError, match="no value columns"):
+        asof_join(left, right, on="k", left_time="lt", right_time="rt")
+
+
+def test_asof_tolerance_null_value_does_not_refresh_clock(spark):
+    """A newer right row with a NULL value must not extend the
+    tolerance window for a value that came from an older row: the
+    (time, value) pair travels together per column."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 6)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 5, None)], "k long, rt long, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        value_cols=["v"], tolerance=F.lit(2),
+    ).collect()
+    # last non-null v is from rt=1, which is older than lt-2=4 → NULL
+    assert out[0].v is None
+
+    # sanity: without tolerance the older value IS attached
+    out2 = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt", value_cols=["v"]
+    ).collect()
+    assert out2[0].v == 10.0
