@@ -37,6 +37,7 @@ from .core import (
     build,
     range_daily,
 )
+from .luigi_adapter import build_any, build_with_luigi
 
 __all__ = [
     "DateParameter",
@@ -50,5 +51,7 @@ __all__ = [
     "Task",
     "WorkflowError",
     "build",
+    "build_any",
+    "build_with_luigi",
     "range_daily",
 ]
