@@ -657,6 +657,100 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+@query(
+    "q_quality_repetition",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+    stats AS (
+      SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct, ts
+      FROM t WHERE len(ts) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, n_tokens, n_distinct, ts[i] || ' ' || ts[i+1] AS b
+      FROM stats, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    bgc AS (
+      SELECT doc_id, b, COUNT(*) AS c,
+             MIN(n_tokens) AS n_tokens, MIN(n_distinct) AS n_distinct
+      FROM bg GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - MIN(n_distinct) * 1.0 / MIN(n_tokens), 4) AS dup_token_ratio,
+           ROUND(MAX(c) * 1.0 / (MIN(n_tokens) - 1), 4) AS top_bigram_share
+    FROM bgc GROUP BY doc_id
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style filters):
+    duplicate-token ratio and the share of the most frequent bigram —
+    the standard cheap detectors for degenerate/boilerplate text before
+    expensive pipeline stages.
+
+    One pass: per-doc token stats are CARRIED on the exploded bigram
+    rows (the jaccard count trick), so the plan is explode → two
+    stacked hash-aggs on (doc, bigram) then (doc) — no re-scan, no
+    join, linear at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    stats = toks.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).alias("n_distinct"),
+        "ts",
+    ).filter(F.col("n_tokens") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ts"), i), F.element_at(F.col("ts"), i + 1)
+        ),
+    )
+    bg = stats.select(
+        "doc_id", "n_tokens", "n_distinct", F.explode(bigrams).alias("b")
+    )
+    bgc = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("n_distinct").alias("n_distinct"),
+    )
+    return bgc.groupBy("doc_id").agg(
+        F.min("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.min("n_distinct") / F.min("n_tokens").cast("double"), 4
+        ).alias("dup_token_ratio"),
+        F.round(F.max("c") / (F.min("n_tokens") - 1).cast("double"), 4).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+@query(
+    "q_pii_scrub",
+    category="llm-text",
+    sql="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+           CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           md5(c_name) AS name_key
+    FROM customer
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training data: mask identifying digit
+    characters in the name column, count what was redacted, and keep a
+    stable one-way hash so scrubbed rows remain joinable without
+    re-identification. Pure JVM column expressions — a map-only linear
+    scan (no shuffle; one codegen stage at any scale)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "*").alias("masked_name"),
+        F.length(F.regexp_replace("c_name", "[^0-9]", "")).cast("long").alias("n_digits"),
+        F.md5(F.col("c_name").cast("binary")).alias("name_key"),
+    )
+
+
 @query("q_minhash_dedup", category="llm-dedup", sql=None)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2b name-for-name alias of :func:`q_dedup_minhash`."""

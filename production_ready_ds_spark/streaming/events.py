@@ -150,6 +150,55 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_v2(stream: DataFrame) -> DataFrame:
+    """State-v2 form of :func:`running_user_totals` via
+    ``transformWithStateInPandas`` (Spark 4 arbitrary stateful
+    processing): a :class:`StatefulProcessor` with an explicitly
+    declared typed ValueState variable instead of the implicit v1 state
+    tuple. The v2 surface is what new custom stateful operators should
+    target — it adds named state variables, state TTL, timers, and
+    schema evolution; same O(distinct users) sharded state footprint.
+
+    Requires the RocksDB state store provider (set by the caller or
+    test; the HDFS-backed default does not support v2 state) and the
+    ``google.protobuf`` package (Spark's v2 state protocol serializes
+    handle messages with protobuf; tests skip where it is absent)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            stored = self._totals.get()
+            n, total = stored if stored is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def foreach_batch_daily_sink(out_root: str):
     """foreachBatch sink writing each micro-batch as day-partitioned
     parquet — the streaming twin of the reference's per-day directory

@@ -136,3 +136,76 @@ def test_stateful_running_totals_across_batches(spark, sf_small, tmp_path):
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     assert _rows(got) == _rows(want)
+
+
+def test_stateful_v2_running_totals_across_batches(spark, sf_small, tmp_path):
+    """transformWithStateInPandas (state v2) must produce the same
+    cumulative per-user totals as the v1 applyInPandasWithState
+    operator and the batch aggregate, across multiple micro-batches.
+
+    Skipped where google.protobuf is unavailable: Spark's v2 state
+    protocol serializes handle messages with protobuf, and this
+    environment cannot install packages — the operator itself is
+    importable and its plan builds either way."""
+    import importlib.util
+
+    # find_spec("google.protobuf") imports the parent package first and
+    # raises ModuleNotFoundError when `google` itself is absent.
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest as _pytest
+
+        _pytest.skip("google.protobuf not installed — v2 state protocol unavailable")
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.streaming.events import running_user_totals_v2
+
+    src = str(tmp_path / "events_split_v2")
+    batch = load(spark, sf_small, "events")
+    batch.withColumn("part", F.pmod("event_id", F.lit(3))).repartition(3, "part").drop(
+        "part"
+    ).write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            running_user_totals_v2(stream)
+            .writeStream.format("memory")
+            .queryName("t_state_v2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert q.lastProgress["batchId"] >= 2, "expected >= 3 micro-batches"
+
+        got = (
+            spark.table("t_state_v2")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+        )
+        want = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
