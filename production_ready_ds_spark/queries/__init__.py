@@ -38,6 +38,7 @@ _MODULES = (
     "streaming_queries",
     "multimodal",
     "analytics",
+    "traindata",
 )
 
 

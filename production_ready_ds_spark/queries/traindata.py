@@ -1,0 +1,183 @@
+"""Training-data assembly operators: sequence packing, deterministic
+mixture sampling, and benchmark decontamination.
+
+These are the steps BETWEEN curation (dedup/quality, queries/llm.py)
+and the training job: decide the domain mixture, drop documents that
+leak evaluation benchmarks, and pack the survivors into fixed-size
+training sequences. The reference stops at per-day CSVs of classified
+posts (reference `01_classification_pipeline.py:203-207`); a 100 TB
+training pipeline needs exactly these three more moves, so they are
+first-class catalog queries with DuckDB oracles.
+
+Shared scale theme: every query is one shuffle (or none) — packing
+shuffles once on the shard key, mixing is a map-only scan, and
+decontamination is a broadcast join against the (always comparatively
+tiny) benchmark shingle set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..operators.dedup import shingled_docs
+from ..tables import load
+from . import query
+from .llm import _DUCK_SHINGLES, _DUCK_TOKENS
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+PROBE_MOD = 20  # doc_id % PROBE_MOD == 0 → held-out benchmark stand-in
+
+
+@query(
+    "q_pack_sequences",
+    category="llm-traindata",
+    sql=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_TOKENS}) AS n FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - n) * 1.0 / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY lang, seq_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concat-and-chunk documents into fixed
+    {SEQ_BUDGET}-token training sequences, the standard LLM data-loader
+    move (docs are concatenated in stable doc_id order and a doc belongs
+    to the sequence its first token falls in).
+
+    Packing is per-shard (here the ``lang`` column stands in for the
+    shard key): each shard packs independently, so the plan is ONE
+    shuffle on the shard key + a per-partition sort — no global
+    ordering. At 100 TB you shard by ``pmod(xxhash64(doc_id), N)`` with
+    N sized to executors and the same window runs unchanged; parallelism
+    scales with N while every sequence stays deterministic."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n").over(w))
+    seq = F.floor((F.col("cum") - F.col("n")) / F.lit(SEQ_BUDGET))
+    return (
+        c.select("lang", seq.cast("long").alias("seq_id"), "n")
+        .groupBy("lang", "seq_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").cast("long").alias("seq_tokens"))
+    )
+
+
+# Per-language keep-thresholds on the first 4 hex chars of md5(doc_id):
+# the doc is kept iff its hex prefix sorts below the threshold, i.e. a
+# deterministic uniform draw in [0, 1) at 1/65536 granularity that both
+# engines compute identically (md5 of the decimal doc_id string).
+# en is downsampled to ~50 %, zh to ~80 %, the rest kept whole — the
+# classic rebalancing of a web-crawl-dominant language.
+_MIX_THRESHOLDS = {"en": "8000", "zh": "cccc"}
+
+
+@query(
+    "q_mix_domains",
+    category="llm-traindata",
+    sql=f"""
+    WITH t AS (
+      SELECT lang,
+             len({_DUCK_TOKENS}) AS n,
+             CASE lang
+               WHEN 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_MIX_THRESHOLDS["en"]}'
+               WHEN 'zh' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{_MIX_THRESHOLDS["zh"]}'
+               ELSE TRUE
+             END AS kept
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE kept) AS n_kept,
+           CAST(COALESCE(SUM(n) FILTER (WHERE kept), 0) AS BIGINT) AS tokens_kept
+    FROM t GROUP BY lang
+    """,
+)
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: hit a target per-language mixture
+    by hashing each doc id to a uniform draw and keeping it iff the draw
+    clears the language's weight — no RNG state, so the sample is
+    reproducible across runs, engines, and repartitioning (md5 hex
+    prefix compared as a string; thresholds in _MIX_THRESHOLDS).
+
+    Map-only linear scan (the conditional aggregate needs one shuffle of
+    5 partial rows): nothing here degrades at 100 TB, and because the
+    keep-decision is a pure function of (doc_id, lang), incremental runs
+    re-make identical decisions — the property Luigi-style backfills
+    (reference `run_pipeline.sh:6-11`) need from a sampler."""
+    d = load(spark, sf_dir, "documents")
+    hex4 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
+    kept = (
+        F.when(F.col("lang") == "en", hex4 < _MIX_THRESHOLDS["en"])
+        .when(F.col("lang") == "zh", hex4 < _MIX_THRESHOLDS["zh"])
+        .otherwise(F.lit(True))
+    )
+    t = d.select("lang", F.size(tokens_expr(F.col("text"))).alias("n"), kept.alias("kept"))
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if("kept").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+@query(
+    "q_decontaminate",
+    category="llm-traindata",
+    sql=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    probe AS (SELECT DISTINCT sg FROM sh WHERE doc_id % {PROBE_MOD} = 0),
+    corpus AS (SELECT doc_id, sg FROM sh WHERE doc_id % {PROBE_MOD} <> 0)
+    SELECT c.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(p.sg) AS n_overlap,
+           ROUND(COUNT(p.sg) * 1.0 / COUNT(*), 4) AS contamination
+    FROM corpus c LEFT JOIN probe p USING (sg)
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its 3-gram shingles that also appear in a held-out benchmark set
+    (docs with ``doc_id % {PROBE_MOD} == 0`` stand in for the eval
+    suite). Downstream, docs above a contamination threshold are dropped
+    before training; the full per-doc score table is emitted so the
+    threshold stays a policy knob, not baked into the operator.
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the distinct probe-shingle set is BROADCAST and the corpus streams
+    through a map-side hash join — no shuffle of corpus shingles at all;
+    the only shuffle is the per-doc count aggregation. If the probe side
+    ever outgrew broadcast, the same plan degrades gracefully to a
+    shuffled equi-join on the shingle hash."""
+    d = load(spark, sf_dir, "documents")
+    is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
+    probe = (
+        shingled_docs(d.filter(is_probe))
+        .select("sg")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = shingled_docs(d.filter(~is_probe))
+    joined = corpus.join(F.broadcast(probe), "sg", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hit").alias("n_overlap"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contamination"),
+    )
