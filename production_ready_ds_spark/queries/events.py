@@ -282,3 +282,122 @@ def q_event_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_FUNNEL_WINDOW = "1 day"  # max gap allowed between consecutive stages
+
+
+@query(
+    "q_event_funnel",
+    category="events",
+    sql=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND e.ts >= v.t1 AND e.ts < v.t1 + INTERVAL '{_FUNNEL_WINDOW}'
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND e.ts >= c.t2 AND e.ts < c.t2 + INTERVAL '{_FUNNEL_WINDOW}'
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts a stage only with an event of the right type AFTER their
+    previous stage's timestamp and within the stage window (1 day) —
+    the sequential-constraint analytics every event warehouse runs.
+
+    Scale shape: each stage is one filtered min-agg plus an equi-join on
+    ``user_id`` with the range condition applied as a join residual, so
+    all three stages shuffle on the SAME key and AQE plans them as
+    co-partitioned hash joins — no broadcast dependence (works when the
+    stage-1 survivor set is itself huge), no windows over the full event
+    stream, no per-user state."""
+    e = load(spark, sf_dir, "events")
+    day = F.expr(f"INTERVAL {_FUNNEL_WINDOW}")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") < F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") >= F.col("t2")) & (F.col("ts") < F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage(v, "1_view").unionByName(stage(c, "2_click")).unionByName(
+        stage(p, "3_purchase")
+    )
+
+
+@query(
+    "q_event_retention",
+    category="events",
+    sql="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort, d) AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later day they were active — the (cohort × day-offset)
+    triangle behind every retention curve.
+
+    Scale shape: first-seen is one min-agg on user_id; activity is one
+    distinct on (user, day) — both shuffle on user_id and the join that
+    follows is co-partitioned on the same key. The output is
+    |cohorts| × |offsets| (days², tiny) however large the event stream,
+    so the plan has no large intermediate after the two aggs. No
+    windows, no per-user state, no skew sensitivity beyond what AQE's
+    skew-join split already handles for a power-law user."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort").cast("long").alias("offset_days"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

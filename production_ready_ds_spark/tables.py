@@ -68,12 +68,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _ensure_nanos_conf(spark)
         df = spark.read.parquet(path)
-        # integer division keeps full microsecond precision (see module
-        # doc); TIMESTAMP_NTZ so downstream outputs compare tz-free like
-        # the other timestamp columns (o_orderdate, l_shipdate).
-        return df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        # The shim only applies when ts physically arrives as INT64
+        # nanos (the driver's testdata); an events table written with a
+        # real timestamp column (test fixtures, foreign lakes) passes
+        # through untouched apart from the NTZ normalization.
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # integer division keeps full microsecond precision (see
+            # module doc); TIMESTAMP_NTZ so downstream outputs compare
+            # tz-free like the other timestamp columns.
+            return df.withColumn(
+                "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+            )
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 
