@@ -302,3 +302,56 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50"),
         F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 2).alias("p95"),
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "q_profile_stats",
+    category="aggregation",
+    sql="\n    UNION ALL ".join(
+        f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts over
+    ``orders`` — the table-health scan every ingestion pipeline runs
+    before trusting a new drop of data.
+
+    Single pass: ONE aggregate computes every column's counts (Catalyst
+    plans the multi-column distinct via one Expand, so the table is
+    still scanned once), then the single result row is exploded into
+    one row per column. At 100 TB the Expand multiplies shuffle rows by
+    the column count — there the per-column ``approx_count_distinct``
+    sketch (see q_agg_approx_distinct) replaces the exact distinct and
+    the whole profile degenerates to one narrow partial-agg pass; exact
+    counts are kept here for cross-engine verifiability."""
+    o = load(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"nn_{c}") for c in _PROFILE_COLS],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n").alias("n_rows"),
+                (F.col("n") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
