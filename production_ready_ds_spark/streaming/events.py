@@ -214,3 +214,51 @@ def foreach_batch_daily_sink(out_root: str):
         )
 
     return write_batch
+
+
+def click_purchase_join(
+    stream: DataFrame, *, window: str = "1 hour", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-stream interval join: every (click, purchase) pair of the
+    same user where the purchase lands within ``window`` after the
+    click — the attribution join, run as two live streams.
+
+    Both sides carry watermarks and the join condition bounds
+    purchase_ts relative to click_ts from BOTH directions, so Spark can
+    compute each side's state retention: clicks are dropped once no
+    future purchase can match them (watermark + window), purchases once
+    their click horizon passes. State is sharded by the equi-join key
+    (user_id); at 100 TB the same operator runs with the state store on
+    RocksDB and scales with distinct active users in the horizon, not
+    stream length. Inner join ⇒ results emit as soon as both sides
+    arrive (no watermark-close latency, exactly like the batch twin in
+    tests/test_streaming.py)."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )

@@ -191,3 +191,53 @@ def test_connected_components_empty_pairs(spark):
 
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_small):
+    """The trained-quantizer ANN (nprobe=4 of 16 lists) must recover a
+    healthy fraction of the true cosine top-3. Measured 0.73 at both
+    sf0.001 and sf0.01; bound set at 0.5 to absorb trainer jitter while
+    still failing on a broken list assignment (random lists would score
+    ~nprobe/k ≈ 0.25)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.functions.vectors import cosine_prenormed, norm
+    from production_ready_ds_spark.queries.llm import q_sim_topk_ivf
+    from production_ready_ds_spark.tables import load
+
+    e = load(spark, sf_small, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    brute = set(
+        map(
+            tuple,
+            sims.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("probe_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    ivf = set(
+        map(
+            tuple,
+            q_sim_topk_ivf(spark, sf_small).select("probe_id", "neighbor_id").collect(),
+        )
+    )
+    assert len(ivf) == len(brute) == 30  # 10 probes x top-3
+    assert len(brute & ivf) / len(brute) >= 0.5

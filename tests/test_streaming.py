@@ -209,3 +209,63 @@ def test_stateful_v2_running_totals_across_batches(spark, sf_small, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_stream_click_purchase_join_matches_batch(spark, sf_small, tmp_path):
+    """The stream-stream interval join over micro-batched files must
+    produce exactly the batch join's pairs. The test watermark (40 days)
+    exceeds the dataset's 30-day span because the file splits are not
+    time-ordered — a production-sized watermark would legitimately drop
+    cross-batch late data and the comparison would measure the split,
+    not the operator."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.streaming.events import click_purchase_join
+
+    src = str(tmp_path / "events_ssj")
+    batch = load(spark, sf_small, "events")
+    batch.withColumn("part", F.pmod("event_id", F.lit(3))).repartition(3, "part").drop(
+        "part"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        click_purchase_join(stream, watermark="40 days")
+        .writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2, "expected >= 3 micro-batches"
+
+    got = spark.table("t_ssj")
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )
+    assert want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
