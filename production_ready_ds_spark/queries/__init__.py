@@ -139,6 +139,15 @@ _EXTENSION_PRIORITY = (
     "q_dedup_simhash",
     "q_sim_topk_bucketed",
     "q_dedup_minhash",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_mix_domains",
+    "q_event_funnel",
+    "q_event_retention",
+    "q_profile_stats",
+    "q_quality_repetition",
+    "q_pii_scrub",
+    "q_sim_topk_ivf",
 )
 
 
