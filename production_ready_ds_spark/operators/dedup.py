@@ -108,26 +108,57 @@ def jaccard_pairs(
     """
     if df_cap is None:
         # Uncapped legacy shape: per-doc counts are free (array size
-        # before the explode), single lineage into the checkpoint.
+        # before the explode), single lineage into the checkpoint, and
+        # the counts ride the exploded rows through the pair join.
         tok = docs.select(id_col, tokens_expr(F.col(text_col)).alias("ts"))
         sgarr = tok.select(id_col, shingles(F.col("ts")).alias("sgs"))
         sh = sgarr.select(
             id_col, F.size("sgs").alias("n"), F.explode("sgs").alias("sg")
         ).select(id_col, "n", F.xxhash64("sg").alias("sg"))
-    else:
-        sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
-            id_col, F.xxhash64("sg").alias("sg")
+        if materialize:
+            sh = sh.localCheckpoint(eager=True)
+        a = sh.alias("a")
+        b = sh.hint("SHUFFLE_HASH").alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.sg") == F.col("b.sg"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.min("a.n").alias("na"),  # constant within the group
+                F.min("b.n").alias("nb"),
+            )
         )
-        w_sg = Window.partitionBy("sg")
-        sh = (
-            sh.withColumn("df", F.count(F.lit(1)).over(w_sg))
-            .filter(F.col("df") <= df_cap)
-            .drop("df")
+        jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        return pairs.filter(jac >= threshold).select(
+            "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
         )
-        w_doc = Window.partitionBy(id_col)
-        sh = sh.withColumn("n", F.count(F.lit(1)).over(w_doc))
+    # Capped path. Post-cap per-doc counts CANNOT ride the exploded rows
+    # for free (the cap drops rows after the doc-frequency window), and a
+    # second count-window would shuffle the full exploded table on the
+    # id. Instead the counts become their own tiny aggregate — partial
+    # (map-side) aggregation collapses it to one narrow row per doc
+    # before its shuffle — joined onto the grouped pair table, already
+    # orders of magnitude smaller than the exploded rows. At sf0.1 on
+    # local[32] this measures even with the count-window formulation
+    # (in-memory shuffles hide the difference); the point is at scale,
+    # where it removes a full exploded-width shuffle and replaces it
+    # with a map-side-combined one-row-per-doc aggregate.
+    sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.xxhash64("sg").alias("sg")
+    )
+    w_sg = Window.partitionBy("sg")
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_sg))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
     if materialize:
         sh = sh.localCheckpoint(eager=True)
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.hint("SHUFFLE_HASH").alias("b")
     pairs = (
@@ -136,11 +167,9 @@ def jaccard_pairs(
             (F.col("a.sg") == F.col("b.sg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.min("a.n").alias("na"),  # constant within the group
-            F.min("b.n").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cnt.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(cnt.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return pairs.filter(jac >= threshold).select(
