@@ -11,6 +11,14 @@ that are operators in their own right rather than query shapes:
 """
 
 from .asof import asof_join
+from .scd2 import scd2_as_of, scd2_current, scd2_merge
 from .upsert import UpsertError, upsert_parquet
 
-__all__ = ["asof_join", "upsert_parquet", "UpsertError"]
+__all__ = [
+    "asof_join",
+    "scd2_merge",
+    "scd2_current",
+    "scd2_as_of",
+    "upsert_parquet",
+    "UpsertError",
+]
