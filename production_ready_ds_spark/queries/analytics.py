@@ -314,6 +314,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     category="aggregation",
+    bench=True,
     sql="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
            COUNT(*) AS n_lines

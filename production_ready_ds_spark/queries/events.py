@@ -290,6 +290,7 @@ _FUNNEL_WINDOW = "1 day"  # max gap allowed between consecutive stages
 @query(
     "q_event_funnel",
     category="events",
+    bench=True,
     sql=f"""
     WITH v AS (
       SELECT user_id, MIN(ts) AS t1 FROM events

@@ -140,6 +140,7 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_decontaminate",
     category="llm-traindata",
+    bench=True,
     sql=f"""
     WITH sh AS ({_DUCK_SHINGLES}),
     probe AS (SELECT DISTINCT sg FROM sh WHERE doc_id % {PROBE_MOD} = 0),
