@@ -11,11 +11,14 @@ that are operators in their own right rather than query shapes:
 """
 
 from .asof import asof_join
+from .layout import compact_parquet, write_range_clustered
 from .scd2 import scd2_as_of, scd2_current, scd2_merge
 from .upsert import UpsertError, upsert_parquet
 
 __all__ = [
     "asof_join",
+    "compact_parquet",
+    "write_range_clustered",
     "scd2_merge",
     "scd2_current",
     "scd2_as_of",

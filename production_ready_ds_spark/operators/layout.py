@@ -1,0 +1,92 @@
+"""Data-layout maintenance: small-file compaction and range-clustered
+writes.
+
+The reference writes one CSV per day (reference
+`01_classification_pipeline.py:203-207`) — at 100 TB the analogous
+failure mode is a lake of kilobyte parquet files (one per micro-batch
+per partition) whose open/footer overhead dominates scans, and row
+groups whose min/max stats span the whole key domain so predicate
+pushdown prunes nothing. These two operators are the standard
+counter-moves; transactional table formats (Delta OPTIMIZE / Iceberg
+rewrite_data_files + Z-ORDER) productize exactly these rewrites, and the
+plan shapes below are what they execute.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_ROWS = 1_000_000
+
+
+def _swap_into(tmp: str, target: str) -> None:
+    old = target + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_rows_per_file: int = DEFAULT_TARGET_ROWS,
+) -> int:
+    """Rewrite a parquet directory into ⌈rows / target⌉ right-sized
+    files and return the new file count.
+
+    The rewrite is one job: scan → AQE-coalesced repartition → write to
+    a temp directory → directory swap (same non-atomic-for-readers
+    caveat as the unpartitioned upsert — a table format makes the commit
+    transactional at scale; the rewrite itself is identical). Row count,
+    schema, and values are preserved exactly; only the file layout
+    changes. Compaction cost is one linear read+write of the data, which
+    is why production lakes run it continuously on recent partitions
+    rather than ever compacting the whole table at once.
+    """
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    tmp = path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    _swap_into(tmp, path)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` range-partitioned AND sorted on ``cluster_cols`` so
+    each output file owns a disjoint slice of the key domain.
+
+    Why this matters at 100 TB: parquet pushdown prunes by row-group
+    min/max. After an unordered write every file spans the whole key
+    range — stats prune nothing and a point query reads the table.
+    After this write, file k holds keys in [lo_k, hi_k) only, so a
+    range/point predicate touches the one or two files whose slice
+    intersects it (verified structurally in tests/test_layout.py by
+    reading the footers back). ``repartitionByRange`` samples the key
+    distribution, so skewed domains still yield balanced files;
+    ``sortWithinPartitions`` orders rows inside each file so row-group
+    (not just file) stats are tight too. This is single-dimension
+    clustering — the linearized multi-column analogue is a Z-order key;
+    for the common time-series + id case, (date, id) range clustering
+    is what query patterns actually hit.
+    """
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
