@@ -47,11 +47,14 @@ def main() -> None:
     # warmup: JVM + codegen + parquet footer caches
     materialize(cat["q_agg_pricing"].fn(spark, sf_dir))
 
+    # min-of-3: machine-load noise at second granularity moved single
+    # runs by 30-40% run-to-run; the min of three is stable to ~5%.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             materialize(cat[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
@@ -68,7 +71,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
-                "mode": "steady_state_min_of_2",
+                "mode": f"steady_state_min_of_{n_runs}",
                 "sf": sf,
             }
         )
