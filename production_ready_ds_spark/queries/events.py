@@ -402,3 +402,48 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_event_anomaly",
+    category="events",
+    sql="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE ABS((e.value - s.m) / s.sd) > 3) AS n_anomalies,
+           ROUND(MAX(ABS((e.value - s.m) / s.sd)), 2) AS max_abs_z
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly screening per event type: flag values more than
+    3 sample standard deviations from their type's mean — the cheap
+    first-pass outlier detector monitoring pipelines run on every
+    metric stream.
+
+    Two narrow aggregates instead of a window: per-type stats collapse
+    to |types| rows (map-side combined), broadcast back onto the
+    stream, and the flag is a map-side expression into the final
+    per-type count — so the full event table is never shuffled, at any
+    scale. A per-type stddev window would shuffle every event row on
+    event_type AND hold whole types in single partitions (skew); the
+    broadcast-stats join has neither problem."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.abs((F.col("value") - F.col("m")) / F.col("sd"))
+    return (
+        e.join(broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(z > 3).alias("n_anomalies"),
+            F.round(F.max(z), 2).alias("max_abs_z"),
+        )
+    )

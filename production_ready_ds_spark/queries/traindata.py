@@ -182,3 +182,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_overlap"),
         F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contamination"),
     )
+
+
+@query("q_stem_tokens", category="llm-text", sql=None)
+def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 stemmed token frequencies over English documents — the
+    reference's Snowball stem stage (reference
+    `00_training_pipeline.py:61,88`) surfaced as a corpus-level catalog
+    query. Rows-only: DuckDB has no Snowball stemmer, so there is no SQL
+    oracle; the stemmer itself is verified exactly — token-for-token
+    against the reference's golden cleaned.csv artifacts
+    (tests/test_reference_replay.py) and a 51-word Snowball vocabulary
+    (tests/test_snowball.py).
+
+    Plan: tokenize (JVM) → ONE Arrow-batched pandas UDF stems whole
+    token arrays (the only Python touchpoint — per-batch, never
+    per-row) → explode → two-level hash agg → top-k. Python cost is
+    linear in corpus tokens and parallel across executors; everything
+    around the UDF stays in whole-stage codegen."""
+    from ..functions.stemmer import stem_tokens_udf
+
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    stem = stem_tokens_udf()
+    toks = d.select(stem(tokens_expr(F.col("text"))).alias("stems"))
+    return (
+        toks.select(F.explode("stems").alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("stem"))
+        .limit(20)
+    )

@@ -72,3 +72,24 @@ def test_retention_cohort_sizes_partition_users(spark, sf_small, monkeypatch):
     total_day0 = sum(r["n_users"] for r in rows if r["offset_days"] == 0)
     n_users = load(spark, sf_small, "events").select("user_id").distinct().count()
     assert total_day0 == n_users
+
+
+def test_anomaly_flags_injected_outlier(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(t0, 1, "view")] * 50
+    df = spark.createDataFrame(
+        [
+            (i, ts, uid, et, 1.0 + (i % 7) * 0.01, "{}")
+            for i, (ts, uid, et) in enumerate(rows)
+        ]
+        + [(999, t0, 2, "view", 1000.0, "{}")],  # the outlier
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    out = str(tmp_path / "ev_anom")
+    df.write.parquet(out + "/events.parquet")
+
+    from production_ready_ds_spark.queries.events import q_event_anomaly
+
+    got = {r["event_type"]: r for r in q_event_anomaly(spark, out).collect()}
+    assert got["view"]["n_anomalies"] == 1
+    assert got["view"]["max_abs_z"] > 3

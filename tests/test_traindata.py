@@ -108,3 +108,24 @@ def test_decontaminate_flags_exact_leak(spark, tmp_path):
     got = {r["doc_id"]: r["contamination"] for r in q_decontaminate(spark, str(tmp_path / "docs")).collect()}
     assert got[1] == 1.0
     assert got[2] == 0.0
+
+
+def test_stem_tokens_merges_inflected_forms(spark, tmp_path):
+    rows = [
+        (1, "running runs ran runner", "en", "src0", 24),
+        (2, "the runner was running", "en", "src0", 22),
+        (3, "corriendo corre", "es", "src0", 15),  # non-en: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "docs_stem")
+    df.write.parquet(out + "/documents.parquet")
+
+    from production_ready_ds_spark.queries.traindata import q_stem_tokens
+
+    got = {r["stem"]: r["n"] for r in q_stem_tokens(spark, out).collect()}
+    # running/runs merge under Snowball ('run'); runner stems to 'runner'
+    assert got["run"] == 3
+    assert got["runner"] == 2
+    assert "corriendo" not in got  # lang filter applied
