@@ -447,3 +447,62 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 2).alias("max_abs_z"),
         )
     )
+
+
+@query(
+    "q_event_resample",
+    category="events",
+    sql="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour_start, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.hour_start = s.hour_start AND c.event_type = t.event_type
+    """,
+)
+def q_event_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: a dense (hour × event_type) grid with
+    zero-filled counts for silent hours — the calendar-spine join every
+    time-series chart and forecasting feature pipeline needs (absence
+    of events is signal; a plain groupBy silently drops empty buckets).
+
+    Scale shape: the spine is generated, not scanned — hours in range ×
+    event types, bounded however large the stream is — and built from a
+    one-row min/max aggregate. The observed counts collapse map-side to
+    |buckets| rows before their shuffle; the spine side then left-joins
+    counts on (hour, type). Nothing here is proportional to raw event
+    rows except the initial aggregates."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.crossJoin(broadcast(types))
+        .join(counts, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

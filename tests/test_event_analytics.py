@@ -93,3 +93,25 @@ def test_anomaly_flags_injected_outlier(spark, tmp_path):
     got = {r["event_type"]: r for r in q_event_anomaly(spark, out).collect()}
     assert got["view"]["n_anomalies"] == 1
     assert got["view"]["max_abs_z"] > 3
+
+
+def test_resample_fills_silent_hours_with_zeros(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (t0, 1, "view"),  # hour 00
+        (t0 + dt.timedelta(hours=3), 1, "view"),  # hour 03 — 01,02 silent
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    out = str(tmp_path / "ev_rs")
+    df.write.parquet(out + "/events.parquet")
+
+    from production_ready_ds_spark.queries.events import q_event_resample
+
+    got = {
+        (r["hour_start"].hour, r["event_type"]): r["n_events"]
+        for r in q_event_resample(spark, out).collect()
+    }
+    assert got == {(0, "view"): 1, (1, "view"): 0, (2, "view"): 0, (3, "view"): 1}
