@@ -145,6 +145,11 @@ _EXTENSION_PRIORITY = (
     "q_event_funnel",
     "q_event_retention",
     "q_profile_stats",
+    "q_tpch_q4",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q22",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

@@ -347,6 +347,227 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q4",
+    category="join",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (priority checking), adapted: the reference schema has
+    no l_commitdate/l_receiptdate, so "late" is l_shipdate more than 90
+    days after o_orderdate — the same correlated-EXISTS-with-non-equi-
+    predicate shape Q4 exercises. Catalyst decorrelates the EXISTS into
+    a LEFT SEMI join on l_orderkey = o_orderkey with the date
+    comparison as a residual — one key shuffle, no row duplication (a
+    plain inner join would multiply orders by their matching lines and
+    need a re-distinct). The quarter filter is pushed to the orders
+    scan. Grounding: SURVEY §2b EXT; reference temporal predicate S2
+    (`01_classification_pipeline.py:44-47`)."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_tpch_q12",
+    category="join",
+    sql="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: no l_shipmode in
+    the reference schema, so lines group by l_returnflag and the
+    priority split keeps Q12's conditional-aggregation core — SUM(CASE
+    WHEN priority) computed in the same pass as the join, no second
+    scan. The year filter prunes lineitem at the scan; the join
+    shuffles both sides on orderkey once, and the tiny 3-row result
+    aggregates map-side first. Grounding: SURVEY §2b EXT; CASE-WHEN is
+    reference P5 (`01_classification_pipeline.py:195-198`)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_tpch_q14",
+    category="join",
+    sql="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one-month lineitem slice joined to
+    ``part`` (p_type = 'PROMO' — the reference schema's p_type is a
+    plain category, no 'PROMO%' prefix family), promo revenue as a
+    percentage of total. ``part`` is the smaller side and is broadcast
+    explicitly — at 100 TB the month filter makes lineitem the pruned
+    probe side and the dimension hash table still fits per executor;
+    both conditional sums ride one pass, so the query is a single
+    broadcast-hash-join stage with a scalar result. Grounding: SURVEY
+    §2b EXT (star-schema revenue family, q_join_star)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 2).alias("promo_revenue_pct"))
+    )
+
+
+@query(
+    "q_tpch_q18",
+    category="join",
+    sql="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           o.o_orderdate AS orderdate, ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds 300, with customer attribution. The plan
+    aggregates lineitem by orderkey FIRST and filters to the ~0.3 % of
+    orders over the threshold, then joins the survivors to orders and
+    customer — so the expensive fact-fact join touches only qualifying
+    keys, and at 100 TB the qualifying set is small enough that AQE
+    converts both attribution joins to broadcasts at runtime. (The
+    naive IN-subquery shape the SQL states is exactly what Catalyst
+    rewrites to this agg-then-semi-join plan.) Top-100 is
+    TakeOrderedAndProject. Grounding: SURVEY §2b EXT (q_agg_having +
+    q_sort_topk composed)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("raw_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    category="join",
+    sql="""
+    SELECT c.c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: no c_phone in the
+    reference schema, so the report groups by c_nationkey, and "never
+    placed an order" becomes "no order since 2000-01-01" (every
+    synthetic customer has some historical order). Keeps both of Q22's
+    planner shapes: an uncorrelated scalar subquery (positive-balance
+    average — computed once and broadcast as a 1-row literal join) and
+    an anti join against date-filtered orders (shuffle on custkey; the
+    date filter prunes the orders scan before the shuffle). Grounding:
+    SURVEY §2b EXT (q_scalar_subquery + q_join_anti composed)."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
     "q_unpivot",
     category="scalar",
     sql="""
