@@ -150,6 +150,9 @@ _EXTENSION_PRIORITY = (
     "q_tpch_q14",
     "q_tpch_q18",
     "q_tpch_q22",
+    "q_event_interpolate",
+    "q_histogram",
+    "q_stream_sliding",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

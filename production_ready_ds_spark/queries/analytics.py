@@ -346,6 +346,73 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HIST_BUCKETS = 20
+
+
+@query(
+    "q_histogram",
+    category="aggregation",
+    sql=f"""
+    WITH b AS (
+      SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+             (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE))
+               / {N_HIST_BUCKETS}.0 AS w
+      FROM orders
+    )
+    SELECT bucket,
+           ROUND(lo + bucket * w, 2) AS bucket_lo,
+           COUNT(*) AS n,
+           ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS pct
+    FROM (
+      SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - b.lo) / b.w) AS BIGINT),
+                   {N_HIST_BUCKETS - 1}) AS bucket,
+             b.lo AS lo, b.w AS w
+      FROM orders CROSS JOIN b
+    )
+    GROUP BY bucket, lo, w
+    ORDER BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice with data-driven bounds —
+    the distribution profile every data-quality report draws.
+
+    Two-pass shape that stays linear at any scale: pass 1 is a one-row
+    min/max aggregate, broadcast as a literal cross join; pass 2 assigns
+    buckets map-side (pure arithmetic, no UDF) and hash-aggregates
+    {N_HIST_BUCKETS} rows. The percentage column is a window over the
+    {N_HIST_BUCKETS}-row result, not the data. Both engines compute the
+    bucket in IEEE double arithmetic so the hash compare is exact."""
+    o = load(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        (
+            (F.max("o_totalprice").cast("double") - F.min("o_totalprice").cast("double"))
+            / F.lit(float(N_HIST_BUCKETS))
+        ).alias("w"),
+    )
+    bucket = F.least(
+        F.floor((F.col("o_totalprice").cast("double") - F.col("lo")) / F.col("w")).cast("long"),
+        F.lit(N_HIST_BUCKETS - 1),
+    )
+    hist = (
+        o.crossJoin(broadcast(b))
+        .select(bucket.alias("bucket"), "lo", "w")
+        .groupBy("bucket", "lo", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    return (
+        hist.select(
+            "bucket",
+            F.round(F.col("lo") + F.col("bucket") * F.col("w"), 2).alias("bucket_lo"),
+            "n",
+            F.round(100.0 * F.col("n") / F.sum("n").over(total), 2).alias("pct"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @query(
     "q_tpch_q4",
     category="join",

@@ -506,3 +506,88 @@ def q_event_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "q_event_interpolate",
+    category="events",
+    sql="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+      -- FLOOR(x*100 + 0.5)/100, not ROUND: Spark rounds doubles via
+      -- their decimal string (HALF_UP), DuckDB rounds the binary value;
+      -- at a .xx5 tie they disagree. The floor form is the same IEEE
+      -- op sequence on both engines.
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             FLOOR(AVG(value) * 100 + 0.5) / 100.0 AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_start, event_type, observed, filled_value
+    FROM (
+      SELECT s.hour_start, t.event_type,
+             h.avg_value IS NOT NULL AS observed,
+             last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS filled_value
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN hourly h ON h.hour_start = s.hour_start AND h.event_type = t.event_type
+    )
+    """,
+)
+def q_event_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill interpolation (LOCF — last observation carried
+    forward): hourly average ``value`` per event_type over the dense
+    calendar spine, with silent hours inheriting the most recent
+    observed hour's average. The companion of q_event_resample for
+    continuous metrics, where a gap means "unchanged", not "zero"
+    (sensor readings, prices, gauge metrics).
+
+    Scale shape: raw events collapse map-side to one row per (hour,
+    type) bucket before any shuffle, the generated spine left-joins
+    those buckets, and the fill is ``last(ignorenulls)`` over an
+    unbounded-preceding window PARTITIONED BY event_type — partition
+    size is hours-in-range (spine rows), never raw events, so the
+    single-partition-per-type sort is bounded regardless of stream
+    volume. Hours before a type's first observation stay NULL on both
+    engines. Grounding: extension of O4's gap semantics
+    (run_pipeline.sh:6-11 re-examines silent days)."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    types = e.select("event_type").distinct()
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+    ).agg(
+        # floor(x*100+0.5)/100, not round(): see the oracle SQL comment.
+        (F.floor(F.avg("value") * 100 + F.lit(0.5)) / F.lit(100.0)).alias("avg_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.crossJoin(broadcast(types))
+        .join(hourly, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.col("avg_value").isNotNull().alias("observed"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

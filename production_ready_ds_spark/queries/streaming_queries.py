@@ -86,6 +86,29 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_sliding",
+    category="streaming",
+    sql="""
+    SELECT w_start, COUNT(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+    )
+    GROUP BY w_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1 h length, 30 min slide,
+    watermarked), run to completion — hash-checked against the same
+    shifted-bucket batch oracle as q_event_sliding, completing the
+    tumbling/sliding/session/dedup streaming-twin set."""
+    from ..streaming import sliding_counts, stream_events
+
+    return _run_stream(spark, sliding_counts(stream_events(spark, sf_dir)), "complete")
+
+
+@query(
     "q_stream_dedup",
     category="streaming",
     sql="SELECT DISTINCT event_id, event_type FROM events",
