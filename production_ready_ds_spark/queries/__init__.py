@@ -153,6 +153,7 @@ _EXTENSION_PRIORITY = (
     "q_event_interpolate",
     "q_histogram",
     "q_stream_sliding",
+    "q_stream_join",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

@@ -109,6 +109,41 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    category="streaming",
+    sql="""
+    SELECT c.user_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+      AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    1 hour) run to completion and hash-checked against the batch
+    interval-join SQL — the strongest equivalence evidence for
+    stateful two-stream joins. The watermark is set beyond the
+    dataset's 30-day span so no state is evicted mid-replay; in
+    production the 4-day default bounds state exactly like O4's
+    backfill window (see streaming/events.py click_purchase_join for
+    the state-retention analysis)."""
+    from ..streaming import click_purchase_join, stream_events
+
+    return _run_stream(
+        spark,
+        click_purchase_join(stream_events(spark, sf_dir), watermark="60 days"),
+        "append",
+    )
+
+
+@query(
     "q_stream_dedup",
     category="streaming",
     sql="SELECT DISTINCT event_id, event_type FROM events",

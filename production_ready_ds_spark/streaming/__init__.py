@@ -11,6 +11,7 @@ windows.
 """
 
 from .events import (
+    click_purchase_join,
     dedup_stream,
     foreach_batch_daily_sink,
     running_user_totals,
@@ -21,6 +22,7 @@ from .events import (
 )
 
 __all__ = [
+    "click_purchase_join",
     "dedup_stream",
     "foreach_batch_daily_sink",
     "running_user_totals",
