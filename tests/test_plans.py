@@ -151,3 +151,57 @@ def test_stratified_sample_is_map_only(spark, sf_small, cat):
     itself must stay a map-side filter with no exchange."""
     df = cat["q_sample_stratified"].fn(spark, sf_small)
     assert shuffle_count(df) <= 1, explain_str(df)
+
+
+def test_tpch_q4_decorrelates_to_semi_join(spark, sf_small, cat):
+    """The correlated EXISTS must become a LEFT SEMI join (no row
+    duplication + re-distinct), with the quarter filter pushed to the
+    orders scan."""
+    df = cat["q_tpch_q4"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "LeftSemi" in s, s
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"quarter filter not pushed: {pushed}"
+
+
+def test_tpch_q14_broadcasts_part(spark, sf_small, cat):
+    """part is the dimension side: it must broadcast, and the one-month
+    slice must reach the lineitem scan."""
+    df = cat["q_tpch_q14"].fn(spark, sf_small)
+    assert has_broadcast_join(df), explain_str(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"month filter not pushed: {pushed}"
+
+
+def test_tpch_q22_no_shuffle_for_threshold(spark, sf_small, cat):
+    """The scalar average must arrive as a broadcast (literal cross
+    join), and the date bound must prune the orders scan before the
+    anti join."""
+    df = cat["q_tpch_q22"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastHashJoin" in s, s
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"date bound not pushed: {pushed}"
+
+
+def test_interpolate_windows_are_spine_sized(spark, sf_small, cat):
+    """The LOCF fill must window over the generated spine (hours ×
+    types), never over raw events: the plan's window operator sits
+    above the spine join, and raw events only feed bucket-level
+    aggregates (asserted indirectly: every events scan reads only the
+    3 needed columns)."""
+    df = cat["q_event_interpolate"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "Window" in s, s
+    for cols in read_schema_columns(df):
+        assert cols <= {"ts", "event_type", "value"}, cols
+
+
+def test_histogram_bounds_broadcast(spark, sf_small, cat):
+    """Bucket assignment must be map-side arithmetic against broadcast
+    bounds — no UDF, no extra shuffle of the orders table beyond the
+    20-row hash agg."""
+    df = cat["q_histogram"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+    assert "pythonUDF" not in s and "BatchEvalPython" not in s, s
