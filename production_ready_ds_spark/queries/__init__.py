@@ -154,6 +154,8 @@ _EXTENSION_PRIORITY = (
     "q_histogram",
     "q_stream_sliding",
     "q_stream_join",
+    "q_chunk_documents",
+    "q_tfidf_top_terms",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

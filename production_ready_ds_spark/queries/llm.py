@@ -838,3 +838,128 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2b name-for-name alias of :func:`q_dedup_minhash`."""
     return q_dedup_minhash(spark, sf_dir)
+
+
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # chunk start stride (CHUNK_TOKENS - CHUNK_STRIDE overlap)
+
+
+@query(
+    "q_chunk_documents",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) >= 1
+    )
+    SELECT doc_id,
+           CAST((i - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(LEAST({CHUNK_TOKENS}, n - i + 1) AS BIGINT) AS n_chunk_tokens,
+           ts[i] AS first_token
+    FROM sized, UNNEST(range(1, n + 1, {CHUNK_STRIDE})) AS u(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: split each document into {CHUNK_TOKENS}-token
+    chunks with a {CHUNK_STRIDE}-token stride (so consecutive chunks
+    overlap by {CHUNK_TOKENS - CHUNK_STRIDE} tokens) — the standard
+    pre-embedding / context-window step of every RAG and pretraining
+    pipeline; chunk boundaries are a pure function of the token count,
+    so re-runs and both engines agree exactly.
+
+    Scale shape: tokenize once, generate chunk starts with
+    ``F.sequence`` (guarded to n ≥ 1 — sequence counts DOWN on an empty
+    range), explode — a narrow map-side transform; each input row
+    expands to ceil(n/stride) rows in place with NO shuffle at all.
+    Chunk payloads stay as (start, length) slices against the token
+    array rather than materialized strings, so the expansion carries
+    offsets, not duplicated text. Grounding: extension of T2 tokenize
+    (`00_training_pipeline.py:85`) toward SURVEY §2b's training-data
+    surface."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).select(
+        "doc_id", "ts", F.size("ts").alias("n")
+    ).filter(F.col("n") >= 1)
+    starts = F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+    return toks.select(
+        "doc_id", "ts", "n", F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        ((F.col("i") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("i") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.element_at("ts", F.col("i")).alias("first_token"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "q_tfidf_top_terms",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS c FROM t GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.c * ln(n.n_docs * 1.0 / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, ROUND(score, 4) AS score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-{TFIDF_TOP_K}
+    terms by tf·ln(N/df) — the classic corpus-statistics weighting,
+    composed entirely from relational primitives (no ML library, no
+    UDF).
+
+    Scale shape: explode → (doc, term) hash-agg (tf) → (term) hash-agg
+    (df, a second partial-aggregated shuffle an order of magnitude
+    smaller) → broadcast the df side back onto tf (term vocabularies
+    are Zipf-bounded; if the vocab outgrows broadcast, AQE falls back
+    to a shuffle join on term) → per-doc top-k window (partitions are
+    per-document term lists, bounded by doc length). The corpus size N
+    is a one-row aggregate broadcast as a literal. Ties rank by term so
+    both engines agree exactly."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("c") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.select("doc_id", "term", "score", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", F.round("score", 4).alias("score"), F.col("rnk").cast("long"))
+    )
