@@ -156,6 +156,7 @@ _EXTENSION_PRIORITY = (
     "q_stream_join",
     "q_chunk_documents",
     "q_tfidf_top_terms",
+    "q_dq_checks",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

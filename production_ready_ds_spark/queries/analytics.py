@@ -346,6 +346,87 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dq_checks",
+    category="aggregation",
+    sql="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'orders_duplicate_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_blank_name',
+           CAST(COUNT(*) FILTER (WHERE c_name IS NULL OR trim(c_name) = '') AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM customer
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the expectation checks a production pipeline
+    runs before promoting a new data drop — referential integrity
+    (orphan foreign keys), key uniqueness, value ranges, and
+    blank-field rates — emitted as one (check, violations, checked)
+    report the orchestrator can assert on (the relational
+    generalization of the reference's fillna-then-trust ingestion,
+    `00_training_pipeline.py:79`).
+
+    Scale shape: each check is a conditional aggregate over one scan —
+    counts flow through map-side partials, so every check costs one
+    linear pass and a few bytes of shuffle; the referential check is
+    the only join and aggregates COUNT(missing) on a left join that
+    AQE broadcasts when the dimension fits. Checks over the same table
+    could share a scan via a single multi-output aggregate if scan
+    cost ever dominates (the q_profile_stats pattern)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, viol, base: DataFrame) -> DataFrame:
+        return base.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violations"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+        )
+
+    orphan = one(
+        "orders_orphan_custkey",
+        F.col("c_custkey").isNull(),
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left"),
+    )
+    dup = o.agg(
+        F.lit("orders_duplicate_orderkey").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+    price = one("orders_nonpositive_totalprice", F.col("o_totalprice") <= 0, o)
+    disc = one(
+        "lineitem_discount_out_of_range",
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        li,
+    )
+    blank = one(
+        "customer_blank_name",
+        F.col("c_name").isNull() | (F.trim("c_name") == ""),
+        c,
+    )
+    return orphan.unionByName(dup).unionByName(price).unionByName(disc).unionByName(blank)
+
+
 N_HIST_BUCKETS = 20
 
 
