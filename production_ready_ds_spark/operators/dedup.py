@@ -22,14 +22,16 @@ from pyspark.sql.types import StructField, StructType
 
 from ..functions.text import tokens_expr
 
-#: Shingles appearing in more than this many documents are dropped
-#: before the pair join. A shingle shared by hundreds of documents is
-#: boilerplate (licence headers, navigation chrome, stop phrases): it
-#: carries no discriminative signal for near-dup detection, but its
-#: pair-join cost is df² — one stop-phrase shingle present in most of a
-#: 100 TB corpus would detonate the self-join on its own. The cap bounds
-#: per-shingle join work at df_cap² while leaving genuinely rare (i.e.
-#: informative) shingles untouched.
+#: Per-shingle occurrence cap (rank cap): each shingle is kept only in
+#: its df_cap lowest-id documents. Motivation is join cost — pair-join
+#: work per shingle is df², and one stop-phrase shingle present in most
+#: of a 100 TB corpus would detonate the self-join on its own; the cap
+#: bounds it at df_cap² per shingle (Σ min(df, cap)² ≤ rows·cap total).
+#: A rank cap rather than a drop-hot-shingles-everywhere rule so that
+#: duplicate FAMILIES larger than the cap stay visible: their lowest
+#: df_cap members keep every shared shingle and still pair at ~1.0
+#: (a pure df>cap drop would strip such a family of all its shingles
+#: and hide it from near-dup detection entirely).
 DEFAULT_DF_CAP = 20
 
 DEFAULT_JACCARD_THRESHOLD = 0.5
@@ -73,21 +75,25 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs (doc_a, doc_b, jaccard) by 3-gram-shingle Jaccard.
 
-    Semantics with ``df_cap``: Jaccard over the CAPPED shingle sets —
-    shingles with doc-frequency > df_cap are removed from both the
-    intersection and the union, so the score measures overlap of
-    *informative* shingles only (boilerplate shared by many documents
-    neither connects nor pads any pair), and two identical documents
-    still score 1.0 however much boilerplate they contain.
+    Semantics with ``df_cap`` (rank cap): Jaccard over the capped
+    occurrence sets — each shingle survives only in its df_cap
+    lowest-id documents, so per-shingle join work is bounded at
+    df_cap² while duplicate families LARGER than the cap stay
+    visible: their df_cap lowest members retain every shared shingle
+    and pair at ~1.0 (clustering then keeps one canonical; each pass
+    removes cap-1 family members, and families orders of magnitude
+    beyond the cap are the minhash path's job — no frequency cap
+    there). Boilerplate shared by ≤cap unrelated documents contributes
+    to their scores but the similarity threshold rejects those pairs
+    (tested); beyond cap it neither connects nor pads anything.
 
     Plan shape of the capped path (the scale story):
       1. tokenize → shingle → explode → xxhash64 (8-byte keys; collision
          odds ~1e-11 at these cardinalities).
-      2. doc-frequency per shingle via a count window on ``sg``, drop
-         hot shingles; post-cap per-doc count via a count window on the
-         id, CARRIED on the exploded rows so the pair join needs no
-         separate count table. Both windows live in the same single
-         lineage — no branch ever recomputes the tokenizer.
+      2. rank per shingle via a row_number window on ``sg`` ordered by
+         the id (deterministic — (sg, id) is unique), keep rank ≤ cap;
+         post-cap per-doc counts become their own tiny aggregate. All
+         in one lineage — no branch ever recomputes the tokenizer.
       3. ONE eager localCheckpoint of the capped+counted rows: both
          self-join sides read the materialized blocks (AQE misses the
          ReuseExchange on identical self-join subplans, which would
@@ -150,11 +156,24 @@ def jaccard_pairs(
     sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
         id_col, F.xxhash64("sg").alias("sg")
     )
-    w_sg = Window.partitionBy("sg")
+    # RANK cap, not a doc-frequency drop: each shingle is kept in its
+    # df_cap lowest-id documents and dropped elsewhere. A pure df>cap
+    # drop has a blind spot — in a duplicate FAMILY larger than the cap
+    # (25 near-identical template pages) every shared shingle is "hot",
+    # so the family loses all its shingles and becomes invisible to
+    # near-dup detection. Under the rank cap the family's df_cap
+    # lowest members still share everything, pair at ~1.0, and cluster;
+    # each pass removes (cap-1) of them, and families at 100 TB scale
+    # beyond that are the minhash path's job (no frequency cap there).
+    # Join cost keeps the same bound: Σ min(df, df_cap)² per shingle.
+    # Boilerplate still cannot connect unrelated documents — shared
+    # chrome in ≤cap docs contributes to scores but the threshold
+    # rejects pairs whose real content differs (tested).
+    w_sg = Window.partitionBy("sg").orderBy(id_col)
     sh = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w_sg))
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+        sh.withColumn("rk", F.row_number().over(w_sg))
+        .filter(F.col("rk") <= df_cap)
+        .drop("rk")
     )
     if materialize:
         sh = sh.localCheckpoint(eager=True)
@@ -245,6 +264,7 @@ def connected_components(
         return frame.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     prev = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["d"] == labels["node"])
@@ -263,8 +283,19 @@ def connected_components(
         )
         cur = _label_sum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Returning partial labels would silently split one real
+        # component into several clusters (and keep extra duplicates
+        # downstream) — fail loudly instead; callers with genuinely
+        # deep chain graphs should raise max_iter or switch to
+        # large-star/small-star.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "component diameter exceeds max_iter"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -49,10 +49,13 @@ def compact_parquet(
     is why production lakes run it continuously on recent partitions
     rather than ever compacting the whole table at once.
     """
+    # Normalize once: a trailing slash would make the _swap_into rename
+    # target a path "inside" itself (EINVAL) after the rewrite ran.
+    path = path.rstrip("/") or "/"
     df = spark.read.parquet(path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    tmp = path.rstrip("/") + f".compact-{uuid.uuid4().hex[:8]}"
+    tmp = path + f".compact-{uuid.uuid4().hex[:8]}"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     _swap_into(tmp, path)
     return sum(

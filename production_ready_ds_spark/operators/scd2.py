@@ -49,7 +49,8 @@ def scd2_merge(
     with ``valid_to IS NULL`` marking current rows; an empty history is
     allowed (first load). ``updates`` carries ``key_cols + attr_cols``
     — the latest observed attribute values per key (keys must be unique
-    within the batch). ``batch_ts`` stamps both the ``valid_to`` of rows
+    within the batch; validated, duplicates raise ValueError).
+    ``batch_ts`` stamps both the ``valid_to`` of rows
     being closed and the ``valid_from`` of rows being opened, so the
     intervals chain without gaps.
 
@@ -59,6 +60,23 @@ def scd2_merge(
     - known key, attrs differ→ close the current row, open a new one
     - keys absent from the batch are untouched (no implicit deletes)
     """
+    # Enforce the documented batch-key uniqueness instead of trusting
+    # it: a duplicate key would open multiple current rows at once and
+    # every later merge fans out further — corruption that surfaces far
+    # from its cause. One small aggregate (|batch keys| rows) per merge.
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        sample = [tuple(r[k] for k in key_cols) for r in dup]
+        raise ValueError(
+            f"scd2_merge: duplicate keys within the update batch (sample: {sample}); "
+            "deduplicate to one row per key (e.g. latest by event time) before merging"
+        )
     cur = history.filter(F.col(VALID_TO).isNull()).alias("cur")
     closed_history = history.filter(F.col(VALID_TO).isNotNull())
     new = updates.alias("new")

@@ -435,9 +435,13 @@ N_HIST_BUCKETS = 20
     category="aggregation",
     sql=f"""
     WITH b AS (
+      -- GREATEST guard: a constant column gives width 0 and (x-lo)/0 is
+      -- NaN — every row then lands in one garbage bucket (or errors on
+      -- the bigint cast). With width clamped to 1 the degenerate case
+      -- collapses cleanly into bucket 0.
       SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
-             (CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE))
-               / {N_HIST_BUCKETS}.0 AS w
+             GREATEST((CAST(MAX(o_totalprice) AS DOUBLE) - CAST(MIN(o_totalprice) AS DOUBLE))
+               / {N_HIST_BUCKETS}.0, 1e-12) AS w
       FROM orders
     )
     SELECT bucket,
@@ -467,9 +471,12 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     b = o.agg(
         F.min("o_totalprice").cast("double").alias("lo"),
-        (
+        # greatest(..., 1e-12) guards the constant-column case: width 0
+        # would make every bucket NaN (see the oracle SQL comment).
+        F.greatest(
             (F.max("o_totalprice").cast("double") - F.min("o_totalprice").cast("double"))
-            / F.lit(float(N_HIST_BUCKETS))
+            / F.lit(float(N_HIST_BUCKETS)),
+            F.lit(1e-12),
         ).alias("w"),
     )
     bucket = F.least(

@@ -409,8 +409,14 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="events",
     sql="""
     WITH s AS (
+      -- guard degenerate types: a single-event type has sd NULL (and a
+      -- constant type sd = 0); Spark's stddev_samp returns NaN for the
+      -- former and NaN > 3 is TRUE under its NaN-is-largest ordering,
+      -- so without the filter the engines diverge and constant streams
+      -- flag 100 % anomalies.
       SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
       FROM events GROUP BY event_type
+      HAVING STDDEV_SAMP(value) IS NOT NULL AND STDDEV_SAMP(value) > 0
     )
     SELECT e.event_type,
            COUNT(*) AS n_events,
@@ -434,8 +440,16 @@ def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type AND hold whole types in single partitions (skew); the
     broadcast-stats join has neither problem."""
     e = load(spark, sf_dir, "events")
+    # sd NULL (single event) → NaN z-scores, and Spark orders NaN above
+    # every number so NaN > 3 flags the row; sd = 0 (constant type)
+    # flags 100 % of a perfectly healthy stream. Degenerate types carry
+    # no screening signal — drop them (mirrored in the oracle HAVING).
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    ).filter(
+        # NOT isnan first: Spark's NaN also satisfies sd > 0 (NaN sorts
+        # above every number), so the range check alone would keep it.
+        F.col("sd").isNotNull() & ~F.isnan("sd") & (F.col("sd") > 0)
     )
     z = F.abs((F.col("value") - F.col("m")) / F.col("sd"))
     return (

@@ -68,16 +68,18 @@ _DUCK_SHINGLES = """
 """.format(toks=_DUCK_TOKENS)
 
 
-# Shared CTE chain for the capped-Jaccard pair queries: shingles → drop
-# hot shingles (doc-frequency > cap) → post-cap per-doc counts → blocked
-# pair join → threshold filter. Mirrors operators/dedup.py jaccard_pairs
-# exactly (including the post-cap union semantics).
+# Shared CTE chain for the capped-Jaccard pair queries: shingles →
+# rank cap (keep each shingle in its cap lowest-id docs — a pure
+# df>cap drop would hide duplicate families larger than the cap) →
+# post-cap per-doc counts → blocked pair join → threshold filter.
+# Mirrors operators/dedup.py jaccard_pairs exactly.
 _DUCK_JACCARD_CTES = f"""
     sh AS (
       SELECT doc_id, sg FROM (
-        SELECT doc_id, sg, COUNT(*) OVER (PARTITION BY sg) AS df
+        SELECT doc_id, sg,
+               ROW_NUMBER() OVER (PARTITION BY sg ORDER BY doc_id) AS rk
         FROM ({_DUCK_SHINGLES})
-      ) WHERE df <= {HOT_SHINGLE_DF_CAP}
+      ) WHERE rk <= {HOT_SHINGLE_DF_CAP}
     ),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     rawpairs AS (

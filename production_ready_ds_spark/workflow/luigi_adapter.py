@@ -85,6 +85,12 @@ def build_with_luigi(tasks: Iterable[Task], *, workers: int = 1) -> bool:
     callers wanting transparent fallback use :func:`build_any`."""
     if not HAVE_LUIGI:
         raise WorkflowError("luigi is not installed — use workflow.core.build")
+    # Fresh registry per build: without this, task instances (and any
+    # state they capture) accumulate for the life of the process, and a
+    # task_id reused by a later DAG with a different instance would
+    # rebind earlier shims mid-flight. Builds are sequential per process
+    # (Luigi local scheduler); deps re-register through wrap() below.
+    _REGISTRY.clear()
     shims = [wrap(t) for t in tasks]
     return bool(
         luigi.build(

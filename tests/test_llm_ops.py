@@ -111,23 +111,53 @@ def _mkdocs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_hot_shingle_cap_kills_boilerplate_pairs(spark):
-    """One stop-phrase shared by every doc must not connect documents:
-    without the cap the pair join emits O(n²) candidate pairs off that
-    single hot shingle; with the cap the boilerplate carries no signal
-    and docs with disjoint real content produce ZERO pairs."""
+def test_hot_shingle_cap_bounds_boilerplate_pairs(spark):
+    """A boilerplate phrase shared by every doc must not connect
+    documents at the real threshold, and candidate-pair volume must be
+    bounded by the cap (rank cap: the shingle survives only in its cap
+    lowest-id docs), not O(n²)."""
     from production_ready_ds_spark.operators.dedup import jaccard_pairs
 
     boiler = "this content is provided under the creative commons license terms"
-    n = 30
+    n, cap = 30, 5
     docs = _mkdocs(
         spark,
         [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i} delta{i}") for i in range(n)],
     )
     uncapped = jaccard_pairs(docs, threshold=0.01, df_cap=None).count()
-    capped = jaccard_pairs(docs, threshold=0.01, df_cap=5).count()
     assert uncapped == n * (n - 1) / 2, "hot shingle should connect every pair uncapped"
-    assert capped == 0, "capped run must drop all boilerplate-only pairs"
+    # At the real threshold the shared chrome never connects docs whose
+    # actual content differs — even among the cap survivors.
+    assert jaccard_pairs(docs, threshold=0.5, df_cap=cap).count() == 0
+    # With a permissive threshold, candidates exist only among the cap
+    # lowest-id docs: ≤ cap·(cap-1)/2 pairs however large n grows.
+    loose = jaccard_pairs(docs, threshold=0.01, df_cap=cap)
+    rows = loose.collect()
+    assert len(rows) <= cap * (cap - 1) / 2
+    assert all(r.doc_a < cap and r.doc_b < cap for r in rows)
+
+
+def test_rank_cap_keeps_large_duplicate_family_visible(spark):
+    """A near-identical template family LARGER than the cap must still
+    produce pairs (a pure df>cap drop would strip every shared shingle
+    from such a family and hide it completely): the cap lowest-id
+    members pair at ~1.0 and cluster to one canonical doc."""
+    from production_ready_ds_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    n, cap = 25, 5
+    text = "large template family body repeated across many nearly identical pages"
+    docs = _mkdocs(spark, [(i, f"{text} variant{i}") for i in range(n)])
+    pairs = jaccard_pairs(docs, threshold=0.5, df_cap=cap)
+    rows = pairs.collect()
+    assert rows, "family must stay visible under the cap"
+    members = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+    assert members == set(range(cap)), members
+    assert all(r.jaccard >= 0.5 for r in rows)
+    clusters = connected_components(pairs)
+    assert {r.cluster_id for r in clusters.collect()} == {0}
 
 
 def test_capped_jaccard_still_finds_real_near_dups(spark):

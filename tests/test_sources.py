@@ -45,10 +45,13 @@ def test_posts_api_cross_process_deterministic():
         "from production_ready_ds_spark.sources.api_source import _fetch_slice;"
         "print(_fetch_slice('datascience', 1, 5, 0, 1000))"
     )
+    from pathlib import Path
+
+    repo_root = str(Path(__file__).resolve().parents[1])
     outs = {
         subprocess.run(
             [sys.executable, "-c", script],
-            capture_output=True, text=True, check=True, cwd="/root/repo",
+            capture_output=True, text=True, check=True, cwd=repo_root,
         ).stdout
         for _ in range(2)
     }
