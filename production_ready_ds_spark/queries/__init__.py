@@ -157,6 +157,8 @@ _EXTENSION_PRIORITY = (
     "q_chunk_documents",
     "q_tfidf_top_terms",
     "q_dq_checks",
+    "q_vocab_build",
+    "q_bigram_pmi",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

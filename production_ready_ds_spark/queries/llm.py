@@ -965,3 +965,152 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", F.round("score", 4).alias("score"), F.col("rnk").cast("long"))
     )
+
+
+VOCAB_MIN_COUNT = 5
+
+
+@query(
+    "q_vocab_build",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    c AS (
+      SELECT token, COUNT(*) AS n FROM t GROUP BY token
+      HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT token,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS BIGINT) AS token_id
+    FROM c
+    """,
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: corpus token counts with a min-count
+    floor and dense frequency-ranked ids — the tokenizer-training /
+    embedding-table step of every NLP pipeline (ids ordered by count
+    then token, so both engines and any re-run assign identically).
+
+    Scale shape: explode → one hash-agg on token (map-side combined;
+    Zipf means the heavy keys are FEW, so partial aggregation absorbs
+    them) → min-count filter shrinks the result to the real vocabulary
+    → the id window runs over that filtered vocab, which is bounded by
+    vocabulary size (≈10⁵–10⁶), not corpus size. The single-partition
+    window is fine BECAUSE of that bound; an unfiltered corpus-scale
+    rank would need a range-partitioned sort instead. Grounding:
+    reference M2's HashingTF sidesteps vocab building by hashing
+    (`00_training_pipeline.py:138`) — this is the explicit-vocabulary
+    alternative at the same pipeline position."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    c = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return c.select(
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).cast("long").alias("token_id"),
+    )
+
+
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOP_K = 50
+
+
+@query(
+    "q_bigram_pmi",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT ts[i] AS w1, ts[i+1] AS w2
+      FROM t, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    pc AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2
+      HAVING COUNT(*) >= {PMI_MIN_PAIR_COUNT}
+    ),
+    u1c AS (SELECT w1 AS w, COUNT(*) AS cw FROM bg GROUP BY w1),
+    u2c AS (SELECT w2 AS w, COUNT(*) AS cw FROM bg GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS n FROM bg)
+    -- rank on the RATIO, not on ln(ratio): the integer products are
+    -- exact in doubles and one IEEE division is correctly rounded, so
+    -- both engines order identically; libm ln differs in the last ulp
+    -- across engines and can flip the top-k cutoff. Display pmi uses
+    -- the FLOOR(x*1e4+0.5) form for the same HALF_UP-string reason as
+    -- q_event_interpolate.
+    SELECT w1, w2, CAST(c AS BIGINT) AS pair_count,
+           FLOOR(ln(c * 1.0 * n / (u1.cw * 1.0 * u2.cw)) * 10000 + 0.5) / 10000.0 AS pmi
+    FROM pc
+    JOIN u1c u1 ON pc.w1 = u1.w
+    JOIN u2c u2 ON pc.w2 = u2.w
+    CROSS JOIN tot
+    ORDER BY c * 1.0 * n / (u1.cw * 1.0 * u2.cw) DESC, w1, w2
+    LIMIT {PMI_TOP_K}
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-{PMI_TOP_K} adjacent-token bigrams by
+    pointwise mutual information, PMI = ln(c(w1w2)·N / (c(w1·)·c(·w2)))
+    with a min-pair-count floor against noise — the phrase-detection
+    statistic (word2vec-style phrase merging, tokenizer merge-rule
+    seeding) computed purely relationally.
+
+    Unigram counts deliberately measure the LEFT-position (w1) and
+    RIGHT-position (w2) marginals of the bigram distribution — the
+    textbook PMI denominator (marginals of the joint), not raw token
+    frequency. Scale shape: one bigram explode feeds three aggregates
+    (pair counts with a min-count HAVING, position marginals, total);
+    the marginal join is vocabulary-sized, the pair table is
+    min-count-pruned before joining, the grand total is a broadcast
+    literal, and the final top-k is TakeOrderedAndProject — nothing
+    after the first hash-agg is proportional to the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(F.col("ts"), i).alias("w1"),
+                    F.element_at(F.col("ts"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= PMI_MIN_PAIR_COUNT)
+    )
+    u1 = bigrams.groupBy(F.col("w1").alias("w")).agg(F.count(F.lit(1)).alias("cw1"))
+    u2 = bigrams.groupBy(F.col("w2").alias("w")).agg(F.count(F.lit(1)).alias("cw2"))
+    tot = bigrams.agg(F.count(F.lit(1)).alias("n"))
+    # rank on the exact ratio, display floor-rounded ln — see the
+    # oracle SQL comment for the cross-engine determinism rationale.
+    ratio = F.col("c") * F.col("n") / (F.col("cw1") * F.col("cw2"))
+    pmi = F.floor(F.log(ratio) * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        pc.join(broadcast(u1), pc.w1 == u1.w)
+        .join(broadcast(u2), pc.w2 == u2.w)
+        .crossJoin(broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+            ratio.alias("_ratio"),
+        )
+        .orderBy(F.desc("_ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+        .drop("_ratio")
+    )
