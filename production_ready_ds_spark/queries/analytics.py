@@ -628,6 +628,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q18",
     category="join",
+    bench=True,
     sql="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            o.o_orderdate AS orderdate, ROUND(o.o_totalprice, 2) AS totalprice,

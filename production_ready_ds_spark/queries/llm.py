@@ -849,6 +849,7 @@ CHUNK_STRIDE = 48  # chunk start stride (CHUNK_TOKENS - CHUNK_STRIDE overlap)
 @query(
     "q_chunk_documents",
     category="llm-text",
+    bench=True,
     sql=f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
@@ -903,6 +904,7 @@ TFIDF_TOP_K = 3
 @query(
     "q_tfidf_top_terms",
     category="llm-text",
+    bench=True,
     sql=f"""
     WITH t AS (
       SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
