@@ -271,3 +271,18 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_small):
     )
     assert len(ivf) == len(brute) == 30  # 10 probes x top-3
     assert len(brute & ivf) / len(brute) >= 0.5
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Partial labels must never be returned silently: a chain whose
+    diameter exceeds max_iter on the distributed path raises."""
+    from production_ready_ds_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, driver_threshold=0)
+    # same graph converges fine with adequate rounds
+    ok = connected_components(chain, max_iter=25, driver_threshold=0)
+    assert {r.cluster_id for r in ok.collect()} == {0}

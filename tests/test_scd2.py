@@ -97,3 +97,13 @@ def test_merge_is_idempotent_on_redelivery(spark):
     a = sorted(map(tuple, hist.collect()))
     b = sorted(map(tuple, redelivered.collect()))
     assert a == b
+
+
+def test_duplicate_batch_keys_rejected(spark):
+    """A batch with the same key twice must fail fast (it would open
+    two current rows and corrupt every later merge)."""
+    import pytest
+
+    batch = _upd(spark, [(1, "BUILDING", 10.0), (1, "AUTO", 5.0)])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        _merge(_hist(spark, []), batch, T1)
