@@ -11,6 +11,13 @@ that are operators in their own right rather than query shapes:
 """
 
 from .asof import asof_join
+from .dedup import (
+    connected_components,
+    incremental_minhash_dedup,
+    jaccard_pairs,
+    minhash_bands,
+    minhash_candidates,
+)
 from .layout import compact_parquet, write_range_clustered
 from .scd2 import scd2_as_of, scd2_current, scd2_merge
 from .upsert import UpsertError, upsert_parquet
@@ -19,6 +26,11 @@ __all__ = [
     "asof_join",
     "compact_parquet",
     "write_range_clustered",
+    "connected_components",
+    "incremental_minhash_dedup",
+    "jaccard_pairs",
+    "minhash_bands",
+    "minhash_candidates",
     "scd2_merge",
     "scd2_current",
     "scd2_as_of",

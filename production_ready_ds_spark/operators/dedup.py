@@ -331,3 +331,160 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         [StructField("node", node_type), StructField("cluster_id", node_type)]
     )
     return edges.sparkSession.createDataFrame(out, schema)
+
+
+N_MINHASH = 16
+BAND_SIZE = 4
+MINHASH_EST_THRESHOLD = 0.5
+
+
+def minhash_bands(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    materialize: bool = True,
+) -> DataFrame:
+    """Banded MinHash signatures: one row per (doc, band) carrying the
+    full signature (``mh0..mhN``) plus the band's bucket ``key``.
+
+    Each shingle string is hashed ONCE to a long; the N signature
+    hashes re-hash that long with a seed literal (N long-hashes per
+    row instead of N string-hashes — same uniform family, ~2× cheaper).
+    The frame is ~(N+2)·8 B per doc per band — small enough to persist
+    as the corpus's dedup index (see incremental_minhash_dedup)."""
+    sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.xxhash64("sg").alias("sgh")
+    )
+    sig = sh.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sgh"))).alias(f"mh{i}") for i in range(n_hashes)]
+    )
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        id_col,
+        *[F.col(f"mh{i}") for i in range(n_hashes)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, *[f"mh{i}" for i in range(n_hashes)], "bk.band", "bk.key")
+    if materialize:
+        # both self-join sides read the checkpointed blocks instead of
+        # recomputing the whole shingle→minhash pipeline per side (AQE
+        # misses the ReuseExchange on identical self-join subplans).
+        bands = bands.localCheckpoint(eager=True)
+    return bands
+
+
+def minhash_candidates(
+    bands_a: DataFrame,
+    bands_b: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASH,
+    threshold: float = MINHASH_EST_THRESHOLD,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded signatures: docs sharing
+    any band bucket, scored by signature agreement / n_hashes (the
+    unbiased Jaccard estimator). One-frame form is the classic LSH
+    self-join; the two-frame form joins a (small, new) left side
+    against a (large, indexed) right side — the incremental shape.
+    Pairs are (doc_a < doc_b), distinct across bands."""
+    two_frame = bands_b is not None
+    a = bands_a.alias("a")
+    b = (bands_b if two_frame else bands_a).hint("SHUFFLE_HASH").alias("b")
+    agree = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    # Self-join: a < b halves the join output directly. Two-frame: the
+    # left (new) side's ids may be larger OR smaller than the indexed
+    # right side's, so dedupe with != and normalize to (min, max) —
+    # the a<b shortcut would silently drop new-vs-corpus pairs whose
+    # corpus id is the smaller one.
+    if two_frame:
+        id_pred = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        out_a = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+        out_b = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    else:
+        id_pred = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        out_a = F.col(f"a.{id_col}")
+        out_b = F.col(f"b.{id_col}")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & id_pred,
+        )
+        .select(
+            out_a.alias("doc_a"),
+            out_b.alias("doc_b"),
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("est_jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = MINHASH_EST_THRESHOLD,
+) -> DataFrame:
+    """Incremental near-dup detection against a persistent signature
+    store: signatures are computed ONCE per document, ever.
+
+    Per batch: (1) drop docs whose id is already indexed (idempotent
+    re-delivery is a no-op — the reference's target-existence semantics,
+    O2, applied to dedup state); (2) compute banded signatures for the
+    genuinely new docs; (3) candidates = new×corpus ∪ new×new via one
+    band-bucket join of the small new side against store ∪ new; (4)
+    append the new signatures to the store. Returns the candidate pairs
+    (doc_a < doc_b, est_jaccard ≥ threshold).
+
+    100 TB shape: the store is parquet keyed by (band, key) — per batch
+    the work is proportional to the BATCH's shingles plus the bucket
+    join, never to corpus size; re-signing the corpus never happens. At
+    scale, write the store range-clustered on (band, key)
+    (operators/layout.py write_range_clustered) so the bucket join
+    prunes store files by min/max, and compact it periodically; a table
+    format would make the append transactional."""
+    import os
+
+    spark = new_docs.sparkSession
+    have_store = os.path.isdir(store_path) and any(
+        f.endswith(".parquet") for f in os.listdir(store_path)
+    )
+    if have_store:
+        store = spark.read.parquet(store_path)
+        known = store.select(id_col).distinct()
+        fresh_docs = new_docs.join(known, id_col, "left_anti")
+    else:
+        store = None
+        fresh_docs = new_docs
+    fresh = minhash_bands(fresh_docs, id_col=id_col, text_col=text_col)
+    right = fresh if store is None else fresh.unionByName(store)
+    pairs = minhash_candidates(fresh, right, id_col=id_col, threshold=threshold)
+    # Materialize pairs BEFORE appending: the candidate join must see
+    # the pre-append store, and lazy evaluation after the write would
+    # double-count the new signatures.
+    pairs = pairs.localCheckpoint(eager=True)
+    fresh.write.mode("append").parquet(store_path)
+    return pairs

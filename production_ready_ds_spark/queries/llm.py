@@ -175,57 +175,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is eagerly checkpointed so the shingle→signature pipeline runs once
     even though both self-join sides consume it (AQE misses the
     ReuseExchange that static planning finds)."""
+    from ..operators.dedup import minhash_bands, minhash_candidates
+
     d = load(spark, sf_dir, "documents")
-    # hash each shingle string ONCE to a long; the 16 signature hashes
-    # re-hash that long with a seed literal (16 long-hashes per row
-    # instead of 16 string-hashes — same uniform family, ~2× cheaper).
-    sh = shingled_docs(d).select("doc_id", F.xxhash64("sg").alias("sgh"))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sgh"))).alias(f"mh{i}") for i in range(_N_MINHASH)]
-    )
-    n_bands = _N_MINHASH // _BAND_SIZE
-    bands = sig.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(_N_MINHASH)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", *[f"mh{i}" for i in range(_N_MINHASH)], "bk.band", "bk.key")
-    # Materialize signatures+bands once (~600 B/doc); both self-join
-    # sides read the checkpointed blocks instead of recomputing the
-    # whole shingle→minhash pipeline per side.
-    bands = bands.localCheckpoint(eager=True)
-    a = bands.alias("a")
-    b = bands.hint("SHUFFLE_HASH").alias("b")  # sort-free self-join (see q_dedup_ngram_jaccard)
-    agree = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0) for i in range(_N_MINHASH)
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            (agree / F.lit(float(_N_MINHASH))).alias("est_jaccard"),
-        )
-        .distinct()
-    )
-    return cand.filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+    bands = minhash_bands(d, n_hashes=_N_MINHASH, band_size=_BAND_SIZE)
+    return minhash_candidates(
+        bands, n_hashes=_N_MINHASH, threshold=MINHASH_EST_THRESHOLD
     )
 
 
