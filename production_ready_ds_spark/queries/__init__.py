@@ -159,6 +159,7 @@ _EXTENSION_PRIORITY = (
     "q_dq_checks",
     "q_vocab_build",
     "q_bigram_pmi",
+    "q_skew_profile",
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",

@@ -818,3 +818,62 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+SKEW_TOP_K = 10
+
+
+@query(
+    "q_skew_profile",
+    category="aggregation",
+    sql=f"""
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT MAX(n) AS max_n, ROUND(AVG(n), 4) AS avg_n,
+             quantile_cont(n, 0.99) AS p99_n, COUNT(*) AS n_keys
+      FROM k
+    )
+    SELECT k.key, CAST(k.n AS BIGINT) AS n,
+           ROUND(k.n / s.avg_n, 2) AS x_mean,
+           CAST(s.n_keys AS BIGINT) AS n_keys,
+           ROUND(s.p99_n, 2) AS p99_n
+    FROM k CROSS JOIN stats s
+    ORDER BY k.n DESC, k.key
+    LIMIT {SKEW_TOP_K}
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the top-{SKEW_TOP_K} heaviest values of
+    a prospective join/shuffle key with their multiple-of-mean and the
+    key distribution's p99 — the pre-flight check that decides between
+    a plain shuffle join, AQE skew split, and manual salting
+    (q_join_salted). A key at 100× the mean means one reducer does
+    100× the work; this query is how you find it BEFORE the 4-hour
+    stage tail does.
+
+    Scale shape: one hash-agg on the key (map-side combined), a
+    one-row stats aggregate over the per-key counts broadcast back as
+    a literal, and a top-k that is TakeOrderedAndProject — cost is one
+    pass over the fact table plus |distinct keys| for the stats, with
+    nothing proportional to row count after the first aggregate."""
+    o = load(spark, sf_dir, "orders")
+    k = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = k.agg(
+        F.round(F.avg("n"), 4).alias("avg_n"),
+        F.expr("percentile(n, 0.99)").alias("p99_raw"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        k.crossJoin(broadcast(stats))
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("avg_n"), 2).alias("x_mean"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.round("p99_raw", 2).alias("p99_n"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(SKEW_TOP_K)
+    )
