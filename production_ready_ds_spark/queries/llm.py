@@ -1071,3 +1071,45 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP_K)
         .drop("_ratio")
     )
+
+
+@query(
+    "q_dup_source_matrix",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_JACCARD_CTES}
+    SELECT da.source AS source_a, db.source AS source_b,
+           COUNT(*) AS n_pairs,
+           ROUND(AVG(p.jaccard), 4) AS avg_jaccard
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    GROUP BY da.source, db.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts and mean
+    similarity per (source_a, source_b) — the corpus-governance view
+    that tells you WHICH feeds are re-crawling each other (the input to
+    source-level dedup priorities and licensing review).
+
+    Scale shape: reuses the capped Jaccard pair pipeline, then joins
+    the (tiny) pair table back to documents twice for provenance —
+    both lookups join pairs-side keys against the corpus on doc_id, so
+    at 100 TB they're shuffle joins keyed on the id where the pair
+    side is orders of magnitude smaller (AQE broadcasts it); output is
+    |sources|², a constant."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    prov = d.select("doc_id", "source")
+    return (
+        pairs.join(prov.withColumnsRenamed({"doc_id": "doc_a", "source": "source_a"}), "doc_a")
+        .join(prov.withColumnsRenamed({"doc_id": "doc_b", "source": "source_b"}), "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -205,3 +205,22 @@ def test_histogram_bounds_broadcast(spark, sf_small, cat):
     s = explain_str(df)
     assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
     assert "pythonUDF" not in s and "BatchEvalPython" not in s, s
+
+
+def test_tfidf_broadcasts_vocabulary_sides(spark, sf_small, cat):
+    """The df (document-frequency) and N sides are vocabulary-sized /
+    one-row: both must broadcast, and no Python UDF may appear."""
+    df = cat["q_tfidf_top_terms"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert broadcast_join_count(df) >= 2, s
+    assert "BatchEvalPython" not in s and "pythonUDF" not in s, s
+
+
+def test_vocab_build_single_corpus_shuffle(spark, sf_small, cat):
+    """One corpus-wide hash-agg on token; the rank window runs over the
+    min-count-filtered vocabulary only (a single-partition exchange of
+    vocab-sized data is acceptable and expected)."""
+    df = cat["q_vocab_build"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "Window" in s, s
+    assert "BatchEvalPython" not in s, s
