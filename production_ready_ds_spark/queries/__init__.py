@@ -132,16 +132,24 @@ _CONTRACT_ORDER = (
 # Extension queries most in need of driver-side evidence (new or recently
 # changed semantics) go right after the contract block; everything else
 # follows in registration order.
+#
+# ROTATION DISCIPLINE (round-2 verdict item 1): the driver verifies a
+# bounded prefix of the catalog (48 contract rows + ~2 extension slots),
+# so each round the names that earned a green CORRECTNESS row move to the
+# BACK and never-verified names move to the front. Round-2 verified
+# q_dedup_clusters + q_dedup_ngram_jaccard → back. Round-3 front: the
+# r1-scale-fix carriers (q_dedup_embedding, q_sim_topk_bucketed) and the
+# training-data trio the verdict names as the 100 TB gate
+# (q_decontaminate, q_pack_sequences, q_mix_domains).
 _EXTENSION_PRIORITY = (
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
-    "q_dedup_simhash",
     "q_sim_topk_bucketed",
-    "q_dedup_minhash",
     "q_decontaminate",
     "q_pack_sequences",
     "q_mix_domains",
+    "q_dup_source_matrix",
+    "q_dedup_simhash",
+    "q_dedup_minhash",
     "q_event_funnel",
     "q_event_retention",
     "q_profile_stats",
@@ -163,6 +171,9 @@ _EXTENSION_PRIORITY = (
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",
+    # verified in round 2 — rotated to the back
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
 )
 
 
