@@ -459,32 +459,42 @@ def incremental_minhash_dedup(
     append the new signatures to the store. Returns the candidate pairs
     (doc_a < doc_b, est_jaccard ≥ threshold).
 
-    100 TB shape: the store is parquet keyed by (band, key) — per batch
-    the work is proportional to the BATCH's shingles plus the bucket
-    join, never to corpus size; re-signing the corpus never happens. At
-    scale, write the store range-clustered on (band, key)
-    (operators/layout.py write_range_clustered) so the bucket join
-    prunes store files by min/max, and compact it periodically; a table
-    format would make the append transactional."""
-    import os
+    100 TB shape (round-2 verdict fix): the store is a manifest-backed
+    :class:`..operators.sigstore.SignatureStore` — segments
+    range-clustered on (band, key). The already-indexed check reads
+    only the id column of manifest-intersecting segments (usually
+    NOTHING: a genuinely new id range touches zero store files), and
+    the candidate join's store side is pruned to the new batch's bucket
+    keys via a pushed ``In(key, ...)`` parquet filter, so per-batch
+    store IO is ~O(batch), never O(corpus)."""
+    from .sigstore import SignatureStore
 
     spark = new_docs.sparkSession
-    have_store = os.path.isdir(store_path) and any(
-        f.endswith(".parquet") for f in os.listdir(store_path)
-    )
-    if have_store:
-        store = spark.read.parquet(store_path)
-        known = store.select(id_col).distinct()
-        fresh_docs = new_docs.join(known, id_col, "left_anti")
-    else:
-        store = None
-        fresh_docs = new_docs
+    store = SignatureStore(store_path)
+    bounds = new_docs.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    fresh_docs = new_docs
+    if bounds.lo is not None:
+        known = store.known_ids(spark, id_min=bounds.lo, id_max=bounds.hi, id_col=id_col)
+        if known is not None:
+            fresh_docs = new_docs.join(known, id_col, "left_anti")
     fresh = minhash_bands(fresh_docs, id_col=id_col, text_col=text_col)
-    right = fresh if store is None else fresh.unionByName(store)
+    # The batch's bucket keys, collected for store-side pruning —
+    # bounded by |batch| x n_bands rows, and `fresh` is already
+    # checkpointed so this costs no recompute.
+    keys = [r.key for r in fresh.select("key").distinct().collect()]
+    if not keys:
+        # nothing genuinely new (re-delivery, empty batch, or all-short
+        # docs with no shingles): no pairs, and nothing to index.
+        return minhash_candidates(fresh, fresh, id_col=id_col, threshold=threshold)
+    corpus = store.read_signatures(spark, keys=keys, id_col=id_col)
+    right = fresh if corpus is None else fresh.unionByName(corpus)
     pairs = minhash_candidates(fresh, right, id_col=id_col, threshold=threshold)
-    # Materialize pairs BEFORE appending: the candidate join must see
-    # the pre-append store, and lazy evaluation after the write would
-    # double-count the new signatures.
-    pairs = pairs.localCheckpoint(eager=True)
-    fresh.write.mode("append").parquet(store_path)
+    # No checkpoint-before-append needed anymore: `corpus` reads an
+    # explicit segment-path list frozen at read time and segments are
+    # immutable, so the append below (a NEW segment) cannot leak into
+    # a lazy evaluation of `pairs`.
+    span = fresh.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    store.append(fresh, id_min=span.lo, id_max=span.hi)
     return pairs

@@ -1,0 +1,163 @@
+"""SignatureStore (operators/sigstore.py): the manifest + range-
+clustered-segment layout that makes per-batch ingest dedup O(batch)
+instead of O(corpus).
+
+What "per-batch input ~constant" means at test scale: physical bytes
+can't show row-group pruning on kilobyte stores, so these tests pin the
+MECHANISMS — (a) segment selection comes from the manifest (the read's
+inputFiles never include later/non-intersecting segments, and the
+known-ids probe for a new id range touches ZERO files), (b) the bucket-
+key restriction appears in the scan's PushedFilters as In(key, ...)
+(what row-group min/max stats evaluate at scale), and (c) the rows the
+store contributes to the candidate join stay bounded by the colliding
+docs as the store grows, not by store size.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from production_ready_ds_spark.operators.dedup import minhash_bands
+from production_ready_ds_spark.operators.sigstore import SignatureStore
+from production_ready_ds_spark.plans.audit import pushed_filters
+
+BODY = "a long shared body of text describing distributed analytics engines"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bands_for(spark, lo, n, dup_of_zero=0):
+    rows = [
+        (lo + i, BODY + " common tail" if i < dup_of_zero else f"unique document {lo + i} about topic {lo + i} with words {lo + i}")
+        for i in range(n)
+    ]
+    return minhash_bands(_docs(spark, rows))
+
+
+def _store_with_batches(spark, root, n_batches=3, per_batch=4):
+    store = SignatureStore(str(root))
+    for b in range(n_batches):
+        lo = b * 100
+        bands = _bands_for(spark, lo, per_batch, dup_of_zero=1)
+        store.append(bands, id_min=lo, id_max=lo + 99)
+    return store
+
+
+def test_append_creates_manifest_segments(spark, tmp_path):
+    store = _store_with_batches(spark, tmp_path / "s", n_batches=3)
+    segs = store.segments()
+    assert [s["id_min"] for s in segs] == [0, 100, 200]
+    assert len({s["seg"] for s in segs}) == 3
+    # store root stays readable as plain parquet (ops / tests contract)
+    assert spark.read.parquet(str(tmp_path / "s")).select("doc_id").distinct().count() == 12
+
+
+def test_segments_are_range_clustered_on_band_key(spark, tmp_path):
+    store = SignatureStore(str(tmp_path / "s"))
+    bands = _bands_for(spark, 0, 40)
+    store.append(bands, id_min=0, id_max=99, n_files=4)
+    seg_dir = os.path.join(store.root, "seg=0")
+    files = [f for f in os.listdir(seg_dir) if f.endswith(".parquet")]
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(os.path.join(seg_dir, f))
+        names = md.schema.names
+        bi, ki = names.index("band"), names.index("key")
+        stats = [md.row_group(i) for i in range(md.num_row_groups)]
+        lo = min((rg.column(bi).statistics.min, rg.column(ki).statistics.min) for rg in stats)
+        hi = max((rg.column(bi).statistics.max, rg.column(ki).statistics.max) for rg in stats)
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b, f"overlapping (band,key) file ranges: {hi_a} vs {lo_b}"
+
+
+def _input_dirs(df):
+    return {"/" + os.path.dirname(f).removeprefix("file:").lstrip("/") for f in df.inputFiles()}
+
+
+def test_manifest_prunes_segment_selection(spark, tmp_path):
+    store = _store_with_batches(spark, tmp_path / "s", n_batches=3)
+    seg_paths = {s["seg"]: store._seg_path(s) for s in store.segments()}
+
+    earlier = store.read_signatures(spark, id_below=200)
+    assert _input_dirs(earlier) == {seg_paths[0], seg_paths[1]}, "id_below must exclude later segments"
+
+    first = store.read_signatures(spark, id_below=100)
+    assert _input_dirs(first) == {seg_paths[0]}
+
+    assert store.read_signatures(spark, id_below=0) is None, "no earlier corpus for batch 0"
+
+
+def test_known_ids_is_metadata_only_for_new_ranges(spark, tmp_path):
+    store = _store_with_batches(spark, tmp_path / "s", n_batches=2)
+    # a genuinely new id range intersects no manifest segment: no IO at all
+    assert store.known_ids(spark, id_min=1000, id_max=1099) is None
+    # declared segment ranges are [0,99] and [100,199]; actual ids are
+    # 0-7 and 100-107 (sparse within the range, like any real batch)
+    hit = store.known_ids(spark, id_min=100, id_max=250)
+    assert hit is not None
+    ids = {r.doc_id for r in hit.collect()}
+    assert ids == {100, 101, 102, 103}
+
+
+def test_key_restriction_is_pushed_to_parquet(spark, tmp_path):
+    store = _store_with_batches(spark, tmp_path / "s", n_batches=2)
+    probe = _bands_for(spark, 500, 2, dup_of_zero=1)
+    keys = [r.key for r in probe.select("key").distinct().collect()]
+    read = store.read_signatures(spark, keys=keys)
+    pushed = " ".join(pushed_filters(read))
+    assert "In(key" in pushed, f"key IN list must reach the parquet scan, got: {pushed}"
+
+
+def test_join_input_stays_bounded_as_store_grows(spark, tmp_path):
+    """The candidate join's store side after key pruning is sized by the
+    COLLIDING docs (the dup family), not the store: growing the store
+    4x with unrelated docs must not grow the probe's filtered read."""
+    store = SignatureStore(str(tmp_path / "s"))
+    sizes = []
+    for b in range(4):
+        lo = b * 100
+        store.append(
+            _bands_for(spark, lo, 8, dup_of_zero=1), id_min=lo, id_max=lo + 99
+        )
+        probe = _bands_for(spark, 9000, 1, dup_of_zero=1)  # dup of each batch's doc 0
+        keys = [r.key for r in probe.select("key").distinct().collect()]
+        sizes.append(store.read_signatures(spark, keys=keys).count())
+    family_rows = sizes[0]
+    assert family_rows > 0
+    # one family member per batch: filtered rows grow by ~family_rows
+    # per batch (the true colliders), NOT by the 8x bands per batch
+    for b, n in enumerate(sizes):
+        assert n <= family_rows * (b + 1) + 4, (sizes, "key pruning leaked unrelated rows")
+
+
+def test_append_skip_if_range_indexed(spark, tmp_path):
+    store = SignatureStore(str(tmp_path / "s"))
+    bands = _bands_for(spark, 0, 3)
+    assert store.append(bands, id_min=0, id_max=99, skip_if_range_indexed=True)
+    rows = spark.read.parquet(store.root).count()
+    assert not store.append(bands, id_min=0, id_max=99, skip_if_range_indexed=True)
+    assert spark.read.parquet(store.root).count() == rows
+    assert len(store.segments()) == 1
+
+
+def test_compact_folds_segments_and_preserves_reads(spark, tmp_path):
+    store = _store_with_batches(spark, tmp_path / "s", n_batches=3)
+    before = sorted(map(tuple, spark.read.parquet(store.root).drop("seg").collect()))
+    assert store.compact(spark) == 1
+    segs = store.segments()
+    assert len(segs) == 1 and segs[0]["id_min"] == 0 and segs[0]["id_max"] == 299
+    after = sorted(map(tuple, spark.read.parquet(store.root).drop("seg").collect()))
+    assert after == before
+    # a compacted segment straddling the id bound falls back to a
+    # pushed doc_id predicate — same earlier-corpus answer as pre-compact
+    earlier = store.read_signatures(spark, id_below=200)
+    ids = {r.doc_id for r in earlier.select("doc_id").distinct().collect()}
+    assert ids == {0, 1, 2, 3, 100, 101, 102, 103}
