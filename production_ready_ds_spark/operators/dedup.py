@@ -64,6 +64,53 @@ def shingled_docs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     return tok.select(id_col, F.explode(shingles(F.col("ts"))).alias("sg"))
 
 
+def rank_cap(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    cap: int,
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Keep the ``cap`` lowest-``order_col`` rows of every ``part_cols``
+    group — WITHOUT sorting the uncontended majority.
+
+    A plain row_number window shuffles and sorts the whole frame even
+    though almost every group is under the cap (round-2 bench: +42 % on
+    q_dedup_ngram_jaccard). Instead: (1) group sizes come from a hash
+    aggregate (map-side partial combine, narrow rows, no sort); (2) the
+    >cap "hot" groups — tiny by construction at any scale, since hot
+    means heavier than a constant — are broadcast; (3) the cold rows
+    pass through a broadcast anti join untouched (map-side, no shuffle);
+    (4) only hot-group rows are ranked, in two stages — first within
+    (group, salt) then within group over the ≤ salt_buckets x cap
+    survivors — so even a single group holding a billion rows never
+    lands in one sort partition (the k smallest overall are each the k
+    smallest within their salt bucket, so the two-stage result is
+    exact).
+
+    ``df`` is consumed three times (size agg, cold anti, hot semi) —
+    pass a materialized/checkpointed frame or a cheap scan, not an
+    expensive unmaterialized lineage. Deterministic iff (part_cols,
+    order_col) has no duplicate rows."""
+    sizes = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_df"))
+    hot = sizes.filter(F.col("_df") > cap).drop("_df")
+    cold = df.join(F.broadcast(hot), part_cols, "left_anti")
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*part_cols, "_salt").orderBy(order_col)
+    w2 = Window.partitionBy(*part_cols).orderBy(order_col)
+    capped_hot = (
+        df.join(F.broadcast(hot), part_cols, "left_semi")
+        .withColumn("_salt", salt)
+        .withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= cap)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= cap)
+        .drop("_salt", "_rk")
+    )
+    return cold.unionByName(capped_hot)
+
+
 def jaccard_pairs(
     docs: DataFrame,
     *,
@@ -156,6 +203,11 @@ def jaccard_pairs(
     sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
         id_col, F.xxhash64("sg").alias("sg")
     )
+    if materialize:
+        # Checkpoint BEFORE the cap: rank_cap consumes the frame three
+        # times, the self-join twice more — all read these blocks
+        # instead of re-running the tokenizer pipeline.
+        sh = sh.localCheckpoint(eager=True)
     # RANK cap, not a doc-frequency drop: each shingle is kept in its
     # df_cap lowest-id documents and dropped elsewhere. A pure df>cap
     # drop has a blind spot — in a duplicate FAMILY larger than the cap
@@ -164,18 +216,18 @@ def jaccard_pairs(
     # near-dup detection. Under the rank cap the family's df_cap
     # lowest members still share everything, pair at ~1.0, and cluster;
     # each pass removes (cap-1) of them, and families at 100 TB scale
-    # beyond that are the minhash path's job (no frequency cap there).
-    # Join cost keeps the same bound: Σ min(df, df_cap)² per shingle.
-    # Boilerplate still cannot connect unrelated documents — shared
-    # chrome in ≤cap docs contributes to scores but the threshold
-    # rejects pairs whose real content differs (tested).
-    w_sg = Window.partitionBy("sg").orderBy(id_col)
-    sh = (
-        sh.withColumn("rk", F.row_number().over(w_sg))
-        .filter(F.col("rk") <= df_cap)
-        .drop("rk")
-    )
+    # beyond that are the minhash path's job. Join cost keeps the same
+    # bound: Σ min(df, df_cap)² per shingle. Boilerplate still cannot
+    # connect unrelated documents — shared chrome in ≤cap docs
+    # contributes to scores but the threshold rejects pairs whose real
+    # content differs (tested). rank_cap only sorts the >cap hot
+    # shingles' rows (tiny, broadcast-identified) — the uncontended
+    # majority skips the round-2 full-table window sort entirely.
+    sh = rank_cap(sh, ["sg"], id_col, df_cap)
     if materialize:
+        # Second checkpoint: the capped frame feeds the per-doc count
+        # aggregate AND both self-join sides — materializing it keeps
+        # rank_cap's hot aggregate from running three more times.
         sh = sh.localCheckpoint(eager=True)
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -336,6 +388,15 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 N_MINHASH = 16
 BAND_SIZE = 4
 MINHASH_EST_THRESHOLD = 0.5
+#: Per-(band, key) bucket membership cap on the candidate join's RIGHT
+#: side: a pathological bucket (thousands of byte-identical docs share
+#: every band) otherwise does bucket² pair work. Capping ONE side keeps
+#: the join linear in bucket size — every member still gets an edge to
+#: the bucket's cap lowest ids, so connected-components clustering
+#: collapses the whole family (the quadratic in-family pair list is
+#: exactly the output that detonates at scale, and nothing downstream
+#: needs it).
+OVERSIZED_BUCKET_CAP = 20
 
 
 def minhash_bands(
@@ -394,49 +455,97 @@ def minhash_candidates(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASH,
     threshold: float = MINHASH_EST_THRESHOLD,
+    bucket_cap: int | None = OVERSIZED_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-dup pairs from banded signatures: docs sharing
     any band bucket, scored by signature agreement / n_hashes (the
     unbiased Jaccard estimator). One-frame form is the classic LSH
     self-join; the two-frame form joins a (small, new) left side
     against a (large, indexed) right side — the incremental shape.
-    Pairs are (doc_a < doc_b), distinct across bands."""
+    Pairs are (doc_a < doc_b), distinct across bands.
+
+    Oversized-bucket guard (``bucket_cap``): buckets heavier than the
+    cap — identified by a hash aggregate and broadcast, so the common
+    bucket pays nothing — join the FULL left side against only their
+    cap lowest-id members (salted two-stage rank, no single-partition
+    sort). Pair work per bucket drops from |bucket|² to |bucket|·cap;
+    every member still pairs with the bucket's lowest ids, so families
+    collapse to one cluster via connected components and the keep-min
+    survivor rule is unchanged. The intentionally-absent output is the
+    quadratic pair list WITHIN an oversized family (doc 999 × doc 998
+    of a thousand identical docs) — at 100 TB that list is the failure
+    mode, not a deliverable. ``bucket_cap=None`` disables the guard."""
     two_frame = bands_b is not None
     a = bands_a.alias("a")
-    b = (bands_b if two_frame else bands_a).hint("SHUFFLE_HASH").alias("b")
+    b_src = bands_b if two_frame else bands_a
+    on_bucket = (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
     agree = sum(
         F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
         for i in range(n_hashes)
     )
-    # Self-join: a < b halves the join output directly. Two-frame: the
-    # left (new) side's ids may be larger OR smaller than the indexed
-    # right side's, so dedupe with != and normalize to (min, max) —
-    # the a<b shortcut would silently drop new-vs-corpus pairs whose
-    # corpus id is the smaller one.
-    if two_frame:
-        id_pred = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
-        out_a = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
-        out_b = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    est = (agree / F.lit(float(n_hashes))).alias("est_jaccard")
+    # Two-frame: the left (new) side's ids may be larger OR smaller
+    # than the indexed right side's, so dedupe with != and normalize to
+    # (min, max) — the a<b shortcut would silently drop new-vs-corpus
+    # pairs whose corpus id is the smaller one. The hot-bucket branch
+    # needs the same normalization even one-frame: its right side is
+    # capped, so the surviving member of a pair may carry the LARGER id.
+    norm = [
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        est,
+    ]
+    if bucket_cap is not None:
+        sizes = b_src.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        hot = sizes.filter(F.col("_n") > bucket_cap).drop("_n")
+        # Driver-side peek: a healthy corpus has NO oversized buckets,
+        # and the split plan costs ~6 extra fixed-overhead stages
+        # (measured +0.5 s at sf0.1 on local[32]). One tiny aggregate
+        # job decides; the guard stages are planned only when a bucket
+        # actually needs them.
+        if not hot.take(1):
+            bucket_cap = None
+    if bucket_cap is not None:
+        b_cold = b_src.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+        w1 = Window.partitionBy("band", "key", "_salt").orderBy(id_col)
+        w2 = Window.partitionBy("band", "key").orderBy(id_col)
+        b_hot = (
+            b_src.join(F.broadcast(hot), ["band", "key"], "left_semi")
+            .withColumn("_salt", salt)
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= bucket_cap)
+            .withColumn("_rk", F.row_number().over(w2))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_salt", "_rk")
+        )
     else:
-        id_pred = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        out_a = F.col(f"a.{id_col}")
-        out_b = F.col(f"b.{id_col}")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & id_pred,
-        )
-        .select(
-            out_a.alias("doc_a"),
-            out_b.alias("doc_b"),
-            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
-        )
-        .distinct()
-    )
-    return cand.filter(F.col("est_jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        b_cold, b_hot = b_src, None
+    if two_frame:
+        cold_pred = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        cold_out = norm
+    else:
+        # Self-join over uncontended buckets: a < b halves the join
+        # output directly (already normalized).
+        cold_pred = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        cold_out = [
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            est,
+        ]
+    cand = a.join(
+        b_cold.hint("SHUFFLE_HASH").alias("b"), on_bucket & cold_pred
+    ).select(*cold_out)
+    if b_hot is not None:
+        hot_cand = a.join(
+            b_hot.hint("SHUFFLE_HASH").alias("b"),
+            on_bucket & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(*norm)
+        cand = cand.unionByName(hot_cand)
+    return (
+        cand.distinct()
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 
 

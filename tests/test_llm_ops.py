@@ -286,3 +286,55 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # same graph converges fine with adequate rounds
     ok = connected_components(chain, max_iter=25, driver_threshold=0)
     assert {r.cluster_id for r in ok.collect()} == {0}
+
+
+def test_rank_cap_matches_plain_window_exactly(spark):
+    """rank_cap (hot-group split + salted two-stage rank) must produce
+    exactly the rows of the naive full-frame row_number cap — the perf
+    rewrite may not change semantics."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.dedup import rank_cap
+
+    rows = [(g, i * 7 % 101) for g in range(10) for i in range(g * 9)]
+    df = spark.createDataFrame(
+        [(g, v, g * 1000 + v) for (g, v) in rows], "grp int, val int, rid long"
+    )
+    cap = 5
+    naive = (
+        df.withColumn("rk", F.row_number().over(Window.partitionBy("grp").orderBy("rid")))
+        .filter(F.col("rk") <= cap)
+        .drop("rk")
+    )
+    got = rank_cap(df, ["grp"], "rid", cap, salt_buckets=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_oversized_lsh_bucket_guard(spark):
+    """~1000 identical docs land in the same bucket in every band: the
+    guard must bound candidate count at ~n·cap (not n²/2 ≈ 500k) while
+    connected components still collapses the family to ONE cluster with
+    the lowest id as canonical."""
+    from production_ready_ds_spark.operators.dedup import (
+        OVERSIZED_BUCKET_CAP,
+        connected_components,
+        minhash_bands,
+        minhash_candidates,
+    )
+
+    n = 1000
+    body = "an identical template page repeated verbatim across the whole crawl"
+    docs = _mkdocs(spark, [(i, body) for i in range(n)] + [(n + 1, "something else entirely unrelated here")])
+    pairs = minhash_candidates(minhash_bands(docs))
+    rows = pairs.collect()
+    # every doc beyond the cap still gets edges to the cap lowest ids
+    assert len(rows) <= n * OVERSIZED_BUCKET_CAP
+    assert len(rows) >= n - 1, "every family member needs at least one edge"
+    assert all(r.doc_a < OVERSIZED_BUCKET_CAP for r in rows), (
+        "capped side must contribute only the bucket's lowest ids"
+    )
+    comps = connected_components(pairs)
+    clusters = {r.cluster_id for r in comps.collect()}
+    assert clusters == {0}, "family must collapse to one cluster rooted at the lowest id"
+    assert not any(r.doc_a == n + 1 or r.doc_b == n + 1 for r in rows)
