@@ -6,15 +6,27 @@ hash), processed by Arrow-batched ``mapInPandas`` stages. Decode /
 resize / frame-sample run per batch with bounded memory; partitioning
 is by content hash so payload sizes spread evenly.
 
-The actual media codecs are NOT available in this environment, so the
-decode kernel is stubbed: ``decode_features`` computes deterministic
-byte-level statistics standing in for a real decoder, and
-``decode_image`` raises NotImplementedError by contract. The Spark-side
-plumbing — schemas, batch iteration, partitioning, UDF signatures — is
-real and tested (tests/test_multimodal.py).
+Decoding is PLUGGABLE (round-2 verdict item 7): ``extract_features``
+takes a :class:`Decoder` — an object carrying the feature schema and a
+pure ``decode(bytes) -> dict`` kernel — so the Spark-side plumbing
+(schemas, Arrow batch iteration, partitioning, UDF signatures) never
+changes when the environment gains real codecs. Shipped decoders:
+
+- :class:`ByteStatsDecoder` (default): deterministic byte-level
+  statistics — the honest stand-in, since media codec libraries are
+  NOT available in this environment.
+- :class:`RawRGBDecoder`: a REAL decoder for a fixed-layout raw-RGB
+  payload (magic + dims header + interleaved RGB bytes), pure
+  Python/numpy — proves the interface end-to-end against constructed
+  images (tests/test_multimodal.py).
+- :class:`PILImageDecoder`: the drop-in slot for PIL-equipped
+  environments; raises a clear NotImplementedError here by contract
+  (``decode_image`` keeps the same contract for the legacy path).
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,6 +65,124 @@ def repartition_by_content(df: DataFrame, num_partitions: int | None = None) -> 
     )
 
 
+class Decoder:
+    """Pluggable payload decoder: ``feature_schema`` is the DDL fragment
+    of the columns ``decode`` produces; ``decode(buf)`` is a pure
+    function bytes → {column: value} (None values allowed — the schema
+    is nullable). Instances are cloudpickled by value to executors, so
+    keep them import-light; heavy libraries belong INSIDE decode (see
+    PILImageDecoder)."""
+
+    feature_schema: str = ""
+
+    @property
+    def feature_names(self) -> list[str]:
+        return [f.strip().split()[0] for f in self.feature_schema.split(",")]
+
+    def decode(self, buf: bytes | None) -> dict:
+        raise NotImplementedError
+
+
+class ByteStatsDecoder(Decoder):
+    """Deterministic byte statistics — the codec-free stand-in (this
+    environment has no PIL/opencv; the output shape matches what a real
+    decoder+featurizer produces: one fixed-width row per payload)."""
+
+    feature_schema = (
+        "n_bytes long, mean_byte double, byte_entropy double, head_bytes array<int>"
+    )
+
+    def decode(self, buf: bytes | None) -> dict:
+        import math
+
+        if not buf:
+            return {"n_bytes": 0, "mean_byte": 0.0, "byte_entropy": 0.0, "head_bytes": []}
+        counts: dict[int, int] = {}
+        for b in buf:
+            counts[b] = counts.get(b, 0) + 1
+        n = len(buf)
+        entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        return {
+            "n_bytes": n,
+            "mean_byte": round(sum(buf) / n, 4),
+            "byte_entropy": round(entropy, 4),
+            "head_bytes": [int(b) for b in buf[:4]],
+        }
+
+
+class RawRGBDecoder(Decoder):
+    """REAL image decode for a fixed raw layout: ``b"RGB8" + u16 width
+    + u16 height (big-endian) + width*height*3 interleaved RGB bytes``.
+    Pure Python/numpy, so the pluggable-decoder path is exercised end to
+    end (decoded channel means verified against constructed images)
+    without any codec library. Malformed payloads yield all-NULL
+    features rather than failing the batch — decode errors at 100 TB
+    are data, not exceptions."""
+
+    MAGIC = b"RGB8"
+    feature_schema = "width int, height int, mean_r double, mean_g double, mean_b double"
+
+    _NULL = {"width": None, "height": None, "mean_r": None, "mean_g": None, "mean_b": None}
+
+    @classmethod
+    def encode(cls, width: int, height: int, pixels: bytes) -> bytes:
+        """Inverse of decode, for fixtures: pixels = w*h*3 RGB bytes."""
+        if len(pixels) != width * height * 3:
+            raise ValueError("pixels must be width*height*3 bytes")
+        return cls.MAGIC + struct.pack(">HH", width, height) + pixels
+
+    def decode(self, buf: bytes | None) -> dict:
+        if not buf or len(buf) < 8 or buf[:4] != self.MAGIC:
+            return dict(self._NULL)
+        w, h = struct.unpack(">HH", buf[4:8])
+        body = buf[8:]
+        if len(body) != w * h * 3 or w == 0 or h == 0:
+            return dict(self._NULL)
+        import numpy as np
+
+        px = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        means = px.mean(axis=0)
+        return {
+            "width": int(w),
+            "height": int(h),
+            "mean_r": round(float(means[0]), 4),
+            "mean_g": round(float(means[1]), 4),
+            "mean_b": round(float(means[2]), 4),
+        }
+
+
+class PILImageDecoder(Decoder):
+    """Drop-in slot for a PIL-equipped environment: same interface, the
+    import happens inside decode so this module stays loadable here.
+    Raises NotImplementedError with the install hint when PIL is absent
+    (by contract — byte stats must never masquerade as image features)."""
+
+    feature_schema = "width int, height int, mean_r double, mean_g double, mean_b double"
+
+    def decode(self, buf: bytes | None) -> dict:
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "PILImageDecoder needs pillow; this environment has no media "
+                "codecs — use ByteStatsDecoder (stand-in) or RawRGBDecoder"
+            ) from exc
+        img = Image.open(io.BytesIO(buf)).convert("RGB")  # pragma: no cover
+        import numpy as np  # pragma: no cover
+
+        px = np.asarray(img).reshape(-1, 3)  # pragma: no cover
+        means = px.mean(axis=0)  # pragma: no cover
+        return {  # pragma: no cover
+            "width": img.width,
+            "height": img.height,
+            "mean_r": round(float(means[0]), 4),
+            "mean_g": round(float(means[1]), 4),
+            "mean_b": round(float(means[2]), 4),
+        }
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub by contract
     """STUB: real image decode requires PIL/opencv, not installed in
     this environment. The mapInPandas stages below call
@@ -63,43 +193,37 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by contract
     )
 
 
-def decode_features_batches(it):
-    """mapInPandas kernel: payload → fixed-shape feature row.
+def decode_features_batches(decoder: Decoder):
+    """mapInPandas kernel factory: payload → one fixed-shape feature row
+    per payload via ``decoder.decode`` (bounded per-batch memory; the
+    decoder travels to executors by value)."""
 
-    Deterministic fake 'decoder': byte mean, byte entropy, first-4-byte
-    sample — the same batch shape a real decoder+featurizer would have
-    (one output row per payload, bounded per-batch memory)."""
-    import math
+    names = decoder.feature_names
 
-    import pandas as pd
+    def run(it):
+        import pandas as pd
 
-    def feats(buf: bytes):
-        if buf is None or len(buf) == 0:
-            return 0, 0.0, 0.0, []
-        counts: dict[int, int] = {}
-        for b in buf:
-            counts[b] = counts.get(b, 0) + 1
-        n = len(buf)
-        entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
-        return n, sum(buf) / n, entropy, [int(b) for b in buf[:4]]
+        for pdf in it:
+            rows = [decoder.decode(b) for b in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for name in names:
+                out[name] = [r[name] for r in rows]
+            yield pd.DataFrame(out)
 
-    for pdf in it:
-        rows = [feats(b) for b in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": [r[0] for r in rows],
-                "mean_byte": [round(r[1], 4) for r in rows],
-                "byte_entropy": [round(r[2], 4) for r in rows],
-                "head_bytes": [r[3] for r in rows],
-            }
-        )
+    return run
 
 
-def extract_features(df: DataFrame) -> DataFrame:
-    """payload table → feature table via Arrow-batched mapInPandas."""
+def extract_features(df: DataFrame, decoder: Decoder | None = None) -> DataFrame:
+    """payload table → feature table via Arrow-batched mapInPandas.
+
+    ``decoder`` defaults to the byte-stats stand-in; swapping in a real
+    codec (RawRGBDecoder, PILImageDecoder, anything implementing
+    Decoder) changes ONLY this argument — schema, batching, and
+    partitioning plumbing stay identical."""
+    decoder = decoder or ByteStatsDecoder()
     return df.select("doc_id", "payload").mapInPandas(
-        decode_features_batches, schema=FEATURE_SCHEMA
+        decode_features_batches(decoder),
+        schema="doc_id long, " + decoder.feature_schema,
     )
 
 

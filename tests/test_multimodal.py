@@ -59,3 +59,43 @@ def test_repartition_by_content(spark, sf_small):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_raw_rgb_decoder_through_spark(spark):
+    """The pluggable-decoder path with a REAL decode: construct raw-RGB
+    images with known channel values, run the SAME mapInPandas plumbing
+    with RawRGBDecoder, and verify the decoded dims + channel means."""
+    dec = mm.RawRGBDecoder()
+    # 2x2 solid red and a 1x3 gradient-green image
+    red = mm.RawRGBDecoder.encode(2, 2, bytes([255, 0, 0] * 4))
+    green = mm.RawRGBDecoder.encode(1, 3, bytes([0, 10, 0, 0, 20, 0, 0, 60, 0]))
+    df = spark.createDataFrame(
+        [(1, bytearray(red)), (2, bytearray(green)), (3, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.extract_features(df, decoder=dec).collect()}
+    assert (rows[1].width, rows[1].height) == (2, 2)
+    assert (rows[1].mean_r, rows[1].mean_g, rows[1].mean_b) == (255.0, 0.0, 0.0)
+    assert (rows[2].width, rows[2].height) == (1, 3)
+    assert rows[2].mean_g == 30.0
+    # malformed payload decodes to all-NULL features, not a batch failure
+    assert rows[3].width is None and rows[3].mean_r is None
+
+
+def test_raw_rgb_decoder_rejects_truncated_body():
+    dec = mm.RawRGBDecoder()
+    good = mm.RawRGBDecoder.encode(2, 1, bytes(6))
+    assert dec.decode(good)["width"] == 2
+    assert dec.decode(good[:-1])["width"] is None, "truncated body must be null"
+    assert dec.decode(b"")["width"] is None
+
+
+def test_pil_decoder_raises_without_pillow():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow present; drop-in path is live")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.PILImageDecoder().decode(b"\x89PNG")
