@@ -81,9 +81,26 @@ _STEP2 = (
     ("bli", "ble"),
 )
 
-# Suffix rewrites after which R2 is gone (replicates the reference
-# stemmer, validated by the golden corpus: realization → realize).
-_COLLAPSES_R2 = {"ization"}
+# Suffix rewrites after which R2 is gone when it began strictly inside
+# the replaced span. Which rewrites collapse is BRANCH-specific in the
+# reference's stemmer chain, not uniform (a round-3 review suggested
+# collapsing on every rewrite — the golden corpus refutes that:
+# vacation→vacat requires the 'ation' rewrite to KEEP stripping the
+# final e, i.e. no empty-region collapse). Family analysis, validated
+# against the corpus + constructed words (tests/test_snowball.py):
+# - pure-truncation suffixes (tional→tion, entli→ent, fulness→ful,
+#   ousness→ous, iveness→ive, lessli→less, fulli/ousli/alli→…, ogi/li)
+#   shorten the word in place — index regions are exact by
+#   construction.
+# - the ate-family (ational/ation/ator→ate) collapses to a one-char
+#   'e' region in the reference chain; for every REACHABLE region
+#   start (r2 is at most 2 chars into these suffixes, since
+#   'a'+consonant opens a region immediately) that is decision-
+#   equivalent to the fixed-index semantics here, so no special case.
+# - the ize-family (ization/izer→ize) collapses to an EMPTY region —
+#   the one genuinely divergent family (realization → realize keeps
+#   its final e where index semantics would strip it).
+_COLLAPSES_R2 = {"ization", "izer"}
 
 _STEP3 = (
     ("ational", "ate"),

@@ -25,6 +25,23 @@ DEFAULT_TARGET_ROWS = 1_000_000
 
 
 def _swap_into(tmp: str, target: str) -> None:
+    """Replace ``target`` with ``tmp`` via two renames.
+
+    LOCAL POSIX FILESYSTEM ONLY (os.rename/shutil.rmtree — object
+    stores have neither atomic rename nor cheap directory moves), and
+    single-writer by contract:
+
+    - readers racing the swap can hit the window between the two
+      renames where ``target`` does not exist (ENOENT) — the same
+      non-atomicity the unpartitioned upsert documents;
+    - a WRITER appending to ``target`` between the caller's scan and
+      this swap LOSES that append silently: the swap replaces the
+      directory wholesale, discarding files the scan never saw.
+
+    Run compaction from the same scheduler slot that owns writes (the
+    workflow engine's single-writer tasks, SignatureStore's append
+    contract), or use a transactional table format — Delta/Iceberg
+    OPTIMIZE is this exact rewrite with a real commit protocol."""
     old = target + f".old-{uuid.uuid4().hex[:8]}"
     os.rename(target, old)
     os.rename(tmp, target)

@@ -1054,6 +1054,17 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = bigrams.agg(F.count(F.lit(1)).alias("n"))
     # rank on the exact ratio, display floor-rounded ln — see the
     # oracle SQL comment for the cross-engine determinism rationale.
+    # Exactness bound: the products are exact in doubles only while
+    # c·n and cw1·cw2 stay under 2^53 (~9e15). A 100 TB corpus with
+    # ~1e13 bigrams can exceed that for high-count pairs, where the
+    # correctly-rounded division may land on a different double in two
+    # engines and flip a LIMIT-boundary ordering; the (w1, w2)
+    # tie-break below resolves equal doubles but not near-boundary
+    # rounding. For guaranteed bit-identical cross-engine top-k beyond
+    # 2^53, rank on integer cross-multiplication in bounded domains
+    # (compare c1·n·cw2a·cw2b vs … in 128-bit/decimal) — deliberately
+    # not done here: the decimal division/rounding semantics themselves
+    # differ between engines, and the sf-scale gate never nears 2^53.
     ratio = F.col("c") * F.col("n") / (F.col("cw1") * F.col("cw2"))
     pmi = F.floor(F.log(ratio) * 10000 + F.lit(0.5)) / F.lit(10000.0)
     return (

@@ -37,6 +37,18 @@ CASES = [
     ("generously", "generous"),
     # step 5
     ("rate", "rate"), ("cease", "ceas"),
+    # step-2/3 rewrite families beyond the golden corpus (round-3
+    # region-bookkeeping review): the ate-family strips the final e
+    # via its collapsed-to-'e' region (decision-equivalent to index
+    # regions), the ize-family's empty-region collapse keeps it, and
+    # truncation-family suffixes are index-exact.
+    ("sensational", "sensat"), ("rationalization", "ration"),
+    ("generalization", "general"), ("authorization", "author"),
+    ("modernizer", "modern"), ("nationality", "nation"),
+    ("capability", "capabl"), ("carefulness", "care"),
+    ("hopefulness", "hope"), ("attentively", "attent"),
+    ("decisiveness", "decis"), ("seriousness", "serious"),
+    ("operator", "oper"), ("educational", "educ"),
 ]
 
 
