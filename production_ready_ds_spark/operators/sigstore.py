@@ -176,6 +176,45 @@ class SignatureStore:
         self._write_manifest([*segments, seg])
         return True
 
+    def compact_tiered(
+        self, spark: SparkSession, *, fanout: int = 8, n_files: int = 8
+    ) -> int:
+        """LSM-style leveled fold: whenever any level holds ≥ ``fanout``
+        segments, merge that level into ONE segment at level+1, then
+        cascade. Appends land at level 0, so each row is rewritten at
+        most once per level — amortized compaction cost per batch is
+        O(batch · log_fanout(corpus/batch)), never the O(corpus) a full
+        re-fold on every trigger would pay, and footer-open cost stays
+        O(fanout · levels). Same single-writer contract as append.
+        Returns the segment count after folding."""
+        import shutil
+
+        while True:
+            segs = self.segments()
+            by_level: dict[int, list[dict]] = {}
+            for s in segs:
+                by_level.setdefault(int(s.get("level", 0)), []).append(s)
+            ripe = next(
+                (g for _, g in sorted(by_level.items()) if len(g) >= fanout), None
+            )
+            if ripe is None:
+                return len(segs)
+            df = spark.read.parquet(*[self._seg_path(s) for s in ripe])
+            merged = {
+                "seg": max(s["seg"] for s in segs) + 1,
+                "id_min": min(s["id_min"] for s in ripe),
+                "id_max": max(s["id_max"] for s in ripe),
+                "rows": sum(s["rows"] for s in ripe)
+                if all(s["rows"] is not None for s in ripe)
+                else None,
+                "level": int(ripe[0].get("level", 0)) + 1,
+            }
+            write_range_clustered(df, self._seg_path(merged), ["band", "key"], n_files=n_files)
+            ripe_ids = {s["seg"] for s in ripe}
+            self._write_manifest([s for s in segs if s["seg"] not in ripe_ids] + [merged])
+            for s in ripe:
+                shutil.rmtree(self._seg_path(s), ignore_errors=True)
+
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
         """Fold all segments into one range-clustered segment (bounds
         the footer-open cost that grows with segment count). Returns the

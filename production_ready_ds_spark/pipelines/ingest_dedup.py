@@ -43,6 +43,14 @@ from ..operators.sigstore import SignatureStore
 from ..workflow import Parameter, ParquetTarget, SparkTask
 
 BATCH_SIZE = 250  # doc_ids per ingest batch: batch b = [b*SIZE, (b+1)*SIZE)
+# Leveled-compaction fanout for the signature store: whenever a level
+# accumulates this many segments they fold into one at the next level
+# (SignatureStore.compact_tiered). Per-batch reads prune by manifest +
+# bucket key regardless; compaction bounds the footer-open cost that
+# grows with segment count, at O(batch·log) amortized rewrite — never
+# a full-store re-fold. Safe here by the single-writer contract:
+# DedupBatch b only runs after b-1 completed.
+COMPACT_EVERY = 8
 
 
 class DedupBatch(SparkTask):
@@ -105,4 +113,5 @@ class DedupBatch(SparkTask):
         # already a segment), and a crash between the writes leaves an
         # incomplete task, never a complete one with missing signatures.
         store.append(fresh, id_min=lo, id_max=hi - 1, skip_if_range_indexed=True)
+        store.compact_tiered(spark, fanout=COMPACT_EVERY)
         accepted.write.mode("overwrite").parquet(self.output().path)

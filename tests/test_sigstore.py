@@ -161,3 +161,29 @@ def test_compact_folds_segments_and_preserves_reads(spark, tmp_path):
     earlier = store.read_signatures(spark, id_below=200)
     ids = {r.doc_id for r in earlier.select("doc_id").distinct().collect()}
     assert ids == {0, 1, 2, 3, 100, 101, 102, 103}
+
+
+def test_compact_tiered_cascades_and_preserves_reads(spark, tmp_path):
+    """Leveled fold: 9 level-0 appends at fanout 3 cascade 3x(3->1) at
+    level 1, then 3 level-1 -> one level-2 segment; data and the
+    earlier-corpus answer survive every fold."""
+    store = SignatureStore(str(tmp_path / "s"))
+    for b in range(9):
+        lo = b * 100
+        store.append(_bands_for(spark, lo, 3), id_min=lo, id_max=lo + 99)
+        store.compact_tiered(spark, fanout=3)
+    segs = store.segments()
+    assert len(segs) == 1 and segs[0]["level"] == 2, segs
+    assert segs[0]["id_min"] == 0 and segs[0]["id_max"] == 899
+    got = {r.doc_id for r in spark.read.parquet(store.root).select("doc_id").distinct().collect()}
+    assert got == {b * 100 + i for b in range(9) for i in range(3)}
+    earlier = store.read_signatures(spark, id_below=300)
+    assert {r.doc_id for r in earlier.select("doc_id").distinct().collect()} == {
+        0, 1, 2, 100, 101, 102, 200, 201, 202
+    }
+
+
+def test_compact_tiered_noop_below_fanout(spark, tmp_path):
+    store = _store_with_batches(spark, tmp_path / "s", n_batches=3)
+    assert store.compact_tiered(spark, fanout=8) == 3
+    assert [s.get("level", 0) for s in store.segments()] == [0, 0, 0]
