@@ -153,6 +153,14 @@ _EXTENSION_PRIORITY = (
     "q_event_funnel",
     "q_event_retention",
     "q_profile_stats",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q21",
     "q_tpch_q4",
     "q_tpch_q12",
     "q_tpch_q14",

@@ -224,3 +224,37 @@ def test_vocab_build_single_corpus_shuffle(spark, sf_small, cat):
     s = explain_str(df)
     assert "Window" in s, s
     assert "BatchEvalPython" not in s, s
+
+
+def test_tpch_q10_pushes_filters_and_broadcasts_nation(spark, sf_small, cat):
+    """Return-flag and quarter predicates must reach their scans; the
+    nation dim must broadcast; the top-20 must be TakeOrderedAndProject
+    (no global sort materialization)."""
+    df = cat["q_tpch_q10"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed, pushed
+    s = explain_str(df)
+    assert "BroadcastHashJoin" in s, s
+    assert "TakeOrderedAndProject" in s, s
+
+
+def test_tpch_q19_pushes_disjunctive_branches(spark, sf_small, cat):
+    """The OR-of-conjuncts must yield per-side implied disjunctions in
+    PushedFilters (brand/size on part, quantity on lineitem) — a plan
+    that evaluates the whole disjunction post-join reads both tables
+    unpruned."""
+    df = cat["q_tpch_q19"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed, f"part-side disjunction not pushed: {pushed}"
+    assert "l_quantity" in pushed, f"lineitem-side disjunction not pushed: {pushed}"
+
+
+def test_tpch_q21_single_aggregate_decorrelation(spark, sf_small, cat):
+    """The EXISTS + NOT-EXISTS pair must appear as ONE per-order
+    aggregate joined back (no correlated re-scans): exactly one
+    HashAggregate pair over lineitem keyed on the orderkey, and no
+    LeftSemi/LeftAnti in the plan."""
+    df = cat["q_tpch_q21"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "LeftSemi" not in s and "LeftAnti" not in s, s
+    assert "TakeOrderedAndProject" in s, s
