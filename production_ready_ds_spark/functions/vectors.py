@@ -51,3 +51,25 @@ def sign_bucket(a: Column, n_dims: int = 4) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def probe_buckets(a: Column, eps: float, n_dims: int = 4) -> Column:
+    """Multi-probe expansion of :func:`sign_bucket`: the home bucket
+    plus every Hamming-distance-1 neighbor whose deciding component sits
+    within ``eps`` of the hyperplane. A vector pair with cos ≥ threshold
+    can still land in different sign buckets when one component straddles
+    zero — probing the flip side of every NEAR-ZERO component recovers
+    those boundary pairs at a bounded cost of ≤ n_dims+1 bucket copies
+    per vector (in practice ~2 with eps at the component-|x| quartile).
+    Deterministic (no seeds), so a SQL oracle can replicate it."""
+    home = sign_bucket(a, n_dims)
+    flips = [
+        F.when(
+            F.abs(F.element_at(a, i + 1)) < F.lit(eps),
+            home.bitwiseXOR(F.lit(1 << i)),
+        )
+        for i in range(n_dims)
+    ]
+    return F.array_distinct(
+        F.filter(F.array(home, *flips), lambda x: x.isNotNull())
+    )

@@ -148,6 +148,7 @@ _EXTENSION_PRIORITY = (
     "q_pack_sequences",
     "q_mix_domains",
     "q_dup_source_matrix",
+    "q_dedup_embedding_multiprobe",
     "q_dedup_simhash",
     "q_dedup_minhash",
     "q_event_funnel",

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.text import STOPWORDS, stopword_ratio, tokens_expr
-from ..functions.vectors import cosine, cosine_prenormed, norm, sign_bucket
+from ..functions.vectors import cosine, cosine_prenormed, norm, probe_buckets, sign_bucket
 from ..operators.dedup import (
     DEFAULT_DF_CAP,
     connected_components,
@@ -28,6 +28,10 @@ from . import query
 # --- thresholds (tuned on sf0.01 so every declared query returns rows) ---
 JACCARD_THRESHOLD = 0.5
 EMBED_COS_THRESHOLD = 0.25
+#: multi-probe hyperplane margin: a component with |x| < eps probes the
+#: bucket on the other side of that sign plane (eps ≈ the corpus's
+#: first-quartile |component|, giving ~2 probes per vector).
+EMBED_PROBE_EPS = 0.05
 MINHASH_EST_THRESHOLD = 0.5
 HOT_SHINGLE_DF_CAP = DEFAULT_DF_CAP
 
@@ -475,6 +479,81 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(c, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(sim >= EMBED_COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_dedup_embedding_multiprobe",
+    category="llm-dedup",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, {_DUCK_BUCKET} AS bucket,
+             CAST(embedding AS DOUBLE[]) AS de, embedding
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, de,
+             UNNEST(list_distinct(list_filter([
+               bucket,
+               CASE WHEN abs(embedding[1]) < {EMBED_PROBE_EPS} THEN xor(bucket, 1) END,
+               CASE WHEN abs(embedding[2]) < {EMBED_PROBE_EPS} THEN xor(bucket, 2) END,
+               CASE WHEN abs(embedding[3]) < {EMBED_PROBE_EPS} THEN xor(bucket, 4) END,
+               CASE WHEN abs(embedding[4]) < {EMBED_PROBE_EPS} THEN xor(bucket, 8) END
+             ], x -> x IS NOT NULL))) AS pb
+      FROM b
+    )
+    SELECT DISTINCT LEAST(a.vec_id, c.vec_id) AS vec_a,
+           GREATEST(a.vec_id, c.vec_id) AS vec_b,
+           ROUND(list_cosine_similarity(a.de, c.de), 4) AS cos_sim
+    FROM p a JOIN b c ON a.pb = c.bucket AND a.vec_id <> c.vec_id
+    WHERE list_cosine_similarity(a.de, c.de) >= {EMBED_COS_THRESHOLD}
+    """,
+)
+def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_embedding with the production multi-probe fix the
+    single-probe docstring names: each PROBE-side vector also lands in
+    the bucket across every sign plane its component sits within
+    EMBED_PROBE_EPS of (functions/vectors.py probe_buckets), so
+    boundary pairs a single sign flip hides become visible. The index
+    side keeps ONE home bucket per vector — probe fan-out multiplies
+    only the small probing side, the classic multi-probe asymmetry.
+
+    Join is != with least/greatest normalization + distinct, NOT
+    vec_a < vec_b: a boundary pair is recovered when EITHER member
+    probes across the plane, and the recovering prober may carry the
+    larger id (the a<b shortcut would drop exactly half the boundary
+    recoveries). Cost: ~2 probe copies per vector at eps = the
+    first-quartile |component| — the bucket join stays equi-keyed and
+    linear; recall strictly contains the single-probe pair set
+    (tested)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .withColumn("bucket", sign_bucket(F.col("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(probe_buckets(F.col("embedding"), EMBED_PROBE_EPS)).alias("pb"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(c, (F.col("pb") == F.col("bb")) & (F.col("vec_a") != F.col("vec_b")))
+        .filter(sim >= EMBED_COS_THRESHOLD)
+        .select(
+            F.least("vec_a", "vec_b").alias("va"),
+            F.greatest("vec_a", "vec_b").alias("vb"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .withColumnsRenamed({"va": "vec_a", "vb": "vec_b"})
+        .distinct()
     )
 
 

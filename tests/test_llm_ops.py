@@ -338,3 +338,13 @@ def test_oversized_lsh_bucket_guard(spark):
     clusters = {r.cluster_id for r in comps.collect()}
     assert clusters == {0}, "family must collapse to one cluster rooted at the lowest id"
     assert not any(r.doc_a == n + 1 or r.doc_b == n + 1 for r in rows)
+
+
+def test_multiprobe_recall_contains_single_probe(spark, sf_small, cat):
+    """Multi-probe must recover a SUPERSET of the single-probe pairs
+    (same threshold, same buckets plus hyperplane-margin neighbors) and
+    strictly more when boundary pairs exist in the corpus."""
+    single = {(r.vec_a, r.vec_b) for r in cat["q_dedup_embedding"].fn(spark, sf_small).collect()}
+    multi = {(r.vec_a, r.vec_b) for r in cat["q_dedup_embedding_multiprobe"].fn(spark, sf_small).collect()}
+    assert single <= multi
+    assert len(multi) > len(single), "test corpus has boundary pairs; none recovered"
