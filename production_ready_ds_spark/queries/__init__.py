@@ -147,6 +147,8 @@ _EXTENSION_PRIORITY = (
     "q_decontaminate",
     "q_pack_sequences",
     "q_mix_domains",
+    "q_shuffle_shards",
+    "q_source_token_budget",
     "q_dup_source_matrix",
     "q_dedup_embedding_multiprobe",
     "q_dedup_simhash",

@@ -212,3 +212,113 @@ def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("stem"))
         .limit(20)
     )
+
+
+N_SHUFFLE_SHARDS = 16
+SOURCE_TOKEN_BUDGET = 800
+
+
+@query(
+    "q_shuffle_shards",
+    category="llm-traindata",
+    sql=f"""
+    WITH k AS (
+      SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % {N_SHUFFLE_SHARDS}) AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(('0x' || substr(skey, 1, 8)) AS BIGINT) % {N_SHUFFLE_SHARDS}
+             ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM k
+    ORDER BY shard, pos
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a pseudo-random (shard, position) from a seeded md5 key — the
+    "shuffle the corpus before packing epochs" step every training
+    pipeline needs, with no RNG state to coordinate (reproducible
+    across runs, engines, and repartitioning, like q_mix_domains).
+
+    This IS how a 100 TB shuffle is done: shard assignment is a
+    map-only hash (no global sort), and ordering is established only
+    WITHIN each shard — the row_number window partitions by shard, so
+    no single task ever sees more than corpus/shards rows, and writers
+    emit shards independently. A global ORDER BY md5 would funnel the
+    corpus through one sort range; sharded order is statistically
+    identical for training purposes."""
+    d = load(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("shuf"), F.col("doc_id").cast("string")))
+    k = d.select("doc_id", skey.alias("skey"))
+    shard = (F.conv(F.substring("skey", 1, 8), 16, 10).cast("long") % N_SHUFFLE_SHARDS).cast("int")
+    k = k.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        k.select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+@query(
+    "q_source_token_budget",
+    category="llm-traindata",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM c
+    WHERE cum_before < {SOURCE_TOKEN_BUDGET}
+    ORDER BY source, doc_id
+    """,
+)
+def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget enforcement: keep each source's docs (in
+    id order) until the source's running token total crosses the
+    budget — the quota-sampling step that stops one over-crawled feed
+    from dominating the mixture (the doc that straddles the boundary is
+    kept, so every source gets ≥1 doc and ≥budget tokens when it has
+    them).
+
+    Scale shape: only (doc_id, source, n_tokens) enters the running-sum
+    window — narrow rows, never text — partitioned BY SOURCE. Budget
+    enforcement is inherently sequential per source (each keep decision
+    depends on the prior cumsum), so a giant source serializes into one
+    window partition; when a single source is corpus-scale, pre-filter
+    with a per-source count/limit heuristic or split the budget across
+    (source, date) subkeys — the window shape stays identical."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < SOURCE_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_before").cast("long").alias("cum_before"),
+        )
+        .orderBy("source", "doc_id")
+    )
