@@ -1019,6 +1019,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q10",
     category="join",
+    bench=True,
     sql="""
     SELECT c.c_custkey, c.c_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -1238,6 +1239,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q21",
     category="join",
+    bench=True,
     sql="""
     SELECT s.s_name, COUNT(*) AS numwait
     FROM supplier s

@@ -485,6 +485,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embedding_multiprobe",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH b AS (
       SELECT vec_id, {_DUCK_BUCKET} AS bucket,
