@@ -110,3 +110,70 @@ def write_range_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(scaled_cols: list, bits: int = 8):
+    """Interleave the low ``bits`` of already-scaled int columns into a
+    Morton (Z-order) key — pure JVM bit arithmetic, whole-stage
+    codegen-friendly. Callers scale each dimension into [0, 2^bits)
+    first (see write_zorder_clustered)."""
+    key = F.lit(0).cast("long")
+    n = len(scaled_cols)
+    for i in range(bits):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` clustered on the Z-order (Morton) interleaving of
+    ``cluster_cols`` — the MULTI-dimension analogue of
+    :func:`write_range_clustered`.
+
+    Why: single-dimension range clustering makes file/row-group min-max
+    stats tight on the LEAD column only — a predicate on the second
+    column still reads every file. Interleaving the dimensions' bits
+    makes each file own a small hyper-rectangle of the key space, so
+    point/range predicates on ANY clustered column prune a large
+    fraction of files (Delta OPTIMIZE ZORDER / Iceberg z-ordered
+    rewrites productize exactly this write).
+
+    Each dimension is scaled into [0, 2^bits) by linear min/max from
+    ONE tiny aggregate (collected: 2 numbers per column). Linear
+    scaling keeps the write a single pass; heavily SKEWED dimensions
+    concentrate buckets and prune worse — the production refinement is
+    rank-based scaling (ntile per dimension), which costs a per-column
+    sort and is deliberately not done here. Works for numeric/date
+    columns; same single-writer/local-fs caveats as _swap_into when
+    rewriting in place."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cluster_cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cluster_cols],
+    ).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cluster_cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ).cast("long")
+        )
+    keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -65,3 +65,48 @@ def test_range_clustered_write_gives_disjoint_file_ranges(spark, sf_small, tmp_p
     assert got.count() == orders.count()
     key = orders.select(F.min("o_orderkey")).collect()[0][0]
     assert got.filter(F.col("o_orderkey") == key).count() >= 1
+
+
+def _file_prune_fraction(path, col, lo, hi):
+    """Fraction of files whose (col) min/max intersects [lo, hi] — what
+    footer-stats pruning would read for that range predicate."""
+    files = _parquet_files(path)
+    hit = 0
+    for f in files:
+        md = pq.read_metadata(f)
+        ci = md.schema.names.index(col)
+        fmin = min(md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups))
+        fmax = max(md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups))
+        if fmin <= hi and fmax >= lo:
+            hit += 1
+    return hit / len(files)
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_small, tmp_path):
+    """Z-order clustering must make file stats selective on BOTH
+    clustered columns, where single-dim range clustering leaves the
+    second column unprunable; data must survive byte-for-byte."""
+    from production_ready_ds_spark.operators.layout import write_zorder_clustered
+
+    orders = load(spark, sf_small, "orders")
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zorder_clustered(orders, zpath, ["o_custkey", "o_orderkey"], n_files=16)
+    write_range_clustered(orders, rpath, ["o_custkey"], n_files=16)
+
+    before = sorted(map(tuple, orders.collect()))
+    assert sorted(map(tuple, spark.read.parquet(zpath).collect())) == before
+
+    ck = orders.agg(F.max("o_custkey"), F.max("o_orderkey")).first()
+    ck_hi, ok_hi = ck[0], ck[1]
+    # narrow range on each dimension (~6% of its domain)
+    z_cust = _file_prune_fraction(zpath, "o_custkey", 0, ck_hi // 16)
+    z_order = _file_prune_fraction(zpath, "o_orderkey", 0, ok_hi // 16)
+    r_cust = _file_prune_fraction(rpath, "o_custkey", 0, ck_hi // 16)
+    r_order = _file_prune_fraction(rpath, "o_orderkey", 0, ok_hi // 16)
+
+    # range clustering: lead column prunes hard, second column not at all
+    assert r_cust <= 0.25, r_cust
+    assert r_order == 1.0, r_order
+    # z-order: BOTH dimensions prune meaningfully
+    assert z_cust <= 0.5, z_cust
+    assert z_order <= 0.5, z_order
