@@ -173,6 +173,7 @@ _EXTENSION_PRIORITY = (
     "q_histogram",
     "q_stream_sliding",
     "q_stream_join",
+    "q_stream_dedup_pairs",
     "q_chunk_documents",
     "q_tfidf_top_terms",
     "q_dq_checks",

@@ -154,3 +154,30 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _run_stream(spark, dedup_stream(stream_events(spark, sf_dir)), "append")
     return out.select("event_id", "event_type").distinct()
+
+
+@query("q_stream_dedup_pairs", category="streaming", sql=None)
+def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup candidate pairs over the documents table —
+    the ingest-dedup keep-rule as ONE stateful operator
+    (streaming/dedup.py streaming_minhash_candidates: map-only
+    expression signatures, per-(band, key) applyInPandasWithState
+    holding the bucket's cap lowest-id member signatures). Run to
+    completion and collapsed to distinct pairs (the documented
+    cross-band dedup). Rows-only for the driver (minhash signatures
+    are engine-hash-specific, same as q_dedup_minhash); the strong
+    check is the streaming≡batch pair-set equivalence in
+    tests/test_streaming_dedup.py."""
+    import os
+
+    from ..streaming.dedup import streaming_minhash_candidates
+    from ..streaming.events import _as_stream_dir
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars int")
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+    return _run_stream(
+        spark, streaming_minhash_candidates(stream), "append"
+    ).distinct()

@@ -1,0 +1,145 @@
+"""Streaming near-dup candidates (streaming/dedup.py): the stateful
+ingest-dedup keep-rule must reproduce the batch minhash_candidates pair
+set across micro-batches, signatures must be bit-identical to the batch
+hash chain, and bucket state must respect the rank cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from production_ready_ds_spark.operators.dedup import (
+    minhash_bands,
+    minhash_candidates,
+)
+from production_ready_ds_spark.streaming.dedup import (
+    banded_signatures,
+    streaming_minhash_candidates,
+)
+
+BODY = "the shared body of a fairly long document about distributed query engines"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus_rows():
+    rows = []
+    # family A spans both micro-batches; family B is batch-2-local
+    rows += [(i, BODY + f" tail{i % 2}") for i in range(6)]
+    rows += [(6, "an entirely unrelated document on another topic with novel words")]
+    rows += [(10 + i, BODY + " tail0") for i in range(3)]  # joins family A
+    rows += [(20, "fresh second batch content nothing shares"), (21, "fresh second batch content nothing shares")]
+    return rows
+
+
+def test_expression_signatures_match_batch_chain(spark):
+    """The map-only signature expressions must be bit-identical to the
+    explode+groupBy chain in minhash_bands (same xxhash64 composition)."""
+    d = _docs(spark, _corpus_rows())
+    batch = {
+        (r.doc_id, r.band): tuple(r[f"mh{i}"] for i in range(16))
+        for r in minhash_bands(d, materialize=False).collect()
+    }
+    stream_form = {
+        (r.doc_id, r.band): tuple(r[f"mh{i}"] for i in range(16))
+        for r in banded_signatures(d).collect()
+    }
+    assert stream_form == batch
+
+
+def test_streaming_candidates_equal_batch(spark, tmp_path):
+    """Two in-id-order micro-batches through the stateful operator must
+    emit exactly the batch self-join's pair set (after the documented
+    cross-band distinct)."""
+    rows = _corpus_rows()
+    d = _docs(spark, rows)
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_candidates(minhash_bands(d)).collect()
+    }
+    assert want, "corpus must contain near-dup pairs"
+
+    src = str(tmp_path / "docs_split")
+    lo = _docs(spark, [r for r in rows if r[0] < 10])
+    hi = _docs(spark, [r for r in rows if r[0] >= 10])
+    lo.coalesce(1).write.parquet(src)
+    hi.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        streaming_minhash_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1, "expected >= 2 micro-batches"
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in spark.table("t_sdedup").distinct().collect()
+    }
+    assert got == want
+
+
+def test_streaming_redelivery_is_noop(spark, tmp_path):
+    """Delivering the same file twice must not re-emit pairs or corrupt
+    state (doc ids already in the bucket are skipped)."""
+    rows = [(0, BODY + " first"), (1, BODY + " second")]
+    src = str(tmp_path / "docs_redeliver")
+    _docs(spark, rows).coalesce(1).write.parquet(src)
+    _docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_minhash_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = spark.table("t_sdedup2").collect()
+    per_band = (
+        spark.table("t_sdedup2").groupBy("doc_a", "doc_b").count().collect()
+    )
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    assert all(r["count"] <= 4 for r in per_band), "re-delivery must not re-emit"
+
+
+def test_streaming_bucket_state_respects_cap(spark, tmp_path):
+    """A duplicate family larger than the cap: every doc still pairs
+    with the cap lowest ids (linear work), emitted doc_a stays within
+    the cap set — the oversized-bucket guard semantics, held in state."""
+    from production_ready_ds_spark.operators.dedup import OVERSIZED_BUCKET_CAP
+
+    n = OVERSIZED_BUCKET_CAP + 15
+    rows = [(i, "an identical template page repeated verbatim everywhere") for i in range(n)]
+    src = str(tmp_path / "docs_fam")
+    _docs(spark, rows).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        streaming_minhash_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup3")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("t_sdedup3").distinct().collect()
+    assert len(got) <= n * OVERSIZED_BUCKET_CAP
+    assert {r.doc_a for r in got} <= set(range(OVERSIZED_BUCKET_CAP))
+    # every doc beyond the cap is still detected (has an edge)
+    seen = {r.doc_b for r in got} | {r.doc_a for r in got}
+    assert seen == set(range(n))
