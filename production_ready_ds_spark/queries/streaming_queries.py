@@ -174,7 +174,7 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import _as_stream_dir
 
     stream = (
-        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars int")
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
         .format("parquet")
         .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
     )

@@ -21,8 +21,16 @@ from ..tables import _ensure_nanos_conf
 #: event-time no longer update state.
 DEFAULT_WATERMARK = "4 days"
 
+# ts is requested as TIMESTAMP: Spark 4.1 reads the testdata's INT64
+# TIMESTAMP(NANOS) physical type directly into a micros timestamp when
+# the requested type is a timestamp. Do NOT request `ts bigint` here —
+# that path hands back MICROS-as-long (not raw nanos, despite
+# nanosAsLong=true), so a `ts div 1000` shim on top divides twice and
+# compresses the whole time axis 1000× (30 days → 43 min), silently
+# voiding every event-time bound. Caught by the q_stream_join oracle:
+# the 1-hour attribution window suddenly spanned the full dataset.
 _EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -51,17 +59,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch under availableNow; on a cluster this is a directory
     being appended to, or a Kafka source with the same projection).
 
-    Applies the same nanos→micros shim as the batch table registry."""
+    ``ts`` arrives as a micros TIMESTAMP via the requested-schema read
+    (see _EVENTS_SCHEMA note); TIMESTAMP (not NTZ) because watermarks
+    require the LTZ event-time type. The session runs UTC and the
+    window operators cast their output bounds to NTZ, so results line
+    up with the batch twins."""
     _ensure_nanos_conf(spark)
-    raw = (
+    return (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .format("parquet")
         .load(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
     )
-    # TIMESTAMP (not NTZ): watermarks require the LTZ event-time type.
-    # The session runs UTC, and the window operators cast their output
-    # bounds to NTZ, so results still line up with the batch twins.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
