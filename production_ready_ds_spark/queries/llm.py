@@ -1204,3 +1204,157 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@query(
+    "q_dedup_normalized",
+    category="llm-dedup",
+    sql="""
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT norm_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS family_size
+    FROM n GROUP BY norm_hash
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup: lowercase, collapse every
+    non-alphanumeric run to a single space, trim, md5 — catches the
+    near-exact duplicates that differ only in case, punctuation, or
+    whitespace (boilerplate re-renders, CRLF vs LF, smart quotes),
+    which exact-md5 dedup (q_dedup_exact) misses and MinHash wastes
+    banding work on. Real curation pipelines run this as a second
+    hash pass BEFORE the expensive near-dup stages; keep-rule is the
+    same deterministic min-id as q_dedup_exact.
+
+    Scale shape: identical to exact dedup — map-side normalize + hash,
+    ONE shuffle on a uniform 16-byte key, partial+final hash agg. The
+    normalization is pure JVM regexp (whole-stage codegen); nothing
+    here degrades at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("family_size"))
+    )
+
+
+@query(
+    "q_ngram_lang_profile",
+    category="llm-text",
+    sql="""
+    WITH t AS (SELECT lang, lower(text) AS tx FROM documents WHERE len(text) >= 3),
+    g AS (
+      SELECT lang, substr(tx, i, 3) AS trigram
+      FROM t, UNNEST(range(1, len(tx) - 1)) AS u(i)
+    ),
+    c AS (SELECT lang, trigram, COUNT(*) AS n FROM g GROUP BY lang, trigram),
+    r AS (
+      SELECT lang, trigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, trigram) AS rnk
+      FROM c
+    )
+    SELECT lang, trigram, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def q_ngram_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile (top-5 trigrams by
+    frequency, ties broken lexically) — the model behind n-gram
+    language ID (q_lang_id scores against exactly this kind of
+    profile; building it FROM the corpus closes the loop:
+    profile → classify → route by lang).
+
+    Scale shape: the explode is map-side (3-char substrings via
+    sequence + transform, all JVM), the count is a two-level hash agg
+    keyed on (lang, trigram) — cardinality is bounded by langs ×
+    alphabet³, NOT corpus size, so the final agg and the per-lang
+    top-k window run on a tiny frame no matter how big the input. The
+    length>=3 filter is pushed to the scan."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    t = d.select("lang", F.lower(F.col("text")).alias("tx"))
+    g = t.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tx") - 2),
+                lambda i: F.col("tx").substr(i, F.lit(3)),
+            )
+        ).alias("trigram"),
+    )
+    c = g.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("trigram"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "trigram", F.col("n").cast("long").alias("n"), F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@query(
+    "q_char_collision",
+    category="llm-text",
+    sql="""
+    WITH t AS (SELECT doc_id, lower(text) AS tx FROM documents WHERE len(text) > 0),
+    ch AS (
+      SELECT doc_id, substr(tx, i, 1) AS c
+      FROM t, UNNEST(range(1, len(tx) + 1)) AS u(i)
+    ),
+    cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+    s AS (
+      SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars_ct,
+             CAST(SUM(k * k) AS BIGINT) AS sum_k2,
+             COUNT(*) AS n_distinct_chars
+      FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_ct, CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+           ROUND(sum_k2 * 1.0 / (n_chars_ct * n_chars_ct), 4) AS collision_prob
+    FROM s
+    """,
+)
+def q_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character collision probability (Simpson index) per document —
+    an ENTROPY-FREE repetitiveness signal: the chance two random
+    character positions hold the same char. Degenerate docs
+    ('aaaa…', banner spam) score near 1, natural text near the
+    language's letter-frequency collision (~0.07 for English). Used
+    as a quality gate alongside q_quality_repetition; chosen over
+    Shannon entropy deliberately — it's an EXACT integer-product
+    ratio (sum k²/n², both < 2^53 for any doc under ~95M chars), so
+    both engines compute bit-identical doubles, where ln()-based
+    entropy differs in the last ulp across libms (the cross-engine
+    determinism rule from SCALE.md).
+
+    Scale shape: per-doc map-side explode to chars, two-level hash agg
+    on (doc_id, char) then (doc_id) — per-doc state is bounded by the
+    alphabet, the shuffle key is doc_id (uniform), all JVM."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = d.select("doc_id", F.lower(F.col("text")).alias("tx"))
+    ch = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tx")),
+                lambda i: F.col("tx").substr(i, F.lit(1)),
+            )
+        ).alias("c"),
+    )
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    s = cc.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars_ct"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sum_k2"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    return s.select(
+        "doc_id",
+        "n_chars_ct",
+        "n_distinct_chars",
+        F.round(F.col("sum_k2") / (F.col("n_chars_ct") * F.col("n_chars_ct")), 4).alias(
+            "collision_prob"
+        ),
+    )

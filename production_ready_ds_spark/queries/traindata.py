@@ -322,3 +322,123 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+SOURCE_QUOTA = 10  # docs kept per source in the quota sample
+
+
+@query(
+    "q_sample_quota",
+    category="llm-traindata",
+    sql=f"""
+    WITH k AS (
+      SELECT doc_id, source,
+             md5('quota' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {SOURCE_QUOTA}
+    ORDER BY source, rn
+    """,
+)
+def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source quota sampling: keep exactly {SOURCE_QUOTA}
+    uniformly-chosen docs per source (fewer if the source is smaller) —
+    the deterministic equivalent of per-stratum reservoir sampling.
+    Where q_mix_domains hits a RATE (Bernoulli, count varies) and
+    q_source_token_budget fills a TOKEN budget in id order, this hits
+    an exact COUNT chosen uniformly: each doc gets a seeded md5 sort
+    key, and the quota is the per-source top-{SOURCE_QUOTA} in key
+    order. No RNG state — the same docs are picked on every run,
+    engine, and partitioning (the Luigi-backfill reproducibility
+    property, reference `run_pipeline.sh:6-11`).
+
+    Scale shape: ONE shuffle on source for the row_number window; at
+    100 TB a giant source serializes its window partition, so swap the
+    exact rank for a two-pass threshold: histogram the first 2 hex
+    chars per source (tiny agg), pick the byte-prefix cutoff that
+    brackets the quota, keep `skey < cutoff` map-side, and exact-rank
+    only the boundary bucket — same answer, no full-source sort."""
+    d = load(spark, sf_dir, "documents")
+    skey = F.md5(F.concat(F.lit("quota"), F.col("doc_id").cast("string")).cast("binary"))
+    k = d.select("doc_id", "source", skey.alias("skey"))
+    w = Window.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        k.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= SOURCE_QUOTA)
+        .select("doc_id", "source", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+N_CURRICULUM_STAGES = 4
+
+
+@query(
+    "q_curriculum_order",
+    category="llm-traindata",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             len(list_distinct({_DUCK_TOKENS})) AS n_distinct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tokens,
+             n_distinct * 1.0 / n_tokens AS diversity
+      FROM t WHERE n_tokens > 0
+    ),
+    staged AS (
+      SELECT source, n_tokens, diversity,
+             NTILE({N_CURRICULUM_STAGES}) OVER (
+               PARTITION BY source ORDER BY diversity DESC, doc_id) AS stage
+      FROM scored
+    )
+    SELECT source, CAST(stage AS INT) AS stage, COUNT(*) AS n_docs,
+           ROUND(AVG(diversity), 4) AS avg_diversity,
+           CAST(SUM(n_tokens) AS BIGINT) AS stage_tokens
+    FROM staged GROUP BY source, stage
+    ORDER BY source, stage
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: rank each source's documents by lexical
+    diversity (distinct/total tokens — an exact integer ratio, so both
+    engines order identically) and cut into {N_CURRICULUM_STAGES}
+    equal-depth stages, highest-diversity first — the
+    "clean data early, tail data late" curriculum schedule, emitted as
+    a per-(source, stage) manifest the packing step consumes.
+
+    Scale shape: narrow rows (id, source, two ints) enter ONE window
+    shuffled by source; the ntile is per-source so parallelism scales
+    with sources. For a corpus-scale single source, the same two-pass
+    percentile-cutoff trick as q_sample_quota replaces the global
+    rank: stage boundaries from an approx-percentile sketch of the
+    diversity score (broadcast), assignment map-side, exact ranking
+    only at boundary neighborhoods."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    ).filter(F.col("n_tokens") > 0)
+    scored = t.withColumn("diversity", F.col("n_distinct") / F.col("n_tokens"))
+    w = Window.partitionBy("source").orderBy(F.desc("diversity"), F.asc("doc_id"))
+    staged = scored.withColumn("stage", F.ntile(N_CURRICULUM_STAGES).over(w).cast("int"))
+    return (
+        staged.groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("diversity"), 4).alias("avg_diversity"),
+            F.sum("n_tokens").cast("long").alias("stage_tokens"),
+        )
+        .orderBy("source", "stage")
+    )

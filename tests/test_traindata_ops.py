@@ -1,0 +1,125 @@
+"""Constructed-data semantics tests for the sampling / normalization /
+curriculum operators added in round 3.
+
+The oracle harness already proves cross-engine value equality on the
+driver testdata; these tests pin the operators' SEMANTIC claims on
+hand-built corpora where the expected answer is computable by eye
+(the test pattern SURVEY.md §5.2(5) calls for).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from production_ready_ds_spark.queries import catalog
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+@pytest.fixture()
+def doc_dir(spark, tmp_path):
+    """A tiny documents table written as <dir>/documents.parquet so the
+    catalog queries (which load via tables.load) run on constructed data."""
+
+    def make(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = str(tmp_path / "sf_constructed")
+        os.makedirs(d, exist_ok=True)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        return d
+
+    return make
+
+
+def test_dedup_normalized_merges_rerenders(spark, cat, doc_dir):
+    """Case/punctuation/whitespace re-renders collapse to ONE family
+    with the min doc_id as keeper; genuinely different text stays
+    separate. Exact dedup (q_dedup_exact) would find nothing here."""
+    d = doc_dir(
+        [
+            (1, "Hello, World!", "en", "a", 13),
+            (2, "hello world", "en", "a", 11),
+            (3, "HELLO -- WORLD\n", "en", "b", 15),
+            (4, "goodbye world", "en", "a", 13),
+        ]
+    )
+    rows = cat["q_dedup_normalized"].fn(spark, d).collect()
+    fams = {r.keeper_id: r.family_size for r in rows}
+    assert fams == {1: 3, 4: 1}
+
+
+def test_sample_quota_exact_counts_and_determinism(spark, sf_small, cat):
+    from production_ready_ds_spark.queries.traindata import SOURCE_QUOTA
+    from production_ready_ds_spark.tables import load
+
+    out = cat["q_sample_quota"].fn(spark, sf_small).collect()
+    per_source: dict[str, int] = {}
+    for r in out:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    totals = {
+        r.source: r.n
+        for r in load(spark, sf_small, "documents").groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    for src, n_total in totals.items():
+        assert per_source.get(src, 0) == min(SOURCE_QUOTA, n_total)
+    # determinism: a second run picks the identical doc set
+    again = cat["q_sample_quota"].fn(spark, sf_small).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_curriculum_stages_balanced_and_ordered(spark, sf_small, cat):
+    """ntile invariants: per source the stage sizes differ by at most 1,
+    and mean diversity is non-increasing stage over stage (stage 1 is
+    the cleanest slice by construction)."""
+    rows = cat["q_curriculum_order"].fn(spark, sf_small).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.stage)
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1, (src, sizes)
+        divs = [r.avg_diversity for r in rs]
+        assert divs == sorted(divs, reverse=True), (src, divs)
+
+
+def test_char_collision_extremes(spark, cat, doc_dir):
+    """'aaaa' collides with probability 1; 'abab' at 0.5; empty docs are
+    filtered out rather than dividing by zero."""
+    d = doc_dir(
+        [
+            (1, "aaaa", "en", "a", 4),
+            (2, "abab", "en", "a", 4),
+            (3, "", "en", "a", 0),
+        ]
+    )
+    rows = {r.doc_id: r for r in cat["q_char_collision"].fn(spark, d).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].collision_prob == 1.0
+    assert rows[2].collision_prob == 0.5
+    assert rows[1].n_distinct_chars == 1 and rows[2].n_distinct_chars == 2
+
+
+def test_ngram_profile_counts(spark, cat, doc_dir):
+    """Trigram counts on a constructed doc: 'aaab' → aaa, aab; the
+    per-lang rank orders by count desc then trigram asc."""
+    d = doc_dir(
+        [
+            (1, "aaab", "en", "a", 4),
+            (2, "aaab", "en", "a", 4),
+            (3, "xy", "de", "a", 2),  # too short: filtered
+        ]
+    )
+    rows = cat["q_ngram_lang_profile"].fn(spark, d).collect()
+    en = {(r.trigram, r.n, r.rnk) for r in rows if r.lang == "en"}
+    assert en == {("aaa", 2, 1), ("aab", 2, 2)}
+    assert not [r for r in rows if r.lang == "de"]
