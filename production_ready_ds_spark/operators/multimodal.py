@@ -259,3 +259,61 @@ def sample_frames(df: DataFrame, chunk_size: int = 64, stride: int = 4) -> DataF
     return df.select("doc_id", "payload").mapInPandas(
         sample_frames_batches(chunk_size, stride), schema=FRAME_SCHEMA
     )
+
+
+class PCMAudioDecoder(Decoder):
+    """REAL audio decode for a fixed raw layout: ``b"PCM1" + u32
+    sample_rate (big-endian) + little-endian int16 mono samples``.
+    Pure numpy — the audio twin of RawRGBDecoder, so BOTH media
+    modalities exercise the pluggable-decoder path with genuine
+    decoding (header parse + sample buffer) rather than byte stats.
+    Features are the standard audio-curation gates: duration, RMS
+    level, zero-crossing rate (the cheap voiced/unvoiced + noise
+    screen), and peak amplitude. Malformed payloads yield all-NULL
+    rows — decode errors at 100 TB are data, not exceptions."""
+
+    MAGIC = b"PCM1"
+    feature_schema = (
+        "sr int, n_samples long, duration_s double, rms double, zcr double, peak int"
+    )
+
+    _NULL = {
+        "sr": None,
+        "n_samples": None,
+        "duration_s": None,
+        "rms": None,
+        "zcr": None,
+        "peak": None,
+    }
+
+    @classmethod
+    def encode(cls, sample_rate: int, samples) -> bytes:
+        """Inverse of decode, for fixtures and synthesis: samples is an
+        iterable of int16 values."""
+        import numpy as np
+
+        buf = np.asarray(samples, dtype="<i2").tobytes()
+        return cls.MAGIC + struct.pack(">I", sample_rate) + buf
+
+    def decode(self, buf: bytes | None) -> dict:
+        if not buf or len(buf) < 8 or buf[:4] != self.MAGIC:
+            return dict(self._NULL)
+        (sr,) = struct.unpack(">I", buf[4:8])
+        body = buf[8:]
+        if sr == 0 or len(body) == 0 or len(body) % 2 != 0:
+            return dict(self._NULL)
+        import numpy as np
+
+        x = np.frombuffer(body, dtype="<i2")
+        n = len(x)
+        xf = x.astype("float64")
+        rms = float(np.sqrt(np.mean(xf * xf)))
+        flips = int(np.count_nonzero(np.diff(np.signbit(x)))) if n > 1 else 0
+        return {
+            "sr": int(sr),
+            "n_samples": n,
+            "duration_s": round(n / float(sr), 4),
+            "rms": round(rms, 4),
+            "zcr": round(flips / (n - 1), 6) if n > 1 else 0.0,
+            "peak": int(np.max(np.abs(xf))),
+        }

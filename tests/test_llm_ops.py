@@ -348,3 +348,61 @@ def test_multiprobe_recall_contains_single_probe(spark, sf_small, cat):
     multi = {(r.vec_a, r.vec_b) for r in cat["q_dedup_embedding_multiprobe"].fn(spark, sf_small).collect()}
     assert single <= multi
     assert len(multi) > len(single), "test corpus has boundary pairs; none recovered"
+
+
+def test_bucketed_matmul_pairs_equal_hof_pairs(spark, sf_small, cat):
+    """The vectorized per-bucket matmul pair generator (operators/ann.py)
+    must produce the IDENTICAL pair set and rounded similarities as the
+    pure-JVM zip_with/aggregate plan it replaced in
+    q_dedup_embedding_multiprobe — the BLAS-vs-sequential summation
+    drift (~1e-15) must vanish under the 4-decimal rounding."""
+    import pyspark.sql.functions as F
+
+    from production_ready_ds_spark.functions.vectors import (
+        cosine_prenormed,
+        norm,
+        probe_buckets,
+        sign_bucket,
+    )
+    from production_ready_ds_spark.queries.llm import (
+        EMBED_COS_THRESHOLD,
+        EMBED_PROBE_EPS,
+    )
+    from production_ready_ds_spark.tables import load
+
+    e = (
+        load(spark, sf_small, "embeddings")
+        .withColumn("bucket", sign_bucket(F.col("embedding")))
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.explode(probe_buckets(F.col("embedding"), EMBED_PROBE_EPS)).alias("pb"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    hof = set(
+        map(
+            tuple,
+            a.join(c, (F.col("pb") == F.col("bb")) & (F.col("vec_a") != F.col("vec_b")))
+            .filter(sim >= EMBED_COS_THRESHOLD)
+            .select(
+                F.least("vec_a", "vec_b"),
+                F.greatest("vec_a", "vec_b"),
+                F.round(sim, 4),
+            )
+            .distinct()
+            .collect(),
+        )
+    )
+    matmul = set(
+        map(tuple, cat["q_dedup_embedding_multiprobe"].fn(spark, sf_small).collect())
+    )
+    assert hof == matmul
