@@ -309,6 +309,10 @@ def test_rank_cap_matches_plain_window_exactly(spark):
     )
     got = rank_cap(df, ["grp"], "rid", cap, salt_buckets=4)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # force every hot group down the salted two-stage MEGA branch too —
+    # the size-routing rewrite must leave both paths exact
+    got_mega = rank_cap(df, ["grp"], "rid", cap, salt_buckets=4, mega_threshold=1)
+    assert sorted(map(tuple, got_mega.collect())) == sorted(map(tuple, naive.collect()))
 
 
 def test_oversized_lsh_bucket_guard(spark):
