@@ -99,3 +99,32 @@ def test_pil_decoder_raises_without_pillow():
         pass
     with pytest.raises(NotImplementedError, match="pillow"):
         mm.PILImageDecoder().decode(b"\x89PNG")
+
+
+def test_pcm_audio_decoder_roundtrip():
+    """Known waveform → exact features: a ±2000 square wave with
+    half-period 4 over 16 samples has rms 2000, peak 2000, and 3
+    sign flips in 15 transitions... (multiples of 4 in [1,15] = 3)."""
+    import numpy as np
+
+    from production_ready_ds_spark.operators.multimodal import PCMAudioDecoder
+
+    i = np.arange(16)
+    samples = np.where((i // 4) % 2 == 0, 2000, -2000)
+    buf = PCMAudioDecoder.encode(8000, samples)
+    out = PCMAudioDecoder().decode(buf)
+    assert out["sr"] == 8000
+    assert out["n_samples"] == 16
+    assert out["rms"] == 2000.0
+    assert out["peak"] == 2000
+    assert out["zcr"] == round(3 / 15, 6)
+    assert out["duration_s"] == round(16 / 8000, 4)
+
+
+def test_pcm_audio_decoder_malformed_is_null_row():
+    from production_ready_ds_spark.operators.multimodal import PCMAudioDecoder
+
+    dec = PCMAudioDecoder()
+    for bad in (None, b"", b"PCM1", b"JUNKxxxxxx", b"PCM1\x00\x00\x1f\x40\x01"):
+        out = dec.decode(bad)
+        assert all(v is None for v in out.values()), bad
