@@ -1348,3 +1348,110 @@ def q_char_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "collision_prob"
         ),
     )
+
+
+# --- winnowing (MOSS) fingerprints: shared-span detection ---------------
+WINNOW_K = 5  # tokens per gram
+WINNOW_W = 4  # grams per winnowing window
+WINNOW_CAP = 20  # rank cap on fingerprint doc-frequency
+WINNOW_MIN_SHARED = 2
+
+_DUCK_WINNOW_FPS = f"""
+    t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+          WHERE len({_DUCK_TOKENS}) >= {WINNOW_K}),
+    g AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(ts, i, i + {WINNOW_K - 1}), ' ')), 1, 8)) AS BIGINT) AS gh,
+             len(ts) - {WINNOW_K - 1} AS ng
+      FROM t, UNNEST(range(1, len(ts) - {WINNOW_K} + 2)) AS u(i)
+    ),
+    win AS (
+      SELECT doc_id, i, ng,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mn
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, mn FROM win WHERE i <= ng - {WINNOW_W} + 1
+    ),
+    capped AS (
+      SELECT doc_id, mn FROM (
+        SELECT doc_id, mn,
+               ROW_NUMBER() OVER (PARTITION BY mn ORDER BY doc_id) AS rk
+        FROM fps
+      ) WHERE rk <= {WINNOW_CAP}
+    )
+"""
+
+
+@query(
+    "q_winnow_pairs",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_WINNOW_FPS}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM capped a JOIN capped b ON a.mn = b.mn AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint pairs: doc pairs sharing ≥
+    {WINNOW_MIN_SHARED} winnowed substring fingerprints — the
+    SHARED-SPAN detector. Shingle Jaccard scores whole-document
+    similarity; winnowing catches a copied PASSAGE inside otherwise
+    different documents (plagiarism, quoted boilerplate, license
+    blocks — the code-dedup primitive of StarCoder-style pipelines).
+    Guarantee: any shared token run of ≥ {WINNOW_K}+{WINNOW_W}-1 tokens
+    selects at least one common fingerprint in both documents
+    (winnowing selects each window's minimum gram hash; a shared run
+    covers a full window, and min-selection is content-only).
+
+    Plan: grams + window-min are per-document map work (the winnowing
+    window partitions by doc_id — bounded by doc length, parallel
+    across docs); fingerprints then flow through EXACTLY the capped
+    blocked self-join shape as shingle Jaccard — rank_cap bounds any
+    fingerprint's doc-frequency at {WINNOW_CAP} (operators/dedup.py;
+    same Σ min(df,cap)² bound), pair counting is one map-side-combined
+    aggregate. Hash arithmetic is the md5-hex-prefix integer both
+    engines compute identically (the q_shuffle_shards pattern), so the
+    full select-and-join pipeline sits under the value hash."""
+    from ..operators.dedup import rank_cap
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    t = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= WINNOW_K)
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("ts", i, F.lit(WINNOW_K)), " ").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = t.select(
+        "doc_id",
+        (F.size("ts") - (WINNOW_K - 1)).alias("ng"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.size("ts") - (WINNOW_K - 1)), gram)
+        ).alias("pos", "gh"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        g.withColumn("mn", F.min("gh").over(w))
+        .filter(F.col("pos") + 1 <= F.col("ng") - WINNOW_W + 1)
+        .select("doc_id", "mn")
+        .distinct()
+    )
+    capped = rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "mn")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "mn")
+    return (
+        a.join(b, ["mn"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

@@ -123,3 +123,23 @@ def test_ngram_profile_counts(spark, cat, doc_dir):
     en = {(r.trigram, r.n, r.rnk) for r in rows if r.lang == "en"}
     assert en == {("aaa", 2, 1), ("aab", 2, 2)}
     assert not [r for r in rows if r.lang == "de"]
+
+
+def test_winnow_pairs_detects_shared_span(spark, cat, doc_dir):
+    """The winnowing guarantee: a shared run of >= K+W-1 tokens selects
+    at least one common fingerprint, so docs 1/2 (same 12-token passage
+    embedded in different surroundings) must pair; doc 3 (no shared
+    span) must pair with neither."""
+    span = "the quick brown fox jumps over the lazy dog near the river"
+    d = doc_dir(
+        [
+            (1, "alpha beta gamma " + span + " delta epsilon zeta", "en", "a", 0),
+            (2, "one two three four five " + span + " six seven", "en", "a", 0),
+            (3, "completely unrelated text with nothing shared at all "
+                "whatsoever in any window of tokens anywhere", "en", "a", 0),
+        ]
+    )
+    rows = cat["q_winnow_pairs"].fn(spark, d).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
