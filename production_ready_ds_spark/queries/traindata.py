@@ -372,7 +372,6 @@ def q_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= SOURCE_QUOTA)
         .select("doc_id", "source", "rn")
-        .orderBy("source", "rn")
     )
 
 

@@ -258,3 +258,42 @@ def test_tpch_q21_single_aggregate_decorrelation(spark, sf_small, cat):
     s = explain_str(df)
     assert "LeftSemi" not in s and "LeftAnti" not in s, s
     assert "TakeOrderedAndProject" in s, s
+
+
+def test_dedup_normalized_single_shuffle(spark, sf_small, cat):
+    """Normalize+hash dedup must be map-side normalize → ONE exchange
+    for the final hash agg — the same shape as exact dedup (no window,
+    no join, no Python)."""
+    df = cat["q_dedup_normalized"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) == 1, s
+    assert "BatchEvalPython" not in s and "Window" not in s, s
+
+
+def test_sample_quota_single_source_shuffle(spark, sf_small, cat):
+    """Quota sampling shuffles ONCE on source for the rank window;
+    nothing else (the md5 sort key is computed map-side)."""
+    df = cat["q_sample_quota"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) == 1, s
+    assert "Window" in s, s
+
+
+def test_audio_features_no_shuffle(spark, sf_small, cat):
+    """Synth + decode is one mapInPandas pass: zero exchanges — the
+    multimodal ingest path must stay embarrassingly parallel."""
+    df = cat["q_audio_features"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) == 0, s
+
+
+def test_ngram_profile_bounded_aggregate(spark, sf_small, cat):
+    """Trigram profile: explode is map-side (no pre-explode exchange);
+    the per-lang top-k window runs AFTER the (lang, trigram) aggregate
+    whose cardinality is alphabet-bounded — assert the length filter is
+    pushed to the scan and there is no Python stage."""
+    df = cat["q_ngram_lang_profile"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "BatchEvalPython" not in s, s
+    pushed = " ".join(pushed_filters(df))
+    assert "text" in pushed, pushed
