@@ -147,6 +147,14 @@ _EXTENSION_PRIORITY = (
     "q_decontaminate",
     "q_pack_sequences",
     "q_mix_domains",
+    # round-3 additions, queued for future driver slots in this order
+    "q_winnow_pairs",
+    "q_audio_features",
+    "q_dedup_normalized",
+    "q_sample_quota",
+    "q_curriculum_order",
+    "q_ngram_lang_profile",
+    "q_char_collision",
     "q_shuffle_shards",
     "q_source_token_budget",
     "q_dup_source_matrix",
