@@ -1199,6 +1199,7 @@ def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_normalized",
     category="llm-dedup",
+    bench=True,
     sql="""
     WITH n AS (
       SELECT doc_id,
@@ -1388,6 +1389,7 @@ _DUCK_WINNOW_FPS = f"""
 @query(
     "q_winnow_pairs",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH {_DUCK_WINNOW_FPS}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared

@@ -72,6 +72,7 @@ _HALF = "8 + (doc_id % 13)"  # samples per half-cycle
 @query(
     "q_audio_features",
     category="llm-multimodal",
+    bench=True,
     sql=f"""
     WITH p AS (
       SELECT doc_id,
