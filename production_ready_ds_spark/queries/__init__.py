@@ -155,6 +155,7 @@ _EXTENSION_PRIORITY = (
     "q_curriculum_order",
     "q_ngram_lang_profile",
     "q_char_collision",
+    "q_length_clip",
     "q_shuffle_shards",
     "q_source_token_budget",
     "q_dup_source_matrix",

@@ -1457,3 +1457,61 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "q_length_clip",
+    category="llm-text",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE n_chars BETWEEN lo AND hi) AS n_kept,
+           FLOOR(COALESCE(AVG(n_chars) FILTER (WHERE n_chars BETWEEN lo AND hi), 0)
+                 * 100 + 0.5) / 100 AS avg_kept_chars
+    FROM documents, b
+    GROUP BY source
+    """,
+)
+def q_length_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length clipping: drop documents outside the corpus's
+    exact [p05, p95] character-length band — the standard outlier gate
+    (truncated fragments below, concatenation accidents above) run
+    BEFORE expensive curation stages. Reported per source so one feed's
+    length pathology is visible.
+
+    Exact `percentile` ≡ DuckDB `quantile_cont` (same linear
+    interpolation; the q_percentiles pair pins the equivalence), and
+    the per-source average is FLOOR(x·100+0.5)/100 on both sides — the
+    decimal-string-vs-binary rounding tie rule from SCALE.md.
+
+    Scale shape: the bounds are a ONE-ROW aggregate broadcast back over
+    the corpus (tiny shuffle of partial sketches), then the clip +
+    per-source rollup is one map-side-combined aggregate; at 100 TB
+    swap the exact percentile for approx_percentile(1e-4 error) — the
+    plan shape is unchanged and the judge call is a policy knob."""
+    d = load(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    kept = F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    return (
+        d.join(broadcast(bounds))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(kept).alias("n_kept"),
+            (
+                F.floor(
+                    F.coalesce(F.avg(F.when(kept, F.col("n_chars"))), F.lit(0.0)) * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("avg_kept_chars"),
+        )
+    )
