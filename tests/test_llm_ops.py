@@ -410,3 +410,37 @@ def test_bucketed_matmul_pairs_equal_hof_pairs(spark, sf_small, cat):
         map(tuple, cat["q_dedup_embedding_multiprobe"].fn(spark, sf_small).collect())
     )
     assert hof == matmul
+
+
+def test_rank_cap_property_random_frames(spark):
+    """Property check over randomized group shapes (sizes straddling the
+    cap, duplicate order values across groups, single-row groups): the
+    size-routed rank_cap equals the naive window for every draw."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.dedup import rank_cap
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = []
+        for g in range(rng.randint(1, 12)):
+            n = rng.choice([1, 2, 5, 19, 20, 21, 40, 100])
+            ids = rng.sample(range(10_000), n)
+            rows += [(g, i) for i in ids]
+        df = spark.createDataFrame(rows, "grp int, rid long")
+        cap = rng.choice([1, 3, 20])
+        naive = (
+            df.withColumn(
+                "rk", F.row_number().over(Window.partitionBy("grp").orderBy("rid"))
+            )
+            .filter(F.col("rk") <= cap)
+            .drop("rk")
+        )
+        for mega in (100_000, 10, 1):
+            got = rank_cap(df, ["grp"], "rid", cap, mega_threshold=mega)
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, naive.collect())
+            ), (trial, cap, mega)
