@@ -110,3 +110,29 @@ def test_zorder_prunes_both_dimensions(spark, sf_small, tmp_path):
     # z-order: BOTH dimensions prune meaningfully
     assert z_cust <= 0.5, z_cust
     assert z_order <= 0.5, z_order
+
+
+def test_dynamic_partition_pruning_on_date_partitioned_lake(spark, sf_small, tmp_path):
+    """The date-partitioned lake layout (S7/O4 made relational) must get
+    Catalyst DYNAMIC partition pruning: joining the fact against a
+    filtered dim on the partition column plants a dynamicpruning
+    subquery in the fact scan's PartitionFilters, so only the matching
+    day directories are read — the scan primitive that makes a
+    backfill-shaped query touch days, not the lake, at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    lake = str(tmp_path / "events_by_day")
+    ev = load(spark, sf_small, "events").withColumn("date", F.to_date("ts"))
+    ev.write.partitionBy("date").mode("overwrite").parquet(lake)
+
+    fact = spark.read.parquet(lake)
+    dim = (
+        ev.select("date").distinct()
+        .withColumn("flag", F.dayofmonth("date"))
+        .filter(F.col("flag") <= 3)  # non-foldable dim filter → DPP candidate
+    )
+    joined = fact.join(dim.hint("broadcast"), "date").groupBy("date").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
