@@ -148,6 +148,8 @@ _EXTENSION_PRIORITY = (
     "q_pack_sequences",
     "q_mix_domains",
     # round-3 additions, queued for future driver slots in this order
+    "q_dedup_segments",
+    "q_join_fuzzy",
     "q_winnow_pairs",
     "q_audio_features",
     "q_dedup_normalized",

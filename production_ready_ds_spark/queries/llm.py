@@ -1233,6 +1233,85 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEGMENT_TOKENS = 8  # tokens per dedup segment (a proxy for "one line")
+
+
+@query(
+    "q_dedup_segments",
+    category="llm-dedup",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    s AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+             array_to_string(ts[i*{SEGMENT_TOKENS}+1 : i*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}], ' ') AS seg
+      FROM t, UNNEST(range(0, CAST(ceil(len(ts) / {SEGMENT_TOKENS}.0) AS INT))) AS u(i)
+      WHERE len(ts) > 0
+    ),
+    k AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM s
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '')) AS kept_hash
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (segment-level) exact dedup — the C4/CCNet move:
+    instead of dropping whole near-duplicate documents, drop REPEATED
+    SPANS (boilerplate headers, license blocks, navigation chrome)
+    wherever they recur across the corpus, keeping only the globally
+    first occurrence. Segments are fixed {SEGMENT_TOKENS}-token windows
+    (the deterministic stand-in for "one line" — this corpus has no
+    newlines); the keep-rule is first occurrence by (doc_id, seg_idx),
+    and each document reports how much of it survived plus an md5 of
+    its surviving text so the oracle checks the RECONSTRUCTION, not
+    just the counts.
+
+    Scale shape: tokenize+segment is a map-side explode (~n_tokens/8
+    rows, pure JVM); the first-occurrence rule is ONE window shuffled
+    on the segment string; the per-doc rollup shuffles the narrow
+    (doc_id, seg_idx, kept) stream back on doc_id. At 100 TB the risk
+    is segment-frequency skew — a boilerplate segment occurring in
+    billions of docs serializes its window partition. Mitigation is
+    the same two-pass routing as the jaccard rank cap
+    (operators/dedup.py): pre-count segments, route count==1 segments
+    around the window (they are trivially kept), exact-rank only the
+    recurring minority."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).filter(F.size("ts") > 0)
+    nseg = F.ceil(F.size("ts") / SEGMENT_TOKENS).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i * SEGMENT_TOKENS + 1, SEGMENT_TOKENS)),
+    )
+    s = t.select("doc_id", F.posexplode(segs).alias("seg_idx", "seg")).withColumn(
+        "seg_idx", F.col("seg_idx").cast("long")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    k = s.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.count(kept_struct).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(kept_struct)), lambda x: x["seg"]
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("kept_hash"),
+    )
+
+
 @query(
     "q_ngram_lang_profile",
     category="llm-text",

@@ -297,3 +297,24 @@ def test_ngram_profile_bounded_aggregate(spark, sf_small, cat):
     assert "BatchEvalPython" not in s, s
     pushed = " ".join(pushed_filters(df))
     assert "text" in pushed, pushed
+
+
+def test_fuzzy_join_broadcasts_vocabulary(spark, sf_small, cat):
+    """The fuzzy join verifies candidates over the DISTINCT name
+    vocabulary with one side broadcast — the verify pass must be a
+    broadcast hash join (no shuffle of the vocabulary self-join) and
+    levenshtein must stay JVM-side (no Python stage)."""
+    df = cat["q_join_fuzzy"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert has_broadcast_join(df), s
+    assert "BatchEvalPython" not in s, s
+
+
+def test_dedup_segments_two_shuffles(spark, sf_small, cat):
+    """Segment dedup: segmentization is a map-side explode; exactly two
+    exchanges are allowed — the window on seg and the per-doc rollup.
+    No Python stage anywhere."""
+    df = cat["q_dedup_segments"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) == 2, s
+    assert "Window" in s and "BatchEvalPython" not in s, s
