@@ -59,7 +59,12 @@ def shingled_docs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     Project through Generate, so the tokenizer runs once per row. A
     single fused expression would re-inline filter(split(lower(text)))
     into every element_at lambda → O(tokens²) per document (measured 4×
-    slower at sf0.1)."""
+    slower at sf0.1).
+
+    Deliberately NOT spread (tables.spread): shingling is cheap concat
+    work, and an interleaved A/B at sf0.1 measured the repartition a
+    net loss here (2.12 → 2.29 s on jaccard) — the single-partition
+    scan drains into the first shuffle fast enough."""
     tok = docs.select(id_col, tokens_expr(F.col(text_col)).alias("ts"))
     return tok.select(id_col, F.explode(shingles(F.col("ts"))).alias("sg"))
 

@@ -1499,10 +1499,15 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute identically (the q_shuffle_shards pattern), so the
     full select-and-join pipeline sits under the value hash."""
     from ..operators.dedup import rank_cap
+    from ..tables import spread
 
     d = load(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
-    t = d.select("doc_id", toks.alias("ts")).filter(F.size("ts") >= WINNOW_K)
+    # spread: this pipeline computes an md5 PER TOKEN POSITION before
+    # its first shuffle — on a one-row-group parquet scan that all runs
+    # on ONE core. Spreading the scan measured 1.74 → 1.38 s at sf0.1
+    # (tables.spread; no-op on real lakes with many row groups).
+    t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= WINNOW_K)
     gram = lambda i: F.conv(  # noqa: E731
         F.substring(
             F.md5(F.array_join(F.slice("ts", i, F.lit(WINNOW_K)), " ").cast("binary")), 1, 8
@@ -1525,8 +1530,13 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") + 1 <= F.col("ng") - WINNOW_W + 1)
         .select("doc_id", "mn")
         .distinct()
+        # Same materialize discipline as jaccard_pairs: rank_cap
+        # consumes the frame three times and the self-join twice more —
+        # without the eager checkpoints the md5-gram pipeline re-runs
+        # per consumer (measured ~35 % of the query at sf0.1).
+        .localCheckpoint(eager=True)
     )
-    capped = rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP)
+    capped = rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP).localCheckpoint(eager=True)
     a = capped.select(F.col("doc_id").alias("doc_a"), "mn")
     b = capped.select(F.col("doc_id").alias("doc_b"), "mn")
     return (

@@ -84,6 +84,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a too-narrow scan — ONLY when the source
+    has fewer partitions than the target.
+
+    Why: parquet can only split on row-group boundaries, so a small
+    single-row-group file scans as ONE partition and serializes every
+    downstream map stage onto one core (the sf0.1 documents.parquet is
+    one 580 KB row group). At warehouse scale a table has thousands of
+    row groups and this is a no-op (partitions >= target → returned
+    untouched), so the exchange exists exactly when the data is small
+    enough for it to be cheap.
+
+    Measured guidance (sf0.1, local[32], interleaved A/B): worth it
+    ONLY for pipelines doing heavy per-row CPU before their first
+    shuffle — q_winnow_pairs (an md5 per token position) went 1.74 →
+    1.38 s. For cheap map sides (tokenize/concat shingling, tf
+    explode) the extra exchange + task overhead LOSES: jaccard 2.12 →
+    2.29 s, tfidf 1.09 → 1.27 s — those paths stay unspread. The
+    default target is defaultParallelism/4, which beat both
+    parallelism/2 and full parallelism (32 tasks × many downstream
+    stages swamp the gain at this scale).
+
+    Round-robin does not alter aggregate/join results downstream —
+    apply only where output order is re-established by keys. Place it
+    BEFORE a localCheckpoint so the final plan shape is unchanged."""
+    sc = df.sparkSession.sparkContext
+    if parts is None:
+        parts = max(2, sc.defaultParallelism // 4)
+    if df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (SQL entry point parity —
     the reference enables Hive support but never registers a table;

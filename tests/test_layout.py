@@ -136,3 +136,17 @@ def test_dynamic_partition_pruning_on_date_partitioned_lake(spark, sf_small, tmp
     joined = fact.join(dim.hint("broadcast"), "date").groupBy("date").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_spread_widens_narrow_scans_only(spark):
+    from production_ready_ds_spark.tables import spread
+
+    df = spark.range(1000).coalesce(1)
+    assert spread(df, parts=4).rdd.getNumPartitions() == 4
+    wide = spark.range(1000).repartition(8)
+    # already at/above target → returned untouched, no exchange added
+    assert spread(wide, parts=4) is wide
+    # default target tracks the session parallelism
+    assert spread(df).rdd.getNumPartitions() == max(
+        2, spark.sparkContext.defaultParallelism // 4
+    )
