@@ -150,6 +150,8 @@ _EXTENSION_PRIORITY = (
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",
+    "q_dup_graph_stats",
+    "q_event_transitions",
     "q_winnow_pairs",
     "q_audio_features",
     "q_dedup_normalized",

@@ -605,3 +605,51 @@ def q_event_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+@query(
+    "q_event_transitions",
+    category="events",
+    sql="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type
+      FROM events
+    ),
+    g AS (
+      SELECT from_type, event_type AS to_type, COUNT(*) AS n_trans
+      FROM t WHERE from_type IS NOT NULL
+      GROUP BY from_type, event_type
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(SUM(n_trans) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+    FROM g
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event streams: for every
+    (from_type, to_type) pair, how many times a user's event of
+    from_type was immediately followed by to_type (ordered by event
+    time, ties broken by event_id), plus the from-state row total — the
+    session-flow / next-action model behind product analytics and
+    behavioral anomaly scoring. Counts are emitted as exact integers;
+    the transition probability n_trans/n_from is left to the consumer
+    (a rounded double can tie differently across engines — the
+    FLOOR-trick lesson from the verify notes applied by NOT rounding).
+
+    Scale shape: the lag window shuffles once on user_id (per-user
+    partitions, bounded by a user's event count); the (from, to) agg is
+    map-side-combined onto at most |types|² rows, and the row-total
+    window runs on that constant-size frame. Nothing downstream of the
+    first shuffle scales with event volume."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select("user_id", "event_type", F.lag("event_type").over(w).alias("from_type"))
+    g = (
+        t.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    w2 = Window.partitionBy("from_type")
+    return g.withColumn("n_from", F.sum("n_trans").over(w2))

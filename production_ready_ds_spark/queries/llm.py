@@ -159,6 +159,77 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+@query(
+    "q_dup_graph_stats",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_JACCARD_CTES},
+    e AS (SELECT doc_a, doc_b FROM pairs),
+    deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+      GROUP BY v
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT MAX(d) FROM deg) AS max_degree,
+           (SELECT COUNT(*)
+            FROM e e1
+            JOIN e e2 ON e1.doc_b = e2.doc_a
+            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           ) AS n_triangles
+    """,
+)
+def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-graph health report: node/edge counts, max degree, and
+    triangle count over the near-dup pair graph — the corpus-governance
+    signal that distinguishes tight duplicate cliques (high triangle
+    density → template families, safe to collapse) from long sparse
+    chains (low density → threshold bleeding through unrelated docs,
+    tune it up before trusting transitive clustering).
+
+    Scale shape: the pair stage is the capped Jaccard pipeline (pair
+    count bounded by rows·cap); pairs are checkpointed once and are
+    orders of magnitude smaller than the corpus. Triangles = one
+    two-hop join on the canonically-ordered edge list (every edge
+    stored a<b, so each triangle a<b<c is counted exactly once as the
+    wedge (a,b)+(b,c) closed by (a,c)); wedge count is Σ deg(v)², which
+    the rank cap bounds per hot shingle — at 100 TB a degree cap (drop
+    super-connectors before the wedge join) is the standard extra
+    guard, noted here and cheap to add because degrees are already
+    computed. All four stats are one-row aggregates crossJoined
+    broadcast — no driver collect."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    e = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    wedges = e1.join(broadcast(e2), F.col("b") == F.col("b2"))
+    tri = (
+        wedges.join(
+            broadcast(e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))),
+            ["a", "c"],
+            "inner",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.crossJoin(broadcast(edges))
+        .crossJoin(broadcast(tri))
+        .select("n_nodes", "n_edges", "max_degree", "n_triangles")
+    )
+
+
 _N_MINHASH = 16
 _BAND_SIZE = 4
 

@@ -318,3 +318,25 @@ def test_dedup_segments_two_shuffles(spark, sf_small, cat):
     s = explain_str(df)
     assert shuffle_count(df) == 2, s
     assert "Window" in s and "BatchEvalPython" not in s, s
+
+
+def test_event_transitions_single_event_shuffle(spark, sf_small, cat):
+    """The lag window is the ONLY shuffle that scales with event
+    volume; everything after runs on the |types|²-bounded aggregate.
+    Exactly: user window exchange + (from,to) agg + from_type window
+    on constant-size data = 3 exchanges, no Python."""
+    df = cat["q_event_transitions"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) <= 3, s
+    assert "BatchEvalPython" not in s, s
+
+
+def test_dup_graph_stats_broadcasts_edge_joins(spark, sf_small, cat):
+    """Post-pair stages operate on the tiny checkpointed edge list:
+    the wedge/closure joins and the one-row stat combines must all be
+    broadcast (no shuffle of anything edge-sized), and the documents
+    parquet must not appear (pairs are checkpointed once)."""
+    df = cat["q_dup_graph_stats"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert broadcast_join_count(df) >= 3, s
+    assert "parquet" not in s.lower(), s
