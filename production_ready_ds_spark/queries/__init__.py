@@ -152,6 +152,7 @@ _EXTENSION_PRIORITY = (
     "q_join_fuzzy",
     "q_dup_graph_stats",
     "q_event_transitions",
+    "q_user_journey",
     "q_winnow_pairs",
     "q_audio_features",
     "q_dedup_normalized",

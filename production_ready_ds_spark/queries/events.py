@@ -610,6 +610,7 @@ def q_event_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_event_transitions",
     category="events",
+    bench=True,
     sql="""
     WITH t AS (
       SELECT user_id, event_type,
@@ -653,3 +654,86 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = Window.partitionBy("from_type")
     return g.withColumn("n_from", F.sum("n_trans").over(w2))
+
+
+@query(
+    "q_user_journey",
+    category="events",
+    sql="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ),
+    r AS (
+      SELECT user_id, sess_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sess_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sess_id
+    ),
+    c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY path)
+    SELECT path, n_sessions,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rnk
+    FROM c ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening journeys: the 10 most common first-3-event
+    paths across 30-minute-gap sessions (same gap rule as
+    q_event_session, microsecond-exact) — the "how do users start a
+    session" view that complements the funnel (fixed stage order) and
+    the transition matrix (memoryless single steps) with actual ordered
+    prefixes. Ties in frequency rank alphabetically so both engines
+    agree on the cutoff.
+
+    Scale shape: ONE shuffle of raw events onto user_id drives the
+    session flag, session id, and within-session rank — all three
+    windows share the same partitioning and sort, so Catalyst plans a
+    single exchange + sort. The per-session path agg re-shuffles on
+    (user, session) but rows are already one-per-event trimmed to
+    rn<=3; path frequencies collapse to at most |types|³ rows, and the
+    final top-10 window runs on that constant-size frame."""
+    e = load(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(order_w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(order_w).cast("timestamp"))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(run_w))
+    rn_w = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    r = flagged.withColumn("rn", F.row_number().over(rn_w)).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    top_w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        c.withColumn("rnk", F.row_number().over(top_w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )

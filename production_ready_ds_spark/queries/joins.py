@@ -252,6 +252,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_join_fuzzy",
     category="join",
+    bench=True,
     sql="""
     WITH names AS (
       SELECT p_name, COUNT(*) AS n_parts,

@@ -1310,6 +1310,7 @@ SEGMENT_TOKENS = 8  # tokens per dedup segment (a proxy for "one line")
 @query(
     "q_dedup_segments",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents

@@ -340,3 +340,13 @@ def test_dup_graph_stats_broadcasts_edge_joins(spark, sf_small, cat):
     s = explain_str(df)
     assert broadcast_join_count(df) >= 3, s
     assert "parquet" not in s.lower(), s
+
+
+def test_user_journey_shares_session_exchange(spark, sf_small, cat):
+    """The session flag, session id, and within-session rank windows
+    must all ride ONE exchange+sort on user_id; only the per-session
+    path agg and the constant-size top-10 add shuffles. No Python."""
+    df = cat["q_user_journey"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) <= 4, s
+    assert "BatchEvalPython" not in s, s
