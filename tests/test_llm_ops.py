@@ -444,3 +444,60 @@ def test_rank_cap_property_random_frames(spark):
             assert sorted(map(tuple, got.collect())) == sorted(
                 map(tuple, naive.collect())
             ), (trial, cap, mega)
+
+
+def test_segment_dedup_drops_repeated_spans_keeps_first(spark):
+    """Constructed corpus: doc 1 and doc 2 share an identical 8-token
+    opening segment; doc 2's copy must be dropped (first occurrence by
+    (doc_id, seg_idx) wins) while its unique tail survives. Doc 3 is
+    100% unique and must keep everything."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.queries import catalog as _cat
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _mkdocs(
+        spark,
+        [
+            (1, boiler + " one two three four five six seven eight"),
+            (2, boiler + " nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+            (3, "totally fresh words that appear nowhere else at all"),
+        ],
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+            "n_chars", F.length("text")
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in _cat()["q_dedup_segments"].fn(spark, d).collect()
+        }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    # doc 2: boilerplate segment dropped, unique tail kept
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["n_kept"] == out[3]["n_segments"]
+
+
+def test_fuzzy_join_blocks_and_bounds_distance(spark, sf_small, cat):
+    """Every emitted pair shares a blocking noun, has 1<=lev<=3, and is
+    canonically ordered; an identical-name pair (distance 0) never
+    appears."""
+    rows = cat["q_join_fuzzy"].fn(spark, sf_small).collect()
+    assert rows, "expected some fuzzy matches at sf0.001"
+    for r in rows:
+        assert r["name_a"] < r["name_b"]
+        assert 1 <= r["edit_dist"] <= 3
+        assert r["name_a"].split(" ")[-1] == r["name_b"].split(" ")[-1]
+
+
+def test_journey_paths_are_prefixes_of_session_order(spark, sf_small, cat):
+    """Paths must be '>'-joined event-type prefixes of length <= 3 and
+    ranks must be dense from 1 in (count desc, path asc) order."""
+    rows = cat["q_user_journey"].fn(spark, sf_small).collect()
+    assert rows and len(rows) <= 10
+    ordered = sorted(rows, key=lambda r: (-r["n_sessions"], r["path"]))
+    for i, r in enumerate(ordered):
+        assert r["rnk"] == i + 1
+        assert 1 <= len(r["path"].split(">")) <= 3
