@@ -212,12 +212,17 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
     )
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    # The wedge/closure joins deliberately carry NO broadcast hint: at
+    # 100 TB the edge list itself can be billions of rows, so these must
+    # be shuffle joins on the wedge key; AQE still broadcasts whenever
+    # the measured edge list is small (always true after thresholding
+    # at local SFs). Only the one-row stat frames are forced broadcast.
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    wedges = e1.join(broadcast(e2), F.col("b") == F.col("b2"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, "b")
     tri = (
         wedges.join(
-            broadcast(e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))),
+            e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
             ["a", "c"],
             "inner",
         )

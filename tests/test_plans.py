@@ -331,15 +331,17 @@ def test_event_transitions_single_event_shuffle(spark, sf_small, cat):
     assert "BatchEvalPython" not in s, s
 
 
-def test_dup_graph_stats_broadcasts_edge_joins(spark, sf_small, cat):
-    """Post-pair stages operate on the tiny checkpointed edge list:
-    the wedge/closure joins and the one-row stat combines must all be
-    broadcast (no shuffle of anything edge-sized), and the documents
-    parquet must not appear (pairs are checkpointed once)."""
+def test_dup_graph_stats_edge_joins_unpinned(spark, sf_small, cat):
+    """The one-row stat combines are forced broadcast; the wedge/
+    closure joins are deliberately NOT hinted (an edge list can be
+    corpus-scale at 100 TB — AQE broadcasts them only when measured
+    small). The documents parquet must not appear (pairs are
+    checkpointed once), and nothing Python."""
     df = cat["q_dup_graph_stats"].fn(spark, sf_small)
     s = explain_str(df)
-    assert broadcast_join_count(df) >= 3, s
+    assert broadcast_join_count(df) >= 2, s
     assert "parquet" not in s.lower(), s
+    assert "BatchEvalPython" not in s, s
 
 
 def test_user_journey_shares_session_exchange(spark, sf_small, cat):
