@@ -261,6 +261,67 @@ def sample_frames(df: DataFrame, chunk_size: int = 64, stride: int = 4) -> DataF
     )
 
 
+RESIZE_SCHEMA = "doc_id long, w_in int, h_in int, payload binary"
+
+
+def resize_rgb_batches(out_w: int, out_h: int):
+    """mapInPandas kernel factory: RawRGB payload → nearest-neighbor
+    resized RawRGB payload (+ source dims). The index map is the
+    classic integer NN grid ``src = (dst * in_dim) // out_dim`` — works
+    for down- AND up-sampling (out > in repeats rows/cols). Pure numpy
+    fancy-indexing per payload, bounded per-batch memory; malformed
+    payloads yield a NULL payload row (decode errors at 100 TB are
+    data, not exceptions)."""
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "w_in": [], "h_in": [], "payload": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                if (
+                    buf is None
+                    or len(buf) < 8
+                    or bytes(buf[:4]) != RawRGBDecoder.MAGIC
+                ):
+                    out["w_in"].append(None)
+                    out["h_in"].append(None)
+                    out["payload"].append(None)
+                    continue
+                w, h = struct.unpack(">HH", bytes(buf[4:8]))
+                body = bytes(buf[8:])
+                if len(body) != w * h * 3 or w == 0 or h == 0:
+                    out["w_in"].append(None)
+                    out["h_in"].append(None)
+                    out["payload"].append(None)
+                    continue
+                img = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = img[np.ix_(ys, xs)]
+                out["w_in"].append(int(w))
+                out["h_in"].append(int(h))
+                out["payload"].append(
+                    RawRGBDecoder.encode(out_w, out_h, resized.tobytes())
+                )
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def resize_rgb(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """payload table → resized payload table (same RawRGB layout, so
+    the output chains straight into ``extract_features(...,
+    RawRGBDecoder())`` or another resize — the standard decode → resize
+    → featurize multimodal pipeline, every stage a map-side Arrow
+    batch, zero shuffles)."""
+    return df.select("doc_id", "payload").mapInPandas(
+        resize_rgb_batches(out_w, out_h), schema=RESIZE_SCHEMA
+    )
+
+
 class PCMAudioDecoder(Decoder):
     """REAL audio decode for a fixed raw layout: ``b"PCM1" + u32
     sample_rate (big-endian) + little-endian int16 mono samples``.

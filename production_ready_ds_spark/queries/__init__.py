@@ -155,6 +155,7 @@ _EXTENSION_PRIORITY = (
     "q_user_journey",
     "q_winnow_pairs",
     "q_audio_features",
+    "q_image_resize",
     "q_dedup_normalized",
     "q_sample_quota",
     "q_curriculum_order",

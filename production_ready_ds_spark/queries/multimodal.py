@@ -59,6 +59,97 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- image resize: synthesized RGB payloads with a closed-form oracle --
+#
+# Synthesis parameters, all pure functions of doc_id so the oracle can
+# re-derive every output arithmetically: a w×h RGB image whose linear
+# body byte j equals (doc_id*31 + j) % 256.
+_IMG_W = "8 + (doc_id % 9)"  # 8..16
+_IMG_H = "8 + (doc_id % 7)"  # 8..14
+_RESIZE_OUT = 8
+
+
+@query(
+    "q_image_resize",
+    category="llm-multimodal",
+    sql=f"""
+    WITH p AS (
+      SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
+    ),
+    g AS (
+      SELECT x.range AS ox, y.range AS oy
+      FROM range({_RESIZE_OUT}) x, range({_RESIZE_OUT}) y
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             3 * (((g.oy * p.h) // {_RESIZE_OUT}) * p.w
+                  + ((g.ox * p.w) // {_RESIZE_OUT})) AS j
+      FROM p, g
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS w_in,
+           CAST(MAX(h) AS INT) AS h_in,
+           {_RESIZE_OUT} AS width,
+           {_RESIZE_OUT} AS height,
+           ROUND(SUM((doc_id * 31 + j) % 256) / {_RESIZE_OUT * _RESIZE_OUT}.0, 4)
+             AS mean_r,
+           ROUND(SUM((doc_id * 31 + j + 1) % 256) / {_RESIZE_OUT * _RESIZE_OUT}.0, 4)
+             AS mean_g,
+           ROUND(SUM((doc_id * 31 + j + 2) % 256) / {_RESIZE_OUT * _RESIZE_OUT}.0, 4)
+             AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, hash-verified: each document synthesizes a
+    deterministic w×h RawRGB payload (dims and every pixel byte are
+    pure functions of doc_id), ``resize_rgb`` nearest-neighbor-resizes
+    it to 8×8 through the binary layout (header parse → numpy grid
+    index → re-encode), and RawRGBDecoder extracts channel means from
+    the RESIZED payload — while the DuckDB oracle re-derives the same
+    means by replaying the integer NN index map ``src = (dst*in)//out``
+    over a generated 8×8 grid. A value mismatch anywhere in synth →
+    encode → resize index math → re-encode → decode → feature math
+    fails the hash. All arithmetic is integer until the final mean
+    (sum/64 is exact dyadic in double; both engines round HALF_UP).
+
+    Scale shape: synth → resize → featurize is ONE fused map-side
+    mapInPandas chain — zero shuffles, bounded Arrow batches; real
+    images arrive as stored payload bytes and only the synth stage is
+    replaced (reference parity: the multimodal stages the reference
+    lacks entirely; SURVEY §2 extension surface)."""
+    from ..operators.multimodal import RawRGBDecoder, resize_rgb
+
+    ids = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + (doc_id % 9)
+                h = 8 + (doc_id % 7)
+                body = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                payloads.append(RawRGBDecoder.encode(int(w), int(h), body.tobytes()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = ids.mapInPandas(synth, schema="doc_id long, payload binary")
+    small = resize_rgb(imgs, _RESIZE_OUT, _RESIZE_OUT)
+    feats = extract_features(small, RawRGBDecoder())
+    return feats.select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("w_in"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("h_in"),
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------
 #
 # Square-wave synthesis parameters, all pure functions of doc_id so the

@@ -128,3 +128,63 @@ def test_pcm_audio_decoder_malformed_is_null_row():
     for bad in (None, b"", b"PCM1", b"JUNKxxxxxx", b"PCM1\x00\x00\x1f\x40\x01"):
         out = dec.decode(bad)
         assert all(v is None for v in out.values()), bad
+
+
+def _rgb_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_resize_rgb_identity_roundtrips_exact_pixels(spark):
+    pixels = bytes(range(4 * 3 * 3))  # 4x3 image, distinct bytes
+    payload = mm.RawRGBDecoder.encode(4, 3, pixels)
+    out = mm.resize_rgb(_rgb_df(spark, [(1, payload)]), 4, 3).first()
+    assert (out.w_in, out.h_in) == (4, 3)
+    assert bytes(out.payload) == payload  # identity resize = byte-identical
+
+
+def test_resize_rgb_downsample_picks_nn_grid(spark):
+    # 4x4 image; resize to 2x2 must sample src rows/cols (0,2) x (0,2)
+    import numpy as np
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = mm.RawRGBDecoder.encode(4, 4, img.tobytes())
+    out = mm.resize_rgb(_rgb_df(spark, [(1, payload)]), 2, 2).first()
+    expected = img[np.ix_([0, 2], [0, 2])]
+    w, h, body = 2, 2, bytes(out.payload)[8:]
+    assert bytes(out.payload)[:8] == mm.RawRGBDecoder.MAGIC + b"\x00\x02\x00\x02"
+    assert body == expected.tobytes()
+    assert (w * h * 3) == len(body)
+
+
+def test_resize_rgb_upsample_repeats_pixels(spark):
+    # 2x2 -> 4x4: NN grid (dst*2)//4 = [0,0,1,1] per axis
+    import numpy as np
+
+    img = np.array(range(2 * 2 * 3), dtype=np.uint8).reshape(2, 2, 3)
+    payload = mm.RawRGBDecoder.encode(2, 2, img.tobytes())
+    out = mm.resize_rgb(_rgb_df(spark, [(1, payload)]), 4, 4).first()
+    expected = img[np.ix_([0, 0, 1, 1], [0, 0, 1, 1])]
+    assert bytes(out.payload)[8:] == expected.tobytes()
+
+
+def test_resize_rgb_malformed_payload_yields_null_row(spark):
+    rows = [(1, b"JUNK"), (2, None), (3, mm.RawRGBDecoder.MAGIC + b"\x00\x02\x00\x02abc")]
+    got = {r.doc_id: r for r in mm.resize_rgb(_rgb_df(spark, rows), 2, 2).collect()}
+    assert len(got) == 3
+    for doc_id in (1, 2, 3):
+        assert got[doc_id].payload is None and got[doc_id].w_in is None
+
+
+def test_resize_rgb_chains_into_decoder(spark):
+    # resized payload is valid RawRGB: decode it and check means match numpy
+    import numpy as np
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(7, 5, 3)
+    payload = mm.RawRGBDecoder.encode(5, 7, img.tobytes())
+    small = mm.resize_rgb(_rgb_df(spark, [(9, payload)]), 3, 3)
+    feat = mm.extract_features(small, mm.RawRGBDecoder()).first()
+    ys, xs = (np.arange(3) * 7) // 3, (np.arange(3) * 5) // 3
+    exp = img[np.ix_(ys, xs)].reshape(-1, 3).mean(axis=0)
+    assert (feat.width, feat.height) == (3, 3)
+    assert feat.mean_r == pytest.approx(round(float(exp[0]), 4))
+    assert feat.mean_b == pytest.approx(round(float(exp[2]), 4))
