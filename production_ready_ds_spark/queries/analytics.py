@@ -1265,27 +1265,40 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier returned a line.
 
     Decorrelation is the point: the classic EXISTS + NOT-EXISTS pair
-    (two correlated scans of lineitem) collapses into ONE per-order
-    aggregate — n_supp = countDistinct(suppkey), n_r_supp =
-    countDistinct(suppkey) over R-lines — joined back on orderkey.
-    Since the blamed line is itself an R-line of the order,
-    EXISTS(other supplier) ⇔ n_supp ≥ 2 and NOT EXISTS(other R
-    supplier) ⇔ n_r_supp = 1. One shuffle on orderkey replaces two
-    correlated semi/anti joins; supplier broadcasts for the name."""
-    li = load(spark, sf_dir, "lineitem")
-    order_prof = li.groupBy(F.col("l_orderkey").alias("pk")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    (two correlated scans of lineitem) collapses into per-order counts
+    — n_supp = |distinct suppkey|, n_r_supp = |distinct suppkey over
+    R-lines| — carried by TWO collect_set windows over ONE shuffle of
+    lineitem on orderkey (a groupBy-and-join-back formulation reads
+    lineitem twice and pays an Expand for the dual countDistinct —
+    measured 2× slower; both windows share the partition spec so
+    Catalyst evaluates them in a single Window operator, and per-order
+    supplier sets are tiny, ≤7 entries). Since the blamed line is
+    itself an R-line of the order, EXISTS(other supplier) ⇔ n_supp ≥ 2
+    and NOT EXISTS(other R supplier) ⇔ n_r_supp = 1. Status-F order
+    keys and supplier names broadcast."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    l1 = li.filter(F.col("l_returnflag") == "R")
+    w = Window.partitionBy("l_orderkey")
+    li2 = li.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_r_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    l1 = li2.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_r_supp") == 1)
+    )
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = broadcast(load(spark, sf_dir, "supplier"))
     return (
-        l1.join(o, l1.l_orderkey == o.o_orderkey)
-        .join(order_prof, l1.l_orderkey == F.col("pk"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        l1.join(broadcast(o.select("o_orderkey")), l1.l_orderkey == F.col("o_orderkey"))
         .join(s, l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -250,13 +250,17 @@ def test_tpch_q19_pushes_disjunctive_branches(spark, sf_small, cat):
 
 
 def test_tpch_q21_single_aggregate_decorrelation(spark, sf_small, cat):
-    """The EXISTS + NOT-EXISTS pair must appear as ONE per-order
-    aggregate joined back (no correlated re-scans): exactly one
-    HashAggregate pair over lineitem keyed on the orderkey, and no
-    LeftSemi/LeftAnti in the plan."""
+    """The EXISTS + NOT-EXISTS pair must ride ONE shuffle of lineitem:
+    both per-order distinct-supplier counts come from collect_set
+    windows sharing a partition spec (no correlated re-scans, no
+    LeftSemi/LeftAnti, no Expand from a dual countDistinct — the
+    Expand formulation measured 2× slower), and lineitem is scanned
+    exactly once."""
     df = cat["q_tpch_q21"].fn(spark, sf_small)
     s = explain_str(df)
     assert "LeftSemi" not in s and "LeftAnti" not in s, s
+    assert "Expand" not in s, s
+    assert s.count("lineitem.parquet") == 1, s
     assert "TakeOrderedAndProject" in s, s
 
 
