@@ -320,10 +320,15 @@ def connected_components(
     fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
         eager=True
     )
+    # Union-find is undirected and idempotent, so the driver path can
+    # consume the forward list directly — the mirror+distinct shuffle
+    # (and its checkpoint + count job) exists only for the distributed
+    # propagation loop. The threshold compares like with like: each
+    # deduplicated undirected edge appears twice in the mirrored list.
+    if 2 * fwd.count() <= driver_threshold:
+        return _driver_union_find(fwd)
     edges = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= driver_threshold:
-        return _driver_union_find(edges)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
