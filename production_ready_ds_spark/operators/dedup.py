@@ -296,9 +296,10 @@ def connected_components(
     lineage stays flat and nothing recomputes. Convergence is detected
     by the sum of labels (monotonically non-increasing; equal sums ⟺
     fixpoint) — one scalar agg per round, no extra join. Node ids must
-    be numeric. At larger diameters switch to the large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce"),
-    which converges in O(log²) rounds on the same join primitive.
+    be numeric. At larger diameters switch to
+    :func:`connected_components_star` (large-star/small-star,
+    Kiveris et al.), which converges in O(log²) rounds on the same
+    join primitive regardless of topology.
 
     Hybrid execution (the GraphX/GraphFrames pattern): a near-dup edge
     list is usually many orders of magnitude smaller than the corpus —
@@ -369,7 +370,7 @@ def connected_components(
         # component into several clusters (and keep extra duplicates
         # downstream) — fail loudly instead; callers with genuinely
         # deep chain graphs should raise max_iter or switch to
-        # large-star/small-star.
+        # connected_components_star.
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "component diameter exceeds max_iter"
@@ -409,6 +410,121 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         [StructField("node", node_type), StructField("cluster_id", node_type)]
     )
     return edges.sparkSession.createDataFrame(out, schema)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the high-diameter scale path the hash-min
+    propagation loop in :func:`connected_components` names: propagation
+    needs DIAMETER rounds (a 10k-link chain = 10k shuffles), star
+    contraction converges in O(log² n) rounds on ANY topology because
+    each round re-points whole subtrees at their local minimum instead
+    of moving labels one hop.
+
+    Per round, both phases are one windowed min over the neighbor list
+    (shuffle on the node id) plus a distinct:
+
+    - **large-star**: for every node u, point each LARGER neighbor
+      v > u at m = min(Γ(u) ∪ {u}). Cuts long chains in half and
+      never creates new maxima, so edge count cannot grow unboundedly.
+    - **small-star**: on the canonicalized (big, small) edge list,
+      point each smaller-or-equal neighbor and u itself at m. Collapses
+      the local stars produced by large-star.
+
+    Fixpoint ⟺ the canonical edge set stops changing, detected by a
+    (count, sum-of-xxhash64) fingerprint — one scalar aggregate per
+    round, no join; at the fixpoint the edge list IS the answer: a
+    union of stars (u, component_min). Output matches
+    :func:`connected_components`: (node, cluster_id = component min)
+    for every node appearing in ``pairs``. Rounds are lazily
+    checkpointed so lineage stays flat across iterations.
+    """
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    # canonical form: (u, v) with u > v, no self-loops, deduplicated
+    cur = (
+        fwd.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    w = Window.partitionBy("u")
+    prev = _fingerprint(cur)
+    if prev[0] == 0:
+        # no edges: every node (if any survived the self-loop filter)
+        # is its own cluster — mirror connected_components' shape
+        return fwd.sparkSession.createDataFrame(
+            [], schema=_labels_schema(fwd)
+        )
+    converged = False
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m = min of neighborhood
+        # (window min over neighbors, floored by u itself); each larger
+        # neighbor re-points at m. Output is already canonical: m ≤ u < v.
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls = (
+            sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the canonical list: neighbors here are all < u,
+        # so m = min(neighbors); u and every neighbor re-point at m.
+        ss_m = ls.withColumn("m", F.min("v").over(w))
+        ss = (
+            ss_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(ss_m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = ss
+        fp = _fingerprint(cur)
+        if fp == prev:
+            converged = True
+            break
+        prev = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint edge list is a union of stars: (member, component_min).
+    # The defensive min-agg collapses the (impossible at fixpoint, cheap
+    # to guard) case of a node carrying two centers.
+    members = cur.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    centers = cur.select(F.col("v").alias("u")).distinct().withColumn(
+        "cluster_id", F.col("u")
+    )
+    return (
+        members.unionByName(centers)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def _labels_schema(edges: DataFrame) -> StructType:
+    node_type = edges.schema["u"].dataType
+    return StructType(
+        [StructField("node", node_type), StructField("cluster_id", node_type)]
+    )
 
 
 N_MINHASH = 16

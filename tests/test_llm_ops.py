@@ -501,3 +501,61 @@ def test_journey_paths_are_prefixes_of_session_order(spark, sf_small, cat):
     for i, r in enumerate(ordered):
         assert r["rnk"] == i + 1
         assert 1 <= len(r["path"].split(">")) <= 3
+
+
+def _star_clusters(spark, edges, **kw):
+    from production_ready_ds_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {
+        r.node: r.cluster_id for r in connected_components_star(pairs, **kw).collect()
+    }
+
+
+def test_star_cc_resolves_chains_and_islands(spark):
+    got = _star_clusters(spark, [(1, 2), (2, 3), (5, 6)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """A 64-node path (diameter 63) must converge within the O(log²)
+    round budget — far below the diameter the propagation loop would
+    need. max_iter=10 would fail for hash-min propagation (63 rounds)
+    but is ample for star contraction."""
+    got = _star_clusters(spark, [(i, i + 1) for i in range(63)], max_iter=10)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_star_cc_empty_pairs(spark):
+    assert _star_clusters(spark, []) == {}
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: on seeded random graphs (mixed cliques, chains,
+    stars, random edges) star contraction must produce exactly the
+    labels driver union-find produces."""
+    import random
+
+    from production_ready_ds_spark.operators.dedup import (
+        _driver_union_find,
+        connected_components_star,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 40 + trial * 15
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]  # star drops self-loops
+        edges += [(i, i + 1) for i in range(20)]  # embedded chain
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = {
+            r.node: r.cluster_id for r in connected_components_star(pairs).collect()
+        }
+        uf_edges = pairs.select(
+            F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+        )
+        uf = {r.node: r.cluster_id for r in _driver_union_find(uf_edges).collect()}
+        assert star == uf, f"trial {trial}: star != union-find"
