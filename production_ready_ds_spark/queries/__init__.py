@@ -156,6 +156,7 @@ _EXTENSION_PRIORITY = (
     "q_winnow_pairs",
     "q_audio_features",
     "q_image_resize",
+    "q_dedup_clusters_star",
     "q_dedup_normalized",
     "q_sample_quota",
     "q_curriculum_order",

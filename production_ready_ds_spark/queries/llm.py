@@ -19,6 +19,7 @@ from ..functions.vectors import cosine, cosine_prenormed, norm, probe_buckets, s
 from ..operators.dedup import (
     DEFAULT_DF_CAP,
     connected_components,
+    connected_components_star,
     jaccard_pairs,
     shingled_docs,
 )
@@ -156,6 +157,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
     cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "q_dedup_clusters_star",
+    category="llm-dedup",
+    sql=f"""
+    WITH RECURSIVE {_DUCK_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters via large-star/small-star
+    contraction (Kiveris et al., SoCC'14) instead of hash-min label
+    propagation — the scale path for HIGH-DIAMETER duplicate graphs:
+    propagation needs diameter rounds, star contraction O(log² n) on
+    any topology (operators/dedup.py connected_components_star). Same
+    output contract as q_dedup_clusters — (doc_id, cluster_id = min
+    doc_id of the component) — and the same DuckDB recursive-CTE
+    oracle, so the driver hash-verifies that a fundamentally different
+    distributed algorithm reaches the identical fixpoint."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    cc = connected_components_star(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
