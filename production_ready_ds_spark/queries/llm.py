@@ -1717,3 +1717,74 @@ def q_length_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_kept_chars"),
         )
     )
+
+
+@query(
+    "q_embed_quantize",
+    category="llm-similarity",
+    sql="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e, amax, amax / 127 AS scale FROM q WHERE amax > 0
+    )
+    SELECT vec_id,
+           FLOOR(amax / 127 * 1e6 + 0.5) / 1e6 AS scale,
+           CAST(list_min(list_transform(e, x -> FLOOR(x / scale + 0.5))) AS BIGINT) AS qmin,
+           CAST(list_max(list_transform(e, x -> FLOOR(x / scale + 0.5))) AS BIGINT) AS qmax,
+           CAST(list_sum(list_transform(e, x -> FLOOR(x / scale + 0.5))) AS BIGINT) AS qsum,
+           FLOOR(list_max(list_transform(e,
+                x -> abs(x - FLOOR(x / scale + 0.5) * scale))) * 1e6 + 0.5) / 1e6
+             AS recon_err
+    FROM s
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding store — the 4×
+    compression step an embedding table takes before ANN serving at
+    100 TB (float32 → int8 with one per-vector scale). Per vector:
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5), plus the
+    max reconstruction error |x_i − q_i·scale| as the quality gate.
+
+    Everything is JVM-side higher-order array functions (transform /
+    aggregate / zip_with) — no UDF, no shuffle: ONE map-side pass over
+    the store. Cross-engine determinism: the quantizer is
+    floor(x + 0.5), never ROUND — a half-up tie at .5 is decided by
+    the same IEEE floor on the same binary double in both engines
+    (the q_length_clip tie rule), and float→double widening is exact,
+    so qmin/qmax/qsum are integer-exact and the error term rounds on
+    the FLOOR(x·1e6 + 0.5) grid. Zero vectors (amax = 0) are excluded
+    — a production pipeline routes them to a null-island bucket."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    d = (
+        e.select("vec_id", xd.alias("e"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale_raw", F.col("amax") / 127)
+    )
+    q = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5))
+    )
+    err = F.zip_with(
+        F.col("e"),
+        F.col("q"),
+        lambda x, qq: F.abs(x - qq.cast("double") * F.col("scale_raw")),
+    )
+    return (
+        d.withColumn("q", q)
+        .select(
+            "vec_id",
+            (F.floor(F.col("scale_raw") * 1e6 + F.lit(0.5)) / 1e6).alias("scale"),
+            F.array_min("q").cast("long").alias("qmin"),
+            F.array_max("q").cast("long").alias("qmax"),
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("qsum"),
+            (F.floor(F.array_max(err) * 1e6 + F.lit(0.5)) / 1e6).alias("recon_err"),
+        )
+    )

@@ -356,3 +356,15 @@ def test_user_journey_shares_session_exchange(spark, sf_small, cat):
     s = explain_str(df)
     assert shuffle_count(df) <= 4, s
     assert "BatchEvalPython" not in s, s
+
+
+def test_embed_quantize_mapside_no_udf(spark, sf_small, cat):
+    """int8 quantization must be ONE map-side pass: zero shuffles, no
+    Python evaluation, and only (vec_id, embedding) read from the
+    store."""
+    df = cat["q_embed_quantize"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert shuffle_count(df) == 0, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    read = set().union(*read_schema_columns(df))
+    assert read == {"vec_id", "embedding"}, read
