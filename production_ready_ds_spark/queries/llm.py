@@ -1722,6 +1722,7 @@ def q_length_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_embed_quantize",
     category="llm-similarity",
+    bench=True,
     sql="""
     WITH q AS (
       SELECT vec_id,

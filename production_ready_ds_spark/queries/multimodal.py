@@ -72,6 +72,7 @@ _RESIZE_OUT = 8
 @query(
     "q_image_resize",
     category="llm-multimodal",
+    bench=True,
     sql=f"""
     WITH p AS (
       SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
@@ -119,8 +120,12 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced (reference parity: the multimodal stages the reference
     lacks entirely; SURVEY §2 extension surface)."""
     from ..operators.multimodal import RawRGBDecoder, resize_rgb
+    from ..tables import spread
 
-    ids = load(spark, sf_dir, "documents").select("doc_id")
+    # spread: synth+resize+decode are per-row Python CPU before any
+    # shuffle — a one-row-group scan would serialize them on one core
+    # (no-op on real lakes; measured 0.66 → 0.59 s at sf0.1).
+    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(it):
         import numpy as np
@@ -202,8 +207,12 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes instead and the decode stage is unchanged — swap the synth
     for a parquet binary column, the classic multimodal ingest."""
     from ..operators.multimodal import PCMAudioDecoder, extract_features
+    from ..tables import spread
 
-    ids = load(spark, sf_dir, "documents").select("doc_id")
+    # spread: same rationale as q_image_resize — per-row numpy synth +
+    # decode must not serialize on a one-row-group scan (measured
+    # 0.55 → 0.48 s at sf0.1; no-op on many-row-group tables).
+    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(it):
         import numpy as np
