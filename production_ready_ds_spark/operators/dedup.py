@@ -718,7 +718,7 @@ def incremental_minhash_dedup(
     the candidate join's store side is pruned to the new batch's bucket
     keys via a pushed ``In(key, ...)`` parquet filter, so per-batch
     store IO is ~O(batch), never O(corpus)."""
-    from .sigstore import SignatureStore
+    from .sigstore import SignatureStore, collect_prune_keys
 
     spark = new_docs.sparkSession
     store = SignatureStore(store_path)
@@ -731,11 +731,12 @@ def incremental_minhash_dedup(
         if known is not None:
             fresh_docs = new_docs.join(known, id_col, "left_anti")
     fresh = minhash_bands(fresh_docs, id_col=id_col, text_col=text_col)
-    # The batch's bucket keys, collected for store-side pruning —
-    # bounded by |batch| x n_bands rows, and `fresh` is already
-    # checkpointed so this costs no recompute.
-    keys = [r.key for r in fresh.select("key").distinct().collect()]
-    if not keys:
+    # The batch's bucket keys for store-side pruning — collected with
+    # the driver-safe limit probe (at most MAX_PRUNE_KEYS+1 rows reach
+    # the driver; None = batch too wide to prune, scan the selected
+    # segments instead). `fresh` is checkpointed, so no recompute.
+    keys = collect_prune_keys(fresh)
+    if keys == []:
         # nothing genuinely new (re-delivery, empty batch, or all-short
         # docs with no shingles): no pairs, and nothing to index.
         return minhash_candidates(fresh, fresh, id_col=id_col, threshold=threshold)

@@ -54,6 +54,22 @@ MANIFEST = "_MANIFEST.json"
 MAX_PRUNE_KEYS = 8192
 
 
+def collect_prune_keys(df, col: str = "key") -> list | None:
+    """Distinct bucket keys for parquet In-pruning, collected with a
+    DRIVER-SAFE bound: the collect is ``limit(MAX_PRUNE_KEYS + 1)``, so
+    at most 8193 rows ever reach the driver regardless of batch size
+    (a 10M-doc batch × 16 bands would otherwise ship ~10⁸ keys before
+    the pushdown guard could decide to drop them). Returns the key list
+    when it fits the pushdown budget, ``[]`` when the frame is empty,
+    and ``None`` when the distinct count exceeds MAX_PRUNE_KEYS —
+    callers then skip pruning (scan the manifest-selected segments;
+    correctness identical, only file skipping is lost)."""
+    rows = df.select(col).distinct().limit(MAX_PRUNE_KEYS + 1).collect()
+    if len(rows) > MAX_PRUNE_KEYS:
+        return None
+    return [r[0] for r in rows]
+
+
 class SignatureStore:
     """Persistent banded-signature store (one row per (doc, band),
     columns ``doc_id, mh0..mhN, band, key``) with manifest-tracked

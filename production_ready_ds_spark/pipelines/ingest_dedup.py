@@ -39,7 +39,7 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_bands, minhash_candidates
-from ..operators.sigstore import SignatureStore
+from ..operators.sigstore import SignatureStore, collect_prune_keys
 from ..workflow import Parameter, ParquetTarget, SparkTask
 
 BATCH_SIZE = 250  # doc_ids per ingest batch: batch b = [b*SIZE, (b+1)*SIZE)
@@ -98,8 +98,9 @@ class DedupBatch(SparkTask):
         # even though this batch's own signatures may already sit in
         # the store from a previous (deleted-output) run. The read is
         # further pruned to the batch's bucket keys: only row groups
-        # holding colliding buckets are scanned.
-        keys = [r.key for r in fresh.select("key").distinct().collect()]
+        # holding colliding buckets are scanned (driver-safe limit
+        # probe — None = batch too wide to prune, scan the segments).
+        keys = collect_prune_keys(fresh)
         earlier = store.read_signatures(spark, id_below=lo, keys=keys)
         right = fresh if earlier is None else fresh.unionByName(earlier)
         pairs = minhash_candidates(fresh, right)

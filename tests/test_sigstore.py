@@ -187,3 +187,21 @@ def test_compact_tiered_noop_below_fanout(spark, tmp_path):
     store = _store_with_batches(spark, tmp_path / "s", n_batches=3)
     assert store.compact_tiered(spark, fanout=8) == 3
     assert [s.get("level", 0) for s in store.segments()] == [0, 0, 0]
+
+
+def test_collect_prune_keys_bounds_driver_collect(spark, monkeypatch):
+    """The key probe must never ship more than MAX_PRUNE_KEYS+1 rows to
+    the driver: under the cap it returns the keys, over the cap it
+    returns None (skip pruning), empty frame returns []."""
+    from production_ready_ds_spark.operators import sigstore as sg
+
+    small = spark.range(5).selectExpr("id AS key")
+    got = sg.collect_prune_keys(small)
+    assert sorted(got) == [0, 1, 2, 3, 4]
+
+    empty = spark.range(0).selectExpr("id AS key")
+    assert sg.collect_prune_keys(empty) == []
+
+    monkeypatch.setattr(sg, "MAX_PRUNE_KEYS", 3)
+    wide = spark.range(10).selectExpr("id AS key")
+    assert sg.collect_prune_keys(wide) is None
