@@ -283,12 +283,15 @@ def test_sample_quota_single_source_shuffle(spark, sf_small, cat):
     assert "Window" in s, s
 
 
-def test_audio_features_no_shuffle(spark, sf_small, cat):
-    """Synth + decode is one mapInPandas pass: zero exchanges — the
-    multimodal ingest path must stay embarrassingly parallel."""
+def test_audio_features_only_spread_exchange(spark, sf_small, cat):
+    """Synth + decode is one mapInPandas pass. The only permitted
+    exchange is tables.spread's RoundRobin fan-out of the narrow scan
+    (no-op on many-row-group lakes) — never a data-dependent hash/range
+    shuffle."""
     df = cat["q_audio_features"].fn(spark, sf_small)
     s = explain_str(df)
-    assert shuffle_count(df) == 0, s
+    assert shuffle_count(df) <= 1, s
+    assert "hashpartitioning" not in s and "rangepartitioning" not in s, s
 
 
 def test_ngram_profile_bounded_aggregate(spark, sf_small, cat):
