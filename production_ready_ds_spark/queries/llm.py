@@ -1661,6 +1661,121 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CDC_K = 3  # tokens per gram
+CDC_DIV = 16  # boundary when gram_hash % DIV == 0 → avg chunk ≈ DIV grams
+CDC_MIN_DOCS = 2
+
+
+@query(
+    "q_dedup_cdc",
+    category="llm-dedup",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+               WHERE len({_DUCK_TOKENS}) >= {CDC_K}),
+    g AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(ts, i, i + {CDC_K - 1}), ' ')), 1, 8)) AS BIGINT) AS gh
+      FROM t, UNNEST(range(1, len(ts) - {CDC_K} + 2)) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id, i, gh,
+             COALESCE(SUM(CASE WHEN gh % {CDC_DIV} = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      FROM g
+    ),
+    sigs AS (
+      SELECT doc_id, md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM c GROUP BY doc_id, cid
+    )
+    SELECT sig, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+    FROM sigs GROUP BY sig
+    HAVING COUNT(DISTINCT doc_id) >= {CDC_MIN_DOCS}
+    """,
+)
+def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) dedup: chunk boundaries fall
+    where the rolling gram hash satisfies ``gh % {CDC_DIV} == 0``, so
+    boundaries are CONTENT-anchored — insert a paragraph at the top of
+    a copied document and every downstream chunk boundary re-aligns,
+    where fixed-width chunking (q_chunk_documents + q_dedup_segments)
+    shifts every window and loses the match. This is the
+    storage-dedup / rsync boundary technique (Muthitacharoen et al.,
+    LBFS SOSP'01) applied to corpus text; chunks recurring across ≥
+    {CDC_MIN_DOCS} docs are the shared passages.
+
+    Plan shape: tokens → gram-hash array → boundary positions → chunk
+    signatures are ALL per-document array expressions (JVM higher-order
+    functions, no window over the corpus, no Python); the only shuffle
+    is the final signature aggregate — map-side-combined, one exchange.
+    Cross-engine: gram hashes are the md5-hex-prefix integers both
+    engines compute bit-identically (the winnowing pattern), chunk
+    signatures are md5 over the comma-joined hash ints, and the
+    boundary rule is integer modulo — the whole pipeline sits under
+    the value hash."""
+    from ..tables import spread
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    # spread: an md5 per token position before the first shuffle (same
+    # CPU profile as q_winnow_pairs, where spreading measured 1.74 →
+    # 1.38 s; no-op on many-row-group tables).
+    t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= CDC_K)
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("ts", i, F.lit(CDC_K)), " ").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    ng = F.size("ts") - (CDC_K - 1)
+    t = t.select(
+        "doc_id", F.transform(F.sequence(F.lit(1), ng), gram).alias("gs")
+    )
+    # boundary positions → (start, end] gram runs; a trailing boundary
+    # yields an empty (start > end) tail that the null guard drops
+    bp = F.filter(
+        F.sequence(F.lit(1), F.size("gs")),
+        lambda i: F.element_at("gs", i) % CDC_DIV == 0,
+    )
+    t = t.withColumn("starts", F.concat(F.array(F.lit(1)), F.transform(bp, lambda x: x + 1)))
+    t = t.withColumn("ends", F.concat(bp, F.array(F.size("gs"))))
+    sig_j = lambda j: F.when(  # noqa: E731
+        F.element_at("starts", j) <= F.element_at("ends", j),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        "gs",
+                        F.element_at("starts", j),
+                        F.element_at("ends", j) - F.element_at("starts", j) + 1,
+                    ),
+                    lambda g: g.cast("string"),
+                ),
+            ).cast("binary")
+        ),
+    )
+    sigs = t.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(F.sequence(F.lit(1), F.size("starts")), sig_j),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("sig"),
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= CDC_MIN_DOCS)
+    )
+
+
 @query(
     "q_length_clip",
     category="llm-text",

@@ -559,3 +559,38 @@ def test_star_cc_matches_union_find_on_random_graphs(spark):
         )
         uf = {r.node: r.cluster_id for r in _driver_union_find(uf_edges).collect()}
         assert star == uf, f"trial {trial}: star != union-find"
+
+
+def test_cdc_chunks_are_shift_resistant(spark, tmp_path):
+    """The CDC property fixed-width chunking lacks: PREPENDING text to
+    a document must not destroy the shared-chunk match for a passage
+    both docs contain, because boundaries re-anchor on content. Build
+    doc A = passage, doc B = long unrelated prefix + passage, run the
+    chunk pipeline on a parquet dir, and require at least one chunk
+    signature shared by both docs (n_docs = 2)."""
+    import random
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(3)
+    words = [f"w{rng.randrange(5000)}" for _ in range(400)]
+    passage = " ".join(words)
+    prefix = " ".join(f"p{rng.randrange(5000)}" for _ in range(173))
+    df = spark.createDataFrame(
+        [
+            (1, passage, "en", "a", len(passage)),
+            (2, prefix + " " + passage, "en", "b", len(prefix) + len(passage) + 1),
+            (3, " ".join(f"z{rng.randrange(5000)}" for _ in range(300)), "en", "c", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "cdc_sf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = catalog()["q_dedup_cdc"].fn(spark, sf_dir).collect()
+    shared = [r for r in out if r.n_docs >= 2]
+    assert shared, "prepended passage lost every CDC chunk match"
+    # the unrelated doc 3 must not produce cross-doc chunks
+    assert all(r.n_docs == 2 for r in shared)
