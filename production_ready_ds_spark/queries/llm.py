@@ -1669,6 +1669,7 @@ CDC_MIN_DOCS = 2
 @query(
     "q_dedup_cdc",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
                WHERE len({_DUCK_TOKENS}) >= {CDC_K}),
