@@ -371,3 +371,17 @@ def test_embed_quantize_mapside_no_udf(spark, sf_small, cat):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
     read = set().union(*read_schema_columns(df))
     assert read == {"vec_id", "embedding"}, read
+
+
+def test_cdc_dedup_single_aggregate_no_window(spark, sf_small, cat):
+    """CDC chunking must stay per-document array work: no Window over
+    the corpus, no Python, no join. Permitted exchanges: the spread
+    fan-out plus the two-level distinct-count aggregate (partial on
+    (sig, doc_id), final on sig — Spark's standard exact-countDistinct
+    shape, both levels map-side-combined)."""
+    df = cat["q_dedup_cdc"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "Window" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert "Join" not in s, s
+    assert shuffle_count(df) <= 3, s
