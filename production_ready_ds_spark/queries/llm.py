@@ -1664,6 +1664,10 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_K = 3  # tokens per gram
 CDC_DIV = 16  # boundary when gram_hash % DIV == 0 → avg chunk ≈ DIV grams
 CDC_MIN_DOCS = 2
+#: chunks shorter than this many grams are dropped: a 1-gram chunk is
+#: one shared 3-token shingle — noise, not a shared passage (real CDC
+#: systems enforce a min chunk size for exactly this reason)
+CDC_MIN_GRAMS = 4
 
 
 @query(
@@ -1689,6 +1693,7 @@ CDC_MIN_DOCS = 2
     sigs AS (
       SELECT doc_id, md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig
       FROM c GROUP BY doc_id, cid
+      HAVING COUNT(*) >= {CDC_MIN_GRAMS}
     )
     SELECT sig, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
     FROM sigs GROUP BY sig
@@ -1703,8 +1708,10 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     where fixed-width chunking (q_chunk_documents + q_dedup_segments)
     shifts every window and loses the match. This is the
     storage-dedup / rsync boundary technique (Muthitacharoen et al.,
-    LBFS SOSP'01) applied to corpus text; chunks recurring across ≥
-    {CDC_MIN_DOCS} docs are the shared passages.
+    LBFS SOSP'01) applied to corpus text; chunks of ≥ {CDC_MIN_GRAMS}
+    grams (shorter ones are one shared shingle — noise, dropped on
+    both sides) recurring across ≥ {CDC_MIN_DOCS} docs are the shared
+    passages.
 
     Plan shape: tokens → gram-hash array → boundary positions → chunk
     signatures are ALL per-document array expressions (JVM higher-order
@@ -1743,7 +1750,7 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = t.withColumn("starts", F.concat(F.array(F.lit(1)), F.transform(bp, lambda x: x + 1)))
     t = t.withColumn("ends", F.concat(bp, F.array(F.size("gs"))))
     sig_j = lambda j: F.when(  # noqa: E731
-        F.element_at("starts", j) <= F.element_at("ends", j),
+        F.element_at("ends", j) - F.element_at("starts", j) + 1 >= CDC_MIN_GRAMS,
         F.md5(
             F.concat_ws(
                 ",",
