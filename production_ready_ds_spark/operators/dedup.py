@@ -16,7 +16,7 @@ bucket-local pair join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
@@ -323,11 +323,19 @@ def connected_components(
     )
     # Union-find is undirected and idempotent, so the driver path can
     # consume the forward list directly — the mirror+distinct shuffle
-    # (and its checkpoint + count job) exists only for the distributed
-    # propagation loop. The threshold compares like with like: each
-    # deduplicated undirected edge appears twice in the mirrored list.
-    if 2 * fwd.count() <= driver_threshold:
-        return _driver_union_find(fwd)
+    # (and its checkpoint job) exists only for the distributed
+    # propagation loop. The threshold compares like with like (each
+    # deduplicated undirected edge appears twice in the mirrored list),
+    # and the size probe IS the edge fetch: one limit-bounded collect
+    # decides the path and, under the threshold, already holds the
+    # edges — no separate count job, and never more than
+    # threshold//2 + 1 rows on the driver.
+    cap = driver_threshold // 2
+    rows = fwd.limit(cap + 1).collect()
+    if len(rows) <= cap:
+        return _driver_union_find_rows(
+            fwd.sparkSession, rows, fwd.schema["s"].dataType
+        )
     edges = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = (
@@ -382,6 +390,15 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Union-find over a small (≤ driver_threshold) collected edge list;
     returns the same (node, cluster_id=component minimum) frame as the
     distributed loop, with matching column types."""
+    return _driver_union_find_rows(
+        edges.sparkSession, edges.collect(), edges.schema["s"].dataType
+    )
+
+
+def _driver_union_find_rows(spark: SparkSession, rows, node_type) -> DataFrame:
+    """Union-find over already-collected (s, d) rows — the zero-extra-
+    job form used when the size probe's limit-collect already fetched
+    the edges."""
     parent: dict = {}
 
     def find(x):
@@ -392,7 +409,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.collect():
+    for row in rows:
         s, d = row.s, row.d
         parent.setdefault(s, s)
         parent.setdefault(d, d)
@@ -405,11 +422,10 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
         root = find(node)
         comp_min[root] = min(comp_min.get(root, node), node)
     out = [(node, comp_min[find(node)]) for node in parent]
-    node_type = edges.schema["s"].dataType
     schema = StructType(
         [StructField("node", node_type), StructField("cluster_id", node_type)]
     )
-    return edges.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components_star(
