@@ -594,3 +594,33 @@ def test_cdc_chunks_are_shift_resistant(spark, tmp_path):
     assert shared, "prepended passage lost every CDC chunk match"
     # the unrelated doc 3 must not produce cross-doc chunks
     assert all(r.n_docs == 2 for r in shared)
+
+
+def test_star_cc_thousand_node_stress(spark):
+    """Distributed-path stress: a 1000-node graph mixing a 200-link
+    chain, 10 cliques, and random noise edges must match union-find
+    exactly and converge within the log² budget."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.dedup import (
+        _driver_union_find,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(200)]  # long chain
+    for c in range(10):  # cliques of 8
+        base = 300 + c * 40
+        members = [base + j for j in range(8)]
+        edges += [(a, b) for a in members for b in members if a < b]
+    edges += [
+        (rng.randrange(1000), rng.randrange(1000)) for _ in range(300)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r.node: r.cluster_id for r in connected_components_star(pairs).collect()}
+    uf_edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    uf = {r.node: r.cluster_id for r in _driver_union_find(uf_edges).collect()}
+    assert star == uf
