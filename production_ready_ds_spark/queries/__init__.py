@@ -159,6 +159,7 @@ _EXTENSION_PRIORITY = (
     "q_dedup_clusters_star",
     "q_embed_quantize",
     "q_dedup_cdc",
+    "q_remove_dup_spans",
     "q_dedup_normalized",
     "q_sample_quota",
     "q_curriculum_order",

@@ -1785,6 +1785,188 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_remove_dup_spans",
+    category="llm-dedup",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+               WHERE len({_DUCK_TOKENS}) >= {CDC_K}),
+    g AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(ts, i, i + {CDC_K - 1}), ' ')), 1, 8)) AS BIGINT) AS gh
+      FROM t, UNNEST(range(1, len(ts) - {CDC_K} + 2)) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id, i, gh,
+             COALESCE(SUM(CASE WHEN gh % {CDC_DIV} = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      FROM g
+    ),
+    ch AS (
+      SELECT doc_id, cid,
+             md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig,
+             COUNT(*) AS ln, MIN(i) AS tok_start, MAX(i) AS gram_end
+      FROM c GROUP BY doc_id, cid
+    ),
+    mx AS (SELECT doc_id, MAX(cid) AS last_cid FROM ch GROUP BY doc_id),
+    st AS (SELECT sig, MIN(doc_id) AS min_doc, COUNT(DISTINCT doc_id) AS nd
+           FROM ch GROUP BY sig),
+    k AS (
+      SELECT ch.doc_id, ch.cid, ch.tok_start, ch.gram_end,
+             (ch.ln >= {CDC_MIN_GRAMS} AND st.nd >= {CDC_MIN_DOCS}
+              AND ch.doc_id <> st.min_doc) AS removed,
+             mx.last_cid
+      FROM ch JOIN st USING (sig) JOIN mx ON mx.doc_id = ch.doc_id
+    )
+    SELECT k.doc_id,
+           CAST(MAX(k.last_cid) + 1 AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN k.removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN NOT k.removed THEN
+               array_to_string(list_slice(t.ts, k.tok_start,
+                 CASE WHEN k.cid = k.last_cid THEN len(t.ts)
+                      ELSE k.gram_end END), ' ')
+             END, ' ' ORDER BY k.cid), '')) AS cleaned_md5
+    FROM k JOIN t ON t.doc_id = k.doc_id
+    GROUP BY k.doc_id
+    """,
+)
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL — the rewrite step of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"
+    (ACL'22): q_dedup_cdc only DETECTS shared passages; this operator
+    produces the cleaned corpus. Every content-defined chunk (≥
+    {CDC_MIN_GRAMS} grams) recurring in ≥ {CDC_MIN_DOCS} docs survives
+    only in its canonical (minimum-id) document; all other docs have
+    the span cut out, and each doc's rebuilt text is fingerprinted
+    (cleaned_md5) so the oracle hash-verifies the exact post-removal
+    byte content, not just counts. Boundaries are CDC-anchored, so the
+    same passage is removed no matter where it sits in a document.
+
+    Plan shape: chunking is the per-document array pipeline of
+    q_dedup_cdc (map-side, no corpus window); the global decision is
+    one narrow (doc, chunk, sig) explode → sig aggregate (min doc,
+    distinct docs) → join back → per-doc removed-set aggregate →
+    join to the doc frame for the rebuild. Every shuffled row carries
+    ids and 32-byte sigs, never text; the rebuild is array slicing on
+    the already-resident token array. Cross-engine: gram hashes and
+    chunk sigs are md5-derived (bit-identical), the canonical choice
+    is an integer MIN, and the cleaned text is a deterministic
+    space-join — the full detect→decide→rewrite pipeline sits under
+    the value hash."""
+    from ..tables import spread
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= CDC_K)
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("ts", i, F.lit(CDC_K)), " ").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    ng = F.size("ts") - (CDC_K - 1)
+    t = t.select(
+        "doc_id", "ts", F.transform(F.sequence(F.lit(1), ng), gram).alias("gs")
+    )
+    bp = F.filter(
+        F.sequence(F.lit(1), F.size("gs")),
+        lambda i: F.element_at("gs", i) % CDC_DIV == 0,
+    )
+    t = t.withColumn(
+        "starts", F.concat(F.array(F.lit(1)), F.transform(bp, lambda x: x + 1))
+    ).withColumn("ends", F.concat(bp, F.array(F.size("gs"))))
+    # only the trailing segment can be empty (when the last gram is a
+    # boundary); nseg = count of non-empty chunks
+    t = t.withColumn(
+        "nseg",
+        F.size("starts")
+        - F.when(F.element_at("starts", -1) > F.element_at("ends", -1), 1).otherwise(0),
+    )
+    sig_j = lambda j: F.md5(  # noqa: E731
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    "gs",
+                    F.element_at("starts", j),
+                    F.element_at("ends", j) - F.element_at("starts", j) + 1,
+                ),
+                lambda g: g.cast("string"),
+            ),
+        ).cast("binary")
+    )
+    t = t.withColumn("sigs", F.transform(F.sequence(F.lit(1), F.col("nseg")), sig_j))
+    t = t.withColumn(
+        "lens",
+        F.transform(
+            F.sequence(F.lit(1), F.col("nseg")),
+            lambda j: F.element_at("ends", j) - F.element_at("starts", j) + 1,
+        ),
+    )
+    # checkpoint: the chunked frame feeds both the sig explode and the
+    # final rebuild join — materialize the tokenize+hash pipeline once
+    t = t.localCheckpoint(eager=True)
+    elig = t.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with("sigs", "lens", lambda s, l: F.struct(s.alias("sig"), l.alias("ln")))
+        ).alias("j0", "z"),
+    ).select("doc_id", "j0", F.col("z.sig").alias("sig"), F.col("z.ln").alias("ln"))
+    stats = elig.groupBy("sig").agg(
+        F.min("doc_id").alias("min_doc"), F.countDistinct("doc_id").alias("nd")
+    )
+    rem = (
+        elig.join(stats, "sig")
+        .filter(
+            (F.col("ln") >= CDC_MIN_GRAMS)
+            & (F.col("nd") >= CDC_MIN_DOCS)
+            & (F.col("doc_id") != F.col("min_doc"))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set(F.col("j0") + 1).alias("removed"))
+    )
+    return (
+        t.join(rem, "doc_id", "left")
+        .withColumn("removed", F.coalesce("removed", F.array().cast("array<int>")))
+        .withColumn(
+            "kept_parts",
+            F.transform(
+                F.sequence(F.lit(1), F.col("nseg")),
+                lambda j: F.when(
+                    ~F.array_contains("removed", j.cast("int")),
+                    F.array_join(
+                        F.slice(
+                            "ts",
+                            F.element_at("starts", j),
+                            F.when(
+                                j == F.col("nseg"),
+                                F.size("ts") - F.element_at("starts", j) + 1,
+                            ).otherwise(
+                                F.element_at("ends", j) - F.element_at("starts", j) + 1
+                            ),
+                        ),
+                        " ",
+                    ),
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("nseg").cast("long").alias("n_chunks"),
+            F.size("removed").cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.filter("kept_parts", lambda p: p.isNotNull())
+                ).cast("binary")
+            ).alias("cleaned_md5"),
+        )
+    )
+
+
+@query(
     "q_length_clip",
     category="llm-text",
     sql="""

@@ -624,3 +624,41 @@ def test_star_cc_thousand_node_stress(spark):
     uf_edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     uf = {r.node: r.cluster_id for r in _driver_union_find(uf_edges).collect()}
     assert star == uf
+
+
+def test_remove_dup_spans_keeps_canonical_and_cuts_copy(spark, tmp_path):
+    """Lee-et-al-style span removal: the canonical (min-id) doc's
+    cleaned text must be byte-identical to its original token join
+    (nothing removed), the doc that copied the passage must lose
+    chunks, and a doc with unique content must pass through unchanged."""
+    import hashlib
+    import os
+    import random
+    import re
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(3)
+    passage = " ".join(f"w{rng.randrange(5000)}" for _ in range(300))
+    prefix = " ".join(f"p{rng.randrange(5000)}" for _ in range(101))
+    unique = " ".join(f"z{rng.randrange(5000)}" for _ in range(120))
+    df = spark.createDataFrame(
+        [
+            (1, passage, "en", "a", 1),
+            (2, prefix + " " + passage, "en", "b", 1),
+            (3, unique, "en", "c", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "spans_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in catalog()["q_remove_dup_spans"].fn(spark, sf_dir).collect()}
+
+    def tok_md5(text):
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        return hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+    assert got[1].n_removed == 0 and got[1].cleaned_md5 == tok_md5(passage)
+    assert got[2].n_removed > 0 and got[2].cleaned_md5 != tok_md5(prefix + " " + passage)
+    assert got[3].n_removed == 0 and got[3].cleaned_md5 == tok_md5(unique)
