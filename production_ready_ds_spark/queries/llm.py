@@ -1787,6 +1787,7 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_remove_dup_spans",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
                WHERE len({_DUCK_TOKENS}) >= {CDC_K}),
