@@ -160,6 +160,7 @@ _EXTENSION_PRIORITY = (
     "q_embed_quantize",
     "q_dedup_cdc",
     "q_remove_dup_spans",
+    "q_quality_compress",
     "q_dedup_normalized",
     "q_sample_quota",
     "q_curriculum_order",

@@ -788,6 +788,44 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_quality_compress", category="llm-text", sql=None)
+def q_quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: deflated_bytes / raw_bytes per
+    document (zlib level 6) — the classic corpus-curation proxy the
+    Gopher/FineWeb pipelines use: highly repetitive or boilerplate text
+    compresses far below ~0.4, encrypted/garbage text sits near 1.0,
+    natural prose lands in between. zlib is byte-deterministic for a
+    fixed level, but no SQL engine exposes it → rows-only driver check;
+    the discriminative power is asserted on constructed docs instead
+    (repetitive ≪ random, tests/test_llm_ops.py).
+
+    Plan shape: ONE Arrow-batched pandas_udf over the text column —
+    embarrassingly parallel, no shuffle; the spread fan-out keeps a
+    one-row-group scan from serializing the Python work on one core."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..tables import spread
+
+    def _ratios(texts):
+        import zlib
+
+        def ratio(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
+
+        return texts.map(ratio)
+
+    comp_ratio = pandas_udf(_ratios, "double")
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        comp_ratio(F.col("text")).alias("comp_ratio"),
+    )
+
+
 @query(
     "q_token_count",
     category="llm-text",

@@ -662,3 +662,29 @@ def test_remove_dup_spans_keeps_canonical_and_cuts_copy(spark, tmp_path):
     assert got[1].n_removed == 0 and got[1].cleaned_md5 == tok_md5(passage)
     assert got[2].n_removed > 0 and got[2].cleaned_md5 != tok_md5(prefix + " " + passage)
     assert got[3].n_removed == 0 and got[3].cleaned_md5 == tok_md5(unique)
+
+
+def test_compression_ratio_separates_repetitive_from_random(spark, tmp_path):
+    """The zlib quality signal must order constructed docs correctly:
+    highly repetitive text compresses far below random text, and the
+    ratio is deterministic across runs."""
+    import os
+    import random
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(5)
+    rep = "spam ham " * 300
+    rand = " ".join("".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8)) for _ in range(300))
+    df = spark.createDataFrame(
+        [(1, rep, "en", "a", len(rep)), (2, rand, "en", "b", len(rand))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "comp_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    fn = catalog()["q_quality_compress"].fn
+    got = {r.doc_id: r.comp_ratio for r in fn(spark, sf_dir).collect()}
+    assert got[1] < 0.1 < 0.4 < got[2], got
+    again = {r.doc_id: r.comp_ratio for r in fn(spark, sf_dir).collect()}
+    assert got == again
