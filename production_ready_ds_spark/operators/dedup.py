@@ -305,11 +305,14 @@ def connected_components(
     list is usually many orders of magnitude smaller than the corpus —
     256 pairs from 5 000 sf0.1 documents — and an iterative Spark loop
     pays multi-second per-round scheduling overhead on a graph that fits
-    in kilobytes. When the DEDUPLICATED edge count is ≤
-    ``driver_threshold`` (explicitly counted, never assumed), the
-    component minima are computed with driver-side union-find on the
-    already-collected edge list — identical output, zero rounds. Above
-    the threshold the distributed label-propagation loop runs; at 100 TB
+    in kilobytes. When the RAW forward pair count is ≤
+    ``driver_threshold // 2`` (probed with a bounded limit-collect that
+    doubles as the edge fetch — never assumed), the component minima
+    are computed with driver-side union-find on the already-collected
+    rows — identical output, zero rounds. Duplicate pairs inflate the
+    probe conservatively (toward the distributed path, never past the
+    driver bound). Above the threshold the distributed
+    label-propagation loop runs; at 100 TB
     the pair table blows past any driver threshold and the loop is the
     only path taken. Set ``driver_threshold=0`` to force the
     distributed path (tests do).
@@ -465,7 +468,11 @@ def connected_components_star(
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=True
     )
-    # canonical form: (u, v) with u > v, no self-loops, deduplicated
+    # canonical form: (u, v) with u > v, no self-loops, deduplicated.
+    # Self-loop-ONLY nodes still get a singleton label at the end
+    # (contract parity with connected_components and the recursive-CTE
+    # oracle — near-dup pair lists normally have no reflexive rows, but
+    # the contract must not depend on that).
     cur = (
         fwd.filter(F.col("u") != F.col("v"))
         .select(
@@ -482,14 +489,22 @@ def connected_components_star(
         ).collect()[0]
         return (row.n, row.h)
 
+    def _with_selfloop_singletons(labels: DataFrame) -> DataFrame:
+        selfs = (
+            fwd.filter(F.col("u") == F.col("v"))
+            .select(F.col("u").alias("node"))
+            .distinct()
+            .join(labels.select("node"), "node", "left_anti")
+            .withColumn("cluster_id", F.col("node"))
+        )
+        return labels.unionByName(selfs)
+
     w = Window.partitionBy("u")
     prev = _fingerprint(cur)
     if prev[0] == 0:
-        # no edges: every node (if any survived the self-loop filter)
-        # is its own cluster — mirror connected_components' shape
-        return fwd.sparkSession.createDataFrame(
-            [], schema=_labels_schema(fwd)
-        )
+        # no proper edges: every self-loop node is its own cluster
+        empty = fwd.sparkSession.createDataFrame([], schema=_labels_schema(fwd))
+        return _with_selfloop_singletons(empty)
     converged = False
     for _ in range(max_iter):
         # large-star over the symmetric view: m = min of neighborhood
@@ -504,10 +519,20 @@ def connected_components_star(
         )
         # small-star on the canonical list: neighbors here are all < u,
         # so m = min(neighbors); u and every neighbor re-point at m.
-        ss_m = ls.withColumn("m", F.min("v").over(w))
+        # Both emitted edges come out of ONE pass over ls via a 2-row
+        # explode — a union would reference (and recompute) the
+        # large-star window stage twice per round.
         ss = (
-            ss_m.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(ss_m.select("u", F.col("m").alias("v")))
+            ls.withColumn("m", F.min("v").over(w))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=False)
@@ -529,11 +554,12 @@ def connected_components_star(
     centers = cur.select(F.col("v").alias("u")).distinct().withColumn(
         "cluster_id", F.col("u")
     )
-    return (
+    labels = (
         members.unionByName(centers)
         .groupBy(F.col("u").alias("node"))
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
+    return _with_selfloop_singletons(labels)
 
 
 def _labels_schema(edges: DataFrame) -> StructType:

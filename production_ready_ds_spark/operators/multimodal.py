@@ -131,13 +131,25 @@ class RawRGBDecoder(Decoder):
             raise ValueError("pixels must be width*height*3 bytes")
         return cls.MAGIC + struct.pack(">HH", width, height) + pixels
 
-    def decode(self, buf: bytes | None) -> dict:
-        if not buf or len(buf) < 8 or buf[:4] != self.MAGIC:
-            return dict(self._NULL)
-        w, h = struct.unpack(">HH", buf[4:8])
-        body = buf[8:]
+    @classmethod
+    def parse(cls, buf) -> tuple[int, int, bytes] | None:
+        """Shared header parse + validation: (width, height, body) for
+        a well-formed payload, None otherwise. The ONE place the layout
+        rules live — decode and resize_rgb both consume it, so they
+        cannot drift on what counts as a valid payload."""
+        if not buf or len(buf) < 8 or bytes(buf[:4]) != cls.MAGIC:
+            return None
+        w, h = struct.unpack(">HH", bytes(buf[4:8]))
+        body = bytes(buf[8:])
         if len(body) != w * h * 3 or w == 0 or h == 0:
+            return None
+        return int(w), int(h), body
+
+    def decode(self, buf: bytes | None) -> dict:
+        parsed = self.parse(buf)
+        if parsed is None:
             return dict(self._NULL)
+        w, h, body = parsed
         import numpy as np
 
         px = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
@@ -281,22 +293,13 @@ def resize_rgb_batches(out_w: int, out_h: int):
             out = {"doc_id": [], "w_in": [], "h_in": [], "payload": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
-                if (
-                    buf is None
-                    or len(buf) < 8
-                    or bytes(buf[:4]) != RawRGBDecoder.MAGIC
-                ):
+                parsed = RawRGBDecoder.parse(buf)
+                if parsed is None:
                     out["w_in"].append(None)
                     out["h_in"].append(None)
                     out["payload"].append(None)
                     continue
-                w, h = struct.unpack(">HH", bytes(buf[4:8]))
-                body = bytes(buf[8:])
-                if len(body) != w * h * 3 or w == 0 or h == 0:
-                    out["w_in"].append(None)
-                    out["h_in"].append(None)
-                    out["payload"].append(None)
-                    continue
+                w, h, body = parsed
                 img = np.frombuffer(body, dtype=np.uint8).reshape(h, w, 3)
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w

@@ -1274,8 +1274,11 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst evaluates them in a single Window operator, and per-order
     supplier sets are tiny, ≤7 entries). Since the blamed line is
     itself an R-line of the order, EXISTS(other supplier) ⇔ n_supp ≥ 2
-    and NOT EXISTS(other R supplier) ⇔ n_r_supp = 1. Status-F order
-    keys and supplier names broadcast."""
+    and NOT EXISTS(other R supplier) ⇔ n_r_supp = 1. Supplier (a true
+    dimension) broadcasts; the status-F order keys are deliberately
+    NOT hinted — F-orders are ~half the orders table and grow with the
+    corpus, so the join is left size-adaptive (AQE broadcasts it at
+    small SF, shuffles it at 100 TB)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
@@ -1298,7 +1301,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = broadcast(load(spark, sf_dir, "supplier"))
     return (
-        l1.join(broadcast(o.select("o_orderkey")), l1.l_orderkey == F.col("o_orderkey"))
+        l1.join(o.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey"))
         .join(s, l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -1707,13 +1707,10 @@ CDC_MIN_DOCS = 2
 #: systems enforce a min chunk size for exactly this reason)
 CDC_MIN_GRAMS = 4
 
-
-@query(
-    "q_dedup_cdc",
-    category="llm-dedup",
-    bench=True,
-    sql=f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+#: Shared DuckDB CTEs for the CDC pipeline (tokens → positional gram
+#: hashes → chunk ids) — q_dedup_cdc and q_remove_dup_spans both build
+#: on these, so the two oracles cannot drift on the boundary rule.
+_DUCK_CDC_CTES = f"""t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
                WHERE len({_DUCK_TOKENS}) >= {CDC_K}),
     g AS (
       SELECT doc_id, i,
@@ -1727,7 +1724,80 @@ CDC_MIN_GRAMS = 4
                OVER (PARTITION BY doc_id ORDER BY i
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
       FROM g
-    ),
+    )"""
+
+
+def _cdc_chunk_frame(spark: SparkSession, sf_dir: str, *, materialize: bool) -> DataFrame:
+    """documents → per-document CDC chunk frame, the ONE place the
+    Spark-side boundary rule lives (q_dedup_cdc and q_remove_dup_spans
+    both consume it, mirroring ``_DUCK_CDC_CTES`` on the oracle side).
+
+    Columns: doc_id, ts (tokens), gs (gram hashes), starts/ends (gram
+    runs; only the trailing segment can be empty), nseg (count of
+    non-empty chunks), sigs (md5 per chunk over the comma-joined gram
+    hashes), lens (grams per chunk). Everything is per-document array
+    expressions — map-side, no corpus shuffle; ``materialize``
+    checkpoints the frame for callers that consume it more than once.
+    The spread fan-out keeps the md5-per-token-position CPU off a
+    single core on one-row-group scans (no-op on real lakes)."""
+    from ..tables import spread
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= CDC_K)
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("ts", i, F.lit(CDC_K)), " ").cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    ng = F.size("ts") - (CDC_K - 1)
+    t = t.select(
+        "doc_id", "ts", F.transform(F.sequence(F.lit(1), ng), gram).alias("gs")
+    )
+    bp = F.filter(
+        F.sequence(F.lit(1), F.size("gs")),
+        lambda i: F.element_at("gs", i) % CDC_DIV == 0,
+    )
+    t = t.withColumn(
+        "starts", F.concat(F.array(F.lit(1)), F.transform(bp, lambda x: x + 1))
+    ).withColumn("ends", F.concat(bp, F.array(F.size("gs"))))
+    t = t.withColumn(
+        "nseg",
+        F.size("starts")
+        - F.when(F.element_at("starts", -1) > F.element_at("ends", -1), 1).otherwise(0),
+    )
+    sig_j = lambda j: F.md5(  # noqa: E731
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    "gs",
+                    F.element_at("starts", j),
+                    F.element_at("ends", j) - F.element_at("starts", j) + 1,
+                ),
+                lambda g: g.cast("string"),
+            ),
+        ).cast("binary")
+    )
+    t = t.withColumn("sigs", F.transform(F.sequence(F.lit(1), F.col("nseg")), sig_j))
+    t = t.withColumn(
+        "lens",
+        F.transform(
+            F.sequence(F.lit(1), F.col("nseg")),
+            lambda j: F.element_at("ends", j) - F.element_at("starts", j) + 1,
+        ),
+    )
+    return t.localCheckpoint(eager=True) if materialize else t
+
+
+@query(
+    "q_dedup_cdc",
+    category="llm-dedup",
+    bench=True,
+    sql=f"""
+    WITH {_DUCK_CDC_CTES},
     sigs AS (
       SELECT doc_id, md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig
       FROM c GROUP BY doc_id, cid
@@ -1760,54 +1830,14 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures are md5 over the comma-joined hash ints, and the
     boundary rule is integer modulo — the whole pipeline sits under
     the value hash."""
-    from ..tables import spread
-
-    d = load(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    # spread: an md5 per token position before the first shuffle (same
-    # CPU profile as q_winnow_pairs, where spreading measured 1.74 →
-    # 1.38 s; no-op on many-row-group tables).
-    t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= CDC_K)
-    gram = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice("ts", i, F.lit(CDC_K)), " ").cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    ng = F.size("ts") - (CDC_K - 1)
-    t = t.select(
-        "doc_id", F.transform(F.sequence(F.lit(1), ng), gram).alias("gs")
-    )
-    # boundary positions → (start, end] gram runs; a trailing boundary
-    # yields an empty (start > end) tail that the null guard drops
-    bp = F.filter(
-        F.sequence(F.lit(1), F.size("gs")),
-        lambda i: F.element_at("gs", i) % CDC_DIV == 0,
-    )
-    t = t.withColumn("starts", F.concat(F.array(F.lit(1)), F.transform(bp, lambda x: x + 1)))
-    t = t.withColumn("ends", F.concat(bp, F.array(F.size("gs"))))
-    sig_j = lambda j: F.when(  # noqa: E731
-        F.element_at("ends", j) - F.element_at("starts", j) + 1 >= CDC_MIN_GRAMS,
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(
-                        "gs",
-                        F.element_at("starts", j),
-                        F.element_at("ends", j) - F.element_at("starts", j) + 1,
-                    ),
-                    lambda g: g.cast("string"),
-                ),
-            ).cast("binary")
-        ),
-    )
+    t = _cdc_chunk_frame(spark, sf_dir, materialize=False)
     sigs = t.select(
         "doc_id",
         F.explode(
             F.filter(
-                F.transform(F.sequence(F.lit(1), F.size("starts")), sig_j),
+                F.zip_with(
+                    "sigs", "lens", lambda s, ln: F.when(ln >= CDC_MIN_GRAMS, s)
+                ),
                 lambda s: s.isNotNull(),
             )
         ).alias("sig"),
@@ -1827,21 +1857,7 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="llm-dedup",
     bench=True,
     sql=f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
-               WHERE len({_DUCK_TOKENS}) >= {CDC_K}),
-    g AS (
-      SELECT doc_id, i,
-             CAST(('0x' || substr(md5(array_to_string(
-               list_slice(ts, i, i + {CDC_K - 1}), ' ')), 1, 8)) AS BIGINT) AS gh
-      FROM t, UNNEST(range(1, len(ts) - {CDC_K} + 2)) AS u(i)
-    ),
-    c AS (
-      SELECT doc_id, i, gh,
-             COALESCE(SUM(CASE WHEN gh % {CDC_DIV} = 0 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY i
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
-      FROM g
-    ),
+    WITH {_DUCK_CDC_CTES},
     ch AS (
       SELECT doc_id, cid,
              md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig,
@@ -1894,60 +1910,9 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an integer MIN, and the cleaned text is a deterministic
     space-join — the full detect→decide→rewrite pipeline sits under
     the value hash."""
-    from ..tables import spread
-
-    d = load(spark, sf_dir, "documents")
-    toks = tokens_expr(F.col("text"))
-    t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= CDC_K)
-    gram = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice("ts", i, F.lit(CDC_K)), " ").cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
-    ng = F.size("ts") - (CDC_K - 1)
-    t = t.select(
-        "doc_id", "ts", F.transform(F.sequence(F.lit(1), ng), gram).alias("gs")
-    )
-    bp = F.filter(
-        F.sequence(F.lit(1), F.size("gs")),
-        lambda i: F.element_at("gs", i) % CDC_DIV == 0,
-    )
-    t = t.withColumn(
-        "starts", F.concat(F.array(F.lit(1)), F.transform(bp, lambda x: x + 1))
-    ).withColumn("ends", F.concat(bp, F.array(F.size("gs"))))
-    # only the trailing segment can be empty (when the last gram is a
-    # boundary); nseg = count of non-empty chunks
-    t = t.withColumn(
-        "nseg",
-        F.size("starts")
-        - F.when(F.element_at("starts", -1) > F.element_at("ends", -1), 1).otherwise(0),
-    )
-    sig_j = lambda j: F.md5(  # noqa: E731
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.slice(
-                    "gs",
-                    F.element_at("starts", j),
-                    F.element_at("ends", j) - F.element_at("starts", j) + 1,
-                ),
-                lambda g: g.cast("string"),
-            ),
-        ).cast("binary")
-    )
-    t = t.withColumn("sigs", F.transform(F.sequence(F.lit(1), F.col("nseg")), sig_j))
-    t = t.withColumn(
-        "lens",
-        F.transform(
-            F.sequence(F.lit(1), F.col("nseg")),
-            lambda j: F.element_at("ends", j) - F.element_at("starts", j) + 1,
-        ),
-    )
-    # checkpoint: the chunked frame feeds both the sig explode and the
-    # final rebuild join — materialize the tokenize+hash pipeline once
-    t = t.localCheckpoint(eager=True)
+    # materialize: the chunked frame feeds both the sig explode and the
+    # final rebuild join — checkpoint the tokenize+hash pipeline once
+    t = _cdc_chunk_frame(spark, sf_dir, materialize=True)
     elig = t.select(
         "doc_id",
         F.posexplode(

@@ -688,3 +688,12 @@ def test_compression_ratio_separates_repetitive_from_random(spark, tmp_path):
     assert got[1] < 0.1 < 0.4 < got[2], got
     again = {r.doc_id: r.comp_ratio for r in fn(spark, sf_dir).collect()}
     assert got == again
+
+
+def test_star_cc_selfloop_nodes_get_singleton_labels(spark):
+    """Contract parity with connected_components: nodes appearing only
+    in reflexive pairs still receive a (node, node) label."""
+    got = _star_clusters(spark, [(5, 5), (1, 2), (7, 7), (2, 2)])
+    assert got == {5: 5, 7: 7, 1: 1, 2: 1}
+    only_selfs = _star_clusters(spark, [(9, 9)])
+    assert only_selfs == {9: 9}
