@@ -1853,6 +1853,84 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dup_impact",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_CDC_CTES},
+    ch AS (
+      SELECT doc_id, cid,
+             md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig,
+             COUNT(*) AS ln
+      FROM c GROUP BY doc_id, cid
+    ),
+    st AS (SELECT sig, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY sig),
+    d AS (
+      SELECT ch.doc_id,
+             COUNT(*) AS total_chunks,
+             SUM(CASE WHEN ch.ln >= {CDC_MIN_GRAMS} AND st.nd >= {CDC_MIN_DOCS}
+                 THEN 1 ELSE 0 END) AS dup_chunks
+      FROM ch JOIN st USING (sig) GROUP BY ch.doc_id
+    )
+    SELECT docs.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.total_chunks) AS BIGINT) AS total_chunks,
+           CAST(SUM(d.dup_chunks) AS BIGINT) AS dup_chunks,
+           FLOOR(SUM(d.dup_chunks) * 1.0 / SUM(d.total_chunks) * 1e4 + 0.5) / 1e4
+             AS dup_frac
+    FROM d JOIN documents docs ON docs.doc_id = d.doc_id
+    GROUP BY docs.source
+    """,
+)
+def q_dup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report: per source, what fraction of CDC chunks is
+    duplicated corpus-wide — the sizing report a data engineer runs
+    BEFORE committing to q_remove_dup_spans (how many tokens does
+    removal cost each feed, which over-crawled source drives it).
+    Built entirely on the shared CDC chunk machinery; the dup rule is
+    exactly the one removal applies (≥ {CDC_MIN_GRAMS} grams, ≥
+    {CDC_MIN_DOCS} docs), so the report predicts the rewrite.
+
+    Plan: chunk sigs explode narrow → sig-frequency aggregate → join
+    back → two stacked hash-aggs (doc, then source) — text never
+    shuffles; dup_frac rounds on the FLOOR(x·1e4+0.5) grid (tie-free
+    cross-engine)."""
+    t = _cdc_chunk_frame(spark, sf_dir, materialize=False)
+    ch = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with("sigs", "lens", lambda s, ln: F.struct(s.alias("sig"), ln.alias("ln")))
+        ).alias("z"),
+    ).select("doc_id", "z.sig", "z.ln")
+    st = ch.groupBy("sig").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        ch.join(st, "sig")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_chunks"),
+            F.count_if(
+                (F.col("ln") >= CDC_MIN_GRAMS) & (F.col("nd") >= CDC_MIN_DOCS)
+            ).alias("dup_chunks"),
+        )
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total_chunks").alias("total_chunks"),
+            F.sum("dup_chunks").alias("dup_chunks"),
+            (
+                F.floor(
+                    F.sum("dup_chunks") / F.sum("total_chunks") * 1e4 + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
     "q_remove_dup_spans",
     category="llm-dedup",
     bench=True,
