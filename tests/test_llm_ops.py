@@ -697,3 +697,39 @@ def test_star_cc_selfloop_nodes_get_singleton_labels(spark):
     assert got == {5: 5, 7: 7, 1: 1, 2: 1}
     only_selfs = _star_clusters(spark, [(9, 9)])
     assert only_selfs == {9: 9}
+
+
+def test_remove_dup_spans_identity_on_unique_corpus(spark, tmp_path):
+    """Reconstruction invariant: with per-doc-unique vocabularies (no
+    cross-doc duplicate chunks anywhere) the rebuild must reproduce
+    every document's token join byte-identically — pinning the
+    starts/ends/tail slicing arithmetic against off-by-ones across 30
+    random doc lengths."""
+    import hashlib
+    import os
+    import random
+    import re
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(17)
+    rows = []
+    for d in range(30):
+        n = rng.randrange(3, 120)  # includes tiny docs near the K=3 floor
+        text = " ".join(f"d{d}w{rng.randrange(10**6)}" for _ in range(n))
+        rows.append((d, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "uniq_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in catalog()["q_remove_dup_spans"].fn(spark, sf_dir).collect()}
+    for d, text, *_ in rows:
+        toks = [t for t in re.split(r"\W+", text.lower()) if t]
+        if len(toks) < 3:
+            assert d not in got  # below the gram floor, excluded
+            continue
+        expect = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[d].n_removed == 0, (d, got[d])
+        assert got[d].cleaned_md5 == expect, f"doc {d} ({len(toks)} toks) rebuilt wrong"
