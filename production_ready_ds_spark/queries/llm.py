@@ -1823,8 +1823,10 @@ def q_dedup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: tokens → gram-hash array → boundary positions → chunk
     signatures are ALL per-document array expressions (JVM higher-order
-    functions, no window over the corpus, no Python); the only shuffle
-    is the final signature aggregate — map-side-combined, one exchange.
+    functions, no window over the corpus, no Python); the only
+    corpus-wide work is the final signature aggregate — Spark's
+    standard two-level exact-countDistinct shape (partial on
+    (sig, doc_id), final on sig), both levels map-side-combined.
     Cross-engine: gram hashes are the md5-hex-prefix integers both
     engines compute bit-identically (the winnowing pattern), chunk
     signatures are md5 over the comma-joined hash ints, and the
