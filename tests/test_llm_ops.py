@@ -733,3 +733,80 @@ def test_remove_dup_spans_identity_on_unique_corpus(spark, tmp_path):
         expect = hashlib.md5(" ".join(toks).encode()).hexdigest()
         assert got[d].n_removed == 0, (d, got[d])
         assert got[d].cleaned_md5 == expect, f"doc {d} ({len(toks)} toks) rebuilt wrong"
+
+
+def _cdc_reference_sigs(text):
+    """Independent pure-Python CDC implementation (tokens → md5-prefix
+    gram hashes → mod-16 boundaries → per-chunk sig over the joined
+    hash ints) — written from the spec, not from the Spark/SQL code,
+    so a misconception shared by those two implementations still fails
+    here."""
+    import hashlib
+    import re
+
+    K, DIV, MIN_GRAMS = 3, 16, 4
+    toks = [t for t in re.split(r"\W+", text.lower()) if t]
+    if len(toks) < K:
+        return []
+    ghs = []
+    for i in range(len(toks) - K + 1):
+        h = hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()[:8]
+        ghs.append(int(h, 16))
+    chunks, cur = [], []
+    for gh in ghs:
+        cur.append(gh)
+        if gh % DIV == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        hashlib.md5(",".join(str(g) for g in c).encode()).hexdigest()
+        for c in chunks
+        if len(c) >= MIN_GRAMS
+    ]
+
+
+def test_cdc_chunks_match_pure_python_reference(spark, tmp_path):
+    """q_dedup_cdc's duplicated-chunk report over a planted-duplicate
+    corpus must equal the report computed by the independent Python
+    reference — a third implementation the Spark/SQL pair is checked
+    against."""
+    import os
+    import random
+    from collections import Counter
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(23)
+    passage = " ".join(f"w{rng.randrange(4000)}" for _ in range(180))
+    rows = []
+    for d in range(12):
+        filler = " ".join(f"d{d}x{rng.randrange(4000)}" for _ in range(rng.randrange(30, 90)))
+        text = (filler + " " + passage) if d % 3 == 0 else filler
+        rows.append((d, text, "en", "s", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "ref_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # reference: per-sig (n_docs, n_occ), filtered to n_docs >= 2
+    docs_count: Counter = Counter()
+    occ_count: Counter = Counter()
+    for d, text, *_ in rows:
+        sigs = _cdc_reference_sigs(text)
+        occ_count.update(sigs)
+        docs_count.update(set(sigs))
+    expect = {
+        sig: (docs_count[sig], occ_count[sig])
+        for sig in docs_count
+        if docs_count[sig] >= 2
+    }
+    got = {
+        r.sig: (r.n_docs, r.n_occ)
+        for r in catalog()["q_dedup_cdc"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "planted duplicates must produce shared chunks"
