@@ -276,6 +276,7 @@ def connected_components(
     *,
     max_iter: int = 25,
     driver_threshold: int = 100_000,
+    on_nonconverge: str = "star",
 ) -> DataFrame:
     """Duplicate clusters from near-dup pairs: (node, cluster_id) for
     every node appearing in ``pairs``, where cluster_id is the MINIMUM
@@ -296,10 +297,12 @@ def connected_components(
     lineage stays flat and nothing recomputes. Convergence is detected
     by the sum of labels (monotonically non-increasing; equal sums ⟺
     fixpoint) — one scalar agg per round, no extra join. Node ids must
-    be numeric. At larger diameters switch to
-    :func:`connected_components_star` (large-star/small-star,
-    Kiveris et al.), which converges in O(log²) rounds on the same
-    join primitive regardless of topology.
+    be numeric. If propagation fails to converge within ``max_iter``
+    (a pathological high-diameter graph), the default
+    ``on_nonconverge="star"`` recovers by re-running with
+    :func:`connected_components_star` (large-star/small-star, Kiveris
+    et al.) — O(log²) rounds on any topology, exact same fixpoint;
+    pass ``on_nonconverge="raise"`` to fail loudly instead.
 
     Hybrid execution (the GraphX/GraphFrames pattern): a near-dup edge
     list is usually many orders of magnitude smaller than the corpus —
@@ -379,9 +382,14 @@ def connected_components(
     if not converged:
         # Returning partial labels would silently split one real
         # component into several clusters (and keep extra duplicates
-        # downstream) — fail loudly instead; callers with genuinely
-        # deep chain graphs should raise max_iter or switch to
-        # connected_components_star.
+        # downstream) — never do that. Default recovery: re-run with
+        # star contraction (connected_components_star), which reaches
+        # the EXACT same fixpoint in O(log² n) rounds regardless of the
+        # diameter that defeated propagation — the result is correct,
+        # only the algorithm changed. ``on_nonconverge="raise"`` keeps
+        # the loud-failure behavior for callers that want to know.
+        if on_nonconverge == "star":
+            return connected_components_star(pairs, src, dst)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "component diameter exceeds max_iter"

@@ -275,14 +275,23 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_small):
 
 def test_connected_components_raises_on_nonconvergence(spark):
     """Partial labels must never be returned silently: a chain whose
-    diameter exceeds max_iter on the distributed path raises."""
+    diameter exceeds max_iter either raises (on_nonconverge='raise')
+    or — the default — recovers through star contraction and still
+    produces the EXACT labels."""
     from production_ready_ds_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=1, driver_threshold=0)
+        connected_components(
+            chain, max_iter=1, driver_threshold=0, on_nonconverge="raise"
+        )
+    # default: star-contraction fallback returns the exact fixpoint
+    via_star = connected_components(chain, max_iter=1, driver_threshold=0)
+    assert {r.node: r.cluster_id for r in via_star.collect()} == {
+        i: 0 for i in range(9)
+    }
     # same graph converges fine with adequate rounds
     ok = connected_components(chain, max_iter=25, driver_threshold=0)
     assert {r.cluster_id for r in ok.collect()} == {0}
