@@ -162,6 +162,7 @@ _EXTENSION_PRIORITY = (
     "q_remove_dup_spans",
     "q_quality_compress",
     "q_dup_impact",
+    "q_curation_funnel",
     "q_dedup_normalized",
     "q_sample_quota",
     "q_curriculum_order",

@@ -2178,3 +2178,83 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.array_max(err) * 1e6 + F.lit(0.5)) / 1e6).alias("recon_err"),
         )
     )
+
+
+@query(
+    "q_curation_funnel",
+    category="llm-text",
+    sql="""
+    WITH s2 AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+    f AS (
+      SELECT d.source,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS g_lang,
+             CASE WHEN d.lang = 'en' AND d.n_chars BETWEEN 100 AND 500
+                  THEN 1 ELSE 0 END AS g_q,
+             CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS g_u,
+             CASE WHEN k.doc_id IS NOT NULL
+                  AND 5 * (length(d.text)
+                           - length(regexp_replace(d.text, '[0-9]', '', 'g')))
+                      < length(d.text)
+                  THEN 1 ELSE 0 END AS g_c
+      FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(g_lang) AS BIGINT) AS n_lang,
+           CAST(SUM(g_q) AS BIGINT) AS n_quality,
+           CAST(SUM(g_u) AS BIGINT) AS n_unique,
+           CAST(SUM(g_c) AS BIGINT) AS n_clean
+    FROM f GROUP BY source
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE composed query: per source, how
+    many documents survive each gate of the standard training-data
+    funnel — language (en) → length band (100–500 chars) → exact-dedup
+    canonical (min doc_id per content md5 among band survivors) →
+    digit-ratio screen (<20 % digits, the cheap table/boilerplate
+    filter). The per-stage attrition report every corpus release ships
+    with, here hash-verified end to end because every gate is
+    integer-exact (the digit gate compares 5·digits < chars, never a
+    float ratio).
+
+    Plan shape: gates 1–2 are scan-pushable predicates; the dedup gate
+    is one md5 hash-agg over the band survivors plus a key join back
+    (both shuffle the narrow (doc_id, hash) projection, never full
+    text); the funnel itself is a single map-side-combined conditional
+    aggregate per source. Composes the verified primitives of
+    q_dedup_exact / q_length_clip / q_pii_scrub into the report their
+    users actually run."""
+    d = load(spark, sf_dir, "documents")
+    s2 = d.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(100, 500)
+    ).select("doc_id", "text")
+    keep = (
+        s2.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .withColumn("kept", F.lit(1))
+    )
+    digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    f = d.join(keep, "doc_id", "left").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g_lang"),
+        F.when(
+            (F.col("lang") == "en") & F.col("n_chars").between(100, 500), 1
+        ).otherwise(0).alias("g_q"),
+        F.coalesce("kept", F.lit(0)).alias("g_u"),
+        F.when(
+            F.col("kept").isNotNull() & (5 * digits < F.length("text")), 1
+        ).otherwise(0).alias("g_c"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("g_lang").alias("n_lang"),
+        F.sum("g_q").alias("n_quality"),
+        F.sum("g_u").alias("n_unique"),
+        F.sum("g_c").alias("n_clean"),
+    )
