@@ -2240,16 +2240,26 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.lit(1))
     )
     digits = F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
-    f = d.join(keep, "doc_id", "left").select(
+    # text-derived flags computed MAP-SIDE before the join: only
+    # (doc_id, source, flags) rows ever shuffle — at 100 TB the keep
+    # join must never move document text
+    flags = d.select(
+        "doc_id",
         "source",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("g_lang"),
         F.when(
             (F.col("lang") == "en") & F.col("n_chars").between(100, 500), 1
         ).otherwise(0).alias("g_q"),
+        (5 * digits < F.length("text")).alias("low_digit"),
+    )
+    f = flags.join(keep, "doc_id", "left").select(
+        "source",
+        "g_lang",
+        "g_q",
         F.coalesce("kept", F.lit(0)).alias("g_u"),
-        F.when(
-            F.col("kept").isNotNull() & (5 * digits < F.length("text")), 1
-        ).otherwise(0).alias("g_c"),
+        F.when(F.col("kept").isNotNull() & F.col("low_digit"), 1)
+        .otherwise(0)
+        .alias("g_c"),
     )
     return f.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw"),
