@@ -2183,6 +2183,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_curation_funnel",
     category="llm-text",
+    bench=True,
     sql="""
     WITH s2 AS (
       SELECT doc_id, text FROM documents
