@@ -163,6 +163,7 @@ _EXTENSION_PRIORITY = (
     "q_quality_compress",
     "q_dup_impact",
     "q_curation_funnel",
+    "q_split_leakage_safe",
     "q_dedup_normalized",
     "q_sample_quota",
     "q_curriculum_order",

@@ -2269,3 +2269,76 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g_u").alias("n_unique"),
         F.sum("g_c").alias("n_clean"),
     )
+
+
+@query(
+    "q_split_leakage_safe",
+    category="llm-traindata",
+    sql=f"""
+    WITH RECURSIVE {_DUCK_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    labels AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+               FROM reach GROUP BY node),
+    alld AS (
+      SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN labels l USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10 < 8
+                THEN 'train' ELSE 'eval' END AS split
+    FROM alld
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is the NEAR-DUP
+    CLUSTER, not the document — a duplicate family always lands wholly
+    in train or wholly in eval, so eval can never contain a near-copy
+    of a training document (the contamination mode a plain per-doc
+    hash split provably has: any split pair inside a dup family leaks).
+    Clusters come from the verified jaccard-pairs → connected
+    components chain; singleton docs are their own cluster; the 80/20
+    assignment hashes the cluster id through the md5-prefix integer
+    both engines compute bit-identically (the q_shuffle_shards
+    pattern), so the split is deterministic, reproducible, and
+    engine-independent.
+
+    Scale shape: the cluster stage is q_dedup_clusters' (blocked pair
+    join + hybrid CC); the split itself is a broadcast-sized left join
+    (labels exist only for docs IN pairs — orders of magnitude smaller
+    than the corpus) plus map-side hash arithmetic."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        df_cap=HOT_SHINGLE_DF_CAP,
+    )
+    labels = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    alld = d.join(labels, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return alld.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, "train").otherwise("eval").alias("split"),
+    )

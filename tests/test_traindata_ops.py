@@ -143,3 +143,47 @@ def test_winnow_pairs_detects_shared_span(spark, cat, doc_dir):
     pairs = {(r.doc_a, r.doc_b) for r in rows}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_leakage_safe_split_keeps_families_together(spark, tmp_path):
+    """Every near-dup family must land wholly on one side of the
+    split, and the per-doc split must be deterministic. Build 3 copied
+    families + unique docs; assert no family straddles train/eval."""
+    import os
+    import random
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(9)
+    rows = []
+    doc_id = 0
+    families = []
+    for f in range(3):
+        base = " ".join(f"f{f}w{rng.randrange(3000)}" for _ in range(120))
+        fam = []
+        for c in range(4):  # 4 near-copies per family
+            text = base + f" tail{f}c{c}"
+            rows.append((doc_id, text, "en", "s", len(text)))
+            fam.append(doc_id)
+            doc_id += 1
+        families.append(fam)
+    for _ in range(20):  # unique filler
+        text = " ".join(f"u{rng.randrange(10**6)}" for _ in range(60))
+        rows.append((doc_id, text, "en", "s", len(text)))
+        doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "split_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    fn = catalog()["q_split_leakage_safe"].fn
+    got = {r.doc_id: r for r in fn(spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    for fam in families:
+        splits = {got[d].split for d in fam}
+        clusters = {got[d].cluster_id for d in fam}
+        assert len(splits) == 1, f"family straddles the split: {fam}"
+        assert clusters == {min(fam)}
+    again = {r.doc_id: r.split for r in fn(spark, sf_dir).collect()}
+    assert again == {d: r.split for d, r in got.items()}
