@@ -385,3 +385,15 @@ def test_cdc_dedup_single_aggregate_no_window(spark, sf_small, cat):
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
     assert "Join" not in s, s
     assert shuffle_count(df) <= 3, s
+
+
+def test_curation_funnel_narrow_join(spark, sf_small, cat):
+    """The funnel's keep join must move only narrow rows: text-derived
+    flags are computed map-side, so no Window, no Python, and the
+    whole report runs in at most the dedup agg + keep join + source
+    agg exchanges."""
+    df = cat["q_curation_funnel"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "Window" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert shuffle_count(df) <= 4, s
