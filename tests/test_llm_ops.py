@@ -819,3 +819,50 @@ def test_cdc_chunks_match_pure_python_reference(spark, tmp_path):
     }
     assert got == expect
     assert expect, "planted duplicates must produce shared chunks"
+
+
+def test_cdc_edge_cases_match_reference(spark, tmp_path):
+    """Adversarial chunking shapes vs the pure-Python reference: a doc
+    of repeated boundary grams ('b30 b30 ...' — every gram hashes ≡ 0
+    mod 16, so chunks are all single-gram and consecutive boundaries
+    stack), exactly-3-token docs (one gram), 2-token docs (below the
+    gram floor), and a doc whose LAST gram is a boundary (empty-tail
+    segment handling)."""
+    import os
+
+    from production_ready_ds_spark.queries import catalog
+
+    # 'b30' found by search: md5('b30 b30 b30')[:8] as int ≡ 0 mod 16
+    rows = [
+        (1, " ".join(["b30"] * 40), "en", "s", 1),   # all-boundary grams
+        (2, " ".join(["b30"] * 40), "en", "s", 1),   # duplicate of 1
+        (3, "alpha beta gamma", "en", "s", 1),        # exactly one gram
+        (4, "alpha beta", "en", "s", 1),              # below gram floor
+        (5, "w1 w2 w3 w4 w5 b30 b30 b30", "en", "s", 1),  # boundary tail
+        (6, "w1 w2 w3 w4 w5 b30 b30 b30", "en", "s", 1),  # duplicate of 5
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "edge_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    from collections import Counter
+
+    docs_count: Counter = Counter()
+    occ_count: Counter = Counter()
+    for d, text, *_ in rows:
+        sigs = _cdc_reference_sigs(text)
+        occ_count.update(sigs)
+        docs_count.update(set(sigs))
+    expect = {
+        sig: (docs_count[sig], occ_count[sig])
+        for sig in docs_count
+        if docs_count[sig] >= 2
+    }
+    got = {
+        r.sig: (r.n_docs, r.n_occ)
+        for r in catalog()["q_dedup_cdc"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
