@@ -206,6 +206,12 @@ _EXTENSION_PRIORITY = (
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",
+    # TPC-H completion set (partsupp derived from lineitem)
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q16",
+    "q_tpch_q20",
     # verified in round 2 — rotated to the back
     "q_dedup_clusters",
     "q_dedup_ngram_jaccard",

@@ -397,3 +397,67 @@ def test_curation_funnel_narrow_join(spark, sf_small, cat):
     assert "Window" not in s, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
     assert shuffle_count(df) <= 4, s
+
+
+def test_tpch_q2_broadcasts_snowflake_and_takeordered(spark, sf_small, cat):
+    """part's type/size filters must reach its scan; the part dim and
+    the EUROPE supplier→nation→region snowflake must all broadcast (4
+    broadcast joins incl. the snowflake's internals); lineitem — the
+    pair-table derivation — is scanned exactly once; the top-100 is
+    TakeOrderedAndProject, not a global sort."""
+    df = cat["q_tpch_q2"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_type" in pushed and "p_size" in pushed, pushed
+    s = explain_str(df)
+    assert broadcast_join_count(df) >= 3, s
+    assert s.count("lineitem.parquet") == 1, s
+    assert "TakeOrderedAndProject" in s, s
+
+
+def test_tpch_q9_pushes_name_filter_single_fact_shuffle(spark, sf_small, cat):
+    """The %red% name filter must prune part BEFORE broadcast
+    (StringContains in PushedFilters); part/supplier/nation all
+    broadcast so the only shuffle-joined pair is lineitem⋈orders;
+    lineitem is scanned once."""
+    df = cat["q_tpch_q9"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "StringContains" in pushed, pushed
+    s = explain_str(df)
+    assert broadcast_join_count(df) >= 3, s
+    assert s.count("lineitem.parquet") == 1, s
+
+
+def test_tpch_q11_scalar_cut_no_second_scan(spark, sf_small, cat):
+    """The 3×AVG scalar-subquery threshold must decorrelate to a window
+    over the per-part aggregate — lineitem scanned ONCE (a naive
+    translation scans it again for the total); the region's supplier
+    keys broadcast."""
+    df = cat["q_tpch_q11"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert s.count("lineitem.parquet") == 1, s
+    assert broadcast_join_count(df) >= 1, s
+
+
+def test_tpch_q16_anti_join_is_broadcast(spark, sf_small, cat):
+    """The NOT-IN exclusion must plan as a BROADCAST left-anti join
+    (the excluded-supplier set is tiny); part's brand/type/size filters
+    push to its scan; lineitem scanned once for the pair distinct."""
+    df = cat["q_tpch_q16"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "LeftAnti" in s and "BroadcastHashJoin" in s, s
+    pushed = " ".join(pushed_filters(df))
+    assert "p_brand" in pushed and "p_size" in pushed, pushed
+    assert s.count("lineitem.parquet") == 1, s
+
+
+def test_tpch_q20_pushes_shipdate_window_on_aggregate(spark, sf_small, cat):
+    """The 1996 ship-date range must reach the lineitem scan; red parts
+    and both dims broadcast; the dominance share is a window over the
+    (part, supplier) AGGREGATE (pair-table-sized), never a second
+    lineitem scan."""
+    df = cat["q_tpch_q20"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    s = explain_str(df)
+    assert broadcast_join_count(df) >= 3, s
+    assert s.count("lineitem.parquet") == 1, s
