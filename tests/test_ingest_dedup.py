@@ -64,3 +64,51 @@ def test_recompute_after_output_delete_is_identical(spark, tmp_path):
     assert (
         spark.read.parquet(f"{root}/ingest/sig_store").count() == store_rows
     ), "guarded append must not duplicate signatures"
+
+
+def test_crash_between_index_and_publish_leaves_task_incomplete(spark, tmp_path, monkeypatch):
+    """Crash-ordering contract: signatures are indexed BEFORE the output
+    target is published, so a crash between the two writes must leave
+    the task INCOMPLETE (target absent -> reruns recompute), never a
+    complete-looking target whose signatures silently missed the store.
+    The rerun then succeeds, reproduces the uncrashed accepted set, and
+    the guarded append does not duplicate the crashed batch's
+    signatures."""
+    import os
+
+    import pytest
+
+    from production_ready_ds_spark.pipelines import ingest_dedup as mod
+
+    src = _write_source(spark, str(tmp_path / "docs"))
+    root = str(tmp_path / "out")
+
+    orig_main = mod.DedupBatch.main
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_main(self, spark_):
+        # run the real body, then delete the just-published target and
+        # raise -- observationally identical to dying between the store
+        # append and the target write becoming visible
+        orig_main(self, spark_)
+        shutil.rmtree(self.output().path)
+        raise Boom("simulated crash between index and publish")
+
+    monkeypatch.setattr(mod.DedupBatch, "main", crashing_main)
+    with pytest.raises(Boom):
+        build([DedupBatch(data_root=root, source_path=src, batch=0)])
+    assert not os.path.exists(f"{root}/ingest/batch=0"), "no published target"
+    # signatures DID reach the store before the crash (index-first order)
+    store_rows = spark.read.parquet(f"{root}/ingest/sig_store").count()
+    assert store_rows > 0
+
+    # rerun without the crash: completes, deterministic, no dup signatures
+    monkeypatch.setattr(mod.DedupBatch, "main", orig_main)
+    report = build([DedupBatch(data_root=root, source_path=src, batch=0)])
+    assert report["ran"] and not report["blocked"]
+    assert _accepted(spark, root, 0) == {0, 2}
+    assert spark.read.parquet(f"{root}/ingest/sig_store").count() == store_rows, (
+        "guarded append must not re-add the crashed batch's signatures"
+    )
