@@ -206,6 +206,7 @@ _EXTENSION_PRIORITY = (
     "q_quality_repetition",
     "q_pii_scrub",
     "q_sim_topk_ivf",
+    "q_snapshot_diff",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

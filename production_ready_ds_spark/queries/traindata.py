@@ -441,3 +441,71 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "stage")
     )
+
+
+@query(
+    "q_snapshot_diff",
+    category="llm-traindata",
+    sql="""
+    WITH prev AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' legacy' ELSE text END) AS h
+      FROM documents WHERE doc_id % 10 <> 3
+    ),
+    curr AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 5
+    )
+    SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+    WHERE p.doc_id IS NULL OR c.doc_id IS NULL OR p.h <> c.h
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: classify every document as added / removed
+    / changed between two corpus versions — the audit step before
+    re-running an incremental curation pipeline on a refreshed dump
+    (which docs does the refresh actually touch?). Snapshots are
+    derived deterministically from `documents` (the testdata has one
+    corpus version): the previous snapshot drops doc_id%10==3 (those
+    become 'added'), rewrites text for doc_id%7==0 ('changed'), and the
+    current one drops doc_id%13==5 ('removed').
+
+    This is the catalog's FULL OUTER join shape. 100 TB plan: each side
+    reduces to (doc_id, md5) MAP-SIDE before the join, so the co-
+    partitioned id shuffle moves 24-byte rows — document text never
+    shuffles (same narrow-join discipline as the curation funnel), and
+    the unchanged majority is filtered immediately after the join.
+    MD5 hex is bit-identical across engines, so 'changed' cannot
+    disagree with the oracle."""
+    d = load(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" legacy"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("h_prev"),
+    )
+    curr = d.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h_curr")
+    )
+    j = prev.join(curr, "doc_id", "full_outer")
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("h_prev").isNull(), F.lit("added"))
+            .when(F.col("h_curr").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed")),
+        )
+        .filter(
+            F.col("h_prev").isNull()
+            | F.col("h_curr").isNull()
+            | (F.col("h_prev") != F.col("h_curr"))
+        )
+        .select("doc_id", "status")
+    )

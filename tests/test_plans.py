@@ -461,3 +461,19 @@ def test_tpch_q20_pushes_shipdate_window_on_aggregate(spark, sf_small, cat):
     s = explain_str(df)
     assert broadcast_join_count(df) >= 3, s
     assert s.count("lineitem.parquet") == 1, s
+
+
+def test_snapshot_diff_full_outer_join_is_narrow(spark, sf_small, cat):
+    """The snapshot diff must reduce each side to (doc_id, md5)
+    MAP-SIDE before the id join — document text never shuffles; the
+    join itself is the FULL OUTER shape with no window or Python."""
+    df = cat["q_snapshot_diff"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "FullOuter" in s, s
+    assert "Window" not in s and "EvalPython" not in s, s
+    # the exchanges move hashes, not text: every Exchange's output
+    # carries an md5 column and no raw text column
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\([^)]*\)", s):
+        assert "text" not in ex, ex
