@@ -207,6 +207,7 @@ _EXTENSION_PRIORITY = (
     "q_pii_scrub",
     "q_sim_topk_ivf",
     "q_snapshot_diff",
+    "q_map_funcs",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -220,3 +220,63 @@ def q_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p.k").alias("max_k"),
         (F.count(F.lit(1)) - F.count("p.k")).cast("long").alias("n_unparsed"),
     )
+
+
+@query(
+    "q_map_funcs",
+    category="scalar-map",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                               x -> x <> '') AS ts
+            FROM documents WHERE lang = 'en'),
+           UNNEST(ts) AS u(t)
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, token
+    ),
+    flagged AS (
+      -- the 'the' probe sees the FULL map (any count), matching the
+      -- Spark side where map_contains_key runs before map_filter
+      SELECT doc_id, token, cnt,
+             BOOL_OR(token = 'the') OVER (PARTITION BY doc_id) AS doc_has_the
+      FROM tf
+    )
+    SELECT doc_id, token, cnt, doc_has_the
+    FROM flagged
+    WHERE cnt >= 2
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-doc term-frequency MAPs built with
+    ``map_from_entries``, pruned map-side with the ``map_filter`` HOF
+    (keep tokens appearing ≥2×), probed with ``map_contains_key``, and
+    exploded back to rows. The oracle computes identical rows with
+    plain SQL (DuckDB 1.0's MAP surface lacks the HOFs), proving the
+    map pipeline is a faithful relational transform, not an opaque
+    blob. Plan shape: the map construction rides the per-doc groupBy's
+    single shuffle; ``map_filter``/``explode`` are map-side JVM
+    expressions (no Python) — at 100 TB the map column is a per-doc
+    K-V payload that never shuffles after construction."""
+    d = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    tf = (
+        d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("token", "cnt"))).alias("m")
+    )
+    pruned = per_doc.select(
+        "doc_id",
+        F.map_filter("m", lambda k, v: v >= F.lit(2)).alias("m"),
+        F.map_contains_key(F.col("m"), "the").alias("doc_has_the"),
+    )
+    return (
+        pruned.select("doc_id", "doc_has_the", F.explode("m").alias("token", "cnt"))
+        .filter(F.col("cnt").isNotNull())
+        .select("doc_id", "token", F.col("cnt").cast("long").alias("cnt"), "doc_has_the")
+    )
