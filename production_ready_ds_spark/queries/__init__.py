@@ -208,6 +208,7 @@ _EXTENSION_PRIORITY = (
     "q_sim_topk_ivf",
     "q_snapshot_diff",
     "q_map_funcs",
+    "q_try_funcs",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -280,3 +280,55 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt").isNotNull())
         .select("doc_id", "token", F.col("cnt").cast("long").alias("cnt"), "doc_has_the")
     )
+
+
+@query(
+    "q_try_funcs",
+    category="scalar-try",
+    sql="""
+    WITH t AS (
+      SELECT event_type, value,
+             TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+             props IS NOT NULL AS has_props,
+             list_extract(string_split(event_type, 'u'), 2) AS frag
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN has_props AND k IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_parse_fail,
+           ROUND(AVG(value / NULLIF(k % 7 - 3, 0)), 4) AS avg_ratio,
+           CAST(COUNT(frag) AS BIGINT) AS n_frag
+    FROM t GROUP BY event_type
+    """,
+)
+def q_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: ``try_cast`` (malformed input →
+    NULL instead of a failed job), ``try_divide`` (zero denominator →
+    NULL), ``try_element_at`` (out-of-bounds index → NULL). At 100 TB
+    this is the difference between a report column going NULL for the
+    0.001 % of malformed rows and a 6-hour job dying at hour 5 on the
+    first bad record (ANSI mode's behavior). The oracle expresses the
+    identical semantics in DuckDB's vocabulary — TRY_CAST, NULLIF-
+    guarded division, and list_extract's native NULL-on-OOB — so the
+    NULL propagation of every branch is hash-checked, not assumed.
+    All map-side JVM expressions + one partial-aggregated groupBy."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS int)")
+    t = e.select(
+        "event_type",
+        "value",
+        k.alias("k"),
+        F.col("props").isNotNull().alias("has_props"),
+        F.try_element_at(F.split("event_type", "u"), F.lit(2)).alias("frag"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("has_props") & F.col("k").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_parse_fail"),
+        F.round(F.avg(F.try_divide(F.col("value"), F.col("k") % 7 - 3)), 4).alias(
+            "avg_ratio"
+        ),
+        F.count("frag").cast("long").alias("n_frag"),
+    )
