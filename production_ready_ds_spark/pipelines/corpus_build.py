@@ -1,0 +1,190 @@
+"""End-to-end training-corpus build: the full path from raw documents
+to sharded, training-ready data as ONE incremental DAG.
+
+    curation (score → filter → dedup-exact → dedup-near, curation.py)
+      → Decontaminate → MixCorpus → PackCorpus → ShardCorpus
+
+This is the composition the catalog queries exist for: each stage is
+the oracle-checked operator (q_decontaminate / q_mix_domains /
+q_pack_sequences / q_shuffle_shards shapes) applied to the PREVIOUS
+stage's materialized output instead of the raw table, under the
+reference's incremental-target semantics (O1/O2: resume after the last
+complete stage, delete one target and only the suffix recomputes —
+reference `00_training_pipeline.py:26-27,65-66`).
+
+Scale shape per stage: decontamination broadcasts the benchmark
+shingle set and streams the corpus map-side; mixing is a map-only
+deterministic hash draw; packing is one shuffle on the shard key +
+per-partition window; sharding moves each doc once to its final shard
+file. Nothing rescans an earlier stage's input, so a 100 TB build
+touches each byte a constant number of times.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingled_docs
+from ..queries.traindata import _MIX_THRESHOLDS, PROBE_MOD, SEQ_BUDGET
+from ..tables import load
+from ..workflow import Parameter, ParquetTarget, SparkTask
+from .curation import DedupNear
+
+#: drop a training doc when ≥ this fraction of its shingles appear in
+#: the benchmark set (policy knob; the operator emits the full score)
+CONTAMINATION_MAX = 0.5
+N_SHARDS = 8
+
+
+def _stage_dir(root: str, stage: str) -> str:
+    return os.path.join(str(root), "corpus", stage)
+
+
+class Decontaminate(SparkTask):
+    """Drop benchmark docs and benchmark-contaminated docs.
+
+    The held-out suite (doc_id % PROBE_MOD == 0, as in q_decontaminate)
+    is excluded outright — eval data must never be trained on — and a
+    surviving doc is dropped when ≥ CONTAMINATION_MAX of its 3-gram
+    shingles appear in the suite. The probe shingle set broadcasts;
+    the curated corpus streams through map-side. Docs too short to
+    shingle carry no contamination evidence and are kept."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+
+    def requires(self):
+        return DedupNear(data_root=self.data_root, sf_dir=self.sf_dir)
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "decontaminated"))
+
+    def main(self, spark):
+        docs = spark.read.parquet(self.requires().output().path)
+        is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
+        # the benchmark suite is defined over the RAW table: a probe doc
+        # dropped by curation still contaminates training text
+        probe = (
+            shingled_docs(load(spark, str(self.sf_dir), "documents").filter(is_probe))
+            .select("sg")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        corpus = docs.filter(~is_probe)
+        contaminated = (
+            shingled_docs(corpus)
+            .join(F.broadcast(probe), "sg", "left")
+            .groupBy("doc_id")
+            .agg((F.count("hit") / F.count(F.lit(1))).alias("contamination"))
+            .filter(F.col("contamination") >= CONTAMINATION_MAX)
+            .select("doc_id")
+        )
+        corpus.join(contaminated, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(self.output().path)
+
+
+class MixCorpus(SparkTask):
+    """Deterministic mixture sampling (q_mix_domains): keep a doc iff
+    its md5(doc_id) hex prefix clears the language's threshold — a
+    reproducible uniform draw, so backfills re-make identical
+    decisions. Map-only."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+
+    def requires(self):
+        return Decontaminate(data_root=self.data_root, sf_dir=self.sf_dir)
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "mixed"))
+
+    def main(self, spark):
+        docs = spark.read.parquet(self.requires().output().path)
+        hex4 = F.substring(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+        )
+        kept = (
+            F.when(F.col("lang") == "en", hex4 < _MIX_THRESHOLDS["en"])
+            .when(F.col("lang") == "zh", hex4 < _MIX_THRESHOLDS["zh"])
+            .otherwise(F.lit(True))
+        )
+        docs.filter(kept).write.mode("overwrite").parquet(self.output().path)
+
+
+class PackCorpus(SparkTask):
+    """Sequence packing (q_pack_sequences): per language, concatenate
+    docs in stable doc_id order and assign each to the SEQ_BUDGET-token
+    sequence its first token falls in. One shuffle on the pack key +
+    a per-partition window."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+
+    def requires(self):
+        return MixCorpus(data_root=self.data_root, sf_dir=self.sf_dir)
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "packed"))
+
+    def main(self, spark):
+        from ..functions.text import tokens_expr
+
+        docs = spark.read.parquet(self.requires().output().path)
+        t = docs.select(
+            "doc_id", "lang", F.size(tokens_expr(F.col("text"))).alias("n")
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = t.withColumn("cum", F.sum("n").over(w))
+        seq = F.floor((F.col("cum") - F.col("n")) / F.lit(SEQ_BUDGET))
+        c.select("doc_id", "lang", seq.cast("long").alias("seq_id"), "n").write.mode(
+            "overwrite"
+        ).parquet(self.output().path)
+
+
+class ShardCorpus(SparkTask):
+    """Final training shards: whole sequences hash to one of N_SHARDS
+    partitions (shard = xxhash64(lang, seq_id) mod N — splitting a
+    sequence across shards would break the packer's contract), text
+    joined back from the mixed corpus, written partitioned by shard.
+    Each doc moves exactly once; shard files are the data-loader's
+    input units and their count bounds read parallelism."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+
+    def requires(self):
+        return [
+            PackCorpus(data_root=self.data_root, sf_dir=self.sf_dir),
+            MixCorpus(data_root=self.data_root, sf_dir=self.sf_dir),
+        ]
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "shards"))
+
+    def main(self, spark):
+        packed_t, mixed_t = (t.output().path for t in self.requires())
+        assignment = spark.read.parquet(packed_t)
+        docs = spark.read.parquet(mixed_t).select("doc_id", "text")
+        shard = F.pmod(F.xxhash64("lang", "seq_id"), F.lit(N_SHARDS)).cast("int")
+        (
+            assignment.withColumn("shard", shard)
+            .join(docs, "doc_id")
+            .select("shard", "lang", "seq_id", "doc_id", "n", "text")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(self.output().path)
+        )
+
+
+def corpus_build_dag(data_root: str, sf_dir: str) -> ShardCorpus:
+    """The full raw-documents → training-shards DAG, rooted at its
+    final stage."""
+    return ShardCorpus(data_root=data_root, sf_dir=sf_dir)
