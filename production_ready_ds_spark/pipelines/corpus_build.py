@@ -4,10 +4,11 @@ to sharded, training-ready data as ONE incremental DAG.
     curation (score → filter → dedup-exact → dedup-near, curation.py)
       → Decontaminate → MixCorpus → PackCorpus → ShardCorpus
 
-This is the composition the catalog queries exist for: each stage is
-the oracle-checked operator (q_decontaminate / q_mix_domains /
-q_pack_sequences / q_shuffle_shards shapes) applied to the PREVIOUS
-stage's materialized output instead of the raw table, under the
+This is the composition the catalog queries exist for: each stage
+CALLS the same helper the oracle-checked operator uses
+(traindata.contamination_scores / mix_kept_expr / pack_assignments —
+one definition, so pipeline and oracle-verified query cannot diverge)
+applied to the PREVIOUS stage's materialized output, under the
 reference's incremental-target semantics (O1/O2: resume after the last
 complete stage, delete one target and only the suffix recomputes —
 reference `00_training_pipeline.py:26-27,65-66`).
@@ -24,11 +25,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import shingled_docs
-from ..queries.traindata import _MIX_THRESHOLDS, PROBE_MOD, SEQ_BUDGET
+from ..queries.traindata import (
+    PROBE_MOD,
+    contamination_scores,
+    mix_kept_expr,
+    pack_assignments,
+)
 from ..tables import load
 from ..workflow import Parameter, ParquetTarget, SparkTask
 from .curation import DedupNear
@@ -67,18 +71,10 @@ class Decontaminate(SparkTask):
         is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
         # the benchmark suite is defined over the RAW table: a probe doc
         # dropped by curation still contaminates training text
-        probe = (
-            shingled_docs(load(spark, str(self.sf_dir), "documents").filter(is_probe))
-            .select("sg")
-            .distinct()
-            .withColumn("hit", F.lit(1))
-        )
+        probe_docs = load(spark, str(self.sf_dir), "documents").filter(is_probe)
         corpus = docs.filter(~is_probe)
         contaminated = (
-            shingled_docs(corpus)
-            .join(F.broadcast(probe), "sg", "left")
-            .groupBy("doc_id")
-            .agg((F.count("hit") / F.count(F.lit(1))).alias("contamination"))
+            contamination_scores(corpus, probe_docs)
             .filter(F.col("contamination") >= CONTAMINATION_MAX)
             .select("doc_id")
         )
@@ -104,15 +100,9 @@ class MixCorpus(SparkTask):
 
     def main(self, spark):
         docs = spark.read.parquet(self.requires().output().path)
-        hex4 = F.substring(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4
+        docs.filter(mix_kept_expr()).write.mode("overwrite").parquet(
+            self.output().path
         )
-        kept = (
-            F.when(F.col("lang") == "en", hex4 < _MIX_THRESHOLDS["en"])
-            .when(F.col("lang") == "zh", hex4 < _MIX_THRESHOLDS["zh"])
-            .otherwise(F.lit(True))
-        )
-        docs.filter(kept).write.mode("overwrite").parquet(self.output().path)
 
 
 class PackCorpus(SparkTask):
@@ -137,14 +127,7 @@ class PackCorpus(SparkTask):
         t = docs.select(
             "doc_id", "lang", F.size(tokens_expr(F.col("text"))).alias("n")
         )
-        w = (
-            Window.partitionBy("lang")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        c = t.withColumn("cum", F.sum("n").over(w))
-        seq = F.floor((F.col("cum") - F.col("n")) / F.lit(SEQ_BUDGET))
-        c.select("doc_id", "lang", seq.cast("long").alias("seq_id"), "n").write.mode(
+        pack_assignments(t).select("doc_id", "lang", "seq_id", "n").write.mode(
             "overwrite"
         ).parquet(self.output().path)
 

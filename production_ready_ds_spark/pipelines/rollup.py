@@ -21,7 +21,12 @@ precisely because every carried statistic is algebraic or mergeable:
   max), which is LOSSLESS with respect to the sketch: the union of
   per-day sketches is bit-equivalent to one sketch built over the whole
   span, so incremental maintenance costs zero extra accuracy
-  (asserted exactly in tests/test_rollup.py).
+  (asserted exactly in tests/test_rollup.py);
+- double SUMS are exact only up to addition order: the merged path adds
+  per-day subtotals where the direct path adds raw values, so the two
+  can differ in the last ulp — count/min/max/sketch compare EXACTLY in
+  tests, monetary totals to the cent with an ulp-tolerant bound. (An
+  exactness-critical pipeline sums scaled integers instead.)
 
 Exact distinct counts are the one statistic that does NOT fit this
 shape (their state is the full value set); at 100 TB the sketch IS the
@@ -79,12 +84,25 @@ class DailyRollup(SparkTask):
 def merge_rollup(spark: SparkSession, data_root: str) -> DataFrame:
     """Corpus-lifetime totals from the partial store only.
 
-    Reads every date= partition of partial state (never the fact
-    table) and merges: + for count/sum, min/max for extremes,
+    Reads every COMPLETE date= partition of partial state (never the
+    fact table) and merges: + for count/sum, min/max for extremes,
     hll_union_agg for the user sketches, avg derived as sum/count.
+    Completeness honors the workflow's target contract: a day directory
+    without its _SUCCESS marker is a crashed half-write and is skipped,
+    exactly as the scheduler would re-run it — reading the partition
+    root directly would silently fold partial days into the report.
     The input is |days|·|event_types| rows, so this runs in
     milliseconds regardless of fact-table size."""
-    partials = spark.read.parquet(os.path.join(str(data_root), "rollup"))
+    base = os.path.join(str(data_root), "rollup")
+    complete = [
+        os.path.join(base, d)
+        for d in sorted(os.listdir(base))
+        if d.startswith("date=")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    ]
+    if not complete:
+        raise ValueError(f"no complete rollup partitions under {base}")
+    partials = spark.read.option("basePath", base).parquet(*complete)
     return (
         partials.groupBy("event_type")
         .agg(

@@ -2,6 +2,7 @@
 
 from .audit import (
     broadcast_join_count,
+    exchange_input_columns,
     explain_str,
     has_broadcast_join,
     pushed_filters,
@@ -12,6 +13,7 @@ from .audit import (
 
 __all__ = [
     "broadcast_join_count",
+    "exchange_input_columns",
     "explain_str",
     "has_broadcast_join",
     "pushed_filters",

@@ -58,6 +58,23 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\bExchange\b", s)) - len(re.findall(r"\bBroadcastExchange\b", s))
 
 
+def exchange_input_columns(df: DataFrame) -> list[list[str]]:
+    """Column names flowing INTO each shuffle Exchange (formatted-plan
+    ``(N) Exchange`` sections' ``Input [..]`` line, attribute ids
+    stripped). The shuffle-width audit: a narrow-join claim ("text
+    never shuffles") is checkable as 'no Exchange input contains the
+    wide column' — matching on the Exchange's partitioning ARGUMENTS
+    would be vacuous, keys are narrow by construction."""
+    out: list[list[str]] = []
+    blocks = re.split(r"\(\d+\) Exchange", explain_str(df))
+    for block in blocks[1:]:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        if m:
+            cols = [c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()]
+            out.append(cols)
+    return out
+
+
 def whole_stage_codegen_ids(df: DataFrame) -> set[int]:
     """Distinct WholeStageCodegen stage ids (wider = more operators
     fused into JVM-generated loops)."""

@@ -64,15 +64,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with N while every sequence stays deterministic."""
     d = load(spark, sf_dir, "documents")
     t = d.select("lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    c = t.withColumn("cum", F.sum("n").over(w))
-    seq = F.floor((F.col("cum") - F.col("n")) / F.lit(SEQ_BUDGET))
     return (
-        c.select("lang", seq.cast("long").alias("seq_id"), "n")
+        pack_assignments(t)
         .groupBy("lang", "seq_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n").cast("long").alias("seq_tokens"))
     )
@@ -85,6 +78,50 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # en is downsampled to ~50 %, zh to ~80 %, the rest kept whole — the
 # classic rebalancing of a web-crawl-dominant language.
 _MIX_THRESHOLDS = {"en": "8000", "zh": "cccc"}
+
+
+def mix_kept_expr(lang_col: str = "lang", id_col: str = "doc_id"):
+    """The deterministic mixture-sampling keep decision (q_mix_domains
+    semantics) as a reusable Column — the SINGLE definition both the
+    catalog query and pipelines/corpus_build.py MixCorpus apply, so the
+    oracle-checked draw can never diverge from the pipeline's."""
+    hex4 = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+    return (
+        F.when(F.col(lang_col) == "en", hex4 < _MIX_THRESHOLDS["en"])
+        .when(F.col(lang_col) == "zh", hex4 < _MIX_THRESHOLDS["zh"])
+        .otherwise(F.lit(True))
+    )
+
+
+def pack_assignments(t, *, key_col: str = "lang", id_col: str = "doc_id", n_col: str = "n"):
+    """Assign each row to its packed sequence (q_pack_sequences
+    semantics): per key, stable-id-order running token sum, a row
+    belongs to the sequence its FIRST token falls in. Shared by the
+    catalog query and pipelines/corpus_build.py PackCorpus."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum(n_col).over(w))
+    seq = F.floor((F.col("cum") - F.col(n_col)) / F.lit(SEQ_BUDGET))
+    return c.withColumn("seq_id", seq.cast("long")).drop("cum")
+
+
+def contamination_scores(corpus_docs, probe_docs):
+    """Per-corpus-doc benchmark-shingle overlap (q_decontaminate
+    semantics): the probe shingle set broadcasts, the corpus streams
+    map-side, one per-doc count aggregation. Shared by the catalog
+    query and pipelines/corpus_build.py Decontaminate."""
+    probe = (
+        shingled_docs(probe_docs).select("sg").distinct().withColumn("hit", F.lit(1))
+    )
+    joined = shingled_docs(corpus_docs).join(F.broadcast(probe), "sg", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hit").alias("n_overlap"),
+        (F.count("hit") / F.count(F.lit(1))).alias("contamination"),
+    )
 
 
 @query(
@@ -121,13 +158,11 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-make identical decisions — the property Luigi-style backfills
     (reference `run_pipeline.sh:6-11`) need from a sampler."""
     d = load(spark, sf_dir, "documents")
-    hex4 = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4)
-    kept = (
-        F.when(F.col("lang") == "en", hex4 < _MIX_THRESHOLDS["en"])
-        .when(F.col("lang") == "zh", hex4 < _MIX_THRESHOLDS["zh"])
-        .otherwise(F.lit(True))
+    t = d.select(
+        "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n"),
+        mix_kept_expr().alias("kept"),
     )
-    t = d.select("lang", F.size(tokens_expr(F.col("text"))).alias("n"), kept.alias("kept"))
     return t.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.count_if("kept").alias("n_kept"),
@@ -169,18 +204,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled equi-join on the shingle hash."""
     d = load(spark, sf_dir, "documents")
     is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
-    probe = (
-        shingled_docs(d.filter(is_probe))
-        .select("sg")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    corpus = shingled_docs(d.filter(~is_probe))
-    joined = corpus.join(F.broadcast(probe), "sg", "left")
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count("hit").alias("n_overlap"),
-        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contamination"),
+    return contamination_scores(d.filter(~is_probe), d.filter(is_probe)).select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round("contamination", 4).alias("contamination"),
     )
 
 

@@ -29,10 +29,14 @@ Two readers, two failure modes made loud instead of silent:
   after most of the job's work is already spent.
 
 The strict check samples up to ``MAX_CHECK_FILES`` parquet footers via
-pyarrow (metadata only, no data pages) — a bounded driver cost, and a
-LOCAL/POSIX-filesystem mechanism like operators/layout.py's swap; on a
-production lake the table format's schema log (Delta/Iceberg) replaces
-footer sampling outright.
+pyarrow (metadata only, no data pages) — a bounded driver cost — taken
+at an even stride across the listing (first and last file always
+included) because writer generations cluster temporally: a head-only
+sample would never see a retype introduced by the newest writer. A
+generation narrower than the stride can still slip through; that
+residual risk is the price of the bound, and a production lake's table
+format schema log (Delta/Iceberg) replaces footer sampling outright.
+LOCAL/POSIX-filesystem mechanism like operators/layout.py's swap.
 
 Predicate pushdown and column pruning survive both paths (asserted in
 tests/test_schema_evolution.py): pruning matters double here, since a
@@ -74,17 +78,20 @@ class SchemaContractError(TypeError):
     """A store column's type cannot be read through the contract."""
 
 
-# store parquet/arrow type → contract Spark simpleStrings it reads as,
-# exactly the widenings the vectorized parquet reader performs losslessly
+# store parquet/arrow type → contract Spark simpleStrings it reads as.
+# EMPIRICALLY verified against this Spark's vectorized parquet reader
+# (tests/test_schema_evolution.py pins the rejections too): int64→double
+# and date32→timestamp(LTZ) FAIL at read time, so listing them here
+# would recreate the mid-job crash this check exists to prevent.
 _WIDENINGS: dict[str, set[str]] = {
     "int32": {"int", "bigint", "double"},
-    "int64": {"bigint", "double"},
+    "int64": {"bigint"},
     "float": {"float", "double"},
     "double": {"double"},
     "string": {"string"},
     "large_string": {"string"},
     "bool": {"boolean"},
-    "date32[day]": {"date", "timestamp", "timestamp_ntz"},
+    "date32[day]": {"date", "timestamp_ntz"},
     "binary": {"binary"},
 }
 
@@ -94,7 +101,18 @@ def _check_contract(path: str, schema: T.StructType) -> None:
     import pyarrow.parquet as pq
 
     contract = {f.name: f.dataType.simpleString() for f in schema.fields}
-    files = ds.dataset(path, format="parquet").files[:MAX_CHECK_FILES]
+    all_files = ds.dataset(path, format="parquet").files
+    # Bounded footer budget, EVEN-STRIDE sampled (always including the
+    # first and last file): generations cluster temporally in the file
+    # listing, so a head-only sample would miss a retype introduced by
+    # the newest writer. Residual risk — a generation narrower than the
+    # stride — is the documented cost of the bound; a table format's
+    # schema log removes it entirely.
+    if len(all_files) <= MAX_CHECK_FILES:
+        files = all_files
+    else:
+        step = (len(all_files) - 1) / (MAX_CHECK_FILES - 1)
+        files = [all_files[round(i * step)] for i in range(MAX_CHECK_FILES)]
     seen: set[tuple] = set()
     for f in files:
         file_schema = pq.read_schema(f)

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 from production_ready_ds_spark.pipelines.corpus_build import (
     CONTAMINATION_MAX,
     N_SHARDS,
-    MixCorpus,
     PackCorpus,
     ShardCorpus,
     corpus_build_dag,
@@ -58,6 +57,10 @@ def test_end_to_end_build_produces_clean_shards(spark, sf_small, tmp_path):
 
 
 def test_contaminated_docs_are_dropped(spark, sf_small, tmp_path):
+    """Deliberately re-derives the contamination score from first
+    principles (shingle + broadcast join) instead of calling
+    contamination_scores — an independent check, not a mirror of the
+    implementation."""
     root = str(tmp_path)
     _build(spark, root, sf_small)
     from production_ready_ds_spark.operators.dedup import shingled_docs

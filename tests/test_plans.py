@@ -13,6 +13,7 @@ import pytest
 
 from production_ready_ds_spark.plans import (
     broadcast_join_count,
+    exchange_input_columns,
     explain_str,
     has_broadcast_join,
     pushed_filters,
@@ -471,9 +472,11 @@ def test_snapshot_diff_full_outer_join_is_narrow(spark, sf_small, cat):
     s = explain_str(df)
     assert "FullOuter" in s, s
     assert "Window" not in s and "EvalPython" not in s, s
-    # the exchanges move hashes, not text: every Exchange's output
-    # carries an md5 column and no raw text column
-    import re
-
-    for ex in re.findall(r"Exchange hashpartitioning\([^)]*\)", s):
-        assert "text" not in ex, ex
+    # the exchanges move hashes, not text: no shuffle's INPUT column
+    # list may contain the raw text column (exchange_input_columns
+    # reads the formatted plan's Input lines — the partitioning
+    # arguments alone would be a vacuous check, keys are always narrow)
+    shuffled = exchange_input_columns(df)
+    assert shuffled, "expected at least one exchange in the diff plan"
+    for cols in shuffled:
+        assert "text" not in cols, cols

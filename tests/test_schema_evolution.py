@@ -92,3 +92,44 @@ def test_incompatible_retype_raises(spark, tmp_path):
     df = read_with_contract(spark, p, contract, strict=False)
     with pytest.raises(Exception, match="PARQUET_COLUMN_DATA_TYPE_MISMATCH"):
         df.collect()
+
+
+def test_unsupported_widenings_rejected_at_submit_time(spark, tmp_path):
+    """int64→double and date32→timestamp(LTZ) LOOK like widenings but
+    the vectorized parquet reader rejects them at execution — the
+    contract check must reject them up front (empirically pinned; if a
+    future Spark learns these conversions, loosen _WIDENINGS)."""
+    import datetime
+
+    p1 = str(tmp_path / "longs")
+    spark.createDataFrame([(1, 10)], "id long, x long").write.parquet(p1)
+    with pytest.raises(SchemaContractError, match="x"):
+        read_with_contract(
+            spark,
+            p1,
+            T.StructType(
+                [T.StructField("id", T.LongType()), T.StructField("x", T.DoubleType())]
+            ),
+        )
+
+    p2 = str(tmp_path / "dates")
+    spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1))], "id long, x date"
+    ).write.parquet(p2)
+    with pytest.raises(SchemaContractError, match="x"):
+        read_with_contract(
+            spark,
+            p2,
+            T.StructType(
+                [T.StructField("id", T.LongType()), T.StructField("x", T.TimestampType())]
+            ),
+        )
+    # the supported sibling: date32 reads through a timestamp_ntz contract
+    ok = read_with_contract(
+        spark,
+        p2,
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("x", T.TimestampNTZType())]
+        ),
+    )
+    assert ok.collect()[0].x == datetime.datetime(2024, 1, 1, 0, 0)

@@ -39,6 +39,9 @@ def main() -> int:
     common = sorted(set(a) & set(b))
     regressions = []
     for n in common:
+        if a[n] <= 0:
+            print(f"{n}: {a[n]:.3f} -> {b[n]:.3f}  (before is zero; skipped)")
+            continue
         delta = b[n] / a[n] - 1
         mark = ""
         if delta > args.threshold:
@@ -52,7 +55,10 @@ def main() -> int:
     for n in sorted(set(a) - set(b)):
         print(f"{n}: REMOVED (was {a[n]:.3f})")
     ta, tb = sum(a[n] for n in common), sum(b[n] for n in common)
-    print(f"common-set total: {ta:.2f} -> {tb:.2f}  ({tb / ta - 1:+.0%})")
+    if ta > 0:
+        print(f"common-set total: {ta:.2f} -> {tb:.2f}  ({tb / ta - 1:+.0%})")
+    else:
+        print("no common queries — totals not comparable")
     if regressions:
         print(f"regressed beyond {args.threshold:.0%}: {regressions}")
     return 1 if regressions else 0
