@@ -209,6 +209,7 @@ _EXTENSION_PRIORITY = (
     "q_snapshot_diff",
     "q_map_funcs",
     "q_try_funcs",
+    "q_heavy_hitters",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -2342,3 +2342,51 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(bucket < 8, "train").otherwise("eval").alias("split"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    category="llm-text",
+    sql=f"""
+    WITH tok AS (
+      SELECT t AS token
+      FROM (SELECT {_DUCK_TOKENS} AS ts FROM documents), UNNEST(ts) AS u(t)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT c.token, c.freq
+    FROM c, tot
+    WHERE c.freq > tot.n / 100.0
+    ORDER BY c.freq DESC, c.token
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters via the two-pass Misra-Gries protocol
+    (operators/sketch.py): tokens above 1 % of corpus volume. Pass 1
+    reduces each partition to ≤ k candidate tokens map-side (no
+    shuffle, bounded memory); pass 2 recounts ONLY the broadcast
+    candidate set exactly and filters on the true threshold. The
+    candidate union provably contains every true heavy hitter, so the
+    result EQUALS the direct full-groupBy computation — which is
+    exactly what the oracle runs, verifying the sketch guarantee
+    end-to-end, not just the plumbing. At 100 TB the full groupBy
+    shuffles a row per distinct token; this shuffles |partitions|·k
+    candidates plus the (tiny) candidate recount. Threshold compare is
+    integer-vs-integer/100.0 — exact in both engines under 2^53."""
+    from ..operators.sketch import misra_gries_candidates
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    cands = misra_gries_candidates(toks, "token", k=100).distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("freq") > F.col("n") / F.lit(100.0))
+        .select("token", "freq")
+        .orderBy(F.desc("freq"), F.asc("token"))
+    )

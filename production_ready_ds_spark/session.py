@@ -77,11 +77,11 @@ def register_udf_modules() -> None:
     from pyspark import cloudpickle
 
     from .functions import snowball, stemmer
-    from .operators import multimodal
+    from .operators import multimodal, sketch
     from .queries import udfs
     from .sources import api_source
 
-    for mod in (stemmer, snowball, udfs, multimodal, api_source):
+    for mod in (stemmer, snowball, udfs, multimodal, api_source, sketch):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API

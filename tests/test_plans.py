@@ -480,3 +480,21 @@ def test_snapshot_diff_full_outer_join_is_narrow(spark, sf_small, cat):
     assert shuffled, "expected at least one exchange in the diff plan"
     for cols in shuffled:
         assert "text" not in cols, cols
+
+
+def test_heavy_hitters_candidate_pass_is_map_side(spark, sf_small, cat):
+    """The Misra-Gries candidate pass must run BEFORE any exchange
+    (scan → explode → mapInPandas, all map-side); the only shuffles are
+    the bounded candidate distinct and the candidate-restricted exact
+    recount — never a full-token-cardinality aggregation feeding it."""
+    df = cat["q_heavy_hitters"].fn(spark, sf_small)
+    s = explain_str(df)
+    assert "MapInPandas" in s, s
+    # tree section: between the MapInPandas operator and its leaf scan
+    # there must be NO Exchange (candidate pass is purely map-side)
+    tree = s.split("\n\n")[0].splitlines()
+    mp = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
+    below = tree[mp + 1 :]
+    scan = next(i for i, l in enumerate(below) if "Scan parquet" in l)
+    assert not any("Exchange" in l for l in below[:scan]), below[: scan + 1]
+    assert shuffle_count(df) <= 4, s
