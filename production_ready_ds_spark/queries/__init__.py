@@ -210,6 +210,7 @@ _EXTENSION_PRIORITY = (
     "q_map_funcs",
     "q_try_funcs",
     "q_heavy_hitters",
+    "q_dup_pagerank",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -2390,3 +2390,134 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "freq")
         .orderBy(F.desc("freq"), F.asc("token"))
     )
+
+
+_PAGERANK_UNROLLED = """
+    it1 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it0 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it2 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it1 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it3 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it2 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it4 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it3 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it5 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it4 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it6 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it5 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it7 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it6 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    ),
+    it8 AS (
+      SELECT nodes.node,
+             0.15 / (SELECT cnt FROM n)
+             + 0.85 * COALESCE(SUM(prev.r / deg.degree), 0) AS r
+      FROM nodes
+      LEFT JOIN edges ON edges.d = nodes.node
+      LEFT JOIN it7 prev ON prev.node = edges.s
+      LEFT JOIN deg ON deg.s = edges.s
+      GROUP BY nodes.node
+    )"""
+
+
+@query(
+    "q_dup_pagerank",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    deg AS (SELECT s, COUNT(*) AS degree FROM edges GROUP BY s),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    n AS (SELECT COUNT(*) AS cnt FROM nodes),
+    it0 AS (SELECT node, 1.0 / (SELECT cnt FROM n) AS r FROM nodes),
+    {_PAGERANK_UNROLLED}
+    SELECT node AS doc_id, ROUND(r, 6) AS rank
+    FROM it8
+    """,
+)
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-duplicate graph: which
+    documents are the HUBS of duplication (template pages connected to
+    many variants score high; isolated pairs score near the floor) —
+    the triage signal for "which template should the cleanup rule
+    target first". Eight fixed rounds of operators/graph.py pagerank
+    over the symmetrized capped-Jaccard pair graph (same pair CTE as
+    q_dedup_ngram_jaccard / q_dedup_clusters).
+
+    Oracle: the SAME eight rounds unrolled as chained DuckDB CTEs —
+    a fixed-iteration fixed-point is a pure function of the graph, so
+    the iterative-algorithm class gets full hash verification (the
+    engines' addition orders differ; outputs round to 6 dp, ~9 orders
+    of magnitude above accumulated ulp drift). Per round: one
+    edge⋈rank join + one sum by destination, both shuffling on node
+    keys; rank frame checkpointed every 3 rounds to stop lineage
+    replanning (graph.py module docstring)."""
+    from ..operators.graph import pagerank
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+    )
+    return pagerank(edges).select(
+        F.col("node").alias("doc_id"), F.round("r", 6).alias("rank")
+    )

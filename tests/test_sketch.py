@@ -44,3 +44,20 @@ def test_candidate_count_bounded_per_partition(spark):
     k = 16
     out = misra_gries_candidates(df, "token", k=k).count()
     assert out <= 4 * k, "each partition must emit at most k candidates"
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark):
+    """PageRank sanity on a known topology: a star (hub h connected to
+    5 leaves) plus an isolated pair. The hub must outrank every leaf,
+    leaves outrank nothing below the pair floor... and total mass stays
+    ~1 (symmetrized graph has no dangling nodes)."""
+    from production_ready_ds_spark.operators.graph import pagerank
+
+    und = [("h", x) for x in "abcde"] + [("p", "q")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "s string, d string"
+    )
+    r = {row.node: row.r for row in pagerank(edges).collect()}
+    assert abs(sum(r.values()) - 1.0) < 1e-9, r
+    assert all(r["h"] > r[x] for x in "abcde"), r
+    assert r["p"] == r["q"], "symmetric pair must tie exactly"
