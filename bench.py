@@ -38,6 +38,12 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # ambient machine load BEFORE our own session spins up: local[32]
+    # numbers swing 30-50% when the box is busy, so the report carries
+    # the 1-min load average at start and end — a reader comparing two
+    # bench files should trust per-query deltas only when both ran at
+    # low ambient load (tools/bench_compare.py prints the same caveat).
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -73,6 +79,8 @@ def main() -> None:
                 "cold_queries": cold,
                 "mode": f"steady_state_min_of_{n_runs}",
                 "sf": sf,
+                "load_avg_start": load_start,
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )
