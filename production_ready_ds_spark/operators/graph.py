@@ -48,6 +48,8 @@ def pagerank(
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("degree"))
     nodes = edges.select(F.col(src).alias("node")).distinct().localCheckpoint()
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes, no ranks — not a 1/0 traceback
+        return nodes.withColumn("r", F.lit(0.0))
     out_edges = edges.join(deg, src).localCheckpoint()  # (src, dst, degree), fixed
     r = nodes.withColumn("r", F.lit(1.0 / n))
     for i in range(iterations):

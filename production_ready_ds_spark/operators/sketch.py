@@ -15,10 +15,18 @@ if an item's global frequency exceeds N/k, then by averaging there is
 at least one partition where its local frequency exceeds that
 partition's N_p/k, and a Misra-Gries(k) summary of that partition
 retains every such item — so the UNION of per-partition candidate keys
-is a superset of the true heavy hitters. The per-batch merge below is
-the mergeable-summaries form (add exact batch counts, then repeatedly
-subtract the minimum counter and drop zeros until ≤ k survive), which
-preserves the same ±N_p/k undercount bound as item-at-a-time MG.
+is a superset of the true heavy hitters. The reduction below is the
+mergeable-summaries form: add exact batch counts, then subtract the
+(k+1)-th LARGEST counter from everything and drop non-positives — one
+O(D log k) pass leaving ≤ k survivors (an earlier subtract-the-minimum
+loop was O(D²) on mostly-distinct batches). Each subtraction of
+``cut`` removes ≥ (k+1)·cut total mass, so any item's undercount is
+≤ N_p/(k+1) — the same bound as item-at-a-time MG.
+
+Each output row also carries the emitting partition's id and row
+count, so callers get the global N by summing one row per partition —
+WITHOUT a second full scan of the input (the two-pass query needs N
+for its threshold; recomputing it would re-tokenize the whole corpus).
 
 This is deliberately a PYTHON pass (``mapInPandas``, Arrow-batched,
 dict of ≤ k counters): the sketch is inherently sequential per
@@ -38,19 +46,42 @@ DEFAULT_K = 100
 def misra_gries_candidates(
     items: DataFrame, col: str = "token", k: int = DEFAULT_K
 ) -> DataFrame:
-    """≤ k candidate values per partition whose union contains every
-    value with global frequency > N/k. One map-side pass, no shuffle;
-    output is (value) rows, at most k per input partition."""
+    """Per-partition Misra-Gries summaries: ≤ k rows per partition of
+    ``(col, part, part_rows)`` whose value-union contains every value
+    with global frequency > N/k. One map-side pass, no shuffle. The
+    output value column keeps the input column's type; ``part`` /
+    ``part_rows`` identify the partition and its TOTAL row count (the
+    same on every row a partition emits), so ``N = Σ part_rows over
+    distinct part``. An empty partition emits nothing."""
+    import heapq
+
     import pandas as pd
+
+    from pyspark import TaskContext
+
+    value_type = items.schema[col].dataType.simpleString()
 
     def summarize(batches):
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for value, cnt in pdf[col].value_counts().items():
                 counters[value] = counters.get(value, 0) + int(cnt)
-            while len(counters) > k:
-                m = min(counters.values())
-                counters = {v: c - m for v, c in counters.items() if c > m}
-        yield pd.DataFrame({col: list(counters.keys())})
+            if len(counters) > k:
+                cut = heapq.nlargest(k + 1, counters.values())[-1]
+                counters = {v: c - cut for v, c in counters.items() if c > cut}
+        if not n_rows:
+            return
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                col: list(counters.keys()),
+                "part": pid,
+                "part_rows": n_rows,
+            }
+        )
 
-    return items.mapInPandas(summarize, f"{col} string")
+    return items.mapInPandas(
+        summarize, f"{col} {value_type}, part int, part_rows long"
+    )

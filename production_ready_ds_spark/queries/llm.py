@@ -2377,13 +2377,23 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
-    cands = misra_gries_candidates(toks, "token", k=100).distinct()
+    # ONE materialization of the tiny summary (≤ partitions·k rows)
+    # serves both the candidate set and the global N — the summary rows
+    # carry each partition's row count, so the threshold needs no third
+    # scan-and-retokenize of the corpus (review finding: total used to
+    # be a separate full pass).
+    summ = misra_gries_candidates(toks, "token", k=100).localCheckpoint()
+    cands = summ.select("token").distinct()
+    total = (
+        summ.select("part", "part_rows")
+        .distinct()
+        .agg(F.sum("part_rows").alias("n"))
+    )
     exact = (
         toks.join(F.broadcast(cands), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
     return (
         exact.join(F.broadcast(total))
         .filter(F.col("freq") > F.col("n") / F.lit(100.0))
@@ -2514,7 +2524,14 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     d = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    # materialize the pair list ONCE before mirroring: the union
+    # references it twice and pagerank()'s deg/nodes/out_edges three
+    # more times — without the checkpoint the dominant Jaccard
+    # self-join pipeline re-executes per reference (same discipline as
+    # connected_components / q_dup_graph_stats).
+    pairs = jaccard_pairs(
+        d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP
+    ).localCheckpoint()
     edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")).unionAll(
         pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
     )

@@ -484,17 +484,28 @@ def test_snapshot_diff_full_outer_join_is_narrow(spark, sf_small, cat):
 
 def test_heavy_hitters_candidate_pass_is_map_side(spark, sf_small, cat):
     """The Misra-Gries candidate pass must run BEFORE any exchange
-    (scan → explode → mapInPandas, all map-side); the only shuffles are
-    the bounded candidate distinct and the candidate-restricted exact
-    recount — never a full-token-cardinality aggregation feeding it."""
-    df = cat["q_heavy_hitters"].fn(spark, sf_small)
-    s = explain_str(df)
+    (scan → explode → mapInPandas, all map-side). The query checkpoints
+    the summary, so the pass is audited on the operator frame directly;
+    the full query plan is then checked for bounded shuffles (the
+    candidate distinct + recount aggregation — never a full-token-
+    cardinality aggregation)."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.functions.text import tokens_expr
+    from production_ready_ds_spark.operators.sketch import misra_gries_candidates
+    from production_ready_ds_spark.tables import load
+
+    toks = load(spark, sf_small, "documents").select(
+        F.explode(tokens_expr(F.col("text"))).alias("token")
+    )
+    summ = misra_gries_candidates(toks, "token", k=100)
+    s = explain_str(summ)
     assert "MapInPandas" in s, s
-    # tree section: between the MapInPandas operator and its leaf scan
-    # there must be NO Exchange (candidate pass is purely map-side)
     tree = s.split("\n\n")[0].splitlines()
     mp = next(i for i, l in enumerate(tree) if "MapInPandas" in l)
     below = tree[mp + 1 :]
     scan = next(i for i, l in enumerate(below) if "Scan parquet" in l)
     assert not any("Exchange" in l for l in below[:scan]), below[: scan + 1]
-    assert shuffle_count(df) <= 4, s
+
+    df = cat["q_heavy_hitters"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 4, explain_str(df)

@@ -25,7 +25,13 @@ def test_candidates_contain_every_true_heavy_hitter(spark):
     df = spark.createDataFrame(rows, "token string").repartition(8)
     n = df.count()
     k = 10
-    cands = {r.token for r in misra_gries_candidates(df, "token", k=k).collect()}
+    summ = misra_gries_candidates(df, "token", k=k)
+    cands = {r.token for r in summ.select("token").collect()}
+    # the carried per-partition row counts reconstruct the global N
+    total = sum(
+        r.part_rows for r in summ.select("part", "part_rows").distinct().collect()
+    )
+    assert total == n
     true_heavy = {
         r.token
         for r in df.groupBy("token")
@@ -44,6 +50,23 @@ def test_candidate_count_bounded_per_partition(spark):
     k = 16
     out = misra_gries_candidates(df, "token", k=k).count()
     assert out <= 4 * k, "each partition must emit at most k candidates"
+
+
+def test_typed_key_column_and_empty_input(spark):
+    """The summary keeps the key column's TYPE (a bigint key must not
+    come back as string), and an empty frame yields an empty summary
+    (not a crash); pagerank likewise returns empty on an empty graph."""
+    from production_ready_ds_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "key long")
+    summ = misra_gries_candidates(df, "key", k=10)
+    assert summ.schema["key"].dataType.simpleString() == "bigint"
+    assert {r.key for r in summ.select("key").collect()} == set(range(7))
+
+    empty = spark.createDataFrame([], "key long")
+    assert misra_gries_candidates(empty, "key", k=10).count() == 0
+    no_edges = spark.createDataFrame([], "s string, d string")
+    assert pagerank(no_edges).count() == 0
 
 
 def test_pagerank_conserves_mass_and_ranks_hubs(spark):
