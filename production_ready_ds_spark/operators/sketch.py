@@ -1,8 +1,13 @@
-"""Misra-Gries heavy-hitters summary: bounded-memory frequent items.
+"""Bounded-memory sketch operators: Misra-Gries heavy hitters and a
+Bloom-filter membership bitmap.
 
-The missing member of the engine's mergeable-sketch family (HLL for
-distinct counts, GK for percentiles — SCALE.md "Sketches"): find every
-item whose frequency exceeds N/k WITHOUT a full-cardinality groupBy.
+Members of the engine's mergeable-sketch family (HLL for distinct
+counts, GK for percentiles — SCALE.md "Sketches"). Misra-Gries: find
+every item whose frequency exceeds N/k WITHOUT a full-cardinality
+groupBy. Bloom: a constant-size set-membership bitmap built by one
+map-side-combinable aggregate, tested by a pure column expression —
+the scale path for "does this value appear in that set" when the set
+is too large to broadcast exactly (see q_decontaminate_bloom).
 At 100 TB a token-level ``groupBy`` shuffles one row per distinct token
 (billions); the Misra-Gries pass reduces each partition to at most
 ``k`` candidate rows in a single map-side sweep, and the classic
@@ -38,9 +43,87 @@ the right tool when full cardinality is affordable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 DEFAULT_K = 100
+
+# Bloom-filter defaults: ~14 bits/key at the largest probe set the
+# local SFs produce; at 100 TB size m to the benchmark-suite shingle
+# count (m ≈ 14·n keeps fpp ≈ 1e-3 at K_HASHES=3), never to the corpus.
+BLOOM_M_BITS = 1 << 17
+BLOOM_K_HASHES = 3
+_WORD_BITS = 32  # 32 bits per bitmap word so shiftleft(1L, bit) stays positive
+
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bit positions of a value: pmod(xxhash64(seed_i, v), m).
+    Seeded by prepending a literal int to the hash input — xxhash64 has
+    no seed parameter, but hashing (i, v) gives k independent families.
+    All JVM-side, whole-stage-codegen friendly."""
+    return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_bitmap(
+    values: DataFrame,
+    col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K_HASHES,
+) -> list[int]:
+    """Build a Bloom bitmap over ``values[col]`` as a dense list of
+    ``m_bits/32`` 32-bit words (stored in longs).
+
+    One map-side-combinable aggregate: explode each value into its k
+    bit positions, ``groupBy(word)``/``bit_or(1<<bit)`` — the shuffle
+    carries at most ``m_bits/32`` partial rows per map task regardless
+    of input size, and the driver collect is bounded by the CONSTANT
+    ``m_bits/32`` (4096 rows at the default), never by the value count.
+    The result is the mergeable-summary form of set membership: bitmaps
+    of the same (m, k) OR together, so per-partition/per-batch bitmaps
+    compose exactly like the HLL/GK/MG sketches in this family."""
+    pos = values.select(
+        F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / _WORD_BITS).cast("int").alias("w"),
+            (F.col("pos") % _WORD_BITS).cast("int").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // _WORD_BITS)
+    for row in words:
+        bitmap[row["w"]] = row["word"]
+    return bitmap
+
+
+def bloom_maybe_expr(
+    col: Column,
+    bitmap: list[int],
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K_HASHES,
+) -> Column:
+    """Membership test against a :func:`bloom_bitmap` result: true iff
+    all k bit positions of ``col`` are set. No false negatives; false
+    positives at the (m, k, n) design rate. The bitmap rides along as a
+    single array<long> LITERAL (≤ 32 KiB at the default m), so the test
+    is a pure map-side column expression — no join, no shuffle, no
+    Python."""
+    bm = F.lit(bitmap).cast("array<long>")
+    checks = [
+        F.bit_get(
+            F.element_at(bm, (pos / _WORD_BITS).cast("int") + F.lit(1)),
+            (pos % _WORD_BITS).cast("int"),
+        )
+        == 1
+        for pos in _bloom_positions(col, m_bits, k)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
 
 
 def misra_gries_candidates(

@@ -211,6 +211,7 @@ _EXTENSION_PRIORITY = (
     "q_try_funcs",
     "q_heavy_hitters",
     "q_dup_pagerank",
+    "q_decontaminate_bloom",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

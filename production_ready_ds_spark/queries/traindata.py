@@ -172,11 +172,10 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_decontaminate",
-    category="llm-traindata",
-    bench=True,
-    sql=f"""
+# Shared by q_decontaminate and q_decontaminate_bloom: the bloom stage
+# is an exact-preserving prefilter (no false negatives + exact verify of
+# survivors), so both queries answer to the identical exact oracle.
+_DECON_SQL = f"""
     WITH sh AS ({_DUCK_SHINGLES}),
     probe AS (SELECT DISTINCT sg FROM sh WHERE doc_id % {PROBE_MOD} = 0),
     corpus AS (SELECT doc_id, sg FROM sh WHERE doc_id % {PROBE_MOD} <> 0)
@@ -186,7 +185,14 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(COUNT(p.sg) * 1.0 / COUNT(*), 4) AS contamination
     FROM corpus c LEFT JOIN probe p USING (sg)
     GROUP BY c.doc_id
-    """,
+    """
+
+
+@query(
+    "q_decontaminate",
+    category="llm-traindata",
+    bench=True,
+    sql=_DECON_SQL,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per training document, the fraction of
@@ -536,4 +542,57 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("h_prev") != F.col("h_curr"))
         )
         .select("doc_id", "status")
+    )
+
+
+@query(
+    "q_decontaminate_bloom",
+    category="llm-traindata",
+    sql=_DECON_SQL,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, Bloom-filter scale path: identical
+    output to q_decontaminate, but NOTHING broadcasts the probe set.
+    q_decontaminate's shape assumes the benchmark-shingle set fits in a
+    broadcast; a frontier eval suite's shingle set can reach tens of GB,
+    past any broadcast threshold. Here the probe set is summarized into
+    a CONSTANT-size Bloom bitmap (operators/sketch.py, ≤16 KiB at the
+    default m) and the corpus takes a map-side bitmap test; only the
+    survivors — true overlaps plus the designed ~0.1% false-positive
+    trickle — reach a SHUFFLED semi join against the probe set for exact
+    verification. Corpus-side shuffle volume drops from all shingles to
+    ~(hits + fpp·corpus) rows, and the result stays EXACT because Bloom
+    has no false negatives and the semi join removes false positives —
+    which is why this query answers to the same oracle as
+    q_decontaminate.
+
+    Plan shape (pinned in tests/test_sketch.py): bitmap build = one
+    map-side-combinable bit_or aggregate, bounded driver collect of
+    m/32 words; per-doc totals = one partial-agg shuffle of count rows;
+    candidate verify = shuffle-hash semi join (hinted — the point is the
+    no-broadcast path) on the prefiltered survivors. The corpus text is
+    scanned twice (totals pass + candidate pass), both map-side; at
+    100 TB persist the shingle frame or fuse the total count into the
+    scan if the double tokenize matters more than the shuffle savings."""
+    from ..operators.sketch import bloom_bitmap, bloom_maybe_expr
+
+    d = load(spark, sf_dir, "documents")
+    is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
+    probe_sg = shingled_docs(d.filter(is_probe)).select("sg").distinct()
+    bitmap = bloom_bitmap(probe_sg, "sg")
+    sh = shingled_docs(d.filter(~is_probe))
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.filter(bloom_maybe_expr(F.col("sg"), bitmap))
+        .join(probe_sg.hint("shuffle_hash"), "sg", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 4
+        ).alias("contamination"),
     )

@@ -84,3 +84,67 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark):
     assert abs(sum(r.values()) - 1.0) < 1e-9, r
     assert all(r["h"] > r[x] for x in "abcde"), r
     assert r["p"] == r["q"], "symmetric pair must tie exactly"
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from production_ready_ds_spark.operators.sketch import (
+        bloom_bitmap,
+        bloom_maybe_expr,
+    )
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(2000)], "sg string"
+    )
+    bm = bloom_bitmap(members, "sg")
+    probe = spark.createDataFrame(
+        [(f"m{i}",) for i in range(2000)] + [(f"x{i}",) for i in range(4000)],
+        "sg string",
+    )
+    res = probe.select("sg", bloom_maybe_expr(F.col("sg"), bm).alias("maybe")).collect()
+    misses = [r.sg for r in res if r.sg.startswith("m") and not r.maybe]
+    assert not misses, f"bloom false negatives: {misses[:5]}"
+    fp = sum(1 for r in res if r.sg.startswith("x") and r.maybe)
+    # 2k keys in 131072 bits at k=3 → designed fpp ≪ 1%; allow 10× slack
+    assert fp < 0.01 * 4000, f"false-positive rate out of bounds: {fp}/4000"
+
+
+def test_bloom_bitmap_size_is_constant(spark):
+    """The driver collect behind bloom_bitmap is bounded by m/32 words
+    regardless of input size — the property that makes it driver-safe
+    at any corpus scale."""
+    from production_ready_ds_spark.operators.sketch import (
+        BLOOM_M_BITS,
+        bloom_bitmap,
+    )
+
+    small = bloom_bitmap(
+        spark.createDataFrame([("a",)], "sg string"), "sg"
+    )
+    big = bloom_bitmap(
+        spark.createDataFrame([(f"v{i}",) for i in range(20000)], "sg string"), "sg"
+    )
+    assert len(small) == len(big) == BLOOM_M_BITS // 32
+
+
+def test_decontaminate_bloom_matches_exact_and_never_broadcasts_probe(spark, sf_small):
+    """q_decontaminate_bloom must equal q_decontaminate row-for-row (the
+    bloom stage is an exact-preserving prefilter) while its verify join
+    takes the no-broadcast path the query exists to demonstrate."""
+    from production_ready_ds_spark.plans.audit import explain_str
+    from production_ready_ds_spark.queries import catalog
+
+    cat = catalog()
+    exact = cat["q_decontaminate"].fn(spark, sf_small)
+    bloom = cat["q_decontaminate_bloom"].fn(spark, sf_small)
+    assert sorted(exact.collect()) == sorted(bloom.collect())
+    s = explain_str(bloom)
+    assert "ShuffledHashJoin" in s and "LeftSemi" in s, s
+    # the probe set must reach the semi join WITHOUT a broadcast: the
+    # only allowed broadcast is the final small doc_id-level join if AQE
+    # picks one, never a LeftSemi build side
+    import re
+
+    assert not re.search(r"BroadcastHashJoin .*LeftSemi", s), s
