@@ -39,6 +39,7 @@ _MODULES = (
     "multimodal",
     "analytics",
     "traindata",
+    "bpe",
 )
 
 
@@ -212,6 +213,7 @@ _EXTENSION_PRIORITY = (
     "q_heavy_hitters",
     "q_dup_pagerank",
     "q_decontaminate_bloom",
+    "q_bpe_train",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",
