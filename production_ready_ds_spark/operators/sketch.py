@@ -48,12 +48,24 @@ from pyspark.sql import functions as F
 
 DEFAULT_K = 100
 
-# Bloom-filter defaults: ~14 bits/key at the largest probe set the
-# local SFs produce; at 100 TB size m to the benchmark-suite shingle
-# count (m ≈ 14·n keeps fpp ≈ 1e-3 at K_HASHES=3), never to the corpus.
+# Bloom-filter defaults. m must be sized to the KEY COUNT, never
+# guessed: an undersized bitmap saturates and the pass rate collapses
+# toward 1 (measured: a fixed 2^17 bitmap over sf0.1's ~70k probe
+# shingles let 38% of the corpus through — use bloom_m_for).
 BLOOM_M_BITS = 1 << 17
 BLOOM_K_HASHES = 3
 _WORD_BITS = 32  # 32 bits per bitmap word so shiftleft(1L, bit) stays positive
+
+
+def bloom_m_for(n_keys: int, bits_per_key: int = 14) -> int:
+    """Bitmap size for ``n_keys`` members: next power of two ≥
+    bits_per_key·n (14 bits/key ≈ 1e-3 fpp at k=3), floored at the
+    default. Power-of-two m keeps pmod cheap and the word count a
+    round row-group size."""
+    m = BLOOM_M_BITS
+    while m < bits_per_key * n_keys:
+        m <<= 1
+    return m
 
 
 def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
@@ -124,6 +136,38 @@ def bloom_maybe_expr(
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bitmap: list[int],
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K_HASHES,
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` MAYBE belongs to the bitmap's set
+    (no false negatives).
+
+    Same semantics as filtering on :func:`bloom_maybe_expr`, but the
+    bitmap arrives as a BROADCAST one-row frame instead of an in-plan
+    array literal: the literal's codegen cost grows with m (measured
+    ~8× wall on the same scan going 2^17 → 2^20 bits), while the
+    broadcast array materializes once per executor and each row does
+    three O(1) attribute lookups. Use this form on data-sized scans;
+    the literal form stays fine for small fixed bitmaps."""
+    bm = df.sparkSession.createDataFrame([(bitmap,)], "_bloom_bm array<long>")
+    checks = [
+        F.bit_get(
+            F.element_at(F.col("_bloom_bm"), (pos / _WORD_BITS).cast("int") + F.lit(1)),
+            (pos % _WORD_BITS).cast("int"),
+        )
+        == 1
+        for pos in _bloom_positions(F.col(col), m_bits, k)
+    ]
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return df.join(F.broadcast(bm)).filter(cond).drop("_bloom_bm")
 
 
 def misra_gries_candidates(

@@ -556,8 +556,12 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_decontaminate's shape assumes the benchmark-shingle set fits in a
     broadcast; a frontier eval suite's shingle set can reach tens of GB,
     past any broadcast threshold. Here the probe set is summarized into
-    a CONSTANT-size Bloom bitmap (operators/sketch.py, ≤16 KiB at the
-    default m) and the corpus takes a map-side bitmap test; only the
+    a CONSTANT-size Bloom bitmap (operators/sketch.py; m sized to the
+    counted probe-key set — an undersized bitmap saturates and lets
+    ~40% of the corpus through) and the corpus takes a map-side bitmap
+    test delivered as a BROADCAST one-row frame (an in-plan array
+    literal re-costs codegen with m — measured 3× wall at m=2^20);
+    only the
     survivors — true overlaps plus the designed ~0.1% false-positive
     trickle — reach a SHUFFLED semi join against the probe set for exact
     verification. Corpus-side shuffle volume drops from all shingles to
@@ -570,20 +574,28 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable bit_or aggregate, bounded driver collect of
     m/32 words; per-doc totals = one partial-agg shuffle of count rows;
     candidate verify = shuffle-hash semi join (hinted — the point is the
-    no-broadcast path) on the prefiltered survivors. The corpus text is
-    scanned twice (totals pass + candidate pass), both map-side; at
-    100 TB persist the shingle frame or fuse the total count into the
-    scan if the double tokenize matters more than the shuffle savings."""
-    from ..operators.sketch import bloom_bitmap, bloom_maybe_expr
+    no-broadcast path) on the prefiltered survivors. The shingle frame
+    feeds two consumers (totals pass + candidate pass), so it is
+    materialized ONCE via localCheckpoint (measured 3.6× without it —
+    re-shingling the corpus dwarfs everything else); at 100 TB that
+    materialization is a persisted/staged shingle table, the same
+    substitution the jaccard pair stage documents."""
+    from ..operators.sketch import bloom_bitmap, bloom_m_for, bloom_prefilter
+
+    from ..tables import spread
 
     d = load(spark, sf_dir, "documents")
     is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
     probe_sg = shingled_docs(d.filter(is_probe)).select("sg").distinct()
-    bitmap = bloom_bitmap(probe_sg, "sg")
-    sh = shingled_docs(d.filter(~is_probe))
+    n_probe = probe_sg.count()
+    bitmap = bloom_bitmap(probe_sg, "sg", m_bits=bloom_m_for(n_probe))
+    # spread BEFORE the checkpoint: the single-row-group local parquet
+    # would otherwise pin the 3-hash membership scan to one core (the
+    # checkpointed partitioning is what both consumers inherit)
+    sh = spread(shingled_docs(d.filter(~is_probe))).localCheckpoint()
     tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        sh.filter(bloom_maybe_expr(F.col("sg"), bitmap))
+        bloom_prefilter(sh, "sg", bitmap, m_bits=bloom_m_for(n_probe))
         .join(probe_sg.hint("shuffle_hash"), "sg", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
