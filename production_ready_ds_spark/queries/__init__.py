@@ -214,6 +214,7 @@ _EXTENSION_PRIORITY = (
     "q_dup_pagerank",
     "q_decontaminate_bloom",
     "q_bpe_train",
+    "q_bpe_apply",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -129,3 +129,46 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, n long"
     )
+
+
+@query("q_bpe_apply", category="llm-text", sql=None)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus and report per-source
+    subword statistics (token count, char count, subword count,
+    chars-per-subword compression) — the report tokenizer training is
+    run FOR: it decides whether the merge budget actually buys
+    sequence-length headroom on each source.
+
+    Scale shape: segmentation is memoized on the VOCABULARY, never
+    applied per corpus token occurrence — the corpus is scanned once
+    into a (source, token, n) aggregate (vocab×sources-bounded,
+    checkpointed), merges train on its token-level rollup, and the R
+    chained merge folds rewrite each DISTINCT word exactly once; corpus
+    totals are then weighted sums over that small frame. At 100 TB the
+    expensive part stays the one corpus scan that q_token_count already
+    pays. Rows-only (merge list is data-dependent); exactness via the
+    pure-Python reference segmentation replay in tests/test_bpe.py."""
+    d = load(spark, sf_dir, "documents")
+    wc_src = (
+        d.select("source", F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    wc = wc_src.groupBy("token").agg(F.sum("n").alias("n"))
+    merges = train_bpe(wc, N_MERGES)
+    sym = char_symbols(F.col("token"))
+    for _, left, right, _, _ in merges:
+        sym = merge_pair_expr(sym, left, right)
+    seg = wc_src.withColumn("n_sub", F.size(sym))
+    return (
+        seg.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.length("token")).cast("long").alias("n_chars"),
+            F.sum(F.col("n") * F.col("n_sub")).cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "chars_per_subword", F.round(F.col("n_chars") / F.col("n_subwords"), 4)
+        )
+    )

@@ -84,3 +84,44 @@ def test_bpe_tie_breaks_are_deterministic(spark):
 def test_bpe_exhausted_vocabulary_stops_early(spark):
     wc = spark.createDataFrame([("x", 7), ("y", 2)], "token string, n long")
     assert train_bpe(wc, 5) == []
+
+
+def test_bpe_apply_matches_reference_segmentation(spark, sf_small):
+    """q_bpe_apply's per-source subword totals must equal totals derived
+    from the pure-Python reference's final vocabulary state."""
+    from production_ready_ds_spark.functions.text import tokens_expr
+    from production_ready_ds_spark.queries import catalog
+    from production_ready_ds_spark.queries.bpe import N_MERGES
+    from production_ready_ds_spark.tables import load
+
+    d = load(spark, sf_small, "documents")
+    rows = (
+        d.select("source", F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .count()
+        .collect()
+    )
+    word_counts: dict[str, int] = {}
+    for r in rows:
+        word_counts[r["token"]] = word_counts.get(r["token"], 0) + r["count"]
+    # reference training + its final segmented vocabulary
+    vocab = {w: [c for c in w] for w in word_counts}
+    for rank, left, right, merged, n in bpe_reference(word_counts, N_MERGES):
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            vocab[w] = out
+    expected = {}
+    for r in rows:
+        src, tok, n = r["source"], r["token"], r["count"]
+        t, c, sub = expected.get(src, (0, 0, 0))
+        expected[src] = (t + n, c + n * len(tok), sub + n * len(vocab[tok]))
+    got = {
+        r["source"]: (r["n_tokens"], r["n_chars"], r["n_subwords"])
+        for r in catalog()["q_bpe_apply"].fn(spark, sf_small).collect()
+    }
+    assert got == expected
