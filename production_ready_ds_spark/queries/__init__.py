@@ -215,6 +215,7 @@ _EXTENSION_PRIORITY = (
     "q_decontaminate_bloom",
     "q_bpe_train",
     "q_bpe_apply",
+    "q_stream_decontaminate",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -15,6 +15,15 @@ from pyspark.sql import functions as F
 from . import query
 
 
+def _decon_sql() -> str:
+    """The exact decontamination oracle, shared with q_decontaminate /
+    q_decontaminate_bloom (importing lazily keeps module import order
+    irrelevant; registration caching makes the double import a no-op)."""
+    from .traindata import _DECON_SQL
+
+    return _DECON_SQL
+
+
 def _run_stream(spark: SparkSession, sdf, mode: str) -> DataFrame:
     name = f"q_stream_{uuid.uuid4().hex[:10]}"
     q = (
@@ -181,3 +190,56 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         spark, streaming_minhash_candidates(stream), "append"
     ).distinct()
+
+
+@query(
+    "q_stream_decontaminate",
+    category="streaming",
+    sql=_decon_sql(),
+)
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark decontamination: the q_decontaminate scoring
+    run as a Structured Streaming job over the documents stream and
+    hash-checked against the SAME exact DuckDB oracle — per-doc shingle
+    totals, probe overlaps, and the rounded contamination fraction are
+    bit-identical to the batch path.
+
+    Shape: shingling is a per-row map (each document carries its whole
+    text, so its distinct-shingle array needs no cross-row state); the
+    probe set is a STATIC broadcast side of a stream-static left join;
+    the only stateful operator is the per-doc count aggregate, run in
+    complete mode for this run-to-completion replay. In production the
+    same plan runs per micro-batch with foreachBatch writing per-doc
+    scores incrementally (doc_id is a one-batch key — a document's
+    shingles all arrive together — so no cross-batch agg state is
+    actually needed); the bloom variant (q_decontaminate_bloom)
+    composes here unchanged because its bitmap test is map-side."""
+    import os
+
+    from ..operators.dedup import shingled_docs
+    from ..streaming.events import _as_stream_dir
+    from ..tables import load
+    from .traindata import PROBE_MOD
+
+    is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
+    probe = (
+        shingled_docs(load(spark, sf_dir, "documents").filter(is_probe))
+        .select("sg")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+        .filter(~is_probe)
+    )
+    joined = shingled_docs(stream).join(F.broadcast(probe), "sg", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("hit").alias("n_overlap"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contamination"),
+    )
+    return _run_stream(spark, agg, "complete")
