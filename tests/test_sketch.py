@@ -148,3 +148,59 @@ def test_decontaminate_bloom_matches_exact_and_never_broadcasts_probe(spark, sf_
     import re
 
     assert not re.search(r"BroadcastHashJoin .*LeftSemi", s), s
+
+
+def test_bloom_prefilter_composes_with_streaming(spark, sf_small):
+    """The q_stream_decontaminate docstring claims the bloom bitmap test
+    composes into the streaming path unchanged (it is a stream-static
+    broadcast join + map-side filter). Prove it: a streaming
+    bloom-prefiltered shingle stream must keep EVERY truly-overlapping
+    shingle (no false negatives) and match the batch prefilter row set."""
+    import os
+    import uuid
+
+    from production_ready_ds_spark.operators.dedup import shingled_docs
+    from production_ready_ds_spark.operators.sketch import (
+        bloom_bitmap,
+        bloom_m_for,
+        bloom_prefilter,
+    )
+    from production_ready_ds_spark.streaming.events import _as_stream_dir
+    from production_ready_ds_spark.tables import load
+
+    d = load(spark, sf_small, "documents")
+    probe_sg = shingled_docs(d.filter(F.col("doc_id") % 20 == 0)).select("sg").distinct()
+    m = bloom_m_for(probe_sg.count())
+    bitmap = bloom_bitmap(probe_sg, "sg", m_bits=m)
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_small, "documents.parquet")))
+        .filter(F.col("doc_id") % 20 != 0)
+    )
+    name = f"bloom_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        bloom_prefilter(shingled_docs(stream), "sg", bitmap, m_bits=m)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {(r.doc_id, r.sg) for r in spark.table(name).collect()}
+
+    batch_corpus = shingled_docs(d.filter(F.col("doc_id") % 20 != 0))
+    batch = {
+        (r.doc_id, r.sg)
+        for r in bloom_prefilter(batch_corpus, "sg", bitmap, m_bits=m).collect()
+    }
+    true_hits = {
+        (r.doc_id, r.sg)
+        for r in batch_corpus.join(probe_sg, "sg", "left_semi").collect()
+    }
+    assert streamed == batch
+    assert true_hits <= streamed, "bloom prefilter dropped a true overlap"
