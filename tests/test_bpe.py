@@ -125,3 +125,20 @@ def test_bpe_apply_matches_reference_segmentation(spark, sf_small):
         for r in catalog()["q_bpe_apply"].fn(spark, sf_small).collect()
     }
     assert got == expected
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+
+@given(st.dictionaries(_word, st.integers(min_value=1, max_value=5), min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None)  # each example is several Spark jobs
+def test_bpe_fuzz_matches_reference(spark, word_counts):
+    """Adversarial fuzz over a 2-letter alphabet: tiny words maximize
+    overlapping-pair, tie, and merged-symbol-reuse cases (merges like
+    ('a','a') then ('aa','aa')) that the corpus replay rarely hits.
+    Spark training must equal the pure-Python reference exactly."""
+    wc = spark.createDataFrame(list(word_counts.items()), "token string, n long")
+    assert train_bpe(wc, 4) == bpe_reference(word_counts, 4)
