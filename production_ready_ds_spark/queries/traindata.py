@@ -11,8 +11,10 @@ first-class catalog queries with DuckDB oracles.
 
 Shared scale theme: every query is one shuffle (or none) — packing
 shuffles once on the shard key, mixing is a map-only scan, and
-decontamination is a broadcast join against the (always comparatively
-tiny) benchmark shingle set.
+decontamination streams the corpus map-side against the benchmark
+shingle set (broadcast join when the probe set fits, Bloom-bitmap
+prefilter + survivor-only verify join when it does not — see
+q_decontaminate_bloom).
 """
 
 from __future__ import annotations
