@@ -1,5 +1,5 @@
-"""Bounded-memory sketch operators: Misra-Gries heavy hitters and a
-Bloom-filter membership bitmap.
+"""Bounded-memory sketch operators: Misra-Gries heavy hitters, a
+Bloom-filter membership bitmap, and a Count-Min frequency sketch.
 
 Members of the engine's mergeable-sketch family (HLL for distinct
 counts, GK for percentiles — SCALE.md "Sketches"). Misra-Gries: find
@@ -212,3 +212,73 @@ def misra_gries_candidates(
     return items.mapInPandas(
         summarize, f"{col} {value_type}, part int, part_rows long"
     )
+
+
+# Count-Min defaults: 4 rows × 2048 cols = 8192 counters regardless of
+# input cardinality; expected over-count per probe ≈ N/w per row, min
+# over d rows. Widen w for tighter estimates, never the corpus.
+CMS_W = 2048
+CMS_D = 4
+
+
+def cms_table(items: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
+    """Count-Min sketch of ``items[col]`` as a (seed, pos, cnt) frame —
+    at most d·w rows total, one map-side-combinable aggregate to build.
+
+    The frame FORM is what makes it a distributed sketch: partial
+    aggregation compresses every partition to ≤ d·w partial rows before
+    the shuffle (bounded by the sketch size, not the data), and two
+    sketches MERGE by union + re-aggregation — the same mergeability
+    contract as the HLL/GK/MG/Bloom members of this family
+    (tests pin union(cms(a), cms(b)) ≡ cms(a ∪ b) exactly).
+    Complements Misra-Gries: MG returns exact heavy-hitter counts in
+    two passes; CMS answers any-key frequency estimates in ONE pass
+    under the same bounded memory, over-counting by ≈ N/w per row
+    (min over d rows), never under-counting."""
+    pos = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(w)).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("sp")
+    )
+    return (
+        pos.groupBy(F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, probes: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D
+) -> DataFrame:
+    """Frequency estimates for ``probes[col]`` against a
+    :func:`cms_table` frame: each probe hashes to its d (seed, pos)
+    cells, a LEFT join fetches the counters (an untouched cell is an
+    exact 0), and the estimate is the min over rows. The join's left
+    side is |probes|·d rows — probes are the small side by design, so
+    at scale broadcast the PROBES, stream the (≤ d·w row) sketch, or
+    both ways; either is trivially small."""
+    ppos = probes.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seed"),
+                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(w)).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("sp"),
+    ).select(col, F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
+    joined = ppos.join(cms, ["seed", "pos"], "left").withColumn(
+        "cnt", F.coalesce("cnt", F.lit(0))
+    )
+    return joined.groupBy(col).agg(F.min("cnt").cast("long").alias("est"))

@@ -216,6 +216,7 @@ _EXTENSION_PRIORITY = (
     "q_bpe_train",
     "q_bpe_apply",
     "q_stream_decontaminate",
+    "q_cms_token_freq",
     # TPC-H completion set (partsupp derived from lineitem)
     "q_tpch_q2",
     "q_tpch_q9",

@@ -2538,3 +2538,68 @@ def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges).select(
         F.col("node").alias("doc_id"), F.round("r", 6).alias("rank")
     )
+
+
+@query(
+    "q_cms_token_freq",
+    category="llm-text",
+    sql=f"""
+    WITH tok AS (
+      SELECT t AS token
+      FROM (SELECT {_DUCK_TOKENS} AS ts FROM documents), UNNEST(ts) AS u(t)
+    ),
+    c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT token, CAST(freq AS BIGINT) AS freq,
+           TRUE AS never_under, TRUE AS overcount_bounded
+    FROM c ORDER BY freq DESC, token LIMIT 20
+    """,
+)
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the top-20 corpus
+    tokens, verified the same way q_heavy_hitters verifies Misra-Gries:
+    the hash-dependent ESTIMATE cannot cross engines, but the sketch's
+    GUARANTEE can — the output carries the exact frequency plus two
+    booleans the oracle expects to be TRUE: ``never_under`` (CMS never
+    undercounts — a deterministic property) and ``overcount_bounded``
+    (est ≤ freq + 16·N/w; per sketch row Markov gives P(>16N/w) ≤ 1/16,
+    so the min over d=4 rows fails with probability ≤ 16⁻⁴ per probe —
+    and given fixed data + seeds the check is deterministic, verified
+    at every local SF). A violated guarantee is a hash mismatch the
+    driver catches, so the oracle certifies the sketch's contract
+    end-to-end, not just the plumbing.
+
+    Scale shape: the sketch build is ONE map-side-combinable aggregate
+    whose shuffle is bounded by d·w = 8 192 partial rows per map task
+    regardless of corpus size; N comes free from the seed-0 row sum
+    (no second corpus pass). The exact top-20 here doubles as the
+    probe set and the verification baseline — at 100 TB the probes
+    come from the MG candidate pass instead and nothing else changes.
+    CMS completes the mergeable family (HLL distinct / GK percentile /
+    MG exact-heavy / Bloom membership / CMS any-key frequency);
+    mergeability is pinned exactly in tests/test_sketch.py."""
+    from ..operators.sketch import CMS_W, cms_estimate, cms_table
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+    cms = cms_table(toks, "token").localCheckpoint()
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+    total = cms.filter(F.col("seed") == 0).agg(F.sum("cnt").alias("n"))
+    est = cms_estimate(cms, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .join(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            (F.col("est") >= F.col("freq")).alias("never_under"),
+            (F.col("est") <= F.col("freq") + 16.0 * F.col("n") / CMS_W).alias(
+                "overcount_bounded"
+            ),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+    )

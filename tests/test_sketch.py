@@ -204,3 +204,48 @@ def test_bloom_prefilter_composes_with_streaming(spark, sf_small):
     }
     assert streamed == batch
     assert true_hits <= streamed, "bloom prefilter dropped a true overlap"
+
+
+# ------------------------------------------------------------ count-min
+
+
+def test_cms_merges_exactly(spark):
+    """union(cms(a), cms(b)) re-aggregated must equal cms(a ∪ b) cell
+    for cell — the mergeable-summaries contract that lets per-partition
+    / per-batch sketches compose at any scale."""
+    from production_ready_ds_spark.operators.sketch import cms_table
+
+    a = spark.createDataFrame([(f"t{i % 50}",) for i in range(500)], "token string")
+    b = spark.createDataFrame([(f"t{i % 30}",) for i in range(300)], "token string")
+    merged = (
+        cms_table(a, "token")
+        .union(cms_table(b, "token"))
+        .groupBy("seed", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(a.union(b), "token")
+    assert sorted(merged.collect()) == sorted(whole.collect())
+
+
+def test_cms_never_undercounts_and_zero_for_absent(spark):
+    from production_ready_ds_spark.operators.sketch import cms_estimate, cms_table
+
+    items = spark.createDataFrame(
+        [(f"v{i % 100}",) for i in range(2000)], "token string"
+    )
+    cms = cms_table(items, "token")
+    probes = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)] + [("absent_key_xyz",)], "token string"
+    )
+    true_counts = {r.token: r["count"] for r in items.groupBy("token").count().collect()}
+    for r in cms_estimate(cms, probes, "token").collect():
+        true = true_counts.get(r.token, 0)
+        assert r.est >= true, f"CMS undercounted {r.token}: {r.est} < {true}"
+    # an absent key CAN still collide, but with w=2048 and 100 distinct
+    # values the expected collision mass is tiny — just assert the
+    # estimate is bounded, not necessarily zero
+    est_absent = {
+        r.token: r.est
+        for r in cms_estimate(cms, probes, "token").collect()
+    }["absent_key_xyz"]
+    assert est_absent <= 2000 * 16 / 2048
