@@ -88,8 +88,13 @@ def bloom_bitmap(
     One map-side-combinable aggregate: explode each value into its k
     bit positions, ``groupBy(word)``/``bit_or(1<<bit)`` — the shuffle
     carries at most ``m_bits/32`` partial rows per map task regardless
-    of input size, and the driver collect is bounded by the CONSTANT
-    ``m_bits/32`` (4096 rows at the default), never by the value count.
+    of input size, and the driver collect is bounded by ``m_bits/32``
+    (4096 rows at the default), independent of the CORPUS the bitmap
+    will screen. m itself scales with the KEY COUNT (bloom_m_for, ~1.75
+    bytes/key), so the driver/broadcast footprint is Θ(probe set) —
+    ~0.2 GB per 10⁹ probe keys; past what one driver row tolerates,
+    shard the key space into B independent (bitmap, prefilter) pairs
+    and union the survivor streams — each shard keeps this exact shape.
     The result is the mergeable-summary form of set membership: bitmaps
     of the same (m, k) OR together, so per-partition/per-batch bitmaps
     compose exactly like the HLL/GK/MG sketches in this family."""
@@ -111,62 +116,60 @@ def bloom_bitmap(
     return bitmap
 
 
+def _bloom_checks(col: Column, bm: Column, m_bits: int, k: int) -> Column:
+    """AND of the k bit tests for ``col`` against bitmap column/literal
+    ``bm`` — shared by the literal and broadcast-frame forms so the two
+    can never diverge."""
+    out = None
+    for pos in _bloom_positions(col, m_bits, k):
+        check = (
+            F.bit_get(
+                F.element_at(bm, (pos / _WORD_BITS).cast("int") + F.lit(1)),
+                (pos % _WORD_BITS).cast("int"),
+            )
+            == 1
+        )
+        out = check if out is None else out & check
+    return out
+
+
 def bloom_maybe_expr(
     col: Column,
     bitmap: list[int],
-    m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K_HASHES,
 ) -> Column:
     """Membership test against a :func:`bloom_bitmap` result: true iff
     all k bit positions of ``col`` are set. No false negatives; false
-    positives at the (m, k, n) design rate. The bitmap rides along as a
-    single array<long> LITERAL (≤ 32 KiB at the default m), so the test
-    is a pure map-side column expression — no join, no shuffle, no
-    Python."""
-    bm = F.lit(bitmap).cast("array<long>")
-    checks = [
-        F.bit_get(
-            F.element_at(bm, (pos / _WORD_BITS).cast("int") + F.lit(1)),
-            (pos % _WORD_BITS).cast("int"),
-        )
-        == 1
-        for pos in _bloom_positions(col, m_bits, k)
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
-    return out
+    positives at the (m, k, n) design rate. m is DERIVED from the
+    bitmap (len·32) so build and test can never disagree — a desynced m
+    silently yields false negatives, the one error Bloom must not make.
+    The bitmap rides along as an array<long> LITERAL, so the test is a
+    pure map-side column expression — no join, no shuffle, no Python;
+    literal codegen cost grows with m, so use :func:`bloom_prefilter`
+    on data-sized scans."""
+    m_bits = len(bitmap) * _WORD_BITS
+    return _bloom_checks(col, F.lit(bitmap).cast("array<long>"), m_bits, k)
 
 
 def bloom_prefilter(
     df: DataFrame,
     col: str,
     bitmap: list[int],
-    m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K_HASHES,
 ) -> DataFrame:
     """Rows of ``df`` whose ``col`` MAYBE belongs to the bitmap's set
-    (no false negatives).
+    (no false negatives). m is derived from the bitmap, like
+    :func:`bloom_maybe_expr`.
 
     Same semantics as filtering on :func:`bloom_maybe_expr`, but the
     bitmap arrives as a BROADCAST one-row frame instead of an in-plan
     array literal: the literal's codegen cost grows with m (measured
     ~8× wall on the same scan going 2^17 → 2^20 bits), while the
     broadcast array materializes once per executor and each row does
-    three O(1) attribute lookups. Use this form on data-sized scans;
-    the literal form stays fine for small fixed bitmaps."""
+    three O(1) attribute lookups."""
+    m_bits = len(bitmap) * _WORD_BITS
     bm = df.sparkSession.createDataFrame([(bitmap,)], "_bloom_bm array<long>")
-    checks = [
-        F.bit_get(
-            F.element_at(F.col("_bloom_bm"), (pos / _WORD_BITS).cast("int") + F.lit(1)),
-            (pos % _WORD_BITS).cast("int"),
-        )
-        == 1
-        for pos in _bloom_positions(F.col(col), m_bits, k)
-    ]
-    cond = checks[0]
-    for c in checks[1:]:
-        cond = cond & c
+    cond = _bloom_checks(F.col(col), F.col("_bloom_bm"), m_bits, k)
     return df.join(F.broadcast(bm)).filter(cond).drop("_bloom_bm")
 
 

@@ -45,10 +45,15 @@ def char_symbols(token: Column) -> Column:
     """A token's initial symbol array: its characters (no end-of-word
     marker — the convention the pure-Python reference mirrors).
     Explicit substring transform rather than split-on-empty-regex, whose
-    edge behavior differs across engines."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(token)), lambda i: token.substr(i, F.lit(1))
-    )
+    edge behavior differs across engines; the empty token is guarded
+    because ``F.sequence(1, 0)`` counts DOWN (it would fabricate ['','']
+    and a phantom ('','') pair the reference never sees)."""
+    return F.when(
+        F.length(token) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(token)), lambda i: token.substr(i, F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def adjacent_pairs(sym: Column) -> Column:

@@ -13,15 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-
-
-def _decon_sql() -> str:
-    """The exact decontamination oracle, shared with q_decontaminate /
-    q_decontaminate_bloom (importing lazily keeps module import order
-    irrelevant; registration caching makes the double import a no-op)."""
-    from .traindata import _DECON_SQL
-
-    return _DECON_SQL
+from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
 
 
 def _run_stream(spark: SparkSession, sdf, mode: str) -> DataFrame:
@@ -195,7 +187,7 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_decontaminate",
     category="streaming",
-    sql=_decon_sql(),
+    sql=_DECON_SQL,
 )
 def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming benchmark decontamination: the q_decontaminate scoring
@@ -216,18 +208,10 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes here unchanged because its bitmap test is map-side."""
     import os
 
-    from ..operators.dedup import shingled_docs
     from ..streaming.events import _as_stream_dir
     from ..tables import load
-    from .traindata import PROBE_MOD
 
     is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
-    probe = (
-        shingled_docs(load(spark, sf_dir, "documents").filter(is_probe))
-        .select("sg")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
     stream = (
         spark.readStream.schema(
             "doc_id long, text string, lang string, source string, n_chars long"
@@ -236,10 +220,15 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
         .filter(~is_probe)
     )
-    joined = shingled_docs(stream).join(F.broadcast(probe), "sg", "left")
-    agg = joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count("hit").alias("n_overlap"),
-        F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("contamination"),
+    # the SAME scoring definition the batch query and oracle use —
+    # contamination_scores accepts the streaming corpus frame unchanged
+    scores = contamination_scores(
+        stream, load(spark, sf_dir, "documents").filter(is_probe)
+    )
+    agg = scores.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round("contamination", 4).alias("contamination"),
     )
     return _run_stream(spark, agg, "complete")

@@ -588,16 +588,19 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     is_probe = F.pmod(F.col("doc_id"), F.lit(PROBE_MOD)) == 0
-    probe_sg = shingled_docs(d.filter(is_probe)).select("sg").distinct()
-    n_probe = probe_sg.count()
-    bitmap = bloom_bitmap(probe_sg, "sg", m_bits=bloom_m_for(n_probe))
+    # probe_sg feeds three consumers (count, bitmap build, verify semi
+    # join) — materialize the shingle+distinct once, like the corpus side
+    probe_sg = (
+        shingled_docs(d.filter(is_probe)).select("sg").distinct().localCheckpoint()
+    )
+    bitmap = bloom_bitmap(probe_sg, "sg", m_bits=bloom_m_for(probe_sg.count()))
     # spread BEFORE the checkpoint: the single-row-group local parquet
     # would otherwise pin the 3-hash membership scan to one core (the
     # checkpointed partitioning is what both consumers inherit)
     sh = spread(shingled_docs(d.filter(~is_probe))).localCheckpoint()
     tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        bloom_prefilter(sh, "sg", bitmap, m_bits=bloom_m_for(n_probe))
+        bloom_prefilter(sh, "sg", bitmap)
         .join(probe_sg.hint("shuffle_hash"), "sg", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))

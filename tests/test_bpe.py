@@ -142,3 +142,15 @@ def test_bpe_fuzz_matches_reference(spark, word_counts):
     Spark training must equal the pure-Python reference exactly."""
     wc = spark.createDataFrame(list(word_counts.items()), "token string, n long")
     assert train_bpe(wc, 4) == bpe_reference(word_counts, 4)
+
+
+def test_bpe_empty_token_contributes_nothing(spark):
+    """Regression (review finding): an empty token must produce an empty
+    symbol array, not the phantom ['',''] that F.sequence(1, 0)'s
+    count-DOWN behavior would fabricate — train_bpe on a dict containing
+    '' must match the reference exactly."""
+    wc_rows = [("", 5), ("ab", 3)]
+    wc = spark.createDataFrame(wc_rows, "token string, n long")
+    got = train_bpe(wc, 1)
+    assert got == bpe_reference(dict(wc_rows), 1)
+    assert got[0][1:4] == ("a", "b", "ab")

@@ -183,7 +183,7 @@ def test_bloom_prefilter_composes_with_streaming(spark, sf_small):
     )
     name = f"bloom_stream_{uuid.uuid4().hex[:8]}"
     q = (
-        bloom_prefilter(shingled_docs(stream), "sg", bitmap, m_bits=m)
+        bloom_prefilter(shingled_docs(stream), "sg", bitmap)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -196,7 +196,7 @@ def test_bloom_prefilter_composes_with_streaming(spark, sf_small):
     batch_corpus = shingled_docs(d.filter(F.col("doc_id") % 20 != 0))
     batch = {
         (r.doc_id, r.sg)
-        for r in bloom_prefilter(batch_corpus, "sg", bitmap, m_bits=m).collect()
+        for r in bloom_prefilter(batch_corpus, "sg", bitmap).collect()
     }
     true_hits = {
         (r.doc_id, r.sg)
