@@ -558,7 +558,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_decontaminate's shape assumes the benchmark-shingle set fits in a
     broadcast; a frontier eval suite's shingle set can reach tens of GB,
     past any broadcast threshold. Here the probe set is summarized into
-    a CONSTANT-size Bloom bitmap (operators/sketch.py; m sized to the
+    a corpus-independent Bloom bitmap (operators/sketch.py; m sized to the
     counted probe-key set — an undersized bitmap saturates and lets
     ~40% of the corpus through) and the corpus takes a map-side bitmap
     test delivered as a BROADCAST one-row frame (an in-plan array
