@@ -138,13 +138,11 @@ _CONTRACT_ORDER = (
 # bounded prefix of the catalog (48 contract rows + ~2 extension slots),
 # so each round the names that earned a green CORRECTNESS row move to the
 # BACK and never-verified names move to the front. Round-2 verified
-# q_dedup_clusters + q_dedup_ngram_jaccard → back. Round-3 front: the
-# r1-scale-fix carriers (q_dedup_embedding, q_sim_topk_bucketed) and the
-# training-data trio the verdict names as the 100 TB gate
+# q_dedup_clusters + q_dedup_ngram_jaccard → back; round-3 verified
+# q_dedup_embedding + q_sim_topk_bucketed → back. Round-4 front: the
+# training-data trio the round-2 verdict named as the 100 TB gate
 # (q_decontaminate, q_pack_sequences, q_mix_domains).
 _EXTENSION_PRIORITY = (
-    "q_dedup_embedding",
-    "q_sim_topk_bucketed",
     "q_decontaminate",
     "q_pack_sequences",
     "q_mix_domains",
@@ -223,9 +221,11 @@ _EXTENSION_PRIORITY = (
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
-    # verified in round 2 — rotated to the back
+    # verified in rounds 2-3 — rotated to the back
     "q_dedup_clusters",
     "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_sim_topk_bucketed",
 )
 
 
