@@ -43,6 +43,8 @@ the right tool when full cardinality is affordable.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,14 +78,34 @@ def _bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
     return [F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)) for i in range(k)]
 
 
+@dataclass(frozen=True)
+class BloomFilter:
+    """A built Bloom bitmap plus the hash count it was built with.
+
+    BOTH test-side parameters are derived from this object — m from the
+    word count, k carried explicitly — so a membership test can never
+    run with a different (m, k) than the build. A desynced m, or a
+    test-side k larger than the build k, silently yields FALSE
+    NEGATIVES — the one error Bloom must not make (round-3 advice)."""
+
+    words: list[int]
+    k: int = BLOOM_K_HASHES
+
+    @property
+    def m_bits(self) -> int:
+        return len(self.words) * _WORD_BITS
+
+
 def bloom_bitmap(
     values: DataFrame,
     col: str,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K_HASHES,
-) -> list[int]:
-    """Build a Bloom bitmap over ``values[col]`` as a dense list of
-    ``m_bits/32`` 32-bit words (stored in longs).
+) -> BloomFilter:
+    """Build a Bloom filter over ``values[col]``: a dense bitmap of
+    ``m_bits/32`` 32-bit words (stored in longs) packaged with ``k`` as
+    a :class:`BloomFilter` so the test side derives both parameters
+    from the artifact.
 
     One map-side-combinable aggregate: explode each value into its k
     bit positions, ``groupBy(word)``/``bit_or(1<<bit)`` — the shuffle
@@ -113,7 +135,7 @@ def bloom_bitmap(
     bitmap = [0] * (m_bits // _WORD_BITS)
     for row in words:
         bitmap[row["w"]] = row["word"]
-    return bitmap
+    return BloomFilter(bitmap, k)
 
 
 def _bloom_checks(col: Column, bm: Column, m_bits: int, k: int) -> Column:
@@ -133,33 +155,24 @@ def _bloom_checks(col: Column, bm: Column, m_bits: int, k: int) -> Column:
     return out
 
 
-def bloom_maybe_expr(
-    col: Column,
-    bitmap: list[int],
-    k: int = BLOOM_K_HASHES,
-) -> Column:
+def bloom_maybe_expr(col: Column, bloom: BloomFilter) -> Column:
     """Membership test against a :func:`bloom_bitmap` result: true iff
     all k bit positions of ``col`` are set. No false negatives; false
-    positives at the (m, k, n) design rate. m is DERIVED from the
-    bitmap (len·32) so build and test can never disagree — a desynced m
-    silently yields false negatives, the one error Bloom must not make.
+    positives at the (m, k, n) design rate. BOTH m and k are derived
+    from the :class:`BloomFilter` so build and test can never disagree.
     The bitmap rides along as an array<long> LITERAL, so the test is a
     pure map-side column expression — no join, no shuffle, no Python;
     literal codegen cost grows with m, so use :func:`bloom_prefilter`
     on data-sized scans."""
-    m_bits = len(bitmap) * _WORD_BITS
-    return _bloom_checks(col, F.lit(bitmap).cast("array<long>"), m_bits, k)
+    return _bloom_checks(
+        col, F.lit(bloom.words).cast("array<long>"), bloom.m_bits, bloom.k
+    )
 
 
-def bloom_prefilter(
-    df: DataFrame,
-    col: str,
-    bitmap: list[int],
-    k: int = BLOOM_K_HASHES,
-) -> DataFrame:
-    """Rows of ``df`` whose ``col`` MAYBE belongs to the bitmap's set
-    (no false negatives). m is derived from the bitmap, like
-    :func:`bloom_maybe_expr`.
+def bloom_prefilter(df: DataFrame, col: str, bloom: BloomFilter) -> DataFrame:
+    """Rows of ``df`` whose ``col`` MAYBE belongs to the filter's set
+    (no false negatives). m and k come from the :class:`BloomFilter`,
+    like :func:`bloom_maybe_expr`.
 
     Same semantics as filtering on :func:`bloom_maybe_expr`, but the
     bitmap arrives as a BROADCAST one-row frame instead of an in-plan
@@ -167,9 +180,8 @@ def bloom_prefilter(
     ~8× wall on the same scan going 2^17 → 2^20 bits), while the
     broadcast array materializes once per executor and each row does
     three O(1) attribute lookups."""
-    m_bits = len(bitmap) * _WORD_BITS
-    bm = df.sparkSession.createDataFrame([(bitmap,)], "_bloom_bm array<long>")
-    cond = _bloom_checks(F.col(col), F.col("_bloom_bm"), m_bits, k)
+    bm = df.sparkSession.createDataFrame([(bloom.words,)], "_bloom_bm array<long>")
+    cond = _bloom_checks(F.col(col), F.col("_bloom_bm"), bloom.m_bits, bloom.k)
     return df.join(F.broadcast(bm)).filter(cond).drop("_bloom_bm")
 
 
@@ -224,6 +236,26 @@ CMS_W = 2048
 CMS_D = 4
 
 
+def _cms_positions(col: Column, w: int, d: int) -> Column:
+    """The exploded (seed, pos) cells of a value — ONE definition shared
+    by build and estimate (mirroring _bloom_positions) so the two can
+    never hash differently. A build/estimate (w, d) mismatch sends
+    probes to the wrong cells and can UNDERCOUNT, silently breaking the
+    never-under contract — callers must pass the build's (w, d) to
+    :func:`cms_estimate` (round-3 advice)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("seed"),
+                    F.pmod(F.xxhash64(F.lit(i), col), F.lit(w)).alias("pos"),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+
+
 def cms_table(items: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D) -> DataFrame:
     """Count-Min sketch of ``items[col]`` as a (seed, pos, cnt) frame —
     at most d·w rows total, one map-side-combinable aggregate to build.
@@ -238,19 +270,7 @@ def cms_table(items: DataFrame, col: str, w: int = CMS_W, d: int = CMS_D) -> Dat
     two passes; CMS answers any-key frequency estimates in ONE pass
     under the same bounded memory, over-counting by ≈ N/w per row
     (min over d rows), never under-counting."""
-    pos = items.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(w)).alias("pos"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("sp")
-    )
+    pos = items.select(_cms_positions(F.col(col), w, d).alias("sp"))
     return (
         pos.groupBy(F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -266,20 +286,11 @@ def cms_estimate(
     exact 0), and the estimate is the min over rows. The join's left
     side is |probes|·d rows — probes are the small side by design, so
     at scale broadcast the PROBES, stream the (≤ d·w row) sketch, or
-    both ways; either is trivially small."""
+    both ways; either is trivially small. ``(w, d)`` MUST equal the
+    build's — _cms_positions is the one shared hash definition, and the
+    docstring there spells out the mismatch hazard."""
     ppos = probes.select(
-        F.col(col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seed"),
-                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(w)).alias("pos"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("sp"),
+        F.col(col), _cms_positions(F.col(col), w, d).alias("sp")
     ).select(col, F.col("sp.seed").alias("seed"), F.col("sp.pos").alias("pos"))
     joined = ppos.join(cms, ["seed", "pos"], "left").withColumn(
         "cnt", F.coalesce("cnt", F.lit(0))

@@ -120,10 +120,10 @@ def train_bpe(word_counts: DataFrame, n_merges: int = N_MERGES) -> list[tuple]:
 
 @query("q_bpe_train", category="llm-text", sql=None)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train {N_MERGES} BPE merges on the documents corpus and return
-    the merge table (rank, left, right, merged, n). See the module
-    docstring for the scale argument; exact-equivalence evidence is the
-    pure-Python reference replay in tests/test_bpe.py."""
+    """Train N_MERGES (= 12) BPE merges on the documents corpus and
+    return the merge table (rank, left, right, merged, n). See the
+    module docstring for the scale argument; exact-equivalence evidence
+    is the pure-Python reference replay in tests/test_bpe.py."""
     d = load(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))

@@ -2561,10 +2561,14 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     GUARANTEE can — the output carries the exact frequency plus two
     booleans the oracle expects to be TRUE: ``never_under`` (CMS never
     undercounts — a deterministic property) and ``overcount_bounded``
-    (est ≤ freq + 16·N/w; per sketch row Markov gives P(>16N/w) ≤ 1/16,
-    so the min over d=4 rows fails with probability ≤ 16⁻⁴ per probe —
-    and given fixed data + seeds the check is deterministic, verified
-    at every local SF). A violated guarantee is a hash mismatch the
+    (est ≤ freq + 32·N/w; per sketch row Markov gives P(>32N/w) ≤ 1/32,
+    so the min over d=4 rows fails with probability ≤ 32⁻⁴ ≈ 1e-6 per
+    probe — the constant is 32 rather than the tighter 16 deliberately:
+    the bound is part of the ORACLE hash, so a future SF or tokenizer
+    change tripping an expected sketch tail would read as a correctness
+    failure; halving the tail risk costs nothing contractually
+    (round-3 advice). Given fixed data + seeds the check is
+    deterministic, verified at every local SF). A violated guarantee is a hash mismatch the
     driver catches, so the oracle certifies the sketch's contract
     end-to-end, not just the plumbing.
 
@@ -2597,7 +2601,7 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "freq",
             (F.col("est") >= F.col("freq")).alias("never_under"),
-            (F.col("est") <= F.col("freq") + 16.0 * F.col("n") / CMS_W).alias(
+            (F.col("est") <= F.col("freq") + 32.0 * F.col("n") / CMS_W).alias(
                 "overcount_bounded"
             ),
         )

@@ -126,7 +126,9 @@ def test_bloom_bitmap_size_is_constant(spark):
     big = bloom_bitmap(
         spark.createDataFrame([(f"v{i}",) for i in range(20000)], "sg string"), "sg"
     )
-    assert len(small) == len(big) == BLOOM_M_BITS // 32
+    assert len(small.words) == len(big.words) == BLOOM_M_BITS // 32
+    # k rides with the bitmap so test-side hashing can't desync (ADVICE r3)
+    assert small.k == big.k == 3
 
 
 def test_decontaminate_bloom_matches_exact_and_never_broadcasts_probe(spark, sf_small):
