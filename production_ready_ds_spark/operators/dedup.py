@@ -77,6 +77,7 @@ def rank_cap(
     *,
     salt_buckets: int = 32,
     mega_threshold: int = 100_000,
+    peek: bool = True,
 ) -> DataFrame:
     """Keep the ``cap`` lowest-``order_col`` rows of every ``part_cols``
     group — WITHOUT sorting the uncontended majority.
@@ -96,10 +97,24 @@ def rank_cap(
     a single group holding a billion rows never lands in one sort
     partition (the k smallest overall are each the k smallest within
     their salt bucket, so the two-stage result is exact). The routing
-    is a map-side filter on the broadcast size, and the mega branch is
-    empty in healthy corpora — measured 28 % off the whole jaccard
-    query at sf0.1 vs salting every hot group (the two extra window
-    stages cost more than the 1.3k hot rows they sorted).
+    is a map-side filter on the broadcast size — measured 28 % off the
+    whole jaccard query at sf0.1 vs salting every hot group (the two
+    extra window stages cost more than the 1.3k hot rows they sorted).
+
+    With ``peek`` (default), a driver-side ``limit(1)`` probe decides
+    whether any mega group EXISTS; when none does (every healthy
+    corpus) the salted branch isn't planned at all. The two idle mega
+    window stages measured ~0.25 s of pure scheduling overhead at
+    sf0.1 — the same planned-but-idle cost the minhash oversized-bucket
+    guard peeks away. The probe runs the size aggregate once more as
+    its own tiny job (map-side-combined narrow rows; the probe result
+    is bounded at one row) — deliberately WITHOUT checkpointing the
+    hot frame, because a checkpointed hot side becomes a LogicalRDD
+    with unknown stats that poisons every downstream size estimate
+    (measured: the per-doc-count joins in jaccard_pairs silently lost
+    their static broadcast). Pass ``peek=False`` in lazy contexts (no
+    driver action): the mega branch is then always planned and sits
+    empty, which is the safe static shape.
 
     ``df`` is consumed three times (size agg, cold anti, hot join) —
     pass a materialized/checkpointed frame or a cheap scan, not an
@@ -107,29 +122,40 @@ def rank_cap(
     order_col) has no duplicate rows."""
     sizes = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("_df"))
     hot = sizes.filter(F.col("_df") > cap)
+    if peek:
+        has_mega = bool(
+            hot.filter(F.col("_df") > mega_threshold).limit(1).collect()
+        )
+    else:
+        has_mega = True  # static plan: keep the guard branch
     cold = df.join(F.broadcast(hot.select(*part_cols)), part_cols, "left_anti")
     hot_rows = df.join(F.broadcast(hot), part_cols, "inner")
     w2 = Window.partitionBy(*part_cols).orderBy(order_col)
+    warm = (
+        hot_rows.filter(F.col("_df") <= mega_threshold) if has_mega else hot_rows
+    )
     warm_capped = (
-        hot_rows.filter(F.col("_df") <= mega_threshold)
-        .drop("_df")
+        warm.drop("_df")
         .withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
     )
-    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
-    w1 = Window.partitionBy(*part_cols, "_salt").orderBy(order_col)
-    mega_capped = (
-        hot_rows.filter(F.col("_df") > mega_threshold)
-        .drop("_df")
-        .withColumn("_salt", salt)
-        .withColumn("_rk", F.row_number().over(w1))
-        .filter(F.col("_rk") <= cap)
-        .withColumn("_rk", F.row_number().over(w2))
-        .filter(F.col("_rk") <= cap)
-        .drop("_salt", "_rk")
-    )
-    return cold.unionByName(warm_capped).unionByName(mega_capped)
+    out = cold.unionByName(warm_capped)
+    if has_mega:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*part_cols, "_salt").orderBy(order_col)
+        mega_capped = (
+            hot_rows.filter(F.col("_df") > mega_threshold)
+            .drop("_df")
+            .withColumn("_salt", salt)
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= cap)
+            .withColumn("_rk", F.row_number().over(w2))
+            .filter(F.col("_rk") <= cap)
+            .drop("_salt", "_rk")
+        )
+        out = out.unionByName(mega_capped)
+    return out
 
 
 def jaccard_pairs(
@@ -244,11 +270,15 @@ def jaccard_pairs(
     # content differs (tested). rank_cap only sorts the >cap hot
     # shingles' rows (tiny, broadcast-identified) — the uncontended
     # majority skips the round-2 full-table window sort entirely.
-    sh = rank_cap(sh, ["sg"], id_col, df_cap)
+    sh = rank_cap(sh, ["sg"], id_col, df_cap, peek=materialize)
     if materialize:
         # Second checkpoint: the capped frame feeds the per-doc count
         # aggregate AND both self-join sides — materializing it keeps
-        # rank_cap's hot aggregate from running three more times.
+        # rank_cap's hot aggregate from running three more times. (An
+        # explicit repartition("sg") here hoping both join sides reuse
+        # one exchange was measured a wash: AQE does NOT reuse
+        # identical REPARTITION_BY_COL stages over a checkpoint scan,
+        # so it only added a shuffle.)
         sh = sh.localCheckpoint(eager=True)
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

@@ -322,6 +322,29 @@ def test_rank_cap_matches_plain_window_exactly(spark):
     # the size-routing rewrite must leave both paths exact
     got_mega = rank_cap(df, ["grp"], "rid", cap, salt_buckets=4, mega_threshold=1)
     assert sorted(map(tuple, got_mega.collect())) == sorted(map(tuple, naive.collect()))
+    # peek=False must also stay exact (static always-plan-mega shape)
+    got_static = rank_cap(df, ["grp"], "rid", cap, salt_buckets=4, peek=False)
+    assert sorted(map(tuple, got_static.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_rank_cap_peek_skips_idle_mega_stages(spark):
+    """When no group crosses mega_threshold, the driver peek must keep
+    the salted two-stage branch OUT of the plan entirely (its two idle
+    window stages measured ~0.25 s of scheduling overhead at sf0.1);
+    with peek=False the guard branch must stay planned."""
+    from production_ready_ds_spark.operators.dedup import rank_cap
+    from production_ready_ds_spark.plans.audit import explain_str
+
+    df = spark.createDataFrame(
+        [(g, g * 100 + i) for g in range(5) for i in range(g * 4)],
+        "grp int, rid long",
+    )
+    peeked = rank_cap(df, ["grp"], "rid", 3)
+    assert "_salt" not in explain_str(peeked), "idle mega branch was planned"
+    static = rank_cap(df, ["grp"], "rid", 3, peek=False)
+    assert "_salt" in explain_str(static), "static shape lost its guard branch"
+    mega = rank_cap(df, ["grp"], "rid", 3, mega_threshold=5)
+    assert "_salt" in explain_str(mega), "real mega group skipped the salted rank"
 
 
 def test_oversized_lsh_bucket_guard(spark):
