@@ -146,6 +146,10 @@ _EXTENSION_PRIORITY = (
     "q_decontaminate",
     "q_pack_sequences",
     "q_mix_domains",
+    # round-4 additions, queued next for driver slots
+    "q_dedup_semantic",
+    "q_pack_bestfit",
+    "q_dedup_substring_runs",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

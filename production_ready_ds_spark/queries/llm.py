@@ -660,6 +660,84 @@ def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+@query(
+    "q_dedup_semantic",
+    category="llm-dedup",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, {_DUCK_BUCKET} AS bucket, CAST(embedding AS DOUBLE[]) AS de
+      FROM embeddings
+    ),
+    d AS (
+      SELECT c.vec_id AS vec_id, MIN(a.vec_id) AS dup_of,
+             COUNT(*) AS n_dups
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_cosine_similarity(a.de, c.de) >= {EMBED_COS_THRESHOLD}
+      GROUP BY c.vec_id
+    )
+    SELECT b.vec_id, b.bucket, d.dup_of IS NULL AS kept, d.dup_of,
+           COALESCE(d.n_dups, 0) AS n_dups
+    FROM b LEFT JOIN d ON b.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    embedding-level complement to lexical MinHash — cluster the
+    embedding space, then WITHIN each cluster drop every vector that
+    has a smaller-id neighbor above the cosine threshold, keeping the
+    cluster-local minimum id as the canonical copy. Emits the full
+    per-vector decision table: (vec_id, bucket, kept, dup_of = the
+    smallest-id duplicate neighbor for dropped rows, n_dups = how many
+    smaller-id neighbors crossed the threshold).
+
+    Clustering here is the deterministic sign-bucket quantization (the
+    same 16-bucket key as q_dedup_embedding, so the DuckDB oracle can
+    mirror the blocking exactly); production swaps in the trained
+    KMeans centroids of q_sim_topk_ivf with τ ≈ 0.95 — identical join
+    shape, centroid id instead of sign pattern. The scale contract is
+    what matters: pair work is bucket-local equi-join (never all-pairs,
+    the q_dedup_embedding bound), the keep decision is one groupBy on
+    the pair table (orders of magnitude smaller than the corpus), and
+    the final left join shuffles only (vec_id, bucket) rows. The
+    min-id-wins rule makes the decision order-free — no sequential
+    greedy scan over the cluster, which is what makes SemDeDup
+    parallelizable at 100 TB (and is also SemDeDup's own published
+    tie-break up to id relabeling)."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_bucket(F.col("embedding"))
+    ).withColumn("nrm", norm(F.col("embedding")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("bucket").alias("ba"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+    dup = (
+        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(sim >= EMBED_COS_THRESHOLD)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        e.select("vec_id", "bucket")
+        .join(dup.withColumnRenamed("vec_b", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        )
+    )
+
+
 # -------------------------------------------------------- text analysis --
 
 
@@ -2047,6 +2125,126 @@ def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("binary")
             ).alias("cleaned_md5"),
         )
+    )
+
+
+RUN_DF_CAP = 20  # per-chunk-signature occurrence cap (rank cap)
+RUN_MIN_CHUNKS = 2  # runs of >= this many consecutive shared chunks
+
+
+@query(
+    "q_dedup_substring_runs",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_CDC_CTES},
+    ch AS (
+      SELECT doc_id, CAST(cid + 1 AS BIGINT) AS pos,
+             md5(string_agg(CAST(gh AS VARCHAR), ',' ORDER BY i)) AS sig,
+             COUNT(*) AS ln
+      FROM c GROUP BY doc_id, cid
+    ),
+    capped AS (
+      SELECT doc_id, pos, sig, ln FROM (
+        SELECT doc_id, pos, sig, ln,
+               ROW_NUMBER() OVER (PARTITION BY sig
+                                  ORDER BY doc_id, pos) AS rk
+        FROM ch
+      ) WHERE rk <= {RUN_DF_CAP}
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pa,
+             b.doc_id AS doc_b, b.pos AS pb, a.ln AS ln
+      FROM capped a JOIN capped b
+        ON a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, pa, pb, ln, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS island
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS start_a,
+           CAST(MIN(pb) AS BIGINT) AS start_b,
+           COUNT(*) AS run_chunks,
+           CAST(SUM(ln) AS BIGINT) AS run_grams
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    HAVING COUNT(*) >= {RUN_MIN_CHUNKS}
+    """,
+)
+def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans via CDC chunk-fingerprint RUNS —
+    the distributed counterpart of Lee et al. 2022's suffix-array
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better"). q_dedup_cdc reports chunks shared ANYWHERE; a long
+    verbatim copy shows up as many consecutive shared chunks, and this
+    query recovers each maximal run per document pair: two documents
+    sharing ≥ {RUN_MIN_CHUNKS} CONSECUTIVE chunks (same signatures, in
+    the same order) emit one row per maximal run with both start
+    positions and the total gram length. Because CDC boundaries are
+    content-anchored, the runs survive prefix insertions that shift
+    absolute positions — the drift case fixed-width windows lose — and
+    a suffix array is never built: consecutiveness is recovered
+    RELATIONALLY with the classic gaps-and-islands trick on the match
+    diagonal (pa - pb), so a run is a group key, not a scan state.
+
+    Plan shape: per-doc chunking is the shared _cdc_chunk_frame array
+    pipeline (map-side); the chunk table (one row per ~{CDC_DIV} grams
+    — already 16× smaller than the gram stream) is checkpointed once,
+    rank-capped per signature (rank_cap on a (doc_id, pos) struct key:
+    boilerplate chunks shared by thousands of docs are capped at
+    {RUN_DF_CAP} lowest occurrences, the Σ min(df,cap)² jaccard bound),
+    checkpointed again for the two self-join sides, then
+    SHUFFLE_HASH-joined on the 16-byte signature. The island window
+    partitions by (doc_a, doc_b, diagonal) — input is the capped PAIR
+    table, never the corpus. Cross-engine: md5-derived gram hashes,
+    chunk signatures, and integer positions hash bit-identically."""
+    from pyspark.sql import Window
+
+    t = _cdc_chunk_frame(spark, sf_dir, materialize=False)
+    ch = t.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("sigs", "lens")).alias("p", "x"),
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.col("x.sigs").alias("sig"),
+        F.col("x.lens").cast("long").alias("ln"),
+    )
+    # checkpoint BEFORE the cap (rank_cap reads it 3x) and again after
+    # (both self-join sides) — the jaccard_pairs materialize discipline
+    from ..operators.dedup import rank_cap
+
+    ch = ch.withColumn("_ok", F.struct("doc_id", "pos")).localCheckpoint(eager=True)
+    capped = (
+        rank_cap(ch, ["sig"], "_ok", RUN_DF_CAP)
+        .drop("_ok")
+        .localCheckpoint(eager=True)
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pa"),
+        "sig",
+        "ln",
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "sig"
+    ).hint("SHUFFLE_HASH")
+    m = a.join(b, "sig").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    isl = m.withColumn("diag", F.col("pa") - F.col("pb")).withColumn(
+        "island", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            F.count(F.lit(1)).alias("run_chunks"),
+            F.sum("ln").alias("run_grams"),
+        )
+        .filter(F.col("run_chunks") >= RUN_MIN_CHUNKS)
+        .drop("diag", "island")
     )
 
 

@@ -73,6 +73,96 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_bestfit",
+    category="llm-traindata",
+    sql=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_TOKENS}) AS n FROM documents
+    ),
+    cls AS (
+      SELECT lang, n,
+             CASE WHEN n <= 0 THEN {SEQ_BUDGET}
+                  WHEN n >= {SEQ_BUDGET} THEN 1
+                  ELSE CAST(FLOOR({SEQ_BUDGET} * 1.0 / n) AS BIGINT) END AS size_class
+      FROM t
+    ),
+    grp AS (
+      SELECT lang, size_class, COUNT(*) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS class_tokens,
+             CAST(CEIL(COUNT(*) * 1.0 / size_class) AS BIGINT) AS n_bins
+      FROM cls GROUP BY lang, size_class
+    )
+    SELECT lang, size_class, n_docs, class_tokens, n_bins,
+           CAST(FLOOR(class_tokens * 1000.0 / (n_bins * {SEQ_BUDGET}) + 0.5)
+                AS BIGINT) AS fill_permille,
+           SUM(n_bins) OVER (PARTITION BY lang) AS lang_bins,
+           CAST(CEIL(SUM(class_tokens) OVER (PARTITION BY lang)
+                     * 1.0 / {SEQ_BUDGET}) AS BIGINT) AS concat_bins
+    FROM grp
+    """,
+)
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle sequence packing via Harmonic size-class shelves
+    (Lee & Lee, JACM 1985): q_pack_sequences splits documents across
+    sequence boundaries (fine when training on a flat token stream);
+    when documents must stay WHOLE, packing becomes bin packing, and
+    the classic sequential first-fit/best-fit-decreasing scan cannot
+    run distributed — bin state would thread through every row. The
+    Harmonic scheme removes the sequential dependency with a
+    closed-form rule: a doc of n tokens gets size class
+    k = floor(budget / n) (docs ≥ budget get k = 1, empty docs fold
+    into the smallest class), and within (lang, class) the docs fill
+    shelves of EXACTLY k docs — k · n ≤ k · budget/k = budget, so no
+    shelf overflows, no scan, no driver state. Per (lang, class) the
+    bin count is just ceil(count / k): the whole packing collapses to
+    ONE hash aggregate — cheaper than the running-sum window
+    q_pack_sequences needs. Guarantee: every non-final shelf of class
+    k is > budget·k/(k+1) full (each doc exceeds budget/(k+1)), so
+    waste is bounded per class; the output's fill_permille exposes the
+    realized fill, and lang_bins vs concat_bins is the price of
+    whole-doc packing against the straddling concat baseline (the
+    information a data-loader owner needs to choose between the two).
+    At 100 TB: map-side class assignment, one map-side-combinable
+    aggregate on (lang, class) — a few thousand groups — then window
+    totals over those few thousand rows; nothing corpus-sized
+    shuffles. Bin MEMBERSHIP, when needed downstream, is the same
+    row_number-over-(lang, class) window as pack_assignments, bin =
+    floor(rank / k)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("lang", F.size(tokens_expr(F.col("text"))).alias("n"))
+    k = (
+        F.when(F.col("n") <= 0, F.lit(SEQ_BUDGET))
+        .when(F.col("n") >= SEQ_BUDGET, F.lit(1))
+        .otherwise(F.floor(F.lit(SEQ_BUDGET) / F.col("n")))
+        .cast("long")
+    )
+    grp = (
+        t.withColumn("size_class", k)
+        .groupBy("lang", "size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("class_tokens"),
+            F.ceil(F.count(F.lit(1)) / F.col("size_class")).cast("long").alias("n_bins"),
+        )
+    )
+    wl = Window.partitionBy("lang")
+    return grp.select(
+        "lang",
+        "size_class",
+        "n_docs",
+        "class_tokens",
+        "n_bins",
+        F.floor(
+            F.col("class_tokens") * 1000.0 / (F.col("n_bins") * SEQ_BUDGET) + 0.5
+        ).cast("long").alias("fill_permille"),
+        F.sum("n_bins").over(wl).alias("lang_bins"),
+        F.ceil(F.sum("class_tokens").over(wl) / F.lit(SEQ_BUDGET))
+        .cast("long")
+        .alias("concat_bins"),
+    )
+
+
 # Per-language keep-thresholds on the first 4 hex chars of md5(doc_id):
 # the doc is kept iff its hex prefix sorts below the threshold, i.e. a
 # deterministic uniform draw in [0, 1) at 1/65536 granularity that both

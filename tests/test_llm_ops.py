@@ -889,3 +889,72 @@ def test_cdc_edge_cases_match_reference(spark, tmp_path):
         for r in catalog()["q_dedup_cdc"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_dedup_semantic_matches_bruteforce(spark, sf_small, cat):
+    """q_dedup_semantic's keep/drop decisions must equal a NumPy
+    brute-force replay of the SemDeDup rule: within each sign bucket,
+    drop iff some smaller-id vector in the bucket has cosine >= tau,
+    with dup_of = the smallest such neighbor."""
+    import numpy as np
+
+    from production_ready_ds_spark.queries.llm import EMBED_COS_THRESHOLD
+    from production_ready_ds_spark.tables import load
+
+    rows = load(spark, sf_small, "embeddings").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    buckets: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        b = sum(1 << i for i in range(4) if v[i] >= 0)
+        buckets.setdefault(b, []).append(vid)
+    expect = {}
+    for b, ids in buckets.items():
+        for vid in ids:
+            dups = []
+            for other in ids:
+                if other < vid:
+                    a, c = vecs[other], vecs[vid]
+                    cos = float(a @ c / (np.linalg.norm(a) * np.linalg.norm(c)))
+                    if cos >= EMBED_COS_THRESHOLD:
+                        dups.append(other)
+            expect[vid] = (b, not dups, min(dups) if dups else None, len(dups))
+    got = {
+        r.vec_id: (r.bucket, r.kept, r.dup_of, r.n_dups)
+        for r in cat["q_dedup_semantic"].fn(spark, sf_small).collect()
+    }
+    assert got == expect
+
+
+def test_substring_runs_survive_prefix_shift(spark, tmp_path):
+    """A long verbatim copy with a fresh prefix inserted in front must
+    surface as a consecutive chunk run at SHIFTED positions (the drift
+    case fixed-width chunking loses), and unrelated docs must produce
+    no runs."""
+    import os
+    import random
+
+    rng = random.Random(77)
+    span = " ".join(f"copy{rng.randrange(10**6)}" for _ in range(240))
+    prefix = " ".join(f"new{rng.randrange(10**6)}" for _ in range(40))
+    noise_a = " ".join(f"za{rng.randrange(10**6)}" for _ in range(120))
+    noise_b = " ".join(f"zb{rng.randrange(10**6)}" for _ in range(120))
+    rows = [
+        (1, span, "en", "s", 1),
+        (2, prefix + " " + span, "en", "s", 1),
+        (3, noise_a, "en", "s", 1),
+        (4, noise_b, "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "runs_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = catalog()["q_dedup_substring_runs"].fn(spark, sf_dir).collect()
+    pair_runs = [r for r in out if (r.doc_a, r.doc_b) == (1, 2)]
+    assert pair_runs, "verbatim copy must produce a consecutive chunk run"
+    best = max(pair_runs, key=lambda r: r.run_chunks)
+    assert best.run_chunks >= 2 and best.run_grams >= 2
+    assert best.start_b > best.start_a, "prefix must shift the copy's position"
+    others = [r for r in out if {r.doc_a, r.doc_b} & {3, 4}]
+    assert not others, f"unrelated docs must not share runs: {others}"

@@ -187,3 +187,39 @@ def test_leakage_safe_split_keeps_families_together(spark, tmp_path):
         assert clusters == {min(fam)}
     again = {r.doc_id: r.split for r in fn(spark, sf_dir).collect()}
     assert again == {d: r.split for d, r in got.items()}
+
+
+def test_pack_bestfit_shelf_invariants(spark, doc_dir, cat):
+    """Harmonic shelf packing on a constructed corpus: (a) no shelf can
+    overflow the budget (k docs of class k each fit budget/k), so
+    fill_permille <= 1000; (b) lang_bins >= concat_bins — the
+    fractional concat baseline lower-bounds any whole-doc packing;
+    (c) class bin counts equal ceil(count/k) computed by hand."""
+    import math
+
+    from production_ready_ds_spark.queries.traindata import SEQ_BUDGET
+
+    # doc of w words => w tokens: build classes around the boundaries
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows, did = [], 0
+    for n, copies in [(600, 2), (512, 1), (300, 3), (171, 4), (100, 7), (1, 5)]:
+        for c in range(copies):
+            rows.append((did, words(n, f"d{did}_"), "en", "s", 1))
+            did += 1
+    sf_dir = doc_dir(rows)
+    out = cat["q_pack_bestfit"].fn(spark, sf_dir).collect()
+    assert out
+    by_class = {r.size_class: r for r in out}
+    for r in out:
+        assert r.fill_permille <= 1000, r
+        assert r.lang_bins >= r.concat_bins, r
+        k = r.size_class
+        assert r.n_bins == math.ceil(r.n_docs / k), r
+    # hand math: n>=512 -> class 1; 300 -> floor(512/300)=1; 171 -> 2
+    # (512/171=2.99); 100 -> 5; 1 -> 512
+    assert by_class[1].n_docs == 2 + 1 + 3
+    assert by_class[2].n_docs == 4 and by_class[2].n_bins == 2
+    assert by_class[5].n_docs == 7 and by_class[5].n_bins == 2
+    assert by_class[512].n_docs == 5 and by_class[512].n_bins == 1
