@@ -150,6 +150,7 @@ _EXTENSION_PRIORITY = (
     "q_dedup_semantic",
     "q_pack_bestfit",
     "q_dedup_substring_runs",
+    "q_image_png",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

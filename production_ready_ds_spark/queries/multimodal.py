@@ -155,6 +155,92 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_image_png",
+    category="llm-multimodal",
+    sql=f"""
+    WITH p AS (
+      SELECT doc_id, {_IMG_W} AS w, {_IMG_H} AS h FROM documents
+    ),
+    g AS (
+      SELECT x.range AS ox, y.range AS oy
+      FROM range({_RESIZE_OUT}) x, range({_RESIZE_OUT}) y
+    ),
+    px AS (
+      SELECT p.doc_id, p.w, p.h,
+             3 * (((g.oy * p.h) // {_RESIZE_OUT}) * p.w
+                  + ((g.ox * p.w) // {_RESIZE_OUT})) AS j
+      FROM p, g
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS INT) AS w_in,
+           CAST(MAX(h) AS INT) AS h_in,
+           {_RESIZE_OUT} AS width,
+           {_RESIZE_OUT} AS height,
+           ROUND(SUM((doc_id * 31 + j) % 256) / {_RESIZE_OUT * _RESIZE_OUT}.0, 4)
+             AS mean_r,
+           ROUND(SUM((doc_id * 31 + j + 1) % 256) / {_RESIZE_OUT * _RESIZE_OUT}.0, 4)
+             AS mean_g,
+           ROUND(SUM((doc_id * 31 + j + 2) % 256) / {_RESIZE_OUT * _RESIZE_OUT}.0, 4)
+             AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG-path twin of q_image_resize, hash-verified end to end
+    through a REAL interchange-format codec: each document synthesizes
+    the SAME deterministic w×h pixel grid as q_image_resize but encodes
+    it as an actual 8-bit RGB PNG — zlib-deflated scanlines whose
+    filter type cycles ``(doc_id + y) % 5`` so every one of the five
+    RFC 2083 reconstruction paths (None/Sub/Up/Average/Paeth) is
+    exercised across the corpus — then PNGDecoder CRC-checks, inflates
+    and de-filters it, png_to_rawrgb transcodes into the existing
+    binary layout, and the UNCHANGED resize → featurize stages finish
+    the pipeline. The DuckDB oracle is q_image_resize's closed form
+    verbatim (filters are exactly invertible, so decoded pixels equal
+    the synthesized grid): a value mismatch anywhere in synth → filter
+    → deflate → chunk/CRC → inflate → de-filter → transcode → resize →
+    decode → feature math fails the hash. This closes the round-3
+    "media codecs are a stand-in" gap with a real format, zero new
+    dependencies (zlib ships in CPython).
+
+    Scale shape: identical to q_image_resize — one fused map-side
+    mapInPandas chain, zero shuffles; a real PNG corpus replaces the
+    synth stage with stored payload bytes and nothing else changes."""
+    from ..operators.multimodal import PNGDecoder, RawRGBDecoder, png_to_rawrgb, resize_rgb
+    from ..tables import spread
+
+    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(8 + (doc_id % 9))
+                h = int(8 + (doc_id % 7))
+                body = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                fts = [(int(doc_id) + y) % 5 for y in range(h)]
+                payloads.append(PNGDecoder.encode(w, h, body.tobytes(), fts))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    pngs = ids.mapInPandas(synth, schema="doc_id long, payload binary")
+    small = resize_rgb(png_to_rawrgb(pngs), _RESIZE_OUT, _RESIZE_OUT)
+    feats = extract_features(small, RawRGBDecoder())
+    return feats.select(
+        "doc_id",
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("w_in"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("h_in"),
+        "width",
+        "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------
 #
 # Square-wave synthesis parameters, all pure functions of doc_id so the

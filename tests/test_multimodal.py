@@ -188,3 +188,79 @@ def test_resize_rgb_chains_into_decoder(spark):
     assert (feat.width, feat.height) == (3, 3)
     assert feat.mean_r == pytest.approx(round(float(exp[0]), 4))
     assert feat.mean_b == pytest.approx(round(float(exp[2]), 4))
+
+
+# ---------------------------------------------------------------- png --
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode → parse must be the identity for every scanline filter
+    (a decoder that only ever sees filter 0 proves nothing about
+    Sub/Up/Average/Paeth reconstruction)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (8, 8), (16, 9), (5, 7)]:
+        px = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+        for fts in [[f] * h for f in range(5)] + [[(y * 3 + 1) % 5 for y in range(h)]]:
+            got = mm.PNGDecoder.parse(mm.PNGDecoder.encode(w, h, px, fts))
+            assert got is not None and got[:2] == (w, h) and got[2] == px, (w, h, fts[0])
+
+
+def test_png_rejects_malformed_and_out_of_subset():
+    """Corruption (CRC, truncation) and declared-out-of-subset headers
+    (grayscale, 16-bit, interlaced) must yield None, never garbage."""
+    import struct
+    import zlib
+
+    good = mm.PNGDecoder.encode(4, 4, bytes(range(48)), [4, 3, 2, 1])
+    assert mm.PNGDecoder.parse(good) is not None
+    assert mm.PNGDecoder.parse(None) is None
+    assert mm.PNGDecoder.parse(b"\x89PNG") is None
+    assert mm.PNGDecoder.parse(good[:-4]) is None  # truncated IEND
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    assert mm.PNGDecoder.parse(bytes(bad)) is None  # CRC catches the flip
+
+    def with_ihdr(depth, ctype, interlace):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        body = b"".join(
+            bytes([0]) + bytes(12) for _ in range(4)
+        )
+        return (
+            mm.PNGDecoder.MAGIC
+            + mm.PNGDecoder._chunk(b"IHDR", ihdr)
+            + mm.PNGDecoder._chunk(b"IDAT", zlib.compress(body))
+            + mm.PNGDecoder._chunk(b"IEND", b"")
+        )
+
+    assert mm.PNGDecoder.parse(with_ihdr(8, 0, 0)) is None  # grayscale
+    assert mm.PNGDecoder.parse(with_ihdr(16, 2, 0)) is None  # 16-bit
+    assert mm.PNGDecoder.parse(with_ihdr(8, 2, 1)) is None  # interlaced
+    # decode() maps the rejections to all-NULL feature rows
+    assert mm.PNGDecoder().decode(bytes(bad)) == mm.PNGDecoder._NULL
+
+
+def test_png_transcode_chains_into_resize(spark):
+    """PNG payload → png_to_rawrgb → resize → RawRGB decode must equal
+    the same chain fed the raw pixels directly — the codec is a
+    transparent ingest stage."""
+    import numpy as np
+
+    img = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(5, 6, 3)
+    png = mm.PNGDecoder.encode(6, 5, img.tobytes(), [(y + 2) % 5 for y in range(5)])
+    via_png = mm.extract_features(
+        mm.resize_rgb(mm.png_to_rawrgb(_rgb_df(spark, [(1, png)])), 3, 3),
+        mm.RawRGBDecoder(),
+    ).first()
+    raw = mm.RawRGBDecoder.encode(6, 5, img.tobytes())
+    direct = mm.extract_features(
+        mm.resize_rgb(_rgb_df(spark, [(1, raw)]), 3, 3), mm.RawRGBDecoder()
+    ).first()
+    assert via_png == direct
+    # malformed PNG flows through as a NULL payload, not an exception
+    nulls = mm.extract_features(
+        mm.resize_rgb(mm.png_to_rawrgb(_rgb_df(spark, [(2, b"junk")])), 3, 3),
+        mm.RawRGBDecoder(),
+    ).first()
+    assert nulls.width is None
