@@ -151,6 +151,8 @@ _EXTENSION_PRIORITY = (
     "q_pack_bestfit",
     "q_dedup_substring_runs",
     "q_image_png",
+    "q_quality_perplexity",
+    "q_sample_cluster_weighted",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

@@ -196,6 +196,66 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_cluster_weighted",
+    category="llm-traindata",
+    sql=f"""
+    WITH RECURSIVE {_DUCK_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    membership AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    )
+    SELECT cluster_id AS doc_id, COUNT(*) AS family_size,
+           COUNT(*) - 1 AS n_dropped
+    FROM membership GROUP BY cluster_id
+    """,
+)
+def q_sample_cluster_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-preserving soft dedup: keep ONE canonical document per
+    near-duplicate family but carry the family size as a training
+    weight — the alternative to hard dropping that recent data-recipe
+    work prefers when duplication frequency is signal (a page mirrored
+    1000× is evidence of importance, not 1000 independent samples; the
+    weight lets the loss count it once-with-mass instead of 0 or 1000
+    times). One row per family: the canonical doc (= min id, the same
+    tie-break as q_dedup_clusters so the two queries agree on who
+    survives), the family size to use as weight, and n_dropped.
+    Singleton documents — the overwhelming majority — appear with
+    family_size = 1.
+
+    Scale shape: pairs are the capped-Jaccard stage, clustering is the
+    bounded-round connected-components operator, and the only
+    corpus-wide additions are ONE left join of the doc-id spine against
+    the (tiny) clustered-node table and a count aggregate on
+    cluster_id — narrow 16-byte rows with map-side combine. The oracle
+    extends the q_dedup_clusters recursive CTE with the same spine
+    join, so the whole keep+weight decision is hash-verified."""
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    membership = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return membership.groupBy(F.col("cluster_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("family_size"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
+@query(
     "q_dup_graph_stats",
     category="llm-dedup",
     sql=f"""
@@ -1379,6 +1439,108 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_ratio"), F.asc("w1"), F.asc("w2"))
         .limit(PMI_TOP_K)
         .drop("_ratio")
+    )
+
+
+@query(
+    "q_quality_perplexity",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      FROM t, UNNEST(range(1, len(ts))) AS u(i)
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(ts) AS tok FROM t)
+    ),
+    -- each bigram occurrence scores ln of its add-one-smoothed
+    -- conditional probability, snapped to the 1e-4 grid as an INTEGER
+    -- before the per-doc sum: integer sums are order-independent, so
+    -- the hash is immune to both engines' different reduction orders
+    -- (summing raw doubles would accumulate ulp drift across hundreds
+    -- of terms and flip the final rounding).
+    s AS (
+      SELECT bg.doc_id,
+             CAST(FLOOR(ln((pc.c12 + 1.0) / (uc.c1 + vocab.v)) * 10000 + 0.5)
+                  AS BIGINT) AS term
+      FROM bg
+      JOIN pc ON bg.w1 = pc.w1 AND bg.w2 = pc.w2
+      JOIN uc ON bg.w1 = uc.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(-SUM(term) AS BIGINT) AS nll_scaled,
+           CAST(FLOOR(-SUM(term) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS avg_nll_scaled
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring — the CCNet/KenLM-family
+    filter (Wenzek et al. 2020): score every document by its average
+    negative log-likelihood under an n-gram language model; fluent text
+    scores low, gibberish and boilerplate-mangled text score high, and
+    the score is THE classic web-corpus quality gate. The model here is
+    an add-one-smoothed bigram LM trained on the corpus itself (one
+    pass); production trains the counts on a clean reference corpus
+    (the CCNet recipe) and scores the target — identical join shape,
+    the count tables just come from a different scan.
+
+    Cross-engine determinism: each bigram occurrence contributes
+    floor(ln(p)·1e4 + 0.5) as an INTEGER term — one libm call per
+    VALUE, snapped to the grid before any aggregation — so the per-doc
+    sum is exact integer arithmetic, order-independent, immune to the
+    different reduction orders of two engines (summing doubles first
+    would drift across hundreds of terms; the q_bigram_pmi comment
+    covers the single-value floor-grid argument). avg_nll_scaled
+    divides two exact integers once and re-floors.
+
+    Scale shape: one bigram explode feeds the pair counts, the left
+    marginals, and (via its token parent) the vocabulary size; the
+    count tables are vocabulary-sized and pre-joined (pc ⋈ uc) before
+    the ONE corpus-wide shuffle join of the bigram stream against
+    them; the per-doc aggregate ships (doc_id, int) rows with map-side
+    combine. Nothing wider than 16 bytes shuffles at corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda i: F.struct(
+                    F.element_at(F.col("ts"), i).alias("w1"),
+                    F.element_at(F.col("ts"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("ts").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    # vocabulary-sized model table first, then ONE corpus-wide join
+    model = pc.join(uc, "w1").crossJoin(broadcast(vocab))
+    term = F.floor(
+        F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = bigrams.join(model.hint("shuffle_hash"), ["w1", "w2"]).select(
+        "doc_id", term.alias("term")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("term")).cast("long").alias("nll_scaled"),
+        F.floor(-F.sum("term") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("avg_nll_scaled"),
     )
 
 

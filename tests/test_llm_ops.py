@@ -958,3 +958,56 @@ def test_substring_runs_survive_prefix_shift(spark, tmp_path):
     assert best.start_b > best.start_a, "prefix must shift the copy's position"
     others = [r for r in out if {r.doc_a, r.doc_b} & {3, 4}]
     assert not others, f"unrelated docs must not share runs: {others}"
+
+
+def test_perplexity_separates_fluent_from_gibberish(spark, tmp_path):
+    """The bigram-LM scorer must rank documents made of corpus-frequent
+    transitions below documents of unique one-off tokens — the property
+    that makes it a quality gate."""
+    import os
+    import random
+
+    rng = random.Random(3)
+    common = "the data engine runs the data engine runs " * 6
+    rows = [(i, common, "en", "s", 1) for i in range(8)]
+    gibberish = " ".join(f"g{rng.randrange(10**9)}" for _ in range(40))
+    rows.append((99, gibberish, "en", "s", 1))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "ppl_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in catalog()["q_quality_perplexity"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(8)) | {99}
+    fluent = max(got[i].avg_nll_scaled for i in range(8))
+    assert got[99].avg_nll_scaled > fluent, (got[99], fluent)
+    # scaled integers: sum of per-term grid values, exact arithmetic
+    for r in got.values():
+        assert r.nll_scaled >= 0 and r.n_bigrams > 0
+
+
+def test_cluster_weighted_sampling_preserves_mass(spark, tmp_path):
+    """One canonical row per near-dup family, weight = family size, and
+    total weight must equal the corpus size (soft dedup loses no
+    mass)."""
+    import os
+
+    fam = "identical template page body repeated across mirrored hosts"
+    rows = [(i, f"{fam} tail{i}", "en", "s", 1) for i in range(6)]  # one family
+    rows += [
+        (10, "first unique document about spark planning internals x y z", "en", "s", 1),
+        (11, "second unique document entirely different words and topics q r", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "cw_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in
+           catalog()["q_sample_cluster_weighted"].fn(spark, sf_dir).collect()}
+    assert got[0].family_size == 6 and got[0].n_dropped == 5  # canonical = min id
+    assert got[10].family_size == 1 and got[11].family_size == 1
+    assert set(got) == {0, 10, 11}
+    assert sum(r.family_size for r in got.values()) == len(rows)
