@@ -755,35 +755,38 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror the blocking exactly); production swaps in the trained
     KMeans centroids of q_sim_topk_ivf with τ ≈ 0.95 — identical join
     shape, centroid id instead of sign pattern. The scale contract is
-    what matters: pair work is bucket-local equi-join (never all-pairs,
-    the q_dedup_embedding bound), the keep decision is one groupBy on
-    the pair table (orders of magnitude smaller than the corpus), and
-    the final left join shuffles only (vec_id, bucket) rows. The
+    what matters: pair work is bucket-local (never all-pairs),
+    evaluated as ONE BLAS matmul per bucket via operators/ann.py
+    bucketed_cosine_pairs — within a cluster, candidates × dim
+    dominates, exactly the regime where the per-pair JVM fold loses
+    (measured on the 4× dedup-stress set: 27.0 s JVM-fold → 0.89 s
+    matmul, 30×; SCALE.md round-4 table). The keep decision is one
+    groupBy on the
+    pair table (orders of magnitude smaller than the corpus), and the
+    final left join shuffles only (vec_id, bucket) rows. The
     min-id-wins rule makes the decision order-free — no sequential
     greedy scan over the cluster, which is what makes SemDeDup
     parallelizable at 100 TB (and is also SemDeDup's own published
-    tie-break up to id relabeling)."""
+    tie-break up to id relabeling). Growth caveat, shared by every
+    fixed-quantizer query here: 16 sign buckets make within-bucket
+    work grow quadratically with corpus size, so production scales the
+    CLUSTER COUNT with the corpus (more planes, or trained centroids —
+    SemDeDup's own k is corpus-sized); the per-bucket kernel and every
+    downstream stage are unchanged by that swap."""
+    from ..operators.ann import bucketed_cosine_pairs
+
     e = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", sign_bucket(F.col("embedding"))
-    ).withColumn("nrm", norm(F.col("embedding")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("bucket").alias("ba"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
     )
-    c = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("bucket").alias("bb"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = cosine_prenormed(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
-    dup = (
-        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(sim >= EMBED_COS_THRESHOLD)
-        .groupBy("vec_b")
-        .agg(F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups"))
+    home = e.select("vec_id", F.col("bucket").alias("pb"), "embedding")
+    # each within-bucket pair surfaces twice (either end as the probe
+    # side), normalized to the same (vec_a < vec_b, rounded cos) row —
+    # distinct collapses the mirror, the multiprobe discipline
+    pairs = bucketed_cosine_pairs(
+        home, home, threshold=EMBED_COS_THRESHOLD
+    ).distinct()
+    dup = pairs.groupBy("vec_b").agg(
+        F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups")
     )
     return (
         e.select("vec_id", "bucket")

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Build the derived dedup-stress measurement set (SCALE.md "4x
+extrapolation point").
+
+Replicates a source SF directory's ``documents`` and ``embeddings``
+tables ``copies`` times with offset keys and per-copy perturbation:
+
+- documents: copy c > 0 appends a copy-specific trailing token, so
+  every original gains (copies-1) NEAR-IDENTICAL siblings — duplicate
+  families multiply and within-family pair work grows ~copies²: a
+  deliberate stress on every dedup path (jaccard, minhash, CDC runs,
+  clustering, cluster-weighted sampling).
+- embeddings: copy c > 0 nudges the first component by c * 1e-3, so
+  cosine stays ≈ 1 and the sign bucket is almost always preserved —
+  the same family stress for the semantic/embedding dedup path.
+
+This is a MEASUREMENT input only (never a correctness input — oracles
+run on the shipped testdata). Usage:
+
+    python tools/make_stress.py /root/testdata/sf0.1 /tmp/sf0.1x4 4
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf0.1x4"
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.doc_id + c.c * 10000000 AS doc_id,
+                 CASE WHEN c.c = 0 THEN d.text
+                      ELSE d.text || ' sib' || c.c END AS text,
+                 d.lang, d.source, d.n_chars
+          FROM read_parquet('{src}/documents.parquet') d,
+               (SELECT range AS c FROM range({copies})) c
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.vec_id + c.c * 10000000 AS vec_id,
+                 CASE WHEN c.c = 0 THEN e.embedding
+                      ELSE list_prepend(CAST(e.embedding[1] + c.c * 0.001
+                                             AS FLOAT),
+                                        e.embedding[2:]) END AS embedding
+          FROM read_parquet('{src}/embeddings.parquet') e,
+               (SELECT range AS c FROM range({copies})) c
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for row in con.execute(
+        f"""SELECT 'documents', COUNT(*) FROM read_parquet('{dst}/documents.parquet')
+            UNION ALL
+            SELECT 'embeddings', COUNT(*) FROM read_parquet('{dst}/embeddings.parquet')"""
+    ).fetchall():
+        print(*row)
+
+
+if __name__ == "__main__":
+    main()
