@@ -153,6 +153,8 @@ _EXTENSION_PRIORITY = (
     "q_image_png",
     "q_quality_perplexity",
     "q_sample_cluster_weighted",
+    "q_mix_temperature",
+    "q_stream_quality",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

@@ -723,6 +723,7 @@ def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_semantic",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH b AS (
       SELECT vec_id, {_DUCK_BUCKET} AS bucket, CAST(embedding AS DOUBLE[]) AS de
@@ -1445,10 +1446,10 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_quality_perplexity",
-    category="llm-text",
-    sql=f"""
+# shared by q_quality_perplexity and the streaming twin
+# (queries/streaming_queries.py q_stream_quality) — ONE oracle text so
+# batch and streaming are held to the identical exact answer.
+_PPL_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
     ),
@@ -1482,7 +1483,14 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(-SUM(term) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
              AS avg_nll_scaled
     FROM s GROUP BY doc_id
-    """,
+    """
+
+
+@query(
+    "q_quality_perplexity",
+    category="llm-text",
+    bench=True,
+    sql=_PPL_SQL,
 )
 def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity quality scoring — the CCNet/KenLM-family
@@ -1511,8 +1519,18 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; the per-doc aggregate ships (doc_id, int) rows with map-side
     combine. Nothing wider than 16 bytes shuffles at corpus scale."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
-    bigrams = toks.select(
+    model = bigram_model(d)
+    scored = perplexity_terms(doc_bigrams(d), model.hint("shuffle_hash"))
+    return perplexity_report(scored)
+
+
+def doc_bigrams(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, w1, w2) adjacent-token bigrams. Pure
+    per-row map work (the whole text rides each row), so the SAME
+    expression serves batch frames and streaming frames — the property
+    q_stream_quality relies on."""
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    return toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1524,20 +1542,35 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    pc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.select(F.explode("ts").alias("tok")).agg(
-        F.countDistinct("tok").alias("v")
-    )
-    # vocabulary-sized model table first, then ONE corpus-wide join
-    model = pc.join(uc, "w1").crossJoin(broadcast(vocab))
+
+
+def bigram_model(train_docs: DataFrame) -> DataFrame:
+    """Add-one-smoothed bigram LM as a vocabulary-sized table
+    (w1, w2, c12, c1, v) — pair counts joined with left marginals and
+    the vocab size, the ONE model definition shared by the batch query
+    and the streaming scorer (so the two can never drift)."""
+    bg = doc_bigrams(train_docs)
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train_docs.select(
+        F.explode(tokens_expr(F.col("text"))).alias("tok")
+    ).agg(F.countDistinct("tok").alias("v"))
+    return pc.join(uc, "w1").crossJoin(broadcast(vocab))
+
+
+def perplexity_terms(bigrams: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, term) — each bigram occurrence's floor(ln(p)·1e4 + 0.5)
+    as an INTEGER, the order-independence trick the q_quality_perplexity
+    docstring explains."""
     term = F.floor(
         F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))) * 10000
         + F.lit(0.5)
     ).cast("long")
-    scored = bigrams.join(model.hint("shuffle_hash"), ["w1", "w2"]).select(
-        "doc_id", term.alias("term")
-    )
+    return bigrams.join(model, ["w1", "w2"]).select("doc_id", term.alias("term"))
+
+
+def perplexity_report(scored: DataFrame) -> DataFrame:
+    """Per-doc aggregate over the integer terms (exact arithmetic)."""
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.sum("term")).cast("long").alias("nll_scaled"),
@@ -2300,6 +2333,7 @@ RUN_MIN_CHUNKS = 2  # runs of >= this many consecutive shared chunks
 @query(
     "q_dedup_substring_runs",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH {_DUCK_CDC_CTES},
     ch AS (

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
+from .llm import _PPL_SQL
 from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
 
 
@@ -232,3 +233,44 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("contamination", 4).alias("contamination"),
     )
     return _run_stream(spark, agg, "complete")
+
+
+@query(
+    "q_stream_quality",
+    category="streaming",
+    sql=_PPL_SQL,  # the batch scorer's oracle, verbatim
+)
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perplexity quality scoring: the q_quality_perplexity
+    scorer run as a Structured Streaming job over the documents stream
+    and hash-checked against the SAME exact DuckDB oracle — the
+    stream≡batch equivalence form q_stream_decontaminate established,
+    now for the quality gate (online scoring at ingest is where a
+    quality filter actually runs in production).
+
+    Shape: the bigram explode is a per-row map (each document carries
+    its whole text — no cross-row state), the MODEL is a static
+    broadcast side of a stream-static join (vocabulary-sized by
+    construction, the scale argument in bigram_model's caller), and
+    the only stateful operator is the per-doc aggregate, complete-mode
+    for this run-to-completion replay (doc_id is a one-batch key, so
+    production runs the same plan per micro-batch with foreachBatch).
+    Integer terms make the result independent of micro-batch
+    boundaries AND reduction order — the same order-independence that
+    makes the batch oracle exact makes the streaming replay exact."""
+    import os
+
+    from ..streaming.events import _as_stream_dir
+    from ..tables import load
+    from .llm import bigram_model, doc_bigrams, perplexity_report, perplexity_terms
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+    model = bigram_model(load(spark, sf_dir, "documents"))
+    scored = perplexity_terms(doc_bigrams(stream), F.broadcast(model))
+    return _run_stream(spark, perplexity_report(scored), "complete")

@@ -76,6 +76,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_pack_bestfit",
     category="llm-traindata",
+    bench=True,
     sql=f"""
     WITH t AS (
       SELECT lang, doc_id, len({_DUCK_TOKENS}) AS n FROM documents
@@ -160,6 +161,100 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.sum("class_tokens").over(wl) / F.lit(SEQ_BUDGET))
         .cast("long")
         .alias("concat_bins"),
+    )
+
+
+# Temperature-sampling exponent: target mixture q_l ∝ p_l^alpha with
+# alpha = 1/T < 1 (mT5's T ≈ 1.43..5 regime). Realized by SUBSAMPLING
+# only (a keep/drop pass cannot upsample): keep rate
+# r_l = (n_min / n_l)^(1-alpha), which gives the smallest language
+# rate 1 and downsamples the rest toward the tempered mixture.
+MIX_ALPHA = 0.7
+
+
+@query(
+    "q_mix_temperature",
+    category="llm-traindata",
+    sql=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS nmin FROM c),
+    r AS (
+      SELECT lang, n,
+             CAST(FLOOR(POWER(nmin * 1.0 / n, {1 - MIX_ALPHA:.1f}) * 65536 + 0.5)
+                  AS BIGINT) AS thresh
+      FROM c, m
+    ),
+    d AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               AS draw
+      FROM documents
+    )
+    SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.thresh,
+           CAST(SUM(CASE WHEN d.draw < r.thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(FLOOR(SUM(CASE WHEN d.draw < r.thresh THEN 1 ELSE 0 END)
+                      * 1000.0 / r.n + 0.5) AS BIGINT) AS kept_permille
+    FROM d JOIN r ON d.lang = r.lang
+    GROUP BY r.lang, r.n, r.thresh
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (the mT5 / XLM-R
+    multilingual recipe, Xue et al. 2021): q_mix_domains hard-codes
+    per-language keep rates; this computes them FROM the corpus — the
+    target mixture is p_l^alpha renormalized (alpha = {MIX_ALPHA}
+    flattens the head), realized by deterministic subsampling with keep
+    rate (n_min/n_l)^(1-alpha): the smallest language is kept whole and
+    every larger one is downsampled toward the tempered mixture. The
+    per-document draw is the same md5-prefix uniform as q_mix_domains
+    (reproducible across runs, engines, repartitionings); the threshold
+    is snapped to the 16-bit draw grid with floor(r·65536 + 0.5), so
+    the ONE libm pow per language sits ~10 orders of magnitude from the
+    nearest decision boundary — no per-doc float comparison anywhere.
+
+    Output is the per-language mixture report (counts, integer
+    threshold, realized keep rate); the keep DECISION for pipeline use
+    is the draw < thresh predicate with thresh broadcast — a map-only
+    corpus pass, the q_mix_domains scale shape plus one tiny
+    count-aggregate to learn the rates. At 100 TB the rate table is
+    |languages| rows: compute once, broadcast everywhere."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("nmin"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n",
+        F.floor(
+            F.pow(F.col("nmin") / F.col("n"), F.lit(1 - MIX_ALPHA)) * 65536
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    draw = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.select("doc_id", "lang", draw.alias("draw"))
+        .join(F.broadcast(r), "lang")
+        .groupBy("lang", "n", "thresh")
+        .agg(
+            F.sum(F.when(F.col("draw") < F.col("thresh"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            "thresh",
+            "n_kept",
+            F.floor(F.col("n_kept") * 1000.0 / F.col("n") + F.lit(0.5))
+            .cast("long")
+            .alias("kept_permille"),
+        )
     )
 
 

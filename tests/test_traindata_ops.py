@@ -223,3 +223,26 @@ def test_pack_bestfit_shelf_invariants(spark, doc_dir, cat):
     assert by_class[2].n_docs == 4 and by_class[2].n_bins == 2
     assert by_class[5].n_docs == 7 and by_class[5].n_bins == 2
     assert by_class[512].n_docs == 5 and by_class[512].n_bins == 1
+
+
+def test_mix_temperature_flattens_head(spark, doc_dir, cat):
+    """The smallest language must be kept whole (rate 1) and larger
+    languages downsampled at (n_min/n)^(1-alpha), realized within
+    binomial 4-sigma of the snapped threshold."""
+    rows, did = [], 0
+    for lang, n in [("en", 1600), ("de", 400), ("fr", 100)]:
+        for _ in range(n):
+            rows.append((did, f"w{did} x{did} y{did}", lang, "s", 1))
+            did += 1
+    sf_dir = doc_dir(rows)
+    got = {r.lang: r for r in cat["q_mix_temperature"].fn(spark, sf_dir).collect()}
+    assert got["fr"].thresh == 65536 and got["fr"].n_kept == 100  # kept whole
+    for lang, n in [("en", 1600), ("de", 400)]:
+        r = got[lang]
+        rate = (100 / n) ** 0.3
+        assert r.thresh == int(rate * 65536 + 0.5)
+        p = r.thresh / 65536
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(r.n_kept - n * p) <= 4 * sigma, (lang, r.n_kept, n * p, sigma)
+    # monotone: bigger language -> smaller keep rate
+    assert got["en"].thresh < got["de"].thresh < got["fr"].thresh
