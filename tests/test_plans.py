@@ -509,3 +509,58 @@ def test_heavy_hitters_candidate_pass_is_map_side(spark, sf_small, cat):
 
     df = cat["q_heavy_hitters"].fn(spark, sf_small)
     assert shuffle_count(df) <= 4, explain_str(df)
+
+
+# ------------------------------ round-4 operators ---------------------
+
+
+def test_pack_bestfit_is_one_hash_agg_no_window_over_corpus(spark, sf_small, cat):
+    """Harmonic shelf packing's whole point: bin counts from ONE hash
+    aggregate; the only window runs over the few-thousand-row class
+    table, so no corpus-sized exchange carries more than (lang, n)."""
+    df = cat["q_pack_bestfit"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final of the one agg
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "doc_id" not in cols, cols
+
+
+def test_perplexity_shuffles_narrow_and_combines_map_side(spark, sf_small, cat):
+    """The corpus-wide stages of the bigram scorer must shuffle only
+    narrow columns (tokens/ids/counts — never text), and the per-doc
+    aggregate must have a partial (map-side) level."""
+    df = cat["q_quality_perplexity"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols, cols
+
+
+def test_substring_runs_selfjoin_reads_checkpoint_with_shuffle_hash(spark, sf_small, cat):
+    """The chunk-signature self-join must consume the materialized
+    capped frame (Scan ExistingRDD, not a parquet re-scan per side) via
+    a shuffled-hash join, mirroring the jaccard discipline."""
+    df = cat["q_dedup_substring_runs"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "ShuffledHashJoin" in plan, plan[:800]
+    assert plan.count("Scan ExistingRDD") >= 2, "self-join sides must read the checkpoint"
+    assert plan.count("Scan parquet") == 0, "no side may re-run the chunk pipeline"
+
+
+def test_semantic_dedup_pairs_stay_bucket_local(spark, sf_small, cat):
+    """q_dedup_semantic must generate pairs via the cogrouped
+    per-bucket kernel (FlatMapCoGroupsInPandas) — never a cartesian or
+    unbucketed join of the embedding table with itself."""
+    df = cat["q_dedup_semantic"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:800]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_temperature_rate_table_broadcasts(spark, sf_small, cat):
+    """The |languages|-row rate table must broadcast; the corpus pass
+    itself is map-side plus one count aggregate."""
+    df = cat["q_mix_temperature"].fn(spark, sf_small)
+    assert has_broadcast_join(df), explain_str(df)[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols, cols
