@@ -286,15 +286,19 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair stage is the capped Jaccard pipeline (pair
     count bounded by rows·cap); pairs are checkpointed once and are
-    orders of magnitude smaller than the corpus. Triangles = one
-    two-hop join on the canonically-ordered edge list (every edge
-    stored a<b, so each triangle a<b<c is counted exactly once as the
-    wedge (a,b)+(b,c) closed by (a,c)); wedge count is Σ deg(v)², which
-    the rank cap bounds per hot shingle — at 100 TB a degree cap (drop
-    super-connectors before the wedge join) is the standard extra
-    guard, noted here and cheap to add because degrees are already
-    computed. All four stats are one-row aggregates crossJoined
-    broadcast — no driver collect."""
+    orders of magnitude smaller than the corpus. Triangles are counted
+    on the DEGREE-ORDERED orientation (Suri & Vassilvitskii, WWW'11
+    "the curse of the last reducer"): each edge points from its
+    lower-(degree, id) endpoint to the higher, every triangle is
+    counted exactly once as the wedge at its LOWEST-degree vertex, and
+    out-degrees are bounded by √(2m) — wedge volume is O(m^1.5)
+    regardless of how skewed the degree distribution is, where the
+    naive id-ordered wedge join is Σ deg(v)² and a single
+    million-degree template hub would detonate it. Same exact triangle
+    count (the DuckDB oracle keeps the simple id-ordered formulation —
+    hash-equality across the two formulations is itself evidence), no
+    result-changing degree cap needed. All four stats are one-row
+    aggregates crossJoined broadcast — no driver collect."""
     d = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
     e = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
@@ -308,22 +312,15 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
     )
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    # The wedge/closure joins deliberately carry NO broadcast hint: at
-    # 100 TB the edge list itself can be billions of rows, so these must
-    # be shuffle joins on the wedge key; AQE still broadcasts whenever
-    # the measured edge list is small (always true after thresholding
-    # at local SFs). Only the one-row stat frames are forced broadcast.
-    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    wedges = e1.join(e2, "b")
-    tri = (
-        wedges.join(
-            e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
-            ["a", "c"],
-            "inner",
-        )
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    # The wedge/closure joins inside triangle_count deliberately carry
+    # NO broadcast hint: at 100 TB the edge list itself can be billions
+    # of rows, so these must be shuffle joins on the wedge key; AQE
+    # still broadcasts whenever the measured edge list is small (always
+    # true after thresholding at local SFs). Only the one-row stat
+    # frames are forced broadcast.
+    from ..operators.graph import triangle_count
+
+    tri = triangle_count(e)
     return (
         nodes.crossJoin(broadcast(edges))
         .crossJoin(broadcast(tri))

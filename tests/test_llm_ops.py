@@ -1011,3 +1011,24 @@ def test_cluster_weighted_sampling_preserves_mass(spark, tmp_path):
     assert got[10].family_size == 1 and got[11].family_size == 1
     assert set(got) == {0, 10, 11}
     assert sum(r.family_size for r in got.values()) == len(rows)
+
+
+def test_triangle_count_degree_ordered_exact(spark):
+    """Degree-ordered triangle counting must be exact on constructed
+    graphs, including the skewed-hub case the orientation exists for."""
+    from production_ready_ds_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        return triangle_count(df).first().n_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tri(k4) == 4  # K4 has C(4,3) triangles
+    star = [(0, i) for i in range(1, 30)]
+    assert tri(star) == 0  # hub with no closures
+    # hub + two closed rims: exactly the closures are triangles, and
+    # the hub (max degree) is never the wedge apex
+    assert tri(star + [(1, 2), (3, 4)]) == 2
+    chain = [(i, i + 1) for i in range(10)]
+    assert tri(chain) == 0
+    assert tri(chain + [(0, 2), (5, 7)]) == 2
