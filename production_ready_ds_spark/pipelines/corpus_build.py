@@ -2,7 +2,8 @@
 to sharded, training-ready data as ONE incremental DAG.
 
     curation (score → filter → dedup-exact → dedup-near, curation.py)
-      → Decontaminate → MixCorpus → PackCorpus → ShardCorpus
+      → Decontaminate → QualityFilter → MixCorpus → PackCorpus
+      → ShardCorpus
 
 This is the composition the catalog queries exist for: each stage
 CALLS the same helper the oracle-checked operator uses
@@ -83,6 +84,48 @@ class Decontaminate(SparkTask):
         ).parquet(self.output().path)
 
 
+class QualityFilter(SparkTask):
+    """Perplexity quality gate (q_quality_perplexity): score every
+    surviving doc under the corpus-trained bigram LM via the SAME
+    shared helpers the oracle-checked query uses (doc_bigrams /
+    bigram_model / perplexity_terms / perplexity_report — one
+    definition) and drop the worst-scoring decile. The cutoff is the
+    EXACT 90th percentile of avg_nll_scaled (deterministic integer
+    scores → deterministic cutoff → reproducible backfills); docs too
+    short to produce a bigram carry no evidence and are kept, the same
+    keep-on-no-evidence stance as Decontaminate. One vocabulary-sized
+    model build + one corpus-wide scoring join per run."""
+
+    data_root = Parameter()
+    sf_dir = Parameter()
+
+    def requires(self):
+        return Decontaminate(data_root=self.data_root, sf_dir=self.sf_dir)
+
+    def output(self):
+        return ParquetTarget(_stage_dir(self.data_root, "quality"))
+
+    def main(self, spark):
+        from ..queries.llm import (
+            bigram_model,
+            doc_bigrams,
+            perplexity_report,
+            perplexity_terms,
+        )
+
+        docs = spark.read.parquet(self.requires().output().path)
+        scores = perplexity_report(
+            perplexity_terms(doc_bigrams(docs), bigram_model(docs))
+        ).localCheckpoint(eager=True)
+        cutoff = scores.agg(
+            F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")
+        ).first()["c"]
+        bad = scores.filter(F.col("avg_nll_scaled") > cutoff).select("doc_id")
+        docs.join(bad, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            self.output().path
+        )
+
+
 class MixCorpus(SparkTask):
     """Deterministic mixture sampling (q_mix_domains): keep a doc iff
     its md5(doc_id) hex prefix clears the language's threshold — a
@@ -93,7 +136,7 @@ class MixCorpus(SparkTask):
     sf_dir = Parameter()
 
     def requires(self):
-        return Decontaminate(data_root=self.data_root, sf_dir=self.sf_dir)
+        return QualityFilter(data_root=self.data_root, sf_dir=self.sf_dir)
 
     def output(self):
         return ParquetTarget(_stage_dir(self.data_root, "mixed"))

@@ -24,9 +24,9 @@ def _build(spark, root, sf):
 def test_end_to_end_build_produces_clean_shards(spark, sf_small, tmp_path):
     root = str(tmp_path)
     report = _build(spark, root, sf_small)
-    # 4 curation stages upstream of DedupNear + 4 corpus stages (the
+    # 4 curation stages upstream of DedupNear + 5 corpus stages (the
     # funnel's report task is a sibling, not a dependency)
-    assert len(report["ran"]) == 8, report
+    assert len(report["ran"]) == 9, report
     shards = spark.read.parquet(f"{root}/corpus/shards")
 
     # every probe (benchmark) doc is excluded from training data
@@ -112,3 +112,17 @@ def test_build_is_deterministic_across_roots(spark, sf_small, tmp_path):
         }
 
     assert snapshot(r1) == snapshot(r2)
+
+
+def test_quality_filter_drops_worst_decile_only(spark, sf_small, tmp_path):
+    root = str(tmp_path)
+    _build(spark, root, sf_small)
+    before = spark.read.parquet(f"{root}/corpus/decontaminated")
+    after = spark.read.parquet(f"{root}/corpus/quality")
+    n_before, n_after = before.count(), after.count()
+    assert n_after < n_before, "the gate must drop something on real data"
+    # at most ~10% dropped (short no-bigram docs are kept, so possibly less)
+    assert n_after >= 0.89 * n_before, (n_before, n_after)
+    # the survivors' ids are a subset — the gate only filters
+    kept = {r.doc_id for r in after.select("doc_id").collect()}
+    assert kept <= {r.doc_id for r in before.select("doc_id").collect()}
