@@ -155,6 +155,7 @@ _EXTENSION_PRIORITY = (
     "q_sample_cluster_weighted",
     "q_mix_temperature",
     "q_stream_quality",
+    "q_sketch_theta",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

@@ -328,6 +328,156 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THETA_K = 256  # KMV sketch size (k smallest hash values per set)
+
+
+@query(
+    "q_sketch_theta",
+    category="llm-sketch",
+    sql=f"""
+    WITH s AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(sg), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT source, {_DUCK_TOKENS} AS ts FROM documents),
+           UNNEST(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))
+             AS u(sg)
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM s
+      ) WHERE rk <= {THETA_K}
+    ),
+    th AS (SELECT source, MAX(h) AS hk FROM sk GROUP BY source),
+    pr AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             LEAST(a.hk, b.hk) AS theta_hash
+      FROM th a JOIN th b ON a.source < b.source
+    ),
+    mt AS (
+      SELECT pr.source_a, pr.source_b, pr.theta_hash,
+             SUM(CASE WHEN ka.h < pr.theta_hash THEN 1 ELSE 0 END) AS n_matches
+      FROM pr
+      JOIN sk ka ON ka.source = pr.source_a
+      JOIN sk kb ON kb.source = pr.source_b AND kb.h = ka.h
+      GROUP BY pr.source_a, pr.source_b, pr.theta_hash
+    ),
+    ex AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS exact_intersection
+      FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT pr.source_a, pr.source_b, pr.theta_hash,
+           CAST(COALESCE(mt.n_matches, 0) AS BIGINT) AS n_matches,
+           CAST(FLOOR(COALESCE(mt.n_matches, 0) * 4294967296.0
+                      / pr.theta_hash + 0.5) AS BIGINT) AS est_intersection,
+           CAST(COALESCE(ex.exact_intersection, 0) AS BIGINT)
+             AS exact_intersection
+    FROM pr
+    LEFT JOIN mt ON mt.source_a = pr.source_a AND mt.source_b = pr.source_b
+    LEFT JOIN ex ON ex.source_a = pr.source_a AND ex.source_b = pr.source_b
+    """,
+)
+def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET OPERATIONS — the capability that completes
+    the mergeable-sketch family: HLL answers |A| but cannot intersect;
+    a k-minimum-values sketch supports |A ∩ B| (Beyer et al. SIGMOD'07
+    / the DataSketches theta sketch): keep each set's {THETA_K}
+    smallest distinct hash values, θ = min of the two k-th minima, and
+    |A ∩ B| ≈ |sketch_A ∩ sketch_B ∩ [0, θ)| / θ. Here: per-source
+    distinct-shingle sets, every source pair estimated and reported
+    next to the exact intersection — at catalog SFs the exact column
+    is the verification baseline; at 100 TB it is precisely the
+    all-pairs distinct join you deploy the sketch to AVOID, and only
+    the k-row sketches move.
+
+    Everything is DETERMINISTIC given the data — the hash is the same
+    md5-prefix integer both engines compute bit-identically (the
+    winnowing/CDC convention), k-th minima are order statistics, and
+    the estimate divides exact integers once then snaps to the grid —
+    so the driver hash-verifies the ESTIMATES themselves, not just a
+    bounds contract (stronger than the CMS/MG form: zero tolerance).
+
+    Scale shape: one distinct on (source, hash) — the only corpus-wide
+    stage, map-side-combinable; the per-source k-min is a window over
+    that distinct table TODAY and a two-level partial top-k at scale
+    (KMV sketches merge: union-then-keep-k-smallest, the same
+    mergeability contract tests pin for HLL/GK/MG/Bloom/CMS); sketch
+    frames are k·|sources| rows, so every pairwise stage is
+    broadcast-sized regardless of corpus size."""
+    from ..operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    sh = d.select("source", F.explode(shingles(toks)).alias("sg"))
+    h = F.conv(F.substring(F.md5(F.col("sg").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    s = sh.select("source", h.alias("h")).distinct().localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= THETA_K)
+        .drop("rk")
+        .localCheckpoint(eager=True)
+    )
+    th = sk.groupBy("source").agg(F.max("h").alias("hk"))
+    pr = (
+        th.alias("a")
+        .join(th.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.least("a.hk", "b.hk").alias("theta_hash"),
+        )
+    )
+    ka = sk.select(F.col("source").alias("source_a"), "h")
+    kb = sk.select(F.col("source").alias("source_b"), "h")
+    mt = (
+        broadcast(pr)
+        .join(ka, "source_a")
+        .join(kb, ["source_b", "h"])
+        .groupBy("source_a", "source_b", "theta_hash")
+        .agg(
+            F.sum(F.when(F.col("h") < F.col("theta_hash"), 1).otherwise(0)).alias(
+                "n_matches"
+            )
+        )
+    )
+    sa = s.select(F.col("source").alias("source_a"), "h")
+    sb = s.select(F.col("source").alias("source_b"), "h")
+    ex = (
+        sa.join(sb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        pr.join(mt.drop("theta_hash"), ["source_a", "source_b"], "left")
+        .join(ex, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "theta_hash",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.floor(
+                F.coalesce("n_matches", F.lit(0)) * 4294967296.0
+                / F.col("theta_hash")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+
+
 _N_MINHASH = 16
 _BAND_SIZE = 4
 

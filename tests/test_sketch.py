@@ -251,3 +251,40 @@ def test_cms_never_undercounts_and_zero_for_absent(spark):
         for r in cms_estimate(cms, probes, "token").collect()
     }["absent_key_xyz"]
     assert est_absent <= 2000 * 16 / 2048
+
+
+# ---------------------------------------------------------------- theta --
+
+
+def test_theta_intersection_tracks_exact_on_heavy_overlap(spark, tmp_path):
+    """KMV intersection estimate must land within 4-sigma of the exact
+    count on a constructed heavy-overlap pair (k=256 -> sigma ~ 6%),
+    and the exact column must reflect the built overlap."""
+    import os
+    import random
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(11)
+    shared = [f"sh{rng.randrange(10**9)}" for _ in range(4000)]
+    rows, did = [], 0
+    for source, extra_tag in [("A", "a"), ("B", "b")]:
+        # 40 docs of 100 shared tokens each + a unique tail per source
+        for i in range(40):
+            toks = shared[i * 100 : (i + 1) * 100] + [
+                f"{extra_tag}{rng.randrange(10**9)}" for _ in range(20)
+            ]
+            rows.append((did, " ".join(toks), "en", source, 1))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "theta_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = catalog()["q_sketch_theta"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exact_intersection > 3000, r  # the shared shingles are there
+    rel = abs(r.est_intersection - r.exact_intersection) / r.exact_intersection
+    assert rel < 0.25, (r.est_intersection, r.exact_intersection, rel)
