@@ -399,6 +399,10 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimate divides exact integers once then snaps to the grid —
     so the driver hash-verifies the ESTIMATES themselves, not just a
     bounds contract (stronger than the CMS/MG form: zero tolerance).
+    Both columns count distinct 32-bit HASHES, identical cross-engine;
+    vs true shingle sets that undercounts by expected birthday
+    collisions ≈ n²/2³³ (about one at 10⁵ distinct shingles) — widen
+    the prefix to 63 bits per element if that ever matters.
 
     Scale shape: one distinct on (source, hash) — the only corpus-wide
     stage, map-side-combinable; the per-source k-min is a window over
