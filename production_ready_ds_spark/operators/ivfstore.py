@@ -1,0 +1,271 @@
+"""Persistent IVF (inverted-file) vector index: trained centroids +
+manifest-tracked, list-clustered embedding segments.
+
+The ANN twin of :mod:`sigstore`: where the signature store makes
+incremental LEXICAL dedup O(batch), this makes incremental VECTOR
+search O(probed lists). The 100 TB contract per operation:
+
+- **train once, assign forever**: KMeans centroids are fit on ONE
+  (sampled) frame and persisted next to the manifest; every later
+  batch is assigned to its nearest list by a broadcast map pass —
+  no re-clustering, no shuffle of the corpus (re-training is an
+  explicit rebuild, exactly like re-sharding a table).
+- **append is O(batch)**: assignment + one range-clustered segment
+  write on ``list_id`` (layout.write_range_clustered), so every file
+  and row group owns a slice of the list domain. Manifest replaced
+  only after the segment data is durable (the sigstore crash
+  ordering: an unregistered directory is invisible; a dangling
+  manifest entry is impossible).
+- **search is O(probed lists)**: a probe ranks the k centroids
+  (|probes| × k rows, broadcast-sized), and candidate rows are read
+  with an ``In(list_id, ...)`` predicate parquet stats evaluate per
+  row group — on list-clustered segments that is the inverted-list
+  read, not a table scan. The IN-pushdown threshold is raised past
+  the probe-list count (Spark otherwise degrades In to a useless
+  [min, max] range on list ids).
+- **single-writer contract**: same as sigstore/layout — appends and
+  compaction run from one scheduler slot; readers racing a compaction
+  swap can see the store mid-rewrite.
+
+Centroids are stored as JSON (k × dim doubles — kilobytes) so a
+foreign session can open the store without the ML model directory.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_ivf_manifest.json"
+CENTROIDS = "_ivf_centroids.json"
+
+DEFAULT_K = 16
+DEFAULT_NPROBE = 4
+
+
+def _sqdist(vec_col, cen_col):
+    """Squared Euclidean distance between two array columns (JVM
+    higher-order fold — tiny inputs only: |probes| × k rows)."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col, cen_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+class IVFStore:
+    """Persistent trained-quantizer vector index (see module docstring)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    # -- manifest / centroids -----------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def segments(self) -> list[dict]:
+        try:
+            with open(self._path(MANIFEST)) as fh:
+                return json.load(fh)["segments"]
+        except FileNotFoundError:
+            return []
+
+    def _write_json(self, name: str, payload: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path(name) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.replace(tmp, self._path(name))
+
+    def centroids(self) -> list[list[float]] | None:
+        try:
+            with open(self._path(CENTROIDS)) as fh:
+                return json.load(fh)["centroids"]
+        except FileNotFoundError:
+            return None
+
+    def centroid_frame(self, spark: SparkSession) -> DataFrame:
+        cents = self.centroids()
+        if cents is None:
+            raise ValueError(f"IVFStore at {self.root} has no trained centroids")
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "list_id int, centroid array<double>"
+        )
+
+    # -- training ------------------------------------------------------
+    def train(
+        self,
+        embeddings: DataFrame,
+        *,
+        k: int = DEFAULT_K,
+        seed: int = 7,
+        max_iter: int = 5,
+        vec_col: str = "embedding",
+    ) -> int:
+        """Fit k centroids (seeded KMeans) and persist them. Train on a
+        SAMPLE at scale — KMeans cost is per-training-row, and the
+        assignment map never needs the trainer again. Returns k."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        fe = embeddings.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(fe)
+        self._write_json(
+            CENTROIDS,
+            {"centroids": [[float(x) for x in c] for c in model.clusterCenters()]},
+        )
+        return k
+
+    def assign(self, embeddings: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        """(id, embedding, list_id) for a batch: nearest persisted
+        centroid per vector — ONE broadcast map pass (k × dim doubles
+        ride to every task; argmin over k distances per row), no
+        shuffle, no ML model load."""
+        spark = embeddings.sparkSession
+        cen = self.centroid_frame(spark)
+        # broadcast k rows; per row compute distance to each centroid
+        # and keep the argmin — a map-side window-free min_by
+        d2 = _sqdist(F.col(vec_col), F.col("centroid"))
+        scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cen)).withColumn(
+            "_d2", d2
+        )
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min_by(F.struct("list_id", vec_col), F.struct("_d2", "list_id")).alias("_m")
+            )
+            .select(id_col, F.col(f"_m.{vec_col}").alias(vec_col), F.col("_m.list_id").alias("list_id"))
+        )
+
+    # -- writes --------------------------------------------------------
+    def append(
+        self,
+        embeddings: DataFrame,
+        *,
+        id_min: int,
+        id_max: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_files: int = 4,
+    ) -> None:
+        """Assign a batch and register it as a list-clustered segment."""
+        assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
+        segments = self.segments()
+        seg = {
+            "seg": max((s["seg"] for s in segments), default=-1) + 1,
+            "id_min": id_min,
+            "id_max": id_max,
+        }
+        from .layout import write_range_clustered
+
+        write_range_clustered(
+            assigned, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
+        )
+        self._write_json(MANIFEST, {"segments": [*segments, seg]})
+
+    def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
+        """Fold all segments into one list-clustered segment (bounds
+        footer-open cost). Single-writer, like sigstore.compact."""
+        segments = self.segments()
+        if len(segments) <= 1:
+            return len(segments)
+        df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segments])
+        merged = {
+            "seg": max(s["seg"] for s in segments) + 1,
+            "id_min": min(s["id_min"] for s in segments),
+            "id_max": max(s["id_max"] for s in segments),
+        }
+        from .layout import write_range_clustered
+
+        write_range_clustered(
+            df, self._path(f"seg={merged['seg']}"), ["list_id"], n_files=n_files
+        )
+        self._write_json(MANIFEST, {"segments": [merged]})
+        import shutil
+
+        for s in segments:
+            shutil.rmtree(self._path(f"seg={s['seg']}"), ignore_errors=True)
+        return 1
+
+    # -- reads ---------------------------------------------------------
+    def read_lists(self, spark: SparkSession, list_ids: list[int]) -> DataFrame | None:
+        """Stored rows of the given inverted lists — all segments, with
+        the In(list_id) predicate pushed to parquet row-group stats
+        (threshold raised past the list count; on list-clustered
+        segments this reads only the probed lists' row groups)."""
+        segs = self.segments()
+        if not segs or not list_ids:
+            return None
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(max(len(list_ids) + 1, 10)),
+        )
+        df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
+        return df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
+
+    def search(
+        self,
+        probes: DataFrame,
+        *,
+        top_k: int = 3,
+        nprobe: int = DEFAULT_NPROBE,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Cosine top-k neighbors from the store for each probe row:
+        rank centroids per probe (|probes| × k, broadcast-sized), fetch
+        ONLY the probed lists, bucket-equi-join, per-probe top-k.
+        Returns (probe_id, neighbor_id, cos_sim); a probe never matches
+        its own id."""
+        from pyspark.sql import Window
+
+        from ..functions.vectors import cosine_prenormed, norm
+
+        spark = probes.sparkSession
+        cen = self.centroid_frame(spark)
+        d2 = _sqdist(F.col("pe"), F.col("centroid"))
+        w_lists = Window.partitionBy("probe_id").orderBy(F.asc("_d2"), F.asc("list_id"))
+        probe_lists = (
+            probes.select(
+                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pe")
+            )
+            .crossJoin(F.broadcast(cen))
+            .withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w_lists))
+            .filter(F.col("_rn") <= nprobe)
+            .select("probe_id", "pe", "list_id")
+        )
+        wanted = sorted(
+            {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}
+        )  # bounded by |probes| * nprobe <= k — a sketch-sized collect
+        cand = self.read_lists(spark, wanted)
+        if cand is None:
+            raise ValueError(f"IVFStore at {self.root} is empty")
+        sims = (
+            cand.join(
+                F.broadcast(probe_lists.withColumn("pnrm", norm(F.col("pe")))),
+                "list_id",
+            )
+            .filter(F.col(id_col) != F.col("probe_id"))
+            .select(
+                "probe_id",
+                F.col(id_col).alias("neighbor_id"),
+                cosine_prenormed(
+                    F.col("pe"), F.col(vec_col), F.col("pnrm"), norm(F.col(vec_col))
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        return (
+            sims.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+        )

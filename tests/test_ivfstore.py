@@ -1,0 +1,112 @@
+"""IVFStore (operators/ivfstore.py): incremental trained-quantizer
+vector index — append-equivalence, probed-list pruning, compaction,
+and recall against brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from production_ready_ds_spark.operators.ivfstore import IVFStore
+from production_ready_ds_spark.tables import load
+
+
+@pytest.fixture()
+def embs(spark, sf_small):
+    return load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+
+
+def _results(df):
+    return sorted((r.probe_id, r.neighbor_id, r.cos_sim) for r in df.collect())
+
+
+def test_incremental_append_equals_one_shot(spark, tmp_path, embs):
+    probes = embs.filter(F.col("vec_id") < 5)
+    one = IVFStore(str(tmp_path / "one"))
+    one.train(embs)
+    one.append(embs, id_min=0, id_max=10**9)
+
+    inc = IVFStore(str(tmp_path / "inc"))
+    inc.train(embs)  # same seed + data -> same centroids
+    for lo, hi in [(0, 150), (150, 300), (300, 10**9)]:
+        batch = embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        inc.append(batch, id_min=lo, id_max=hi - 1)
+    assert len(inc.segments()) == 3
+    assert _results(inc.search(probes)) == _results(one.search(probes))
+
+
+def test_search_pushes_list_filter_to_parquet(spark, tmp_path, embs):
+    from production_ready_ds_spark.plans.audit import pushed_filters
+
+    store = IVFStore(str(tmp_path / "st"))
+    store.train(embs)
+    store.append(embs, id_min=0, id_max=10**9)
+    cand = store.read_lists(spark, [0, 3, 7])
+    pushed = " ".join(pushed_filters(cand))
+    assert "list_id" in pushed and "In(" in pushed, pushed
+    # the probed-list read returns only those lists
+    assert {r.list_id for r in cand.select("list_id").distinct().collect()} <= {0, 3, 7}
+
+
+def test_compact_preserves_search(spark, tmp_path, embs):
+    probes = embs.filter(F.col("vec_id") < 5)
+    store = IVFStore(str(tmp_path / "c"))
+    store.train(embs)
+    for lo, hi in [(0, 200), (200, 10**9)]:
+        store.append(
+            embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            id_min=lo,
+            id_max=hi - 1,
+        )
+    before = _results(store.search(probes))
+    assert store.compact(spark) == 1
+    assert _results(store.search(probes)) == before
+
+
+def test_recall_against_brute_force(spark, tmp_path, embs):
+    """nprobe=4 of k=16 lists must recover >= 50% of the true cosine
+    top-3 (the q_sim_topk_ivf bound; same data, same quantizer)."""
+    from production_ready_ds_spark.functions.vectors import cosine_prenormed, norm
+    from pyspark.sql import Window
+
+    store = IVFStore(str(tmp_path / "r"))
+    store.train(embs)
+    store.append(embs, id_min=0, id_max=10**9)
+    probes = embs.filter(F.col("vec_id") < 10)
+    got = {
+        (r.probe_id, r.neighbor_id)
+        for r in store.search(probes, top_k=3).collect()
+    }
+
+    e = embs.withColumn("nrm", norm(F.col("embedding")))
+    p = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_untrained_store_raises(spark, tmp_path, embs):
+    store = IVFStore(str(tmp_path / "u"))
+    with pytest.raises(ValueError, match="no trained centroids"):
+        store.append(embs, id_min=0, id_max=1)
