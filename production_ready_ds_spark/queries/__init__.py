@@ -156,6 +156,7 @@ _EXTENSION_PRIORITY = (
     "q_mix_temperature",
     "q_stream_quality",
     "q_sketch_theta",
+    "q_dedup_semantic_ivf",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

@@ -953,6 +953,57 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_semantic_ivf", category="llm-dedup", sql=None)
+def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_semantic with the TRAINED quantizer its docstring names
+    as the production swap — this is actual SemDeDup (Abbas et al.
+    2023): cluster the embeddings with seeded KMeans (k = {_IVF_K}
+    here; corpus-sized k in production), then within each cluster drop
+    every vector that has a smaller-id cosine neighbor ≥ the
+    threshold, min id canonical. Identical decision rule and identical
+    per-cluster BLAS-matmul pair kernel as the sign-bucket variant —
+    ONLY the cluster-id column changes (trained centroid argmin
+    instead of sign pattern), which is the point: the swap the
+    sign-bucket docstring promises is one assignment expression, not a
+    rewrite. Rows-only for the driver (centroids depend on the
+    trainer); the within-cluster decisions are replayed exactly by a
+    NumPy brute force in tests/test_llm_ops.py, the
+    q_dedup_semantic evidence form."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..operators.ann import bucketed_cosine_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    fe = e.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    km = KMeans(
+        k=_IVF_K, seed=7, maxIter=5, featuresCol="features", predictionCol="bucket"
+    )
+    assigned = km.fit(fe).transform(fe).select("vec_id", "embedding", "bucket")
+    home = assigned.select("vec_id", F.col("bucket").alias("pb"), "embedding")
+    pairs = bucketed_cosine_pairs(
+        home, home, threshold=EMBED_COS_THRESHOLD
+    ).distinct()
+    dup = pairs.groupBy("vec_b").agg(
+        F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return (
+        assigned.select("vec_id", "bucket")
+        .join(dup.withColumnRenamed("vec_b", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
+        )
+    )
+
+
 # -------------------------------------------------------- text analysis --
 
 

@@ -1032,3 +1032,34 @@ def test_triangle_count_degree_ordered_exact(spark):
     chain = [(i, i + 1) for i in range(10)]
     assert tri(chain) == 0
     assert tri(chain + [(0, 2), (5, 7)]) == 2
+
+
+def test_dedup_semantic_ivf_matches_bruteforce_within_clusters(spark, sf_small, cat):
+    """The trained-quantizer SemDeDup must make exactly the brute-force
+    decisions WITHIN its own clusters (whatever the trainer produced):
+    drop iff a smaller-id same-cluster vector has cosine >= tau."""
+    import numpy as np
+
+    from production_ready_ds_spark.queries.llm import EMBED_COS_THRESHOLD
+    from production_ready_ds_spark.tables import load
+
+    out = {r.vec_id: r for r in
+           cat["q_dedup_semantic_ivf"].fn(spark, sf_small).collect()}
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in load(spark, sf_small, "embeddings").collect()}
+    assert set(out) == set(vecs)
+    clusters: dict[int, list[int]] = {}
+    for vid, r in out.items():
+        clusters.setdefault(r.bucket, []).append(vid)
+    assert len(clusters) > 1, "trainer must actually partition the space"
+    for vid, r in out.items():
+        dups = []
+        for other in clusters[r.bucket]:
+            if other < vid:
+                a, c = vecs[other], vecs[vid]
+                cos = float(a @ c / (np.linalg.norm(a) * np.linalg.norm(c)))
+                if cos >= EMBED_COS_THRESHOLD:
+                    dups.append(other)
+        assert r.kept == (not dups), (vid, r)
+        assert r.dup_of == (min(dups) if dups else None), (vid, r)
+        assert r.n_dups == len(dups), (vid, r)
