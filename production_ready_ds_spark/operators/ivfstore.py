@@ -126,9 +126,11 @@ class IVFStore:
 
     def assign(self, embeddings: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
         """(id, embedding, list_id) for a batch: nearest persisted
-        centroid per vector — ONE broadcast map pass (k × dim doubles
-        ride to every task; argmin over k distances per row), no
-        shuffle, no ML model load."""
+        centroid per vector. The broadcast cross join is map-side and
+        the k-way fan-out collapses BEFORE the exchange (partial
+        min_by combine emits one row per id per partition), so the one
+        shuffle carries O(batch) argmin rows — never batch × k. No ML
+        model load; the centroids ride as k × dim broadcast doubles."""
         spark = embeddings.sparkSession
         cen = self.centroid_frame(spark)
         # broadcast k rows; per row compute distance to each centroid

@@ -110,3 +110,45 @@ def test_untrained_store_raises(spark, tmp_path, embs):
     store = IVFStore(str(tmp_path / "u"))
     with pytest.raises(ValueError, match="no trained centroids"):
         store.append(embs, id_min=0, id_max=1)
+
+
+def test_streaming_ingest_appends_batches_equal_to_batch(spark, tmp_path, embs):
+    """IVFStore.append composes with Structured Streaming's
+    foreachBatch — the online-ingest shape: each micro-batch is
+    assigned + appended as a segment, and the resulting index answers
+    searches identically to a one-shot batch build."""
+    import os
+
+    from production_ready_ds_spark.streaming.events import _as_stream_dir
+
+    probes = embs.filter(F.col("vec_id") < 5)
+    ref = IVFStore(str(tmp_path / "ref"))
+    ref.train(embs)
+    ref.append(embs, id_min=0, id_max=10**9)
+
+    store = IVFStore(str(tmp_path / "stream"))
+    store.train(embs)
+
+    sf_dir = os.path.dirname(embs.inputFiles()[0].removeprefix("file:"))
+
+    def ingest(batch_df, batch_id):
+        ids = batch_df.agg(F.min("vec_id"), F.max("vec_id")).first()
+        if ids[0] is not None:
+            store.append(batch_df, id_min=ids[0], id_max=ids[1])
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(_as_stream_dir(os.path.join(sf_dir, "embeddings.parquet")))
+        .select("vec_id", "embedding")
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert store.segments(), "streaming ingest must register segments"
+    assert _results(store.search(probes)) == _results(ref.search(probes))
