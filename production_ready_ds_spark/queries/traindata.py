@@ -164,6 +164,67 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pack_bestfit_assign",
+    category="llm-traindata",
+    sql=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_DUCK_TOKENS}) AS n FROM documents
+    ),
+    cls AS (
+      SELECT lang, doc_id, n,
+             CASE WHEN n <= 0 THEN {SEQ_BUDGET}
+                  WHEN n >= {SEQ_BUDGET} THEN 1
+                  ELSE CAST(FLOOR({SEQ_BUDGET} * 1.0 / n) AS BIGINT) END AS size_class
+      FROM t
+    ),
+    rk AS (
+      SELECT lang, doc_id, n, size_class,
+             ROW_NUMBER() OVER (PARTITION BY lang, size_class
+                                ORDER BY doc_id) - 1 AS r
+      FROM cls
+    )
+    SELECT lang, doc_id, size_class,
+           CAST(r // size_class AS BIGINT) AS bin_id,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM rk
+    """,
+)
+def q_pack_bestfit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin MEMBERSHIP for the Harmonic shelf packing — the companion
+    q_pack_bestfit's docstring describes: within (lang, size_class),
+    docs in stable doc_id order fill shelves of exactly k docs, so
+    bin_id = floor(rank / k). This is what a data loader actually
+    consumes (doc → bin), where q_pack_bestfit is the capacity report.
+    The no-overflow guarantee is structural — k docs of class k each
+    have n ≤ budget/k — and pinned by a per-bin token-sum test.
+
+    Scale shape: ONE shuffle on (lang, size_class) for the rank window
+    (the q_pack_sequences discipline: shard keys make parallelism, the
+    window runs per shard), map-only before and after; the row_number
+    frame carries (lang, doc_id, n, k) — never text."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n"))
+    k = (
+        F.when(F.col("n") <= 0, F.lit(SEQ_BUDGET))
+        .when(F.col("n") >= SEQ_BUDGET, F.lit(1))
+        .otherwise(F.floor(F.lit(SEQ_BUDGET) / F.col("n")))
+        .cast("long")
+    )
+    w = Window.partitionBy("lang", "size_class").orderBy("doc_id")
+    return (
+        t.withColumn("size_class", k)
+        .withColumn("r", F.row_number().over(w) - 1)
+        .select(
+            "lang",
+            "doc_id",
+            "size_class",
+            F.floor(F.col("r") / F.col("size_class")).cast("long").alias("bin_id"),
+            F.col("n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 # Temperature-sampling exponent: target mixture q_l ∝ p_l^alpha with
 # alpha = 1/T < 1 (mT5's T ≈ 1.43..5 regime). Realized by SUBSAMPLING
 # only (a keep/drop pass cannot upsample): keep rate

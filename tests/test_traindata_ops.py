@@ -246,3 +246,31 @@ def test_mix_temperature_flattens_head(spark, doc_dir, cat):
         assert abs(r.n_kept - n * p) <= 4 * sigma, (lang, r.n_kept, n * p, sigma)
     # monotone: bigger language -> smaller keep rate
     assert got["en"].thresh < got["de"].thresh < got["fr"].thresh
+
+
+def test_pack_bestfit_assign_never_overflows_and_matches_report(spark, doc_dir, cat):
+    """Every realized bin's token sum must fit the budget, and the
+    membership's bin counts must equal q_pack_bestfit's capacity
+    report bin-for-bin."""
+    from collections import defaultdict
+
+    from production_ready_ds_spark.queries.traindata import SEQ_BUDGET
+
+    rows = []
+    for did in range(120):
+        n = 30 + (did * 37) % 400  # varied doc lengths across classes
+        rows.append((did, " ".join(f"t{did}_{i}" for i in range(n)), "en", "s", 1))
+    sf_dir = doc_dir(rows)
+    assign = cat["q_pack_bestfit_assign"].fn(spark, sf_dir).collect()
+    sums = defaultdict(int)
+    for r in assign:
+        sums[(r.lang, r.size_class, r.bin_id)] += r.n_tokens
+    assert all(s <= SEQ_BUDGET for s in sums.values()), max(sums.values())
+    report = {
+        (r.lang, r.size_class): r.n_bins
+        for r in cat["q_pack_bestfit"].fn(spark, sf_dir).collect()
+    }
+    realized = defaultdict(set)
+    for lang, k, b in sums:
+        realized[(lang, k)].add(b)
+    assert {kk: len(v) for kk, v in realized.items()} == report
