@@ -206,10 +206,14 @@ class IVFStore:
         segs = self.segments()
         if not segs or not list_ids:
             return None
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold",
-            str(max(len(list_ids) + 1, 10)),
-        )
+        # Session-level RATCHET, never a lowering: the threshold must
+        # still be high when the lazy scan actually executes (a
+        # set/restore pair would revert before execution), and a raise
+        # only makes other scans' In-filters push as In instead of
+        # degrading to [min,max] — strictly more precise pruning.
+        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+        current = int(spark.conf.get(conf_key, "10"))
+        spark.conf.set(conf_key, str(max(current, len(list_ids) + 1)))
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
         return df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
 

@@ -150,10 +150,12 @@ class SignatureStore:
             # Raise the parquet IN-pushdown threshold past our list size:
             # above it Spark degrades In to a [min,max] range filter,
             # which prunes nothing on uniform 64-bit bucket hashes.
-            spark.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold",
-                str(max(len(keys) + 1, 10)),
-            )
+            # RATCHET (max with current), never a lowering: the lazy
+            # scan reads the conf at execution time, and a raise is
+            # strictly-more-precise pushdown for every other scan too.
+            conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+            current = int(spark.conf.get(conf_key, "10"))
+            spark.conf.set(conf_key, str(max(current, len(keys) + 1)))
             df = df.filter(F.col("key").isin(keys))
         return df
 

@@ -10,7 +10,7 @@ LSH band / label bucket, and brute-force cosine is only on the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -925,15 +925,24 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLUSTER COUNT with the corpus (more planes, or trained centroids —
     SemDeDup's own k is corpus-sized); the per-bucket kernel and every
     downstream stage are unchanged by that swap."""
-    from ..operators.ann import bucketed_cosine_pairs
-
     e = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", sign_bucket(F.col("embedding"))
     )
-    home = e.select("vec_id", F.col("bucket").alias("pb"), "embedding")
-    # each within-bucket pair surfaces twice (either end as the probe
-    # side), normalized to the same (vec_a < vec_b, rounded cos) row —
-    # distinct collapses the mirror, the multiprobe discipline
+    return _semantic_decisions(e)
+
+
+def _semantic_decisions(assigned: DataFrame) -> DataFrame:
+    """(vec_id, bucket, embedding) → the SemDeDup decision table
+    (vec_id, bucket, kept, dup_of, n_dups) — the ONE decision
+    definition both quantizer variants share, so the promised
+    sign-bucket ↔ trained-centroid swap really is just the cluster-id
+    expression. Pairs come from the per-bucket BLAS matmul kernel;
+    each within-bucket pair surfaces twice (either end as the probe
+    side), normalized to the same (vec_a < vec_b, rounded cos) row —
+    distinct collapses the mirror, the multiprobe discipline."""
+    from ..operators.ann import bucketed_cosine_pairs
+
+    home = assigned.select("vec_id", F.col("bucket").alias("pb"), "embedding")
     pairs = bucketed_cosine_pairs(
         home, home, threshold=EMBED_COS_THRESHOLD
     ).distinct()
@@ -941,7 +950,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups")
     )
     return (
-        e.select("vec_id", "bucket")
+        assigned.select("vec_id", "bucket")
         .join(dup.withColumnRenamed("vec_b", "vec_id"), "vec_id", "left")
         .select(
             "vec_id",
@@ -972,8 +981,6 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    from ..operators.ann import bucketed_cosine_pairs
-
     e = load(spark, sf_dir, "embeddings")
     fe = e.select(
         "vec_id",
@@ -984,24 +991,7 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_IVF_K, seed=7, maxIter=5, featuresCol="features", predictionCol="bucket"
     )
     assigned = km.fit(fe).transform(fe).select("vec_id", "embedding", "bucket")
-    home = assigned.select("vec_id", F.col("bucket").alias("pb"), "embedding")
-    pairs = bucketed_cosine_pairs(
-        home, home, threshold=EMBED_COS_THRESHOLD
-    ).distinct()
-    dup = pairs.groupBy("vec_b").agg(
-        F.min("vec_a").alias("dup_of"), F.count(F.lit(1)).alias("n_dups")
-    )
-    return (
-        assigned.select("vec_id", "bucket")
-        .join(dup.withColumnRenamed("vec_b", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            "bucket",
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
-            F.coalesce("n_dups", F.lit(0)).alias("n_dups"),
-        )
-    )
+    return _semantic_decisions(assigned)
 
 
 # -------------------------------------------------------- text analysis --
@@ -1596,18 +1586,9 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal, and the final top-k is TakeOrderedAndProject — nothing
     after the first hash-agg is proportional to the corpus."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
-    bigrams = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ts") - 1, F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at(F.col("ts"), i).alias("w1"),
-                    F.element_at(F.col("ts"), i + 1).alias("w2"),
-                ),
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    # the ONE guarded bigram definition (doc_bigrams) — its previous
+    # inline copy crashed on <2-token docs (sequence(1, 0) counts DOWN)
+    bigrams = doc_bigrams(d).select("w1", "w2")
     pc = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1726,23 +1707,34 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_report(scored)
 
 
+def _bigram_structs(ts: Column) -> Column:
+    """Adjacent-token (w1, w2) struct array of a token-array column —
+    guarded for <2 tokens, because ``F.sequence(1, 0)`` counts DOWN
+    ([1, 0], not empty) and element_at(ts, 0/2) then throws on empty
+    and one-token docs (the shingles() pitfall; a greatest(size-1, 0)
+    bound does NOT avoid it)."""
+    idx = F.when(
+        F.size(ts) >= 2, F.sequence(F.lit(1), F.size(ts) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ts, i).alias("w1"),
+            F.element_at(ts, i + 1).alias("w2"),
+        ),
+    )
+
+
 def doc_bigrams(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, w1, w2) adjacent-token bigrams. Pure
     per-row map work (the whole text rides each row), so the SAME
     expression serves batch frames and streaming frames — the property
-    q_stream_quality relies on."""
+    q_stream_quality relies on. Docs with <2 tokens yield no rows
+    (matching the oracle's range(1, len) semantics), they never
+    crash."""
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
     return toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("ts") - 1, F.lit(0))),
-                lambda i: F.struct(
-                    F.element_at(F.col("ts"), i).alias("w1"),
-                    F.element_at(F.col("ts"), i + 1).alias("w2"),
-                ),
-            )
-        ).alias("b"),
+        "doc_id", F.explode(_bigram_structs(F.col("ts"))).alias("b")
     ).select("doc_id", "b.w1", "b.w2")
 
 

@@ -73,6 +73,30 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE Harmonic size-class rule, shared (Python + SQL fragment) by
+# q_pack_bestfit and q_pack_bestfit_assign so the capacity report and
+# the bin membership can never drift. Docs >= the budget fold into
+# class 1 as SINGLETON shelves — whole-doc packing cannot make an
+# oversized doc fit, so those shelves inherently exceed the budget
+# (split upstream via q_pack_sequences/q_chunk_documents, or
+# truncate); every shelf of docs that individually fit can NOT
+# overflow (k docs of class k each have n <= budget/k).
+_SIZE_CLASS_SQL = f"""CASE WHEN n <= 0 THEN {SEQ_BUDGET}
+                  WHEN n >= {SEQ_BUDGET} THEN 1
+                  ELSE CAST(FLOOR({SEQ_BUDGET} * 1.0 / n) AS BIGINT) END"""
+
+
+def size_class_expr(n_col: str = "n"):
+    """Harmonic size class of a token-count column (see the comment on
+    _SIZE_CLASS_SQL — this is its Spark twin)."""
+    return (
+        F.when(F.col(n_col) <= 0, F.lit(SEQ_BUDGET))
+        .when(F.col(n_col) >= SEQ_BUDGET, F.lit(1))
+        .otherwise(F.floor(F.lit(SEQ_BUDGET) / F.col(n_col)))
+        .cast("long")
+    )
+
+
 @query(
     "q_pack_bestfit",
     category="llm-traindata",
@@ -82,10 +106,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, doc_id, len({_DUCK_TOKENS}) AS n FROM documents
     ),
     cls AS (
-      SELECT lang, n,
-             CASE WHEN n <= 0 THEN {SEQ_BUDGET}
-                  WHEN n >= {SEQ_BUDGET} THEN 1
-                  ELSE CAST(FLOOR({SEQ_BUDGET} * 1.0 / n) AS BIGINT) END AS size_class
+      SELECT lang, n, {_SIZE_CLASS_SQL} AS size_class
       FROM t
     ),
     grp AS (
@@ -112,18 +133,23 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     run distributed — bin state would thread through every row. The
     Harmonic scheme removes the sequential dependency with a
     closed-form rule: a doc of n tokens gets size class
-    k = floor(budget / n) (docs ≥ budget get k = 1, empty docs fold
-    into the smallest class), and within (lang, class) the docs fill
-    shelves of EXACTLY k docs — k · n ≤ k · budget/k = budget, so no
-    shelf overflows, no scan, no driver state. Per (lang, class) the
-    bin count is just ceil(count / k): the whole packing collapses to
-    ONE hash aggregate — cheaper than the running-sum window
-    q_pack_sequences needs. Guarantee: every non-final shelf of class
-    k is > budget·k/(k+1) full (each doc exceeds budget/(k+1)), so
-    waste is bounded per class; the output's fill_permille exposes the
-    realized fill, and lang_bins vs concat_bins is the price of
-    whole-doc packing against the straddling concat baseline (the
-    information a data-loader owner needs to choose between the two).
+    k = floor(budget / n) (empty docs fold into the smallest class),
+    and within (lang, class) the docs fill shelves of EXACTLY k docs —
+    k · n ≤ k · budget/k = budget, so no shelf of documents that
+    INDIVIDUALLY fit the budget can overflow, with no scan and no
+    driver state. Documents ≥ the budget land in singleton class-1
+    shelves that inherently exceed it — whole-doc packing cannot make
+    an oversized doc fit; split upstream (q_pack_sequences /
+    q_chunk_documents) or truncate, and a class-1 fill_permille above
+    1000 is exactly that signal. Per (lang, class) the bin count is
+    just ceil(count / k): the whole packing collapses to ONE hash
+    aggregate — cheaper than the running-sum window q_pack_sequences
+    needs. Guarantee: every non-final shelf of class k is
+    > budget·k/(k+1) full (each doc exceeds budget/(k+1)), so waste is
+    bounded per class; the output's fill_permille exposes the realized
+    fill, and lang_bins vs concat_bins is the price of whole-doc
+    packing against the straddling concat baseline (the information a
+    data-loader owner needs to choose between the two).
     At 100 TB: map-side class assignment, one map-side-combinable
     aggregate on (lang, class) — a few thousand groups — then window
     totals over those few thousand rows; nothing corpus-sized
@@ -132,14 +158,8 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(rank / k)."""
     d = load(spark, sf_dir, "documents")
     t = d.select("lang", F.size(tokens_expr(F.col("text"))).alias("n"))
-    k = (
-        F.when(F.col("n") <= 0, F.lit(SEQ_BUDGET))
-        .when(F.col("n") >= SEQ_BUDGET, F.lit(1))
-        .otherwise(F.floor(F.lit(SEQ_BUDGET) / F.col("n")))
-        .cast("long")
-    )
     grp = (
-        t.withColumn("size_class", k)
+        t.withColumn("size_class", size_class_expr())
         .groupBy("lang", "size_class")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -172,10 +192,7 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, doc_id, len({_DUCK_TOKENS}) AS n FROM documents
     ),
     cls AS (
-      SELECT lang, doc_id, n,
-             CASE WHEN n <= 0 THEN {SEQ_BUDGET}
-                  WHEN n >= {SEQ_BUDGET} THEN 1
-                  ELSE CAST(FLOOR({SEQ_BUDGET} * 1.0 / n) AS BIGINT) END AS size_class
+      SELECT lang, doc_id, n, {_SIZE_CLASS_SQL} AS size_class
       FROM t
     ),
     rk AS (
@@ -197,7 +214,9 @@ def q_pack_bestfit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_id = floor(rank / k). This is what a data loader actually
     consumes (doc → bin), where q_pack_bestfit is the capacity report.
     The no-overflow guarantee is structural — k docs of class k each
-    have n ≤ budget/k — and pinned by a per-bin token-sum test.
+    have n ≤ budget/k — and pinned by a per-bin token-sum test; the
+    one carve-out is documents ≥ the budget themselves (singleton
+    class-1 bins that inherently exceed it — see q_pack_bestfit).
 
     Scale shape: ONE shuffle on (lang, size_class) for the rank window
     (the q_pack_sequences discipline: shard keys make parallelism, the
@@ -205,15 +224,9 @@ def q_pack_bestfit_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame carries (lang, doc_id, n, k) — never text."""
     d = load(spark, sf_dir, "documents")
     t = d.select("lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n"))
-    k = (
-        F.when(F.col("n") <= 0, F.lit(SEQ_BUDGET))
-        .when(F.col("n") >= SEQ_BUDGET, F.lit(1))
-        .otherwise(F.floor(F.lit(SEQ_BUDGET) / F.col("n")))
-        .cast("long")
-    )
     w = Window.partitionBy("lang", "size_class").orderBy("doc_id")
     return (
-        t.withColumn("size_class", k)
+        t.withColumn("size_class", size_class_expr())
         .withColumn("r", F.row_number().over(w) - 1)
         .select(
             "lang",
@@ -241,7 +254,11 @@ MIX_ALPHA = 0.7
     m AS (SELECT MIN(n) AS nmin FROM c),
     r AS (
       SELECT lang, n,
-             CAST(FLOOR(POWER(nmin * 1.0 / n, {1 - MIX_ALPHA:.1f}) * 65536 + 0.5)
+             -- exponent embedded at FULL repr precision: a rounded
+             -- literal (e.g. :.1f) would hand DuckDB a different
+             -- double than Spark's F.lit(1 - MIX_ALPHA) and void the
+             -- same-libm-input determinism argument
+             CAST(FLOOR(POWER(nmin * 1.0 / n, {1 - MIX_ALPHA!r}) * 65536 + 0.5)
                   AS BIGINT) AS thresh
       FROM c, m
     ),

@@ -1063,3 +1063,28 @@ def test_dedup_semantic_ivf_matches_bruteforce_within_clusters(spark, sf_small, 
         assert r.kept == (not dups), (vid, r)
         assert r.dup_of == (min(dups) if dups else None), (vid, r)
         assert r.n_dups == len(dups), (vid, r)
+
+
+def test_perplexity_survives_short_and_empty_docs(spark, tmp_path):
+    """Docs with <2 tokens must yield NO bigram rows — never the
+    sequence(1,0)-counts-down element_at crash (review finding): the
+    scorer keeps running and short docs simply carry no evidence."""
+    import os
+
+    rows = [
+        (1, "", "en", "s", 0),                      # empty
+        (2, "single", "en", "s", 1),                # one token
+        (3, "two tokens here now ok", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "short_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in
+           catalog()["q_quality_perplexity"].fn(spark, sf_dir).collect()}
+    assert set(got) == {3}, got  # short docs produce no bigrams, no crash
+    assert got[3].n_bigrams == 4
+    # PMI shares the same guarded bigram definition
+    assert catalog()["q_bigram_pmi"].fn(spark, sf_dir).count() >= 0

@@ -213,7 +213,11 @@ def test_pack_bestfit_shelf_invariants(spark, doc_dir, cat):
     assert out
     by_class = {r.size_class: r for r in out}
     for r in out:
-        assert r.fill_permille <= 1000, r
+        # classes of docs that individually fit can never overflow;
+        # class 1 may exceed 1000 permille only via oversized
+        # (>budget) singleton docs — the documented carve-out
+        if r.size_class >= 2:
+            assert r.fill_permille <= 1000, r
         assert r.lang_bins >= r.concat_bins, r
         k = r.size_class
         assert r.n_bins == math.ceil(r.n_docs / k), r
@@ -260,12 +264,25 @@ def test_pack_bestfit_assign_never_overflows_and_matches_report(spark, doc_dir, 
     for did in range(120):
         n = 30 + (did * 37) % 400  # varied doc lengths across classes
         rows.append((did, " ".join(f"t{did}_{i}" for i in range(n)), "en", "s", 1))
+    rows.append((500, " ".join(f"big{i}" for i in range(700)), "en", "s", 1))
     sf_dir = doc_dir(rows)
     assign = cat["q_pack_bestfit_assign"].fn(spark, sf_dir).collect()
     sums = defaultdict(int)
+    docs_per_bin = defaultdict(int)
     for r in assign:
         sums[(r.lang, r.size_class, r.bin_id)] += r.n_tokens
-    assert all(s <= SEQ_BUDGET for s in sums.values()), max(sums.values())
+        docs_per_bin[(r.lang, r.size_class, r.bin_id)] += 1
+    for key, s in sums.items():
+        # the invariant with its one carve-out: any overflowing shelf
+        # must be a SINGLETON in class 1 holding a doc that is itself
+        # over budget; every multi-doc shelf fits
+        if s > SEQ_BUDGET:
+            assert docs_per_bin[key] == 1 and key[1] == 1, (key, s)
+        if docs_per_bin[key] > 1:
+            assert s <= SEQ_BUDGET, (key, s)
+    big = next(r for r in assign if r.doc_id == 500)
+    assert big.size_class == 1 and big.n_tokens == 700
+    assert docs_per_bin[("en", 1, big.bin_id)] == 1, "oversized doc must sit alone"
     report = {
         (r.lang, r.size_class): r.n_bins
         for r in cat["q_pack_bestfit"].fn(spark, sf_dir).collect()
