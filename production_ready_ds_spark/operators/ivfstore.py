@@ -173,6 +173,30 @@ class IVFStore:
         )
         self._write_json(MANIFEST, {"segments": [*segments, seg]})
 
+    def delete_ids(
+        self, spark: SparkSession, ids: list[int], *, n_files: int = 4
+    ) -> int:
+        """Right-to-be-forgotten: remove the given vector ids from the
+        index, rewriting only the manifest-intersecting segments (see
+        sigstore.delete_ids_from_segments for the shared contract).
+        Returns the number of segments rewritten."""
+        from .layout import write_range_clustered
+        from .sigstore import delete_ids_from_segments
+
+        return delete_ids_from_segments(
+            spark,
+            ids,
+            id_col="vec_id",
+            segments=self.segments(),
+            seg_path=lambda s: self._path(f"seg={s['seg']}"),
+            write_segment=lambda df, seg: write_range_clustered(
+                df, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
+            ),
+            write_manifest=lambda segs: self._write_json(
+                MANIFEST, {"segments": segs}
+            ),
+        )
+
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
         """Fold all segments into one list-clustered segment (bounds
         footer-open cost). Single-writer, like sigstore.compact."""

@@ -194,6 +194,25 @@ class SignatureStore:
         self._write_manifest([*segments, seg])
         return True
 
+    def delete_ids(
+        self, spark: SparkSession, ids: list[int], *, n_files: int = 4
+    ) -> int:
+        """Right-to-be-forgotten: remove every signature row of the
+        given doc ids, rewriting only the manifest-intersecting
+        segments (delete_ids_from_segments has the full contract).
+        Returns the number of segments rewritten."""
+        return delete_ids_from_segments(
+            spark,
+            ids,
+            id_col="doc_id",
+            segments=self.segments(),
+            seg_path=self._seg_path,
+            write_segment=lambda df, seg: write_range_clustered(
+                df, self._seg_path(seg), ["band", "key"], n_files=n_files
+            ),
+            write_manifest=self._write_manifest,
+        )
+
     def compact_tiered(
         self, spark: SparkSession, *, fanout: int = 8, n_files: int = 8
     ) -> int:
@@ -257,3 +276,57 @@ class SignatureStore:
         for s in segments:
             shutil.rmtree(self._seg_path(s), ignore_errors=True)
         return 1
+
+
+def delete_ids_from_segments(
+    spark: SparkSession,
+    ids: list[int],
+    *,
+    id_col: str,
+    segments: list[dict],
+    seg_path,
+    write_segment,
+    write_manifest,
+) -> int:
+    """Shared right-to-be-forgotten kernel for the manifest-backed
+    stores (SignatureStore.delete_ids / IVFStore.delete_ids): rewrite
+    ONLY the segments whose manifest id-range intersects the deletion
+    set — every other segment is untouched bytes, which is what makes
+    targeted deletion viable at 100 TB: cost is O(affected segments),
+    not O(store).
+
+    ``seg_path(seg) -> str`` locates a segment directory;
+    ``write_segment(df, seg)`` re-clusters and writes the filtered
+    frame the owning store's way; ``write_manifest(list)`` swaps the
+    manifest. Each affected segment is replaced by a NEW registered
+    segment (the append crash ordering: data durable, then one
+    manifest swap, then old directories removed) keeping its original
+    id bounds — bounds are a covering range, and deletion only shrinks
+    the true span. Returns the number of segments rewritten.
+    Single-writer, like append/compact. Deletion requests are assumed
+    bounded (a GDPR batch, not a corpus) — the ids ride as one isin
+    predicate; at row-group level the range-clustered layouts keep the
+    rewrite's read side tight too."""
+    import shutil
+
+    if not ids:
+        return 0
+    lo, hi = min(ids), max(ids)
+    affected = [s for s in segments if s["id_min"] <= hi and s["id_max"] >= lo]
+    if not affected:
+        return 0
+    id_list = [int(x) for x in ids]
+    next_seg = max(s["seg"] for s in segments) + 1
+    replaced: dict[int, dict] = {}
+    for s in affected:
+        kept = spark.read.parquet(seg_path(s)).filter(
+            ~F.col(id_col).isin(id_list)
+        )
+        new = dict(s, seg=next_seg)
+        next_seg += 1
+        write_segment(kept, new)
+        replaced[s["seg"]] = new
+    write_manifest([replaced.get(s["seg"], s) for s in segments])
+    for s in affected:
+        shutil.rmtree(seg_path(s), ignore_errors=True)
+    return len(affected)

@@ -152,3 +152,31 @@ def test_streaming_ingest_appends_batches_equal_to_batch(spark, tmp_path, embs):
     q.awaitTermination(300)
     assert store.segments(), "streaming ingest must register segments"
     assert _results(store.search(probes)) == _results(ref.search(probes))
+
+
+def test_delete_ids_forgets_vectors_but_keeps_neighbors(spark, tmp_path, embs):
+    """Deleted vector ids must disappear from every search result while
+    other neighbors keep ranking; non-intersecting segments keep their
+    original directories."""
+    import os
+
+    store = IVFStore(str(tmp_path / "del"))
+    store.train(embs)
+    store.append(embs.filter(F.col("vec_id") < 250), id_min=0, id_max=249)
+    store.append(embs.filter(F.col("vec_id") >= 250), id_min=250, id_max=10**9)
+    probes = embs.filter(F.col("vec_id") < 5)
+    victims = {r.neighbor_id for r in store.search(probes, top_k=1).collect()}
+    assert victims
+    low_victims = [v for v in victims if v < 250]
+    assert low_victims, "fixture must have a low-segment victim"
+
+    before = {s["seg"]: s for s in store.segments()}
+    n = store.delete_ids(spark, low_victims)
+    assert n == 1  # only the low segment intersects
+    after = {s["seg"]: s for s in store.segments()}
+    assert after[1] == before[1] and os.path.isdir(store._path("seg=1"))
+    remaining = {
+        r.neighbor_id for r in store.search(probes, top_k=3).collect()
+    }
+    assert set(low_victims).isdisjoint(remaining)
+    assert remaining, "other neighbors must still be returned"

@@ -205,3 +205,27 @@ def test_collect_prune_keys_bounds_driver_collect(spark, monkeypatch):
     monkeypatch.setattr(sg, "MAX_PRUNE_KEYS", 3)
     wide = spark.range(10).selectExpr("id AS key")
     assert sg.collect_prune_keys(wide) is None
+
+
+def test_delete_ids_rewrites_only_intersecting_segments(spark, tmp_path):
+    """Right-to-be-forgotten: deleted doc ids vanish from every read
+    path, segments whose id range cannot contain them keep their
+    ORIGINAL directories (untouched bytes), and the store still
+    answers joins for everyone else."""
+    store = SignatureStore(str(tmp_path / "d"))
+    store.append(_bands_for(spark, 0, 40), id_min=0, id_max=39)
+    store.append(_bands_for(spark, 100, 140), id_min=100, id_max=139)
+    before = {s["seg"]: s for s in store.segments()}
+
+    n = store.delete_ids(spark, [5, 7])
+    assert n == 1
+    after = {s["seg"]: s for s in store.segments()}
+    # the non-intersecting segment is the SAME registered directory
+    assert after[1] == before[1] and os.path.isdir(os.path.join(store.root, "seg=1"))
+    assert 0 not in after, "intersecting segment must be replaced, not edited"
+    ids = {r.doc_id for r in store.read_signatures(spark).select("doc_id").collect()}
+    assert {5, 7}.isdisjoint(ids)
+    assert {0, 1, 100, 139} <= ids  # everyone else survives
+    assert store.known_ids(spark, id_min=0, id_max=39).count() == 38
+    # deleting ids no segment can contain is a metadata no-op
+    assert store.delete_ids(spark, [10**12]) == 0
