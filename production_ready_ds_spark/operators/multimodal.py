@@ -24,6 +24,9 @@ changes when the environment gains real codecs. Shipped decoders:
   chunk walk + the five RFC 2083 scanline filters, pure Python. With
   :func:`png_to_rawrgb` a PNG corpus feeds the existing resize /
   featurize stages unchanged.
+- :class:`PCMAudioDecoder` / :class:`WAVAudioDecoder`: REAL audio
+  decode — a fixed raw-PCM layout and the actual WAV (RIFF) container
+  over the same int16 samples, sharing one feature kernel.
 - :class:`PILImageDecoder`: the drop-in slot for PIL-equipped
   environments; raises a clear NotImplementedError here by contract
   (``decode_image`` keeps the same contract for the legacy path).
@@ -596,3 +599,74 @@ class PCMAudioDecoder(Decoder):
             "zcr": round(flips / (n - 1), 6) if n > 1 else 0.0,
             "peak": int(np.max(np.abs(xf))),
         }
+
+
+class WAVAudioDecoder(Decoder):
+    """REAL audio decode for the actual WAV interchange format (RIFF):
+    ``RIFF`` header → ``WAVE`` form → chunk walk → ``fmt `` (PCM
+    format 1, mono, 16-bit) → ``data`` little-endian int16 samples —
+    the audio twin of PNGDecoder's claim: no codec library needed,
+    because canonical PCM WAV is just a struct-described container
+    around the samples PCMAudioDecoder already analyzes. Same feature
+    schema and feature math as PCMAudioDecoder (one shared kernel, so
+    the two container formats cannot drift); anything outside the
+    declared subset (compressed formats, stereo, 8/24-bit) and any
+    truncated chunk yields all-NULL features rather than failing the
+    batch."""
+
+    feature_schema = PCMAudioDecoder.feature_schema
+    _NULL = PCMAudioDecoder._NULL
+
+    @classmethod
+    def encode(cls, sample_rate: int, samples) -> bytes:
+        """Build a canonical mono 16-bit PCM WAV (fixture inverse of
+        decode)."""
+        import numpy as np
+
+        body = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    @classmethod
+    def parse(cls, buf) -> tuple[int, bytes] | None:
+        """(sample_rate, raw int16 body) for a canonical mono 16-bit
+        PCM WAV, None otherwise."""
+        if not buf:
+            return None
+        buf = bytes(buf)
+        if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            return None
+        pos, rate, body = 12, None, None
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data = buf[pos + 8 : pos + 8 + ln]
+            if len(data) != ln:
+                return None  # truncated chunk
+            if tag == b"fmt ":
+                if ln < 16:
+                    return None
+                afmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", data[:16])
+                if afmt != 1 or ch != 1 or bits != 16 or sr == 0:
+                    return None  # outside the declared PCM-mono-16 subset
+                rate = sr
+            elif tag == b"data":
+                body = data
+            pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+        if rate is None or not body or len(body) % 2 != 0:
+            return None
+        return int(rate), body
+
+    def decode(self, buf: bytes | None) -> dict:
+        parsed = self.parse(buf)
+        if parsed is None:
+            return dict(self._NULL)
+        sr, body = parsed
+        # one shared feature kernel: analyze through the PCM layout
+        pcm = PCMAudioDecoder.MAGIC + struct.pack(">I", sr) + body
+        return PCMAudioDecoder().decode(pcm)

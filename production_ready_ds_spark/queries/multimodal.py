@@ -251,11 +251,10 @@ _AMP = "1000 + (doc_id % 7) * 500"  # peak amplitude
 _HALF = "8 + (doc_id % 13)"  # samples per half-cycle
 
 
-@query(
-    "q_audio_features",
-    category="llm-multimodal",
-    bench=True,
-    sql=f"""
+# ONE closed-form oracle for both audio-container queries
+# (q_audio_features over the raw PCM layout, q_audio_wav over the real
+# RIFF container) — the container changes, the samples do not.
+_AUDIO_SQL = f"""
     WITH p AS (
       SELECT doc_id,
              {_N_SAMPLES} AS n,
@@ -271,7 +270,63 @@ _HALF = "8 + (doc_id % 13)"  # samples per half-cycle
            ROUND(((n - 1) // half) * 1.0 / (n - 1), 6) AS zcr,
            CAST(a AS INT) AS peak
     FROM p
-    """,
+    """
+
+
+@query(
+    "q_audio_wav",
+    category="llm-multimodal",
+    sql=_AUDIO_SQL,
+)
+def q_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV-container twin of q_audio_features — the audio analogue
+    of q_image_png's claim: each document synthesizes the SAME
+    deterministic square wave but ships it as an actual RIFF/WAVE file
+    (fmt + data chunk walk, word alignment, subset checks), and
+    WAVAudioDecoder parses the container then runs the SHARED PCM
+    feature kernel. The oracle is q_audio_features' closed form
+    verbatim, so a mismatch anywhere in synth → RIFF encode → chunk
+    walk → sample decode → feature math fails the hash. Together with
+    PNG this makes BOTH media modalities hash-verified through real
+    interchange formats with zero new dependencies."""
+    from ..operators.multimodal import WAVAudioDecoder, extract_features
+    from ..tables import spread
+
+    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 800 + (doc_id % 5) * 80
+                a = 1000 + (doc_id % 7) * 500
+                half = 8 + (doc_id % 13)
+                i = np.arange(n)
+                samples = np.where((i // half) % 2 == 0, a, -a).astype("<i2")
+                payloads.append(WAVAudioDecoder.encode(AUDIO_SR, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    waves = ids.mapInPandas(synth, schema="doc_id long, payload binary")
+    feats = extract_features(waves, WAVAudioDecoder())
+    return feats.select(
+        "doc_id",
+        "sr",
+        "n_samples",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "peak",
+    )
+
+
+@query(
+    "q_audio_features",
+    category="llm-multimodal",
+    bench=True,
+    sql=_AUDIO_SQL,
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, hash-verified: each document synthesizes a

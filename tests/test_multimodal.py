@@ -264,3 +264,51 @@ def test_png_transcode_chains_into_resize(spark):
         mm.RawRGBDecoder(),
     ).first()
     assert nulls.width is None
+
+
+# ---------------------------------------------------------------- wav --
+
+
+def test_wav_roundtrip_matches_pcm_kernel():
+    """WAV encode → decode must produce byte-identical features to the
+    raw-PCM layout over the same samples (one shared kernel), and
+    malformed / out-of-subset containers yield NULL rows."""
+    import struct
+
+    import numpy as np
+
+    sam = np.where((np.arange(900) // 7) % 2 == 0, 800, -800).astype("<i2")
+    wav = mm.WAVAudioDecoder.encode(16000, sam)
+    pcm = mm.PCMAudioDecoder.encode(16000, sam)
+    assert mm.WAVAudioDecoder().decode(wav) == mm.PCMAudioDecoder().decode(pcm)
+    assert mm.WAVAudioDecoder().decode(None) == mm.WAVAudioDecoder._NULL
+    assert mm.WAVAudioDecoder().decode(b"RIFFxxxxWAVE") == mm.WAVAudioDecoder._NULL
+    assert mm.WAVAudioDecoder().decode(wav[:-5]) == mm.WAVAudioDecoder._NULL
+
+    def with_fmt(afmt, ch, bits):
+        fmt = struct.pack("<HHIIHH", afmt, ch, 8000, 16000, 2, bits)
+        chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x01"
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    assert mm.WAVAudioDecoder().decode(with_fmt(1, 2, 16)) == mm.WAVAudioDecoder._NULL  # stereo
+    assert mm.WAVAudioDecoder().decode(with_fmt(3, 1, 16)) == mm.WAVAudioDecoder._NULL  # float fmt
+    assert mm.WAVAudioDecoder().decode(with_fmt(1, 1, 8)) == mm.WAVAudioDecoder._NULL  # 8-bit
+    assert mm.WAVAudioDecoder().decode(with_fmt(1, 1, 16))["n_samples"] == 2  # subset OK
+
+
+def test_wav_odd_chunk_word_alignment():
+    """RIFF chunks are word-aligned: an odd-length auxiliary chunk must
+    not desync the walk (the classic RIFF parser bug)."""
+    import struct
+
+    import numpy as np
+
+    sam = np.asarray([5, -5, 5, -5], dtype="<i2")
+    wav = bytearray(mm.WAVAudioDecoder.encode(8000, sam))
+    # splice an odd-length LIST chunk between WAVE and fmt
+    aux = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    out = bytes(wav[:12]) + aux + bytes(wav[12:])
+    out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+    d = mm.WAVAudioDecoder().decode(out)
+    assert d["n_samples"] == 4 and d["sr"] == 8000, d
