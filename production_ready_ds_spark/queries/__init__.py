@@ -159,6 +159,7 @@ _EXTENSION_PRIORITY = (
     "q_dedup_semantic_ivf",
     "q_pack_bestfit_assign",
     "q_audio_wav",
+    "q_quality_gopher",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

@@ -994,6 +994,96 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_decisions(assigned)
 
 
+# Gopher-rule thresholds (Rae et al. 2021, table A1 — the applicable
+# subset for a line-less corpus; the line-level duplicate rules live in
+# q_quality_repetition / the dedup family instead).
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WORD_LEN = 3  # mean word length bounds
+GOPHER_MAX_WORD_LEN = 10
+GOPHER_MAX_NONALPHA = 0.2  # fraction of words with a non-alphabetic char
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2  # distinct stopword hits required
+
+
+@query(
+    "q_quality_gopher",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(ts) AS n_words,
+             list_sum(list_transform(ts, w -> len(w))) AS sum_len,
+             len(list_filter(ts, w -> NOT regexp_matches(w, '^[a-z]+$')))
+               AS n_nonalpha,
+             len(list_intersect(ts, {list(GOPHER_STOPWORDS)})) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+             AS words_ok,
+           n_words > 0 AND sum_len >= {GOPHER_MIN_WORD_LEN} * n_words
+             AND sum_len <= {GOPHER_MAX_WORD_LEN} * n_words AS word_len_ok,
+           n_nonalpha * 5 <= n_words AS alpha_ok,
+           n_stop >= {GOPHER_MIN_STOPWORDS} AS stopword_ok,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AND (n_words > 0 AND sum_len >= {GOPHER_MIN_WORD_LEN} * n_words
+                  AND sum_len <= {GOPHER_MAX_WORD_LEN} * n_words)
+             AND (n_nonalpha * 5 <= n_words)
+             AND (n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
+    FROM s
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule gate (Rae et al. 2021) as one explicit
+    per-document decision table — the line-less applicable subset:
+    word-count bounds, mean-word-length bounds, the ≤20 %
+    non-alphabetic-word rule, and the ≥2-distinct-stopwords rule, each
+    its own boolean column plus the AND'ed keep flag, so a curation
+    run can report WHY each document fell (the explainability the
+    single-score q_quality_score trades away). The line-level
+    duplicate rules of the original map to q_quality_repetition and
+    the dedup family here. Every comparison is INTEGER cross-multiply
+    (sum_len ≥ 3·n, 5·n_nonalpha ≤ n) — no float crosses the oracle.
+
+    Scale shape: MAP-ONLY — every rule is a per-row array expression
+    (size / aggregate-over-transform / filter / array_intersect on the
+    resident token array), so the gate is a linear scan with zero
+    shuffles at any corpus size; complementary model-based gates
+    (q_quality_perplexity, q_quality_compress) run where a scan is not
+    enough."""
+    d = load(spark, sf_dir, "documents")
+    ts = tokens_expr(F.col("text"))
+    n = F.size(ts)
+    sum_len = F.aggregate(
+        F.transform(ts, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_nonalpha = F.size(F.filter(ts, lambda w: ~w.rlike("^[a-z]+$")))
+    n_stop = F.size(
+        F.array_intersect(ts, F.lit(list(GOPHER_STOPWORDS)).cast("array<string>"))
+    )
+    words_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    word_len_ok = (
+        (n > 0)
+        & (sum_len >= GOPHER_MIN_WORD_LEN * n)
+        & (sum_len <= GOPHER_MAX_WORD_LEN * n)
+    )
+    alpha_ok = n_nonalpha * 5 <= n
+    stopword_ok = n_stop >= GOPHER_MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        words_ok.alias("words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (words_ok & word_len_ok & alpha_ok & stopword_ok).alias("keep"),
+    )
+
+
 # -------------------------------------------------------- text analysis --
 
 

@@ -1088,3 +1088,31 @@ def test_perplexity_survives_short_and_empty_docs(spark, tmp_path):
     assert got[3].n_bigrams == 4
     # PMI shares the same guarded bigram definition
     assert catalog()["q_bigram_pmi"].fn(spark, sf_dir).count() >= 0
+
+
+def test_gopher_rules_each_trigger(spark, tmp_path):
+    """Each Gopher rule must fall exactly the document built to violate
+    it, and a clean document passes all four."""
+    import os
+
+    rows = [
+        (1, "the data and engine run with that speed of light", "en", "s", 1),  # clean
+        (2, "the and of x", "en", "s", 1),                                      # too few words
+        (3, "the and " + " ".join(["a"] * 30), "en", "s", 1),                   # mean len < 3
+        (4, "the and " + " ".join(f"x{i}9" for i in range(30)), "en", "s", 1),  # non-alpha
+        (5, " ".join(f"word{chr(97+i)}" for i in range(30)), "en", "s", 1),     # no stopwords
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "gopher_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in catalog()["q_quality_gopher"].fn(spark, sf_dir).collect()}
+    assert got[1].keep and all(
+        [got[1].words_ok, got[1].word_len_ok, got[1].alpha_ok, got[1].stopword_ok]
+    )
+    assert not got[2].words_ok and not got[2].keep
+    assert not got[3].word_len_ok and not got[3].keep
+    assert not got[4].alpha_ok and not got[4].keep
+    assert not got[5].stopword_ok and not got[5].keep
