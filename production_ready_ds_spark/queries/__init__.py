@@ -160,6 +160,7 @@ _EXTENSION_PRIORITY = (
     "q_pack_bestfit_assign",
     "q_audio_wav",
     "q_quality_gopher",
+    "q_quality_dupgrams",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

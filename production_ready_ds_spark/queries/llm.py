@@ -1084,6 +1084,121 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUPGRAM_N = 5  # gram width for the within-doc duplicate-gram rule
+DUPGRAM_MAX_FRAC = 0.2  # keep iff covered_chars <= 0.2 * total_chars
+
+
+@query(
+    "q_quality_dupgrams",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+      WHERE len({_DUCK_TOKENS}) >= {DUPGRAM_N}
+    ),
+    g AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(ts, i, i + {DUPGRAM_N - 1}), ' ')), 1, 8)) AS BIGINT) AS gh
+      FROM t, UNNEST(range(1, len(ts) - {DUPGRAM_N} + 2)) AS u(i)
+    ),
+    dup AS (
+      SELECT doc_id, gh FROM g GROUP BY doc_id, gh HAVING COUNT(*) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, p.p
+      FROM g JOIN dup ON g.doc_id = dup.doc_id AND g.gh = dup.gh,
+           UNNEST(range(g.i, g.i + {DUPGRAM_N})) AS p(p)
+    ),
+    tok AS (
+      SELECT doc_id, i AS p, len(ts[i]) AS ln
+      FROM t, UNNEST(range(1, len(ts) + 1)) AS u(i)
+    ),
+    agg AS (
+      SELECT tok.doc_id,
+             CAST(SUM(ln) AS BIGINT) AS total_chars,
+             CAST(SUM(CASE WHEN cov.p IS NOT NULL THEN ln ELSE 0 END) AS BIGINT)
+               AS covered_chars
+      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, total_chars, covered_chars,
+           covered_chars * 5 <= total_chars AS keep
+    FROM agg
+    """,
+)
+def q_quality_dupgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining Gopher repetition rule (Rae et al. 2021 table A1):
+    fraction of CHARACTERS covered by duplicated {DUPGRAM_N}-grams
+    WITHIN a document — the detector for auto-generated spam whose
+    lines differ but whose phrase inventory loops. A token position is
+    covered when any {DUPGRAM_N}-gram occurrence containing it repeats
+    inside the same doc; keep iff covered chars ≤ 20 % (integer
+    cross-multiply, no float near the oracle). Complements
+    q_quality_repetition (top-unigram/bigram share) at the phrase
+    level and the cross-doc dedup family (this rule is strictly
+    intra-document).
+
+    Plan shape: gram hashes are the md5-prefix integers of the CDC /
+    winnowing convention (per-row array math); the duplicate decision
+    and the coverage union group on (doc_id, gh) / (doc_id, position)
+    — every shuffle keys on the doc id with integer payloads, text
+    never leaves its row. Work per doc is O(tokens · gram width); at
+    100 TB this is the same per-doc envelope as the CDC chunker."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= DUPGRAM_N
+    )
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("ts", i, F.lit(DUPGRAM_N)), " ").cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ng = F.size("ts") - (DUPGRAM_N - 1)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), ng),
+                lambda i: F.struct(i.alias("i"), gram(i).alias("gh")),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.i", "x.gh")
+    dup = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    )
+    cov = (
+        g.join(dup.select("doc_id", "gh"), ["doc_id", "gh"])
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + DUPGRAM_N - 1)).alias("p"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tok = t.select(
+        "doc_id",
+        F.posexplode(F.transform("ts", lambda w: F.length(w))).alias("p0", "ln"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "ln")
+    return (
+        tok.join(cov, ["doc_id", "p"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("ln").cast("long").alias("total_chars"),
+            F.sum(F.when(F.col("hit").isNotNull(), F.col("ln")).otherwise(0))
+            .cast("long")
+            .alias("covered_chars"),
+        )
+        .select(
+            "doc_id",
+            "total_chars",
+            "covered_chars",
+            (F.col("covered_chars") * 5 <= F.col("total_chars")).alias("keep"),
+        )
+    )
+
+
 # -------------------------------------------------------- text analysis --
 
 

@@ -1116,3 +1116,30 @@ def test_gopher_rules_each_trigger(spark, tmp_path):
     assert not got[3].word_len_ok and not got[3].keep
     assert not got[4].alpha_ok and not got[4].keep
     assert not got[5].stopword_ok and not got[5].keep
+
+
+def test_dupgrams_covers_exactly_the_repeated_phrase(spark, tmp_path):
+    """Hand-checkable coverage: a doc that repeats one 5-gram twice
+    must cover exactly those positions' characters; a no-repeat doc
+    covers zero; a looping spam doc fails keep."""
+    import os
+
+    phrase = "alpha bravo charlie delta echo"  # 5 tokens, 26 chars
+    rows = [
+        (1, f"{phrase} filler one two three four {phrase}", "en", "s", 1),
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "en", "s", 1),   # all unique
+        (3, (phrase + " ") * 6, "en", "s", 1),                   # looping spam
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "dg_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in
+           catalog()["q_quality_dupgrams"].fn(spark, sf_dir).collect()}
+    # doc 1: the two phrase occurrences cover their 10 tokens = 52 chars
+    assert got[1].covered_chars == 52, got[1]
+    assert not got[1].keep  # 52 > 0.2 * total (73) here
+    assert got[2].covered_chars == 0 and got[2].keep
+    assert got[3].covered_chars == got[3].total_chars and not got[3].keep
