@@ -66,3 +66,50 @@ def test_posts_api_time_range_pushdown(spark):
     df = _read(spark, limit=200, start_ts=lo, end_ts=hi)
     ts = [r.created_ts for r in df.select("created_ts").collect()]
     assert ts and all(lo <= t < hi for t in ts)
+
+
+# ---------------------------------------------------------------- jsonl --
+
+
+def test_jsonl_roundtrip_documents(spark, sf_small, tmp_path):
+    """documents → JSONL → read back must be value-identical (plain and
+    gzip), under the explicit-schema contract."""
+    from production_ready_ds_spark.sources.jsonl import (
+        DOCUMENTS_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+    from production_ready_ds_spark.tables import load
+
+    d = load(spark, sf_small, "documents")
+    for compress, name in [(False, "plain"), (True, "gz")]:
+        path = str(tmp_path / f"docs_{name}")
+        write_jsonl(d, path, compress=compress)
+        back = read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+        assert sorted(back.collect()) == sorted(d.collect())
+
+
+def test_jsonl_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
+    """Malformed lines must flow to the quarantine side with their raw
+    text; the clean side parses everything else."""
+    import os
+
+    from production_ready_ds_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+    )
+
+    path = str(tmp_path / "mixed")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "good row"}\n')
+        fh.write("this is not json at all\n")
+        fh.write('{"doc_id": 2, "text": "also good"}\n')
+        fh.write('{"doc_id": 3, "text": "truncated...\n')
+    df = read_jsonl(spark, path, "doc_id long, text string", keep_corrupt=True)
+    clean, bad = split_corrupt(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    raw = {r.raw_line for r in bad.collect()}
+    assert len(raw) == 2 and any("not json" in x for x in raw)
+    # default read drops the corrupt rows silently
+    assert read_jsonl(spark, path, "doc_id long, text string").count() == 2
