@@ -1,0 +1,102 @@
+"""Command-line entry point: run any catalog query, ad-hoc SQL, the
+benchmark set, or a pipeline DAG against an SF directory —
+``python -m production_ready_ds_spark <command> ...``.
+
+This is the switch-over surface for a reference user: every operator
+the engine implements is one command away, with the same tuned session
+the tests and the driver contract use. Output goes to stdout as a
+table (``--limit`` rows) or to ``--out`` as parquet/JSONL — the
+distributed sink, not a driver collect, when material results matter.
+
+Commands:
+  list                         — catalog names (+ category, oracle?)
+  run    <query>               — execute one catalog query
+  sql    "<select ...>"        — ad-hoc SQL over the registered tables
+  corpus                       — run the full corpus-build DAG
+  Common flags: --sf DIR (default /root/testdata/sf0.01),
+  --cpus N, --limit N, --out PATH [--format parquet|jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="production_ready_ds_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--sf", default="/root/testdata/sf0.01")
+        sp.add_argument("--cpus", type=int, default=8)
+        sp.add_argument("--limit", type=int, default=20)
+        sp.add_argument("--out", default=None)
+        sp.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+
+    sub.add_parser("list")
+    run = sub.add_parser("run")
+    run.add_argument("query")
+    common(run)
+    sql = sub.add_parser("sql")
+    sql.add_argument("statement")
+    common(sql)
+    corpus = sub.add_parser("corpus")
+    corpus.add_argument("--sf", default="/root/testdata/sf0.01")
+    corpus.add_argument("--cpus", type=int, default=8)
+    corpus.add_argument("--root", required=True, help="output root for DAG stages")
+    return p
+
+
+def _emit(df, args) -> None:
+    if args.out:
+        if args.format == "jsonl":
+            from .sources.jsonl import write_jsonl
+
+            write_jsonl(df, args.out)
+        else:
+            df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.limit, truncate=False)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    if args.cmd == "list":
+        from .queries import catalog
+
+        for name, q in catalog().items():
+            kind = "oracle" if q.sql else "rows-only"
+            print(f"{name:32s} {q.category:18s} {kind}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("cli", master=f"local[{args.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "run":
+        from .queries import catalog
+
+        cat = catalog()
+        if args.query not in cat:
+            print(f"unknown query {args.query!r} — try `list`", file=sys.stderr)
+            return 2
+        _emit(cat[args.query].fn(spark, args.sf), args)
+    elif args.cmd == "sql":
+        from .sql import run_sql
+
+        _emit(run_sql(spark, args.statement, args.sf), args)
+    elif args.cmd == "corpus":
+        from .pipelines.corpus_build import corpus_build_dag
+        from .workflow import build
+
+        report = build([corpus_build_dag(args.root, args.sf)])
+        for t in report["ran"]:
+            print("ran:", t)
+        print("shards at:", f"{args.root}/corpus/shards")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

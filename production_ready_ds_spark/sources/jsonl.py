@@ -33,20 +33,22 @@ def read_jsonl(
     *,
     keep_corrupt: bool = False,
 ) -> DataFrame:
-    """Read JSONL with an explicit schema. Malformed lines yield a row
-    whose data columns are NULL and whose ``_corrupt_record`` holds the
-    raw line; with ``keep_corrupt`` the column is kept for quarantine
-    flows (see :func:`split_corrupt`), otherwise corrupt rows are
-    dropped and the frame is clean."""
-    df = (
-        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
+    """Read JSONL with an explicit schema. With ``keep_corrupt``,
+    malformed lines yield a row whose data columns are NULL and whose
+    ``_corrupt_record`` holds the raw line for quarantine flows (see
+    :func:`split_corrupt`). The default path uses DROPMALFORMED
+    instead — the scanner itself discards bad lines, so no corrupt
+    column ever exists and aggregations that prune every data column
+    (``count()``) don't trip Spark's only-corrupt-column scan
+    restriction."""
     if keep_corrupt:
-        return df
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        return (
+            spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
