@@ -412,8 +412,13 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames are k·|sources| rows, so every pairwise stage is
     broadcast-sized regardless of corpus size."""
     from ..operators.dedup import shingles
+    from ..tables import spread
 
-    d = load(spark, sf_dir, "documents")
+    # spread BEFORE the hash map: md5-per-shingle is ~20× heavier than
+    # the jaccard path's xxhash64, and a one-row-group local scan would
+    # run it all on one core (measured 14.4 → 2.4 s for the distinct
+    # stage at sf0.1; no-op on real lakes) — the q_image_resize rule.
+    d = spread(load(spark, sf_dir, "documents"))
     toks = tokens_expr(F.col("text"))
     sh = d.select("source", F.explode(shingles(toks)).alias("sg"))
     h = F.conv(F.substring(F.md5(F.col("sg").cast("binary")), 1, 8), 16, 10).cast(
@@ -452,10 +457,18 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    sa = s.select(F.col("source").alias("source_a"), "h")
-    sb = s.select(F.col("source").alias("source_b"), "h")
+    # Exact intersections WITHOUT a self-join on h: the join shape
+    # paid |sources(h)|² hash-probe work through a corpus-sized shuffle
+    # on both sides (measured 13.9 s at sf0.1, 51 s on the 4× stress
+    # set). Instead: one groupBy(h) collects each hash's source SET
+    # (≤ |sources| entries), the pair expansion is two map-side
+    # generates over that array, and the only remaining shuffle keys
+    # on (source_a, source_b) — ~|sources|² rows with map-side
+    # combine. Measured 13.9 → 2.6 s at sf0.1, 51 → 3.5 s at 4×.
+    sets = s.groupBy("h").agg(F.collect_set("source").alias("ss"))
     ex = (
-        sa.join(sb, "h")
+        sets.select(F.explode("ss").alias("source_a"), "ss")
+        .select("source_a", F.explode("ss").alias("source_b"))
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
@@ -1145,7 +1158,11 @@ def q_quality_dupgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     — every shuffle keys on the doc id with integer payloads, text
     never leaves its row. Work per doc is O(tokens · gram width); at
     100 TB this is the same per-doc envelope as the CDC chunker."""
-    d = load(spark, sf_dir, "documents")
+    from ..tables import spread
+
+    # spread before the md5-per-gram map — the q_sketch_theta /
+    # _cdc_chunk_frame one-row-group rule (no-op on real lakes)
+    d = spread(load(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).filter(
         F.size("ts") >= DUPGRAM_N
     )
