@@ -288,3 +288,32 @@ def test_theta_intersection_tracks_exact_on_heavy_overlap(spark, tmp_path):
     assert r.exact_intersection > 3000, r  # the shared shingles are there
     rel = abs(r.est_intersection - r.exact_intersection) / r.exact_intersection
     assert rel < 0.25, (r.est_intersection, r.exact_intersection, rel)
+
+
+def test_theta_kmv_sketches_merge(spark):
+    """KMV mergeability (the family contract): the k smallest of the
+    UNION of two sketches equals the sketch of the unioned input —
+    the property that lets per-partition/per-batch sketches compose."""
+    from pyspark.sql import Window
+
+    k = 64
+
+    def kmv(df):
+        w = Window.orderBy("h")
+        return {
+            r.h
+            for r in df.select("h").distinct()
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .collect()
+        }
+
+    a = spark.createDataFrame([(F"a{i}",) for i in range(500)], "v string").select(
+        F.xxhash64("v").alias("h")
+    )
+    b = spark.createDataFrame([(F"b{i}",) for i in range(500)], "v string").select(
+        F.xxhash64("v").alias("h")
+    )
+    merged = sorted(kmv(a) | kmv(b))[:k]
+    whole = sorted(kmv(a.unionAll(b)))
+    assert merged == whole
