@@ -1097,7 +1097,96 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DUPGRAM_N = 5  # gram width for the within-doc duplicate-gram rule
+DUPGRAM_N = 5  # gram width: within-doc dupgram rule + novelty score
+
+
+@query(
+    "q_text_novelty",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+      WHERE len({_DUCK_TOKENS}) >= {DUPGRAM_N}
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(array_to_string(
+               list_slice(ts, i, i + {DUPGRAM_N - 1}), ' ')), 1, 8)) AS BIGINT) AS gh
+      FROM t, UNNEST(range(1, len(ts) - {DUPGRAM_N} + 2)) AS u(i)
+    ),
+    df AS (SELECT gh, COUNT(*) AS nd FROM g GROUP BY gh)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(FLOOR(SUM(CASE WHEN df.nd = 1 THEN 1 ELSE 0 END)
+                      * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS novelty_permille
+    FROM g JOIN df ON g.gh = df.gh
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    {DUPGRAM_N}-grams that appear in NO other document: the corpus-side
+    memorization/contamination diagnostic (a doc scoring near 0 is
+    assembled entirely from phrases the corpus already contains —
+    boilerplate or near-dup residue the pair-based dedup family may
+    have left under threshold; near 1000 it is genuinely new text).
+    The complement of q_dedup_* (which finds WHO shares) and
+    q_quality_dupgrams (repetition WITHIN a doc): this scores how much
+    each doc adds to the corpus at all.
+
+    Scale shape: distinct (doc, gram-hash) is the only corpus-wide
+    frame (md5-prefix hashes, the CDC convention; spread before the
+    per-token md5 map); document frequency is one map-side-combinable
+    aggregate on the 8-byte hash, and the score join ships (doc_id,
+    int) rows. At 100 TB this is the exact shape of the jaccard
+    doc-frequency stage — linear, blocked, no pairs anywhere."""
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).filter(
+        F.size("ts") >= DUPGRAM_N
+    )
+    gram = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice("ts", i, F.lit(DUPGRAM_N)), " ").cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ng = F.size("ts") - (DUPGRAM_N - 1)
+    g = (
+        t.select(
+            "doc_id",
+            F.explode(F.transform(F.sequence(F.lit(1), ng), gram)).alias("gh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the df agg AND the score join
+    )
+    dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        g.join(dfreq.hint("shuffle_hash"), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(F.col("n_novel") * 1000.0 / F.col("n_grams") + F.lit(0.5))
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )
+
+
 DUPGRAM_MAX_FRAC = 0.2  # keep iff covered_chars <= 0.2 * total_chars
 
 

@@ -1143,3 +1143,32 @@ def test_dupgrams_covers_exactly_the_repeated_phrase(spark, tmp_path):
     assert not got[1].keep  # 52 > 0.2 * total (73) here
     assert got[2].covered_chars == 0 and got[2].keep
     assert got[3].covered_chars == got[3].total_chars and not got[3].keep
+
+
+def test_novelty_scores_copies_low_and_fresh_high(spark, tmp_path):
+    """A doc cloned from another must score 0 novelty (every gram
+    shared); fresh text scores 1000; a half-copied doc lands at the
+    exact gram arithmetic in between."""
+    import os
+
+    base = " ".join(f"shared{i}" for i in range(20))       # 20 tokens
+    fresh = " ".join(f"fresh{i}" for i in range(20))
+    rows = [
+        (1, base, "en", "s", 1),
+        (2, base, "en", "s", 1),                           # exact clone
+        (3, fresh, "en", "s", 1),
+        (4, base + " " + " ".join(f"own{i}" for i in range(20)), "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "nov_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r.doc_id: r for r in catalog()["q_text_novelty"].fn(spark, sf_dir).collect()}
+    assert got[1].novelty_permille == 0 and got[2].novelty_permille == 0
+    assert got[3].novelty_permille == 1000
+    # doc 4: 40 tokens -> 36 grams; the 16 grams fully inside the
+    # copied first 20 tokens are shared with docs 1/2, the other 20
+    # (straddling or inside the own-tail) are unique
+    assert got[4].n_grams == 36 and got[4].n_novel == 20
