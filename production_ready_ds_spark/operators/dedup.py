@@ -51,6 +51,31 @@ def shingles(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def gram_hash_at(ts, k: int):
+    """Positional gram hasher: returns ``at(i) -> Column`` giving the
+    md5-prefix integer hash of the ``k``-token gram starting at 1-based
+    position ``i`` of token-array column ``ts`` — THE cross-engine
+    gram-hash convention (md5 of the space-joined tokens, first 8 hex
+    chars as an integer; DuckDB computes the identical value from
+    ``('0x' || substr(md5(array_to_string(list_slice(...), ' ')), 1, 8))``).
+    ONE definition shared by winnowing, CDC chunking, q_quality_dupgrams
+    and q_text_novelty, so a one-character drift in any copy can no
+    longer silently break exactly that query's oracle parity."""
+
+    def at(i):
+        return F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(ts, i, F.lit(k)), " ").cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return at
+
+
 def shingled_docs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """documents → (id, sg) exploded distinct 3-token shingle strings.
 

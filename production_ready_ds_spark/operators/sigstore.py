@@ -311,11 +311,18 @@ def delete_ids_from_segments(
 
     if not ids:
         return 0
-    lo, hi = min(ids), max(ids)
-    affected = [s for s in segments if s["id_min"] <= hi and s["id_max"] >= lo]
+    id_list = [int(x) for x in ids]
+    # per-ID interval check, NOT the [min, max] envelope: a deletion
+    # batch spanning the id space (e.g. {5, 99999}) would otherwise
+    # intersect EVERY segment and rewrite the whole store — exactly
+    # the O(store) cost this kernel exists to avoid
+    affected = [
+        s
+        for s in segments
+        if any(s["id_min"] <= i <= s["id_max"] for i in id_list)
+    ]
     if not affected:
         return 0
-    id_list = [int(x) for x in ids]
     next_seg = max(s["seg"] for s in segments) + 1
     replaced: dict[int, dict] = {}
     for s in affected:
@@ -323,6 +330,10 @@ def delete_ids_from_segments(
             ~F.col(id_col).isin(id_list)
         )
         new = dict(s, seg=next_seg)
+        if "rows" in new:
+            # the manifest row count is now stale; None is the
+            # documented unknown (compact() propagates it correctly)
+            new["rows"] = None
         next_seg += 1
         write_segment(kept, new)
         replaced[s["seg"]] = new

@@ -1015,6 +1015,7 @@ GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_WORD_LEN = 3  # mean word length bounds
 GOPHER_MAX_WORD_LEN = 10
 GOPHER_MAX_NONALPHA = 0.2  # fraction of words with a non-alphabetic char
+_ALPHA_MULT = round(1 / GOPHER_MAX_NONALPHA)  # integer cross-multiply form
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 GOPHER_MIN_STOPWORDS = 2  # distinct stopword hits required
 
@@ -1040,12 +1041,12 @@ GOPHER_MIN_STOPWORDS = 2  # distinct stopword hits required
              AS words_ok,
            n_words > 0 AND sum_len >= {GOPHER_MIN_WORD_LEN} * n_words
              AND sum_len <= {GOPHER_MAX_WORD_LEN} * n_words AS word_len_ok,
-           n_nonalpha * 5 <= n_words AS alpha_ok,
+           n_nonalpha * {_ALPHA_MULT} <= n_words AS alpha_ok,
            n_stop >= {GOPHER_MIN_STOPWORDS} AS stopword_ok,
            (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
              AND (n_words > 0 AND sum_len >= {GOPHER_MIN_WORD_LEN} * n_words
                   AND sum_len <= {GOPHER_MAX_WORD_LEN} * n_words)
-             AND (n_nonalpha * 5 <= n_words)
+             AND (n_nonalpha * {_ALPHA_MULT} <= n_words)
              AND (n_stop >= {GOPHER_MIN_STOPWORDS}) AS keep
     FROM s
     """,
@@ -1084,7 +1085,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (sum_len >= GOPHER_MIN_WORD_LEN * n)
         & (sum_len <= GOPHER_MAX_WORD_LEN * n)
     )
-    alpha_ok = n_nonalpha * 5 <= n
+    alpha_ok = n_nonalpha * _ALPHA_MULT <= n
     stopword_ok = n_stop >= GOPHER_MIN_STOPWORDS
     return d.select(
         "doc_id",
@@ -1148,15 +1149,9 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).filter(
         F.size("ts") >= DUPGRAM_N
     )
-    gram = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice("ts", i, F.lit(DUPGRAM_N)), " ").cast("binary")),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..operators.dedup import gram_hash_at
+
+    gram = gram_hash_at("ts", DUPGRAM_N)
     ng = F.size("ts") - (DUPGRAM_N - 1)
     g = (
         t.select(
@@ -1187,7 +1182,8 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DUPGRAM_MAX_FRAC = 0.2  # keep iff covered_chars <= 0.2 * total_chars
+DUPGRAM_MAX_FRAC = 0.2  # keep iff covered frac <= this
+_DUP_MULT = round(1 / DUPGRAM_MAX_FRAC)  # integer cross-multiply form
 
 
 @query(
@@ -1225,7 +1221,7 @@ DUPGRAM_MAX_FRAC = 0.2  # keep iff covered_chars <= 0.2 * total_chars
       GROUP BY tok.doc_id
     )
     SELECT doc_id, total_chars, covered_chars,
-           covered_chars * 5 <= total_chars AS keep
+           covered_chars * {_DUP_MULT} <= total_chars AS keep
     FROM agg
     """,
 )
@@ -1255,16 +1251,13 @@ def q_quality_dupgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", tokens_expr(F.col("text")).alias("ts")).filter(
         F.size("ts") >= DUPGRAM_N
     )
-    gram = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice("ts", i, F.lit(DUPGRAM_N)), " ").cast("binary")),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..operators.dedup import gram_hash_at
+
+    gram = gram_hash_at("ts", DUPGRAM_N)
     ng = F.size("ts") - (DUPGRAM_N - 1)
+    # checkpoint: g feeds the duplicate aggregate AND the coverage
+    # join — without it the md5-per-gram map (the query's hotspot)
+    # runs once per consumer (the q_text_novelty discipline)
     g = t.select(
         "doc_id",
         F.explode(
@@ -1273,7 +1266,7 @@ def q_quality_dupgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.struct(i.alias("i"), gram(i).alias("gh")),
             )
         ).alias("x"),
-    ).select("doc_id", "x.i", "x.gh")
+    ).select("doc_id", "x.i", "x.gh").localCheckpoint(eager=True)
     dup = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
@@ -1300,7 +1293,7 @@ def q_quality_dupgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "total_chars",
             "covered_chars",
-            (F.col("covered_chars") * 5 <= F.col("total_chars")).alias("keep"),
+            (F.col("covered_chars") * _DUP_MULT <= F.col("total_chars")).alias("keep"),
         )
     )
 
@@ -2440,13 +2433,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on ONE core. Spreading the scan measured 1.74 → 1.38 s at sf0.1
     # (tables.spread; no-op on real lakes with many row groups).
     t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= WINNOW_K)
-    gram = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice("ts", i, F.lit(WINNOW_K)), " ").cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..operators.dedup import gram_hash_at
+
+    gram = gram_hash_at("ts", WINNOW_K)
     g = t.select(
         "doc_id",
         (F.size("ts") - (WINNOW_K - 1)).alias("ng"),
@@ -2526,13 +2515,9 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str, *, materialize: bool) -> 
     d = load(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
     t = spread(d).select("doc_id", toks.alias("ts")).filter(F.size("ts") >= CDC_K)
-    gram = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice("ts", i, F.lit(CDC_K)), " ").cast("binary")), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    from ..operators.dedup import gram_hash_at
+
+    gram = gram_hash_at("ts", CDC_K)
     ng = F.size("ts") - (CDC_K - 1)
     t = t.select(
         "doc_id", "ts", F.transform(F.sequence(F.lit(1), ng), gram).alias("gs")

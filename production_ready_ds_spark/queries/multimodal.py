@@ -251,6 +251,31 @@ _AMP = "1000 + (doc_id % 7) * 500"  # peak amplitude
 _HALF = "8 + (doc_id % 13)"  # samples per half-cycle
 
 
+def _synth_square(encoder):
+    """mapInPandas kernel synthesizing the deterministic square wave
+    (n / amplitude / half-period all pure functions of doc_id) and
+    encoding it with ``encoder.encode(AUDIO_SR, samples)`` — the ONE
+    waveform definition both audio-container queries ship, so the
+    PCM and WAV paths can never drift onto different test signals."""
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 800 + (doc_id % 5) * 80
+                a = 1000 + (doc_id % 7) * 500
+                half = 8 + (doc_id % 13)
+                i = np.arange(n)
+                samples = np.where((i // half) % 2 == 0, a, -a).astype("<i2")
+                payloads.append(encoder.encode(AUDIO_SR, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return synth
+
+
 # ONE closed-form oracle for both audio-container queries
 # (q_audio_features over the raw PCM layout, q_audio_wav over the real
 # RIFF container) — the container changes, the samples do not.
@@ -293,23 +318,9 @@ def q_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread
 
     ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
-
-    def synth(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                n = 800 + (doc_id % 5) * 80
-                a = 1000 + (doc_id % 7) * 500
-                half = 8 + (doc_id % 13)
-                i = np.arange(n)
-                samples = np.where((i // half) % 2 == 0, a, -a).astype("<i2")
-                payloads.append(WAVAudioDecoder.encode(AUDIO_SR, samples))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    waves = ids.mapInPandas(synth, schema="doc_id long, payload binary")
+    waves = ids.mapInPandas(
+        _synth_square(WAVAudioDecoder), schema="doc_id long, payload binary"
+    )
     feats = extract_features(waves, WAVAudioDecoder())
     return feats.select(
         "doc_id",
@@ -354,23 +365,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode must not serialize on a one-row-group scan (measured
     # 0.55 → 0.48 s at sf0.1; no-op on many-row-group tables).
     ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
-
-    def synth(it):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in it:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                n = 800 + (doc_id % 5) * 80
-                a = 1000 + (doc_id % 7) * 500
-                half = 8 + (doc_id % 13)
-                i = np.arange(n)
-                samples = np.where((i // half) % 2 == 0, a, -a).astype("<i2")
-                payloads.append(PCMAudioDecoder.encode(AUDIO_SR, samples))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    waves = ids.mapInPandas(synth, schema="doc_id long, payload binary")
+    waves = ids.mapInPandas(
+        _synth_square(PCMAudioDecoder), schema="doc_id long, payload binary"
+    )
     feats = extract_features(waves, PCMAudioDecoder())
     return feats.select(
         "doc_id",
