@@ -1182,6 +1182,63 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corpus_report",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             len({_DUCK_TOKENS}) AS n_toks,
+             md5(text) AS th
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           COUNT(*) - COUNT(DISTINCT th) AS n_exact_dups,
+           CAST(MIN(n_toks) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+           CAST(FLOOR(SUM(n_toks) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+             AS avg_tokens
+    FROM t
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus report card — the numbers a data owner checks
+    before anything else runs: doc/token/char totals, language and
+    source cardinalities, the exact-duplicate count (md5 of the raw
+    text — the q_dedup_exact signal as a single scalar), and the token
+    length envelope. One scan, one map-side-combined aggregate; the
+    two exact countDistincts are Spark's standard two-level shape over
+    low-cardinality columns, and the md5 distinct-count shuffles
+    16-byte hashes, never text. The deep diagnostics (near-dup rates,
+    quality gates, mixtures) are their own catalog queries — this row
+    is the table of contents."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens_expr(F.col("text"))).alias("n_toks"),
+        F.md5(F.col("text").cast("binary")).alias("th"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct("th")).alias("n_exact_dups"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+        F.floor(F.sum("n_toks") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("avg_tokens"),
+    )
+
+
 DUPGRAM_MAX_FRAC = 0.2  # keep iff covered frac <= this
 _DUP_MULT = round(1 / DUPGRAM_MAX_FRAC)  # integer cross-multiply form
 
