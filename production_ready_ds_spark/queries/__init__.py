@@ -142,6 +142,10 @@ _CONTRACT_ORDER = (
 # q_dedup_embedding + q_sim_topk_bucketed → back. Round-4 front: the
 # training-data trio the round-2 verdict named as the 100 TB gate
 # (q_decontaminate, q_pack_sequences, q_mix_domains).
+# ROUND-5 ROTATION (do at round start, after CORRECTNESS_r04 lands):
+# move q_decontaminate + q_pack_sequences to the back; the front
+# becomes q_mix_domains + q_dedup_semantic, then the round-4 queue
+# below in its existing order.
 _EXTENSION_PRIORITY = (
     "q_decontaminate",
     "q_pack_sequences",
