@@ -564,3 +564,24 @@ def test_mix_temperature_rate_table_broadcasts(spark, sf_small, cat):
     assert has_broadcast_join(df), explain_str(df)[:800]
     for cols in exchange_input_columns(df):
         assert "text" not in cols, cols
+
+
+def test_novelty_and_report_shuffle_hashes_not_text(spark, sf_small, cat):
+    """q_text_novelty and q_corpus_report must never put the text
+    column on the wire — only hashes/ids/counts shuffle."""
+    for name in ("q_text_novelty", "q_corpus_report"):
+        df = cat[name].fn(spark, sf_small)
+        for cols in exchange_input_columns(df):
+            assert "text" not in cols and "ts" not in cols, (name, cols)
+
+
+def test_theta_exact_side_has_no_hash_selfjoin(spark, sf_small, cat):
+    """q_sketch_theta's exact intersections must come from the
+    collect_set pair expansion (map-side generates), not the old
+    corpus-wide self-join on the hash — and shingle STRINGS never
+    shuffle (only their 8-byte hashes)."""
+    df = cat["q_sketch_theta"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert plan.count("explode(ss") >= 2, plan[:600]
+    for cols in exchange_input_columns(df):
+        assert "sg" not in cols and "text" not in cols, cols
