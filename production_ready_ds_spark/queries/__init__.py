@@ -167,6 +167,7 @@ _EXTENSION_PRIORITY = (
     "q_quality_dupgrams",
     "q_text_novelty",
     "q_corpus_report",
+    "q_join_interval",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

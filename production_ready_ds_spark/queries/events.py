@@ -737,3 +737,108 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rnk", F.row_number().over(top_w).cast("long"))
         .filter(F.col("rnk") <= 10)
     )
+
+
+@query(
+    "q_join_interval",
+    category="events",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END
+               AS new_sess
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, sess_id,
+             epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT a.user_id AS user_a, CAST(a.sess_id AS BIGINT) AS sess_a,
+           b.user_id AS user_b, CAST(b.sess_id AS BIGINT) AS sess_b,
+           CAST(LEAST(a.mx, b.mx) - GREATEST(a.mn, b.mn) AS BIGINT)
+             AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.mn <= b.mx AND b.mn <= a.mx
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — the range-join class the equi-join
+    family can't express: which session intervals of DIFFERENT users
+    overlap in time (co-presence analysis; the same shape answers
+    genomic range joins and temporal conflict detection). Intervals
+    are the 30-minute-gap sessions of q_event_session, so the two
+    queries share one sessionization definition.
+
+    Scale shape — the interval-BUCKETING trick instead of an unbounded
+    theta join: each interval explodes into the hour buckets it spans
+    (short sessions → 1-2 buckets), candidates equi-join on the bucket
+    id, the TRUE overlap predicate filters inside the bucket, and
+    DISTINCT collapses pairs that share several buckets. Work is
+    Σ per-bucket concurrency², bounded by simultaneous-user counts —
+    never |intervals|²; at 100 TB the bucket width tunes against
+    interval length exactly like the shingle/sign-bucket blockings
+    elsewhere in this engine. The overlap length is integer micros, so
+    nothing floating crosses the oracle."""
+    e = load(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(order_w).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(order_w).cast("timestamp"))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(run_w))
+    iv = flagged.groupBy("user_id", "sess_id").agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("mn"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("mx"),
+    )
+    hour = 3_600_000_000
+    buckets = F.sequence(
+        (F.col("mn") / hour).cast("long"), (F.col("mx") / hour).cast("long")
+    )
+    ebv = iv.select(
+        "user_id", "sess_id", "mn", "mx", F.explode(buckets).alias("hb")
+    ).localCheckpoint(eager=True)  # both join sides read one materialization
+    a = ebv.select(
+        F.col("user_id").alias("user_a"), F.col("sess_id").alias("sess_a"),
+        F.col("mn").alias("mna"), F.col("mx").alias("mxa"), "hb",
+    )
+    b = ebv.select(
+        F.col("user_id").alias("user_b"), F.col("sess_id").alias("sess_b"),
+        F.col("mn").alias("mnb"), F.col("mx").alias("mxb"), "hb",
+    ).hint("shuffle_hash")
+    pairs = (
+        a.join(b, "hb")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("mna") <= F.col("mxb"))
+            & (F.col("mnb") <= F.col("mxa"))
+        )
+        .select(
+            "user_a",
+            F.col("sess_a").cast("long").alias("sess_a"),
+            "user_b",
+            F.col("sess_b").cast("long").alias("sess_b"),
+            (
+                F.least("mxa", "mxb") - F.greatest("mna", "mnb")
+            ).cast("long").alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs

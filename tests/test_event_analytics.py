@@ -115,3 +115,39 @@ def test_resample_fills_silent_hours_with_zeros(spark, tmp_path):
         for r in q_event_resample(spark, out).collect()
     }
     assert got == {(0, "view"): 1, (1, "view"): 0, (2, "view"): 0, (3, "view"): 1}
+
+
+def test_join_interval_finds_bucket_straddling_overlaps(spark, tmp_path):
+    """Constructed co-presence: overlaps must be found even when the
+    two sessions START in different hour buckets (the case a naive
+    same-bucket-start join misses), and disjoint sessions produce no
+    pair."""
+    import datetime as dt
+    import os
+
+    from production_ready_ds_spark.queries import catalog
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, user, minutes):
+        return (i, user, base + dt.timedelta(minutes=minutes), "click", 1.0)
+
+    rows = [
+        # user A: one session 10:50 -> 11:10 (straddles the 11:00 bucket edge)
+        ev(1, 1, 50), ev(2, 1, 60), ev(3, 1, 70),
+        # user B: one session 11:05 -> 11:20 (starts in the NEXT hour bucket)
+        ev(4, 2, 65), ev(5, 2, 80),
+        # user C: far later, overlaps nobody
+        ev(6, 3, 600), ev(7, 3, 610),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    sf_dir = str(tmp_path / "iv_sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+    got = catalog()["q_join_interval"].fn(spark, sf_dir).collect()
+    assert len(got) == 1, got
+    r = got[0]
+    assert (r.user_a, r.user_b) == (1, 2)
+    assert r.overlap_us == 5 * 60 * 1_000_000  # 11:05 -> 11:10
