@@ -102,7 +102,7 @@ def rank_cap(
     *,
     salt_buckets: int = 32,
     mega_threshold: int = 100_000,
-    peek: bool = True,
+    peek: bool = False,
 ) -> DataFrame:
     """Keep the ``cap`` lowest-``order_col`` rows of every ``part_cols``
     group — WITHOUT sorting the uncontended majority.
@@ -126,7 +126,12 @@ def rank_cap(
     whole jaccard query at sf0.1 vs salting every hot group (the two
     extra window stages cost more than the 1.3k hot rows they sorted).
 
-    With ``peek`` (default), a driver-side ``limit(1)`` probe decides
+    With ``peek=True`` (OPT-IN — pass it only for a materialized/
+    checkpointed ``df``: the probe is a driver action at
+    plan-construction time, so an unmaterialized caller would silently
+    re-run its whole upstream lineage, and no-driver-action contexts
+    such as streaming plans would break), a driver-side ``limit(1)``
+    probe decides
     whether any mega group EXISTS; when none does (every healthy
     corpus) the salted branch isn't planned at all. The two idle mega
     window stages measured ~0.25 s of pure scheduling overhead at
@@ -137,9 +142,8 @@ def rank_cap(
     hot frame, because a checkpointed hot side becomes a LogicalRDD
     with unknown stats that poisons every downstream size estimate
     (measured: the per-doc-count joins in jaccard_pairs silently lost
-    their static broadcast). Pass ``peek=False`` in lazy contexts (no
-    driver action): the mega branch is then always planned and sits
-    empty, which is the safe static shape.
+    their static broadcast). The default ``peek=False`` is the lazy
+    safe shape: the mega branch is always planned and sits empty.
 
     ``df`` is consumed three times (size agg, cold anti, hot join) —
     pass a materialized/checkpointed frame or a cheap scan, not an

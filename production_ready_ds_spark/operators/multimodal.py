@@ -284,9 +284,9 @@ class PNGDecoder(Decoder):
         while pos + 12 <= len(buf):
             (ln,) = struct.unpack(">I", buf[pos : pos + 4])
             tag = buf[pos + 4 : pos + 8]
+            if pos + 12 + ln > len(buf):
+                return None  # truncated inside data OR the 4-byte CRC
             data = buf[pos + 8 : pos + 8 + ln]
-            if len(data) != ln:
-                return None
             (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
             if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
                 return None

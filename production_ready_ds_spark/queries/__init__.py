@@ -139,19 +139,17 @@ _CONTRACT_ORDER = (
 # so each round the names that earned a green CORRECTNESS row move to the
 # BACK and never-verified names move to the front. Round-2 verified
 # q_dedup_clusters + q_dedup_ngram_jaccard → back; round-3 verified
-# q_dedup_embedding + q_sim_topk_bucketed → back. Round-4 front: the
-# training-data trio the round-2 verdict named as the 100 TB gate
-# (q_decontaminate, q_pack_sequences, q_mix_domains).
-# ROUND-5 ROTATION (do at round start, after CORRECTNESS_r04 lands):
-# move q_decontaminate + q_pack_sequences to the back; the front
-# becomes q_mix_domains + q_dedup_semantic, then the round-4 queue
-# below in its existing order.
+# q_dedup_embedding + q_sim_topk_bucketed → back; round-4 verified
+# q_decontaminate + q_pack_sequences → back. Round-5 front:
+# q_mix_domains (last of the round-2 training-data trio) +
+# q_dedup_semantic (the round-4 SemDeDup flagship).
+# ROUND-6 ROTATION (do at round start, after CORRECTNESS_r05 lands):
+# move q_mix_domains + q_dedup_semantic to the back; the front becomes
+# q_pack_bestfit + q_dedup_substring_runs, then the queue below.
 _EXTENSION_PRIORITY = (
-    "q_decontaminate",
-    "q_pack_sequences",
     "q_mix_domains",
-    # round-4 additions, queued next for driver slots
     "q_dedup_semantic",
+    # round-4 additions, queued next for driver slots
     "q_pack_bestfit",
     "q_dedup_substring_runs",
     "q_image_png",
@@ -243,11 +241,13 @@ _EXTENSION_PRIORITY = (
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
-    # verified in rounds 2-3 — rotated to the back
+    # verified in rounds 2-4 — rotated to the back
     "q_dedup_clusters",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_sim_topk_bucketed",
+    "q_decontaminate",
+    "q_pack_sequences",
 )
 
 

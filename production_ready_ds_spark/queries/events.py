@@ -744,18 +744,18 @@ def q_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="events",
     sql="""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
     ), flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL
                        OR ts - prev_ts > INTERVAL '30 minutes' THEN 1 ELSE 0 END
                AS new_sess
       FROM ordered
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged
     ), iv AS (

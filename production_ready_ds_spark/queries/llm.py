@@ -2514,7 +2514,9 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per consumer (measured ~35 % of the query at sf0.1).
         .localCheckpoint(eager=True)
     )
-    capped = rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP).localCheckpoint(eager=True)
+    capped = rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP, peek=True).localCheckpoint(
+        eager=True
+    )
     a = capped.select(F.col("doc_id").alias("doc_a"), "mn")
     b = capped.select(F.col("doc_id").alias("doc_b"), "mn")
     return (
@@ -2963,7 +2965,7 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = ch.withColumn("_ok", F.struct("doc_id", "pos")).localCheckpoint(eager=True)
     capped = (
-        rank_cap(ch, ["sig"], "_ok", RUN_DF_CAP)
+        rank_cap(ch, ["sig"], "_ok", RUN_DF_CAP, peek=True)
         .drop("_ok")
         .localCheckpoint(eager=True)
     )

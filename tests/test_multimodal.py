@@ -218,6 +218,14 @@ def test_png_rejects_malformed_and_out_of_subset():
     assert mm.PNGDecoder.parse(None) is None
     assert mm.PNGDecoder.parse(b"\x89PNG") is None
     assert mm.PNGDecoder.parse(good[:-4]) is None  # truncated IEND
+    # Truncation at EVERY offset inside the trailing chunks must return
+    # None, never raise — in particular mid-CRC (regression: a file cut
+    # inside a chunk's 4-byte CRC passed the data-length check, then
+    # struct.unpack threw on the short CRC slice and killed the Spark
+    # task instead of quarantining the row).
+    for cut in range(1, 30):
+        assert mm.PNGDecoder.parse(good[:-cut]) is None, cut
+    assert mm.PNGDecoder.parse(mm.PNGDecoder.encode(4, 3, bytes(36))[:-14]) is None
     bad = bytearray(good)
     bad[40] ^= 0xFF
     assert mm.PNGDecoder.parse(bytes(bad)) is None  # CRC catches the flip

@@ -40,7 +40,11 @@ def main() -> None:
           SELECT d.doc_id + c.c * 10000000 AS doc_id,
                  CASE WHEN c.c = 0 THEN d.text
                       ELSE d.text || ' sib' || c.c END AS text,
-                 d.lang, d.source, d.n_chars
+                 d.lang, d.source,
+                 -- recomputed: perturbed siblings must stay internally
+                 -- consistent (text, n_chars) or char-based reports skew
+                 LENGTH(CASE WHEN c.c = 0 THEN d.text
+                             ELSE d.text || ' sib' || c.c END) AS n_chars
           FROM read_parquet('{src}/documents.parquet') d,
                (SELECT range AS c FROM range({copies})) c
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
