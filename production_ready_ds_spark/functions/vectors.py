@@ -38,6 +38,55 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     return dot(a, b) / (norm_a * norm_b)
 
 
+# Corpus-scaled quantizer granularity (round-4 verdict item: the fixed
+# 16-bucket quantization was the one named scale-killer in the ANN
+# family — within-bucket pair work grows quadratically with corpus size
+# unless bucket COUNT grows with it). planes p is the smallest value in
+# [min_planes, max_planes] whose 2^p buckets bring the MEAN bucket to
+# ≤ target_bucket_rows rows, so expected per-bucket pair work stays
+# O(target²) no matter the corpus size: 500 rows → 4 planes (the
+# original 16 buckets), 2 000 → 5, 8 000 → 7, 32 000 → 9. Integer
+# shift-and-compare only — no libm — so the DuckDB oracle twin
+# (duck_planes_expr in queries/llm.py, a sum of n > target·2^k
+# indicators) is bit-identical at every corpus size, which is what lets
+# the hash gate stay green while the knob moves.
+SIGN_TARGET_BUCKET_ROWS = 64
+SIGN_MIN_PLANES = 4
+SIGN_MAX_PLANES = 10
+
+
+def scaled_sign_planes(
+    n_rows: int,
+    *,
+    target_bucket_rows: int = SIGN_TARGET_BUCKET_ROWS,
+    min_planes: int = SIGN_MIN_PLANES,
+    max_planes: int = SIGN_MAX_PLANES,
+) -> int:
+    """Smallest plane count whose bucket grid holds the corpus at
+    ≤ target_bucket_rows mean rows per bucket (clamped to
+    [min_planes, max_planes]). max_planes bounds bucket-id width and
+    must stay ≤ the embedding dimension (64 in the test corpus)."""
+    p = min_planes
+    while p < max_planes and n_rows > (target_bucket_rows << p):
+        p += 1
+    return p
+
+
+def scaled_ivf_k(
+    n_rows: int,
+    *,
+    target_list_rows: int = SIGN_TARGET_BUCKET_ROWS,
+    min_k: int = 16,
+    max_k: int = 4096,
+) -> int:
+    """Trained-quantizer twin of :func:`scaled_sign_planes`: the KMeans
+    list count that brings the mean inverted list to ≤ target_list_rows
+    rows. Not power-of-two constrained (centroid count is free), same
+    clamping discipline; SemDeDup's own published k is corpus-sized."""
+    k = -(-n_rows // target_list_rows)  # ceil div, integer-only
+    return max(min_k, min(max_k, k))
+
+
 def sign_bucket(a: Column, n_dims: int = 4) -> Column:
     """Coarse quantization bucket id from the sign bits of the first
     ``n_dims`` components — a deterministic IVF-style partitioner for

@@ -43,6 +43,12 @@ from pyspark.sql import functions as F
 MANIFEST = "_ivf_manifest.json"
 CENTROIDS = "_ivf_centroids.json"
 
+#: Floor for the trained list count — the ACTUAL k is corpus-scaled:
+#: ``train(k=None)`` (the default) sizes k so the mean inverted list
+#: holds ≤ functions.vectors.SIGN_TARGET_BUCKET_ROWS rows
+#: (scaled_ivf_k), the round-4-verdict knob that keeps within-list
+#: pair/search work O(target²) as the corpus grows instead of letting
+#: a fixed 16 lists go quadratic.
 DEFAULT_K = 16
 DEFAULT_NPROBE = 4
 
@@ -103,17 +109,27 @@ class IVFStore:
         self,
         embeddings: DataFrame,
         *,
-        k: int = DEFAULT_K,
+        k: int | None = None,
         seed: int = 7,
         max_iter: int = 5,
         vec_col: str = "embedding",
     ) -> int:
-        """Fit k centroids (seeded KMeans) and persist them. Train on a
-        SAMPLE at scale — KMeans cost is per-training-row, and the
-        assignment map never needs the trainer again. Returns k."""
+        """Fit k centroids (seeded KMeans) and persist them. With
+        ``k=None`` (default) k is CORPUS-SCALED via scaled_ivf_k —
+        mean list ≤ 64 training rows, floored at DEFAULT_K — so list
+        count grows with the data instead of letting fixed lists go
+        quadratic; pass an explicit k to pin it. Train on a SAMPLE at
+        scale — KMeans cost is per-training-row, and the assignment
+        map never needs the trainer again; a sample-trained k should
+        be sized for the FULL corpus (pass k=scaled_ivf_k(full_rows)).
+        Returns k."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        from ..functions.vectors import scaled_ivf_k
+
+        if k is None:
+            k = scaled_ivf_k(embeddings.count(), min_k=DEFAULT_K)
         fe = embeddings.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )

@@ -331,7 +331,9 @@ def test_rank_cap_peek_skips_idle_mega_stages(spark):
     """When no group crosses mega_threshold, the driver peek must keep
     the salted two-stage branch OUT of the plan entirely (its two idle
     window stages measured ~0.25 s of scheduling overhead at sf0.1);
-    with peek=False the guard branch must stay planned."""
+    with the lazy-safe default (peek=False — the probe is a driver
+    action, so it is OPT-IN for materialized inputs only) the guard
+    branch must stay planned."""
     from production_ready_ds_spark.operators.dedup import rank_cap
     from production_ready_ds_spark.plans.audit import explain_str
 
@@ -339,11 +341,11 @@ def test_rank_cap_peek_skips_idle_mega_stages(spark):
         [(g, g * 100 + i) for g in range(5) for i in range(g * 4)],
         "grp int, rid long",
     )
-    peeked = rank_cap(df, ["grp"], "rid", 3)
+    peeked = rank_cap(df, ["grp"], "rid", 3, peek=True)
     assert "_salt" not in explain_str(peeked), "idle mega branch was planned"
-    static = rank_cap(df, ["grp"], "rid", 3, peek=False)
-    assert "_salt" in explain_str(static), "static shape lost its guard branch"
-    mega = rank_cap(df, ["grp"], "rid", 3, mega_threshold=5)
+    static = rank_cap(df, ["grp"], "rid", 3)
+    assert "_salt" in explain_str(static), "lazy default lost its guard branch"
+    mega = rank_cap(df, ["grp"], "rid", 3, mega_threshold=5, peek=True)
     assert "_salt" in explain_str(mega), "real mega group skipped the salted rank"
 
 
@@ -1172,3 +1174,125 @@ def test_novelty_scores_copies_low_and_fresh_high(spark, tmp_path):
     # copied first 20 tokens are shared with docs 1/2, the other 20
     # (straddling or inside the own-tail) are unique
     assert got[4].n_grams == 36 and got[4].n_novel == 20
+
+
+# ---- corpus-scaled quantizer knob (round-4 verdict item 2) ----------
+
+
+def test_scaled_planes_formula_matches_duckdb_twin():
+    """The Python plane-count formula and the oracle's SQL indicator
+    formula must agree for every corpus size — both are integer
+    shift-and-compare, so equality is exact, which is what lets the
+    hash gate stay green while the knob moves with the data."""
+    import duckdb
+
+    from production_ready_ds_spark.functions.vectors import (
+        SIGN_MAX_PLANES,
+        SIGN_MIN_PLANES,
+        SIGN_TARGET_BUCKET_ROWS,
+        scaled_ivf_k,
+        scaled_sign_planes,
+    )
+
+    expr = (
+        str(SIGN_MIN_PLANES)
+        + " + "
+        + " + ".join(
+            f"CAST(n > {SIGN_TARGET_BUCKET_ROWS << k} AS INT)"
+            for k in range(SIGN_MIN_PLANES, SIGN_MAX_PLANES)
+        )
+    )
+    con = duckdb.connect()
+    probe = [1, 500, 1023, 1024, 1025, 2000, 2048, 4096, 8000, 8192,
+             16384, 32000, 32768, 32769, 10**6, 10**9]
+    for n in probe:
+        (sql_p,) = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()
+        assert sql_p == scaled_sign_planes(n), n
+    # spot values: the documented growth schedule
+    assert scaled_sign_planes(500) == 4     # the original 16 buckets
+    assert scaled_sign_planes(2000) == 5    # sf0.1
+    assert scaled_sign_planes(8000) == 7    # 4x stress
+    assert scaled_sign_planes(32000) == 9   # 16x stress
+    assert scaled_sign_planes(10**9) == SIGN_MAX_PLANES  # clamped
+    # trained-quantizer twin: mean list <= 64 rows, floored/clamped
+    assert scaled_ivf_k(500) == 16
+    assert scaled_ivf_k(2000) == 32
+    assert scaled_ivf_k(10**6) == 4096  # clamped at max_k
+    assert scaled_ivf_k(10**9, max_k=1 << 20) == 1 << 20
+
+
+def test_sign_plane_refinement_is_monotone(spark, sf_small):
+    """Raising the plane count REFINES the blocking: a pair colliding
+    at p+k planes agrees on the first p sign bits too, so the engine's
+    pair set at a finer grid is a subset of the coarser one — and every
+    surviving pair's rounded cosine is identical (blocking can only
+    DROP pairs, never corrupt a similarity). This is the decision
+    invariance that holds as the corpus-scaled knob moves."""
+    import pyspark.sql.functions as F
+
+    from production_ready_ds_spark.functions.vectors import sign_bucket
+    from production_ready_ds_spark.operators.ann import bucketed_cosine_pairs
+    from production_ready_ds_spark.queries.llm import EMBED_COS_THRESHOLD
+    from production_ready_ds_spark.tables import load
+
+    e = load(spark, sf_small, "embeddings")
+
+    def pairs_at(p):
+        home = e.select(
+            "vec_id", sign_bucket(F.col("embedding"), p).alias("pb"), "embedding"
+        )
+        return {
+            (r.vec_a, r.vec_b): r.cos_sim
+            for r in bucketed_cosine_pairs(
+                home, home, threshold=EMBED_COS_THRESHOLD
+            )
+            .distinct()
+            .collect()
+        }
+
+    p4, p6, p8 = pairs_at(4), pairs_at(6), pairs_at(8)
+    assert set(p8) <= set(p6) <= set(p4)
+    assert len(p8) < len(p6) < len(p4), "finer grids must actually prune"
+    for k in p8:
+        assert p8[k] == p6[k] == p4[k]
+
+
+def test_sign_plane_near_dup_recall_survives_scaling(spark):
+    """What the knob must NOT break: TRUE near-duplicates (the pairs
+    semantic dedup exists to catch, cos ≈ 1) keep colliding as the
+    plane count scales, because a clone pair splits only when a
+    component's |value| is under the perturbation size. Constructed
+    clone corpus (64-dim, unit-scale components, noise 1e-3): recall of
+    clone pairs must stay ≥ 0.95 at EVERY plane count in the knob's
+    range — the low-similarity pairs the coarse grid happened to keep
+    are the ones a finer grid sheds, not the near-dups."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from production_ready_ds_spark.functions.vectors import (
+        SIGN_MAX_PLANES,
+        sign_bucket,
+    )
+    from production_ready_ds_spark.operators.ann import bucketed_cosine_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(0, 1.0, size=(60, 64))
+    clones = base + rng.normal(0, 1e-3, size=base.shape)
+    X = np.concatenate([base, clones])
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    want = {(i, i + 60) for i in range(60)}
+    for p in (4, 7, SIGN_MAX_PLANES):
+        home = e.select(
+            "vec_id", sign_bucket(F.col("embedding"), p).alias("pb"), "embedding"
+        )
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in bucketed_cosine_pairs(home, home, threshold=0.999)
+            .distinct()
+            .collect()
+        }
+        recall = len(got & want) / len(want)
+        assert recall >= 0.95, (p, recall)
