@@ -85,42 +85,66 @@ class Decontaminate(SparkTask):
 
 
 class QualityFilter(SparkTask):
-    """Perplexity quality gate (q_quality_perplexity): score every
-    surviving doc under the corpus-trained bigram LM via the SAME
-    shared helpers the oracle-checked query uses (doc_bigrams /
-    bigram_model / perplexity_terms / perplexity_report — one
-    definition) and drop the worst-scoring decile. The cutoff is the
-    EXACT 90th percentile of avg_nll_scaled (deterministic integer
-    scores → deterministic cutoff → reproducible backfills); docs too
-    short to produce a bigram carry no evidence and are kept, the same
-    keep-on-no-evidence stance as Decontaminate. One vocabulary-sized
-    model build + one corpus-wide scoring join per run."""
+    """Quality gate over the decontaminated corpus, two methods behind
+    one Parameter:
+
+    - ``method='perplexity'`` (default): score every surviving doc
+      under the corpus-trained bigram LM via the SAME shared helpers
+      the oracle-checked q_quality_perplexity uses (doc_bigrams /
+      bigram_model / perplexity_terms / perplexity_report — one
+      definition) and drop the worst-scoring decile. The cutoff is
+      the EXACT 90th percentile of avg_nll_scaled (deterministic
+      integer scores → deterministic cutoff → reproducible
+      backfills); docs too short to produce a bigram carry no
+      evidence and are kept, the same keep-on-no-evidence stance as
+      Decontaminate. One vocabulary-sized model build + one
+      corpus-wide scoring join per run.
+    - ``method='classifier'``: the trained-model gate
+      (q_quality_classifier / llm.quality_classifier_scores — one
+      definition): logistic regression on hashed token counts, weak
+      labels from the Gopher→perplexity teacher ladder, drop docs the
+      model scores below 0.5. Featurize+score are map-only; training
+      is per-training-row (sample-trainable at scale); a degenerate
+      (one-class) teacher keeps everything — no evidence, no drop."""
 
     data_root = Parameter()
     sf_dir = Parameter()
+    method = Parameter(default="perplexity")
 
     def requires(self):
         return Decontaminate(data_root=self.data_root, sf_dir=self.sf_dir)
 
     def output(self):
-        return ParquetTarget(_stage_dir(self.data_root, "quality"))
+        # default method keeps the original stage dir; variants get
+        # their own target so switching methods recomputes the suffix
+        stage = "quality" if self.method == "perplexity" else f"quality-{self.method}"
+        return ParquetTarget(_stage_dir(self.data_root, stage))
 
     def main(self, spark):
-        from ..queries.llm import (
-            bigram_model,
-            doc_bigrams,
-            perplexity_report,
-            perplexity_terms,
-        )
-
         docs = spark.read.parquet(self.requires().output().path)
-        scores = perplexity_report(
-            perplexity_terms(doc_bigrams(docs), bigram_model(docs))
-        ).localCheckpoint(eager=True)
-        cutoff = scores.agg(
-            F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")
-        ).first()["c"]
-        bad = scores.filter(F.col("avg_nll_scaled") > cutoff).select("doc_id")
+        if self.method == "classifier":
+            from ..queries.llm import quality_classifier_scores
+
+            bad = quality_classifier_scores(docs).filter(~F.col("keep")).select(
+                "doc_id"
+            )
+        elif self.method == "perplexity":
+            from ..queries.llm import (
+                bigram_model,
+                doc_bigrams,
+                perplexity_report,
+                perplexity_terms,
+            )
+
+            scores = perplexity_report(
+                perplexity_terms(doc_bigrams(docs), bigram_model(docs))
+            ).localCheckpoint(eager=True)
+            cutoff = scores.agg(
+                F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")
+            ).first()["c"]
+            bad = scores.filter(F.col("avg_nll_scaled") > cutoff).select("doc_id")
+        else:
+            raise ValueError(f"unknown QualityFilter method {self.method!r}")
         docs.join(bad, "doc_id", "left_anti").write.mode("overwrite").parquet(
             self.output().path
         )

@@ -166,6 +166,8 @@ _EXTENSION_PRIORITY = (
     "q_text_novelty",
     "q_corpus_report",
     "q_join_interval",
+    # round-5 additions
+    "q_quality_classifier",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

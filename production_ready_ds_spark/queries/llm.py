@@ -1130,7 +1130,14 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles at any corpus size; complementary model-based gates
     (q_quality_perplexity, q_quality_compress) run where a scan is not
     enough."""
-    d = load(spark, sf_dir, "documents")
+    return gopher_decision_frame(load(spark, sf_dir, "documents"))
+
+
+def gopher_decision_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, n_words, per-rule booleans, keep) for a documents frame
+    — the ONE Gopher-rule definition shared by q_quality_gopher and
+    the weak-label trainer of q_quality_classifier, so the rule gate
+    and the classifier's supervision cannot diverge."""
     ts = tokens_expr(F.col("text"))
     n = F.size(ts)
     sum_len = F.aggregate(
@@ -1157,6 +1164,134 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         stopword_ok.alias("stopword_ok"),
         (words_ok & word_len_ok & alpha_ok & stopword_ok).alias("keep"),
     )
+
+
+#: hashed-token feature width for the quality classifier (the DCLM /
+#: FineWeb-Edu fastText-scale regime shrunk to the test corpus; at
+#: 100 TB raise toward 2^20 — HashingTF cost is per-token either way)
+CLASSIFIER_FEATURES = 1 << 12
+
+
+def _classifier_teacher(docs: DataFrame) -> DataFrame | None:
+    """Weak-label teacher ladder for the quality classifier:
+    (1) the Gopher rule gate (gopher_decision_frame keep) — the
+    primary teacher; (2) when it emits ONE class on this corpus (the
+    synthetic testdata trips the distinct-stopword rule corpus-wide,
+    so every label is False) fall back to the perplexity decile gate
+    (the corpus_build QualityFilter cutoff — DCLM's actual
+    distillation teacher); (3) if that is also degenerate (< 2
+    classes), return None — a one-class teacher carries no
+    discrimination evidence, and the caller keeps everything rather
+    than hard-dropping a whole corpus on a degenerate gate (the same
+    keep-on-no-evidence stance as Decontaminate). The two-row distinct
+    probes are bounded driver actions at plan-construction time."""
+
+    def classes(teacher: DataFrame) -> int:
+        return teacher.select("weak_keep").distinct().limit(2).count()
+
+    gopher = gopher_decision_frame(docs).select(
+        "doc_id", F.col("keep").alias("weak_keep")
+    )
+    if classes(gopher) == 2:
+        return gopher
+    scores = perplexity_report(
+        perplexity_terms(doc_bigrams(docs), bigram_model(docs))
+    )
+    cutoff = scores.agg(
+        F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")
+    ).first()["c"]
+    if cutoff is None:
+        return None
+    ppl = docs.select("doc_id").join(
+        scores.select("doc_id", "avg_nll_scaled"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        # unscorable (too-short) docs carry no evidence → label good
+        (F.coalesce("avg_nll_scaled", F.lit(0)) <= cutoff).alias("weak_keep"),
+    )
+    return ppl if classes(ppl) == 2 else None
+
+
+def quality_classifier_scores(
+    docs: DataFrame, teacher: DataFrame | None = None
+) -> DataFrame:
+    """Model-based quality gate (the FineWeb-Edu / DCLM final stage):
+    train an in-Spark logistic regression on hashed token counts with
+    WEAK labels from a rule-gate teacher, then score every document —
+    (doc_id, weak_keep, score, keep) where score is P(quality) and
+    keep = score ≥ 0.5. The ONE definition shared by
+    q_quality_classifier and the corpus_build QualityFilter
+    (method='classifier'). ``teacher`` is any (doc_id, weak_keep)
+    frame; default is the :func:`_classifier_teacher` ladder (Gopher
+    rules, then the perplexity decile gate where the rules
+    degenerate). A None/one-class teacher → every doc kept with NULL
+    score (no evidence, no drop).
+
+    Why a model when the rules exist: the classifier generalizes the
+    rule signal into a CALIBRATED per-document score usable at any
+    threshold (rules are brittle step functions; the model ranks), and
+    at production scale it is trained once on a labeled SAMPLE and
+    applied corpus-wide — exactly how DCLM/FineWeb-Edu run fastText /
+    LR gates trained on quality judgments.
+
+    Scale shape: featurization (regex tokenize + HashingTF) is
+    MAP-ONLY; LBFGS training cost is per-TRAINING-row (train on a
+    sample at 100 TB — the model is a CLASSIFIER_FEATURES-float vector
+    regardless of corpus size); scoring broadcasts that vector and is
+    again map-only, so the gate adds zero shuffles to a curation run.
+    Rows-only for the driver: coefficients depend on the LBFGS
+    trajectory, but DECISIONS are deterministic run-to-run (seeded,
+    fixed partitioning — pinned by test), and the score separates
+    held-out Gopher rule labels with AUC ≥ 0.9 on a constructed
+    mixed-quality corpus (bound-tested in tests/test_llm_ops.py)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    if teacher is None:
+        teacher = _classifier_teacher(docs)
+    if teacher is None:
+        return docs.select(
+            "doc_id",
+            F.lit(None).cast("boolean").alias("weak_keep"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(True).alias("keep"),
+        )
+    labeled = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).join(teacher, "doc_id")
+    feats = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=CLASSIFIER_FEATURES
+    ).transform(labeled.withColumn("label", F.col("weak_keep").cast("double")))
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=25,
+        regParam=0.01,
+        standardization=False,
+    )
+    model = lr.fit(feats)
+    scored = model.transform(feats)
+    # vector→array needs the ml functions helper, not a cast
+    from pyspark.ml.functions import vector_to_array
+
+    prob1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    return scored.select(
+        "doc_id",
+        "weak_keep",
+        F.round(prob1, 4).alias("score"),
+        (prob1 >= 0.5).alias("keep"),
+    )
+
+
+@query("q_quality_classifier", category="llm-text", sql=None)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface of :func:`quality_classifier_scores` over the
+    documents table — the trained-model quality gate completing the
+    gate ladder (rules → perplexity → compression → CLASSIFIER).
+    Rows-only: the decision evidence is the determinism +
+    AUC-vs-weak-labels bound in tests/test_llm_ops.py, the
+    q_train_pipeline form."""
+    return quality_classifier_scores(load(spark, sf_dir, "documents"))
 
 
 DUPGRAM_N = 5  # gram width: within-doc dupgram rule + novelty score

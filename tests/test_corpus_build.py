@@ -126,3 +126,27 @@ def test_quality_filter_drops_worst_decile_only(spark, sf_small, tmp_path):
     # the survivors' ids are a subset — the gate only filters
     kept = {r.doc_id for r in after.select("doc_id").collect()}
     assert kept <= {r.doc_id for r in before.select("doc_id").collect()}
+
+
+def test_quality_filter_classifier_method(spark, sf_small, tmp_path):
+    """The method='classifier' option must run the trained gate over
+    the decontaminated corpus (one shared definition with
+    q_quality_classifier), write its own stage target, and only ever
+    FILTER — survivors are a subset of the input, and the dropped set
+    is exactly the model's keep=false decisions."""
+    from production_ready_ds_spark.pipelines.corpus_build import QualityFilter
+    from production_ready_ds_spark.queries.llm import quality_classifier_scores
+    from production_ready_ds_spark.workflow import build
+
+    root = str(tmp_path)
+    task = QualityFilter(data_root=root, sf_dir=sf_small, method="classifier")
+    build([task])
+    before = spark.read.parquet(f"{root}/corpus/decontaminated")
+    after = spark.read.parquet(f"{root}/corpus/quality-classifier")
+    kept = {r.doc_id for r in after.select("doc_id").collect()}
+    src = {r.doc_id for r in before.select("doc_id").collect()}
+    assert kept <= src
+    want = {
+        r.doc_id: r.keep for r in quality_classifier_scores(before).collect()
+    }
+    assert kept == {d for d, k in want.items() if k}

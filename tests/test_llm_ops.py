@@ -1296,3 +1296,78 @@ def test_sign_plane_near_dup_recall_survives_scaling(spark):
         }
         recall = len(got & want) / len(want)
         assert recall >= 0.95, (p, recall)
+
+
+# ---- trained quality classifier (round-4 verdict item 3) ------------
+
+
+def _mixed_quality_corpus(spark):
+    """40 clean docs (stopword-bearing English-ish text → pass every
+    Gopher rule) + 40 junk docs (digit-ridden tokens, no stopwords →
+    fail alpha + stopword rules), distinct vocabularies so hashed
+    token counts are separable."""
+    good_words = ["data", "model", "training", "corpus", "signal", "layer"]
+    rows = []
+    for i in range(40):
+        w = [good_words[(i + j) % len(good_words)] for j in range(20)]
+        rows.append((i, "the %s and %s of %s with %s" % (w[0], w[1], w[2], " ".join(w[3:])), "en", "s", 1))
+    for i in range(40, 80):
+        toks = ["x%d%d" % (i, j) for j in range(20)]
+        rows.append((i, " ".join(toks), "en", "s", 1))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_quality_classifier_auc_vs_gopher_teacher(spark):
+    """On a corpus where the Gopher gate discriminates, the ladder must
+    pick the GOPHER teacher (weak_keep == the rule gate's keep) and
+    the trained score must separate those rule labels with AUC ≥ 0.9 —
+    the FineWeb-Edu/DCLM evidence form: the model recovers the
+    teacher's ranking from hashed token features alone."""
+    import pandas as pd
+
+    from production_ready_ds_spark.queries.llm import (
+        gopher_decision_frame,
+        quality_classifier_scores,
+    )
+
+    docs = _mixed_quality_corpus(spark)
+    rule = {r.doc_id: r.keep for r in gopher_decision_frame(docs).collect()}
+    assert set(rule.values()) == {True, False}, "corpus must split the rule gate"
+    got = quality_classifier_scores(docs).collect()
+    assert {r.doc_id: r.weak_keep for r in got} == rule, "ladder must pick gopher"
+    ys = pd.Series({r.doc_id: r.weak_keep for r in got}).sort_index()
+    ss = pd.Series({r.doc_id: r.score for r in got}).sort_index()
+    ranks = ss.rank(method="average")
+    n1, n0 = int(ys.sum()), int((~ys).sum())
+    auc = (ranks[ys].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert auc >= 0.9, auc
+
+
+def test_quality_classifier_decisions_deterministic(spark, sf_small):
+    """Two independent runs over the same corpus must emit identical
+    decision tables — seeded LBFGS + fixed partitioning, the
+    reproducible-backfill contract every gate in corpus_build holds."""
+    from production_ready_ds_spark.queries import catalog
+
+    fn = catalog()["q_quality_classifier"].fn
+    a = {r.doc_id: (r.weak_keep, r.score, r.keep) for r in fn(spark, sf_small).collect()}
+    b = {r.doc_id: (r.weak_keep, r.score, r.keep) for r in fn(spark, sf_small).collect()}
+    assert a == b
+
+
+def test_quality_classifier_degenerate_teacher_keeps_all(spark):
+    """An all-identical corpus gives BOTH teachers one class — no
+    discrimination evidence, so the gate must keep everything (NULL
+    scores), never hard-drop a corpus on a degenerate rule gate."""
+    from production_ready_ds_spark.queries.llm import quality_classifier_scores
+
+    docs = spark.createDataFrame(
+        [(i, "same text every time forever again", "en", "s", 1) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = quality_classifier_scores(docs).collect()
+    assert len(got) == 30
+    assert all(r.keep for r in got)
+    assert all(r.score is None for r in got)
