@@ -173,10 +173,19 @@ class IVFStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         n_files: int = 4,
-    ) -> None:
-        """Assign a batch and register it as a list-clustered segment."""
-        assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
+        skip_if_range_indexed: bool = False,
+    ) -> bool:
+        """Assign a batch and register it as a list-clustered segment.
+        Returns False (no write) when ``skip_if_range_indexed`` and a
+        manifest segment already overlaps [id_min, id_max] — the
+        id-range-batched recompute case (pipelines/ingest_semdedup.py),
+        mirroring SignatureStore.append's idempotence contract."""
         segments = self.segments()
+        if skip_if_range_indexed and any(
+            s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
+        ):
+            return False
+        assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
         seg = {
             "seg": max((s["seg"] for s in segments), default=-1) + 1,
             "id_min": id_min,
@@ -188,6 +197,7 @@ class IVFStore:
             assigned, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
         )
         self._write_json(MANIFEST, {"segments": [*segments, seg]})
+        return True
 
     def delete_ids(
         self, spark: SparkSession, ids: list[int], *, n_files: int = 4

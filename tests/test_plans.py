@@ -585,3 +585,27 @@ def test_theta_exact_side_has_no_hash_selfjoin(spark, sf_small, cat):
     assert plan.count("explode(ss") >= 2, plan[:600]
     for cols in exchange_input_columns(df):
         assert "sg" not in cols and "text" not in cols, cols
+
+
+def test_semdedup_ingest_earlier_read_is_probed_lists_only(spark, tmp_path):
+    """The incremental semantic-dedup DAG's earlier-corpus read must be
+    O(probed lists), never a store scan: the batch's list ids reach the
+    parquet scan as a pushed In(list_id, ...) predicate (row-group
+    pruning on list-clustered segments), and the frame returns rows of
+    those lists only."""
+    from production_ready_ds_spark.operators.ivfstore import IVFStore
+    from production_ready_ds_spark.pipelines.ingest_semdedup import SemDedupBatch
+    from production_ready_ds_spark.plans.audit import pushed_filters
+    from production_ready_ds_spark.workflow import build
+
+    root = str(tmp_path / "out")
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    build([SemDedupBatch(data_root=root, source_path=src, batch=0)])
+    store = IVFStore(f"{root}/ingest/ivf_store")
+    # the exact read the batch-1 task performs for its earlier corpus
+    probe_lists = [0, 2, 5]
+    earlier = store.read_lists(spark, probe_lists)
+    pushed = " ".join(pushed_filters(earlier))
+    assert "list_id" in pushed and "In(" in pushed, pushed
+    got_lists = {r.list_id for r in earlier.select("list_id").distinct().collect()}
+    assert got_lists <= set(probe_lists)
