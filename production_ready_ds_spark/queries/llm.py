@@ -209,6 +209,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_sample_cluster_weighted",
     category="llm-traindata",
+    bench=True,
     sql=f"""
     WITH RECURSIVE {_DUCK_JACCARD_CTES},
     edges AS (
@@ -345,6 +346,7 @@ THETA_K = 256  # KMV sketch size (k smallest hash values per set)
 @query(
     "q_sketch_theta",
     category="llm-sketch",
+    bench=True,
     sql=f"""
     WITH s AS (
       SELECT DISTINCT source,
