@@ -168,6 +168,7 @@ _EXTENSION_PRIORITY = (
     "q_join_interval",
     # round-5 additions
     "q_quality_classifier",
+    "q_image_png_report",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

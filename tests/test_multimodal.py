@@ -209,15 +209,16 @@ def test_png_roundtrip_every_filter_type():
 
 def test_png_rejects_malformed_and_out_of_subset():
     """Corruption (CRC, truncation) and declared-out-of-subset headers
-    (grayscale, 16-bit, interlaced) must yield None, never garbage."""
+    (alpha variants, 16-bit, interlaced) must yield None — with the
+    RIGHT outcome label — never garbage."""
     import struct
     import zlib
 
     good = mm.PNGDecoder.encode(4, 4, bytes(range(48)), [4, 3, 2, 1])
     assert mm.PNGDecoder.parse(good) is not None
-    assert mm.PNGDecoder.parse(None) is None
-    assert mm.PNGDecoder.parse(b"\x89PNG") is None
-    assert mm.PNGDecoder.parse(good[:-4]) is None  # truncated IEND
+    assert mm.PNGDecoder.parse_fmt(None) == ("not-png", None)
+    assert mm.PNGDecoder.parse_fmt(b"\x89PNG") == ("not-png", None)
+    assert mm.PNGDecoder.parse_fmt(good[:-4]) == ("corrupt", None)  # truncated IEND
     # Truncation at EVERY offset inside the trailing chunks must return
     # None, never raise — in particular mid-CRC (regression: a file cut
     # inside a chunk's 4-byte CRC passed the data-length check, then
@@ -228,7 +229,7 @@ def test_png_rejects_malformed_and_out_of_subset():
     assert mm.PNGDecoder.parse(mm.PNGDecoder.encode(4, 3, bytes(36))[:-14]) is None
     bad = bytearray(good)
     bad[40] ^= 0xFF
-    assert mm.PNGDecoder.parse(bytes(bad)) is None  # CRC catches the flip
+    assert mm.PNGDecoder.parse_fmt(bytes(bad)) == ("corrupt", None)  # CRC flip
 
     def with_ihdr(depth, ctype, interlace):
         ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
@@ -242,11 +243,55 @@ def test_png_rejects_malformed_and_out_of_subset():
             + mm.PNGDecoder._chunk(b"IEND", b"")
         )
 
-    assert mm.PNGDecoder.parse(with_ihdr(8, 0, 0)) is None  # grayscale
-    assert mm.PNGDecoder.parse(with_ihdr(16, 2, 0)) is None  # 16-bit
-    assert mm.PNGDecoder.parse(with_ihdr(8, 2, 1)) is None  # interlaced
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 4, 0))[0] == "unsupported"  # gray+alpha
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 6, 0))[0] == "unsupported"  # RGBA
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 2, 0))[0] == "unsupported"  # 16-bit
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 2, 1))[0] == "unsupported"  # interlaced
+    # a gray header whose body carries the WRONG stride is corrupt, not
+    # unsupported (grayscale itself is in-subset since round 5)
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 0, 0)) == ("corrupt", None)
+    # palette PNG missing its PLTE chunk is corrupt
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 3, 0))[0] == "corrupt"
     # decode() maps the rejections to all-NULL feature rows
     assert mm.PNGDecoder().decode(bytes(bad)) == mm.PNGDecoder._NULL
+
+
+def test_png_gray_and_palette_round_trip_all_filters():
+    """Round-5 subset widening: 8-bit grayscale (G→GGG expansion) and
+    palette (PLTE-mapped) PNGs must round-trip bit-exactly through
+    every scanline filter, out-of-range palette indices must reject
+    as corrupt (RFC 2083 §4.1.2), and boundary palette indices must
+    map correctly."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for w, h in [(1, 1), (16, 9), (5, 7)]:
+        g = rng.randint(0, 256, w * h, dtype=np.uint8).tobytes()
+        want = bytes(b for v in g for b in (v, v, v))
+        for f in range(5):
+            fmt, got = mm.PNGDecoder.parse_fmt(
+                mm.PNGDecoder.encode(w, h, g, [f] * h, ctype=0)
+            )
+            assert fmt == "gray" and got == (w, h, want), (w, h, f)
+        pal = bytes(rng.randint(0, 256, 3 * 65, dtype=np.uint8))
+        idx = rng.randint(0, 65, w * h, dtype=np.uint8).tobytes()
+        wantp = bytes(b for i in idx for b in pal[3 * i : 3 * i + 3])
+        for f in range(5):
+            fmt, got = mm.PNGDecoder.parse_fmt(
+                mm.PNGDecoder.encode(w, h, idx, [f] * h, ctype=3, palette=pal)
+            )
+            assert fmt == "palette" and got == (w, h, wantp), (w, h, f)
+    # boundary: index 64 valid with 65 entries, corrupt with 64
+    pal = bytes(range(195))  # 65 entries
+    idx = bytes([64] + [0] * 11)
+    fmt, got = mm.PNGDecoder.parse_fmt(
+        mm.PNGDecoder.encode(4, 3, idx, ctype=3, palette=pal)
+    )
+    assert fmt == "palette" and got[2][:3] == pal[192:195]
+    fmt, got = mm.PNGDecoder.parse_fmt(
+        mm.PNGDecoder.encode(4, 3, idx, ctype=3, palette=pal[: 3 * 64])
+    )
+    assert (fmt, got) == ("corrupt", None)
 
 
 def test_png_transcode_chains_into_resize(spark):
