@@ -671,9 +671,11 @@ def _scaled_planes_for(e: DataFrame) -> int:
     "q_sim_topk_bucketed",
     category="llm-similarity",
     sql=f"""
-    WITH b AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de, {_DUCK_BUCKET} AS bucket
-      FROM embeddings
+    WITH {_DUCK_PLANES_CTE},
+    b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de,
+             {_DUCK_BUCKET_SCALED} AS bucket
+      FROM embeddings, planes
     ),
     probes AS (SELECT vec_id AS probe_id, de AS pe, bucket FROM b WHERE vec_id < 10),
     sims AS (
@@ -691,14 +693,16 @@ def _scaled_planes_for(e: DataFrame) -> int:
 )
 def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 via deterministic coarse quantization (IVF-style): the
-    sign pattern of the first 4 dimensions partitions the corpus into 16
-    buckets; probes only compare within their bucket — the candidate set
-    shrinks ~16× (at scale: more planes / trained centroids, same join
-    shape: equi-join on bucket id then local top-k)."""
-    e = (
-        load(spark, sf_dir, "embeddings")
-        .withColumn("bucket", sign_bucket(F.col("embedding")))
-        .withColumn("nrm", norm(F.col("embedding")))
+    sign pattern of the first p dimensions partitions the corpus into
+    2^p buckets — p CORPUS-SCALED via scaled_sign_planes (mean bucket
+    ≤ 64 rows), the same knob as the dedup family, so the candidate
+    set per probe stays O(target) as the corpus grows; probes only
+    compare within their bucket (equi-join on bucket id then local
+    top-k; trained centroids = q_sim_topk_ivf, same join shape)."""
+    e = load(spark, sf_dir, "embeddings")
+    p = _scaled_planes_for(e)
+    e = e.withColumn("bucket", sign_bucket(F.col("embedding"), p)).withColumn(
+        "nrm", norm(F.col("embedding"))
     )
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"),
@@ -727,19 +731,19 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_K = 16
 _IVF_NPROBE = 4
 
 
 @query("q_sim_topk_ivf", category="llm-similarity", sql=None)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 via a TRAINED coarse quantizer (real IVF): KMeans
-    centroids define the inverted lists, every corpus vector is assigned
-    to its nearest centroid, and each probe searches its ``_IVF_NPROBE``
-    nearest lists (multi-probe, Euclidean — the same metric KMeans
-    assigns by). Rows-only: centroids depend on the trainer, so no
-    cross-engine oracle; recall against brute force is asserted in
-    tests/test_llm_ops.py.
+    centroids define the inverted lists (k CORPUS-SCALED via
+    scaled_ivf_k — mean list ≤ 64 rows, the round-5 knob), every
+    corpus vector is assigned to its nearest centroid, and each probe
+    searches its ``_IVF_NPROBE`` nearest lists (multi-probe,
+    Euclidean — the same metric KMeans assigns by). Rows-only:
+    centroids depend on the trainer, so no cross-engine oracle; recall
+    against brute force is asserted in tests/test_llm_ops.py.
 
     This is the scale path past the seedless sign-bucket quantizer
     (q_sim_topk_bucketed): trained centroids adapt the partition to the
@@ -754,6 +758,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    k = scaled_ivf_k(e.count())
     fe = e.select(
         "vec_id",
         "embedding",
@@ -761,7 +766,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
     km = KMeans(
-        k=_IVF_K, seed=7, maxIter=5, featuresCol="features", predictionCol="list_id"
+        k=k, seed=7, maxIter=5, featuresCol="features", predictionCol="list_id"
     )
     model = km.fit(fe)
     assigned = model.transform(fe).select("vec_id", "embedding", "nrm", "list_id")
@@ -3750,4 +3755,167 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.desc("freq"), F.asc("token"))
+    )
+
+
+# --- full-text search: BM25 ranking ----------------------------------
+
+#: fixed query terms for the BM25 catalog surface (all present in the
+#: corpus vocabulary with df ≈ 0.77·N, so tf/length differences — not
+#: mere term presence — drive the ranking)
+BM25_QUERY = ("spark", "query", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "q_search_bm25",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    d AS (
+      SELECT doc_id, len(ts) AS dl,
+             {", ".join(
+                 f"len(list_filter(ts, w -> w = '{term}')) AS tf{i}"
+                 for i, term in enumerate(BM25_QUERY)
+             )}
+      FROM t
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+             {", ".join(
+                 f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+                 for i in range(len(BM25_QUERY))
+             )}
+      FROM d
+    ),
+    s AS (
+      SELECT d.doc_id,
+             {" + ".join(
+                 f"(CASE WHEN tf{i} = 0 THEN 0 ELSE "
+                 f"FLOOR(LN(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * 10000 + 0.5)"
+                 f" * FLOOR(tf{i} * {BM25_K1 + 1} / (tf{i} + {BM25_K1} * "
+                 f"({1 - BM25_B} + {BM25_B} * (dl / (sumdl * 1.0 / n))))"
+                 f" * 10000 + 0.5) END)"
+                 for i in range(len(BM25_QUERY))
+             )} AS score_scaled,
+             {" + ".join(
+                 f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
+                 for i in range(len(BM25_QUERY))
+             )} AS n_terms_hit
+      FROM d, g
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, CAST(score_scaled AS BIGINT) AS score_scaled,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM s
+    WHERE score_scaled > 0
+    ORDER BY rank LIMIT 20
+    """,
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance search: BM25 top-20 (Robertson/Spärck Jones;
+    the Lucene-default strictly-positive idf variant
+    ln(1 + (N − df + ½)/(df + ½)), k1 = {BM25_K1}, b = {BM25_B}) for a
+    fixed multi-term query — the search-engine capability completing
+    the text-analysis family past raw TF-IDF (q_tfidf_top_terms
+    surfaces corpus-wide salient terms; this ranks DOCUMENTS against a
+    query).
+
+    Cross-engine determinism is the q_quality_perplexity discipline
+    extended to two factors: each term's idf AND each (doc, term)'s
+    length-normalized tf weight are snapped to a 1e-4 integer grid
+    (floor(x·1e4 + 0.5)) immediately after the only transcendental
+    (one ln per TERM — 3 total), so the per-doc score is an INTEGER
+    dot product — order-independent summation, integer tie-break
+    (score, doc_id), and a LIMIT boundary that both engines cut
+    identically (the verify gotcha: never rank on raw libm outputs).
+    The rational tf part is written with the identical operation tree
+    on both sides, so its double value is bit-equal before snapping.
+
+    Scale shape: for a FIXED query the per-doc tf columns are map-side
+    array expressions (no explode, no per-token shuffle); corpus
+    statistics (N, Σdl, per-term df) are ONE map-combined global
+    aggregate broadcast back as a single row; scoring is again
+    map-side; the only corpus-ordered stage is the final top-k, which
+    AQE executes as partition-local top-k + a 20-row merge. At 100 TB
+    with ad-hoc queries, the same plan serves from an inverted index
+    (sigstore-style term → postings segments); the scoring math and
+    snapping are unchanged."""
+    d = load(spark, sf_dir, "documents")
+    ts = tokens_expr(F.col("text"))
+
+    def tf_expr(term: str):
+        # one-arg closure: a two-arg lambda would bind Spark's
+        # (element, index) HOF signature instead of capturing the term
+        return F.size(F.filter(ts, lambda w: w == F.lit(term)))
+
+    per_doc = d.select(
+        "doc_id",
+        F.size(ts).alias("dl"),
+        *[tf_expr(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY)],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    scored = per_doc.join(F.broadcast(stats))
+    avgdl = F.col("sumdl") * 1.0 / F.col("n")
+
+    def term_score(i: int):
+        idf_i = F.floor(
+            F.log(
+                1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        w_i = F.floor(
+            F.col(f"tf{i}")
+            * F.lit(BM25_K1 + 1)
+            / (
+                F.col(f"tf{i}")
+                + F.lit(BM25_K1)
+                * (F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl))
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        return F.when(F.col(f"tf{i}") == 0, F.lit(0)).otherwise(idf_i * w_i)
+
+    score = sum(term_score(i) for i in range(len(BM25_QUERY)))
+    hits = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(BM25_QUERY))
+    )
+    from pyspark.sql import Window
+
+    # limit BEFORE ranking: orderBy+limit plans as TakeOrderedAndProject
+    # (partition-local top-k + a 20-row merge — no corpus-wide sort, no
+    # single-partition global window); the rank window then runs on the
+    # 20 survivors only.
+    top = (
+        scored.select(
+            "doc_id",
+            score.cast("long").alias("score_scaled"),
+            hits.cast("long").alias("n_terms_hit"),
+        )
+        .filter(F.col("score_scaled") > 0)
+        .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+        .limit(20)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "score_scaled",
+        "n_terms_hit",
     )

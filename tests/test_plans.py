@@ -609,3 +609,16 @@ def test_semdedup_ingest_earlier_read_is_probed_lists_only(spark, tmp_path):
     assert "list_id" in pushed and "In(" in pushed, pushed
     got_lists = {r.list_id for r in earlier.select("list_id").distinct().collect()}
     assert got_lists <= set(probe_lists)
+
+
+def test_bm25_is_map_side_plus_takeordered(spark, sf_small, cat):
+    """q_search_bm25's only corpus-ordered stage must be a
+    TakeOrderedAndProject (partition-local top-k + a 20-row merge),
+    never a corpus-wide sort or global window; the stats row joins by
+    broadcast and text never shuffles."""
+    df = cat["q_search_bm25"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert has_broadcast_join(df), plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols, cols
