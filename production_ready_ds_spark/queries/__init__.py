@@ -170,6 +170,7 @@ _EXTENSION_PRIORITY = (
     "q_quality_classifier",
     "q_image_png_report",
     "q_search_bm25",
+    "q_stream_classifier",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

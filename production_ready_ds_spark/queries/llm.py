@@ -1252,7 +1252,6 @@ def quality_classifier_scores(
     held-out Gopher rule labels with AUC ≥ 0.9 on a constructed
     mixed-quality corpus (bound-tested in tests/test_llm_ops.py)."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF
 
     if teacher is None:
         teacher = _classifier_teacher(docs)
@@ -1266,9 +1265,9 @@ def quality_classifier_scores(
     labeled = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
     ).join(teacher, "doc_id")
-    feats = HashingTF(
-        inputCol="toks", outputCol="features", numFeatures=CLASSIFIER_FEATURES
-    ).transform(labeled.withColumn("label", F.col("weak_keep").cast("double")))
+    feats = _classifier_tf().transform(
+        labeled.withColumn("label", F.col("weak_keep").cast("double"))
+    )
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -1278,13 +1277,73 @@ def quality_classifier_scores(
     )
     model = lr.fit(feats)
     scored = model.transform(feats)
-    # vector→array needs the ml functions helper, not a cast
-    from pyspark.ml.functions import vector_to_array
-
-    prob1 = F.element_at(vector_to_array(F.col("probability")), 2)
+    prob1 = _prob1()
     return scored.select(
         "doc_id",
         "weak_keep",
+        F.round(prob1, 4).alias("score"),
+        (prob1 >= 0.5).alias("keep"),
+    )
+
+
+def _classifier_tf():
+    """The ONE HashingTF featurizer both the trainer and every scorer
+    (batch and streaming) share — a drifted featurization would score
+    garbage silently."""
+    from pyspark.ml.feature import HashingTF
+
+    return HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=CLASSIFIER_FEATURES
+    )
+
+
+def _prob1() -> Column:
+    """P(label=1) from an ML 'probability' vector column (vector→array
+    needs the ml functions helper, not a cast)."""
+    from pyspark.ml.functions import vector_to_array
+
+    return F.element_at(vector_to_array(F.col("probability")), 2)
+
+
+def quality_classifier_fit(docs: DataFrame):
+    """Fit the quality classifier on a (static) corpus and return the
+    trained LogisticRegressionModel, or None when the teacher ladder is
+    degenerate — the trainer half of quality_classifier_scores, split
+    out so a STREAMING scorer can train once on the reference corpus
+    and apply the broadcast coefficients to a stream
+    (q_stream_classifier)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    teacher = _classifier_teacher(docs)
+    if teacher is None:
+        return None
+    labeled = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("toks")
+    ).join(teacher, "doc_id")
+    feats = _classifier_tf().transform(
+        labeled.withColumn("label", F.col("weak_keep").cast("double"))
+    )
+    return LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=25,
+        regParam=0.01,
+        standardization=False,
+    ).fit(feats)
+
+
+def quality_classifier_apply(model, docs: DataFrame) -> DataFrame:
+    """Score a documents frame (BATCH OR STREAMING — featurize and
+    score are row-wise Transformer ops, no state) with a fitted model:
+    (doc_id, score, keep). The model rides as broadcast coefficients;
+    the pass is map-only, so the same call scores a micro-batch or a
+    100 TB corpus without a shuffle."""
+    feats = _classifier_tf().transform(
+        docs.select("doc_id", tokens_expr(F.col("text")).alias("toks"))
+    )
+    prob1 = _prob1()
+    return model.transform(feats).select(
+        "doc_id",
         F.round(prob1, 4).alias("score"),
         (prob1 >= 0.5).alias("keep"),
     )

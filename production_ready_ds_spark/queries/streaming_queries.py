@@ -274,3 +274,47 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = bigram_model(load(spark, sf_dir, "documents"))
     scored = perplexity_terms(doc_bigrams(stream), F.broadcast(model))
     return _run_stream(spark, perplexity_report(scored), "complete")
+
+
+@query("q_stream_classifier", category="streaming", sql=None)
+def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trained-model quality scoring: q_quality_classifier's
+    model fit ONCE on the static reference corpus (the teacher-ladder
+    trainer, llm.quality_classifier_fit), then applied to the documents
+    STREAM — the online-scoring deployment shape of the DCLM/FineWeb
+    gate family: the model is trained offline, and ingest scores every
+    arriving document map-side with the broadcast coefficients.
+
+    Shape: featurize (regex tokenize + HashingTF) and LR scoring are
+    row-wise Transformer ops — NO stateful operator at all, so the
+    stream runs in append mode and decisions are independent of
+    micro-batch boundaries by construction (pinned by the stream ≡
+    batch equality test in tests/test_streaming.py, the
+    q_stream_quality evidence form). Rows-only for the driver (LBFGS
+    trainer state, same as the batch twin). A degenerate teacher
+    (one-class corpus) keeps everything, matching the batch
+    keep-on-no-evidence stance."""
+    import os
+
+    from ..streaming.events import _as_stream_dir
+    from ..tables import load
+    from .llm import quality_classifier_apply, quality_classifier_fit
+
+    static_docs = load(spark, sf_dir, "documents")
+    model = quality_classifier_fit(static_docs)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+    if model is None:
+        out = stream.select(
+            "doc_id",
+            F.lit(None).cast("double").alias("score"),
+            F.lit(True).alias("keep"),
+        )
+    else:
+        out = quality_classifier_apply(model, stream)
+    return _run_stream(spark, out, "append")

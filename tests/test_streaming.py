@@ -269,3 +269,24 @@ def test_stream_stream_click_purchase_join_matches_batch(spark, sf_small, tmp_pa
     )
     assert want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_stream_classifier_matches_batch_decisions(spark, sf_small):
+    """q_stream_classifier must emit the EXACT per-doc (score, keep)
+    decisions of the batch q_quality_classifier over the same corpus —
+    featurize+score are row-wise, so micro-batch boundaries cannot
+    change a decision, and the trainer is deterministic on fixed
+    input (the q_stream_quality stream≡batch evidence form for the
+    rows-only model gate)."""
+    from production_ready_ds_spark.queries import catalog
+
+    cat = catalog()
+    batch = {
+        r.doc_id: (r.score, r.keep)
+        for r in cat["q_quality_classifier"].fn(spark, sf_small).collect()
+    }
+    stream = {
+        r.doc_id: (r.score, r.keep)
+        for r in cat["q_stream_classifier"].fn(spark, sf_small).collect()
+    }
+    assert stream == batch
