@@ -136,8 +136,12 @@ class QualityFilter(SparkTask):
                 perplexity_terms,
             )
 
+            # shuffle_hash: never let the exploded bigram side's
+            # file-size underestimate broadcast it (llm.py rule)
             scores = perplexity_report(
-                perplexity_terms(doc_bigrams(docs), bigram_model(docs))
+                perplexity_terms(
+                    doc_bigrams(docs), bigram_model(docs).hint("shuffle_hash")
+                )
             ).localCheckpoint(eager=True)
             cutoff = scores.agg(
                 F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")

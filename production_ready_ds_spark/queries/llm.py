@@ -1196,14 +1196,23 @@ def _classifier_teacher(docs: DataFrame) -> DataFrame | None:
     def classes(teacher: DataFrame) -> int:
         return teacher.select("weak_keep").distinct().limit(2).count()
 
-    gopher = gopher_decision_frame(docs).select(
-        "doc_id", F.col("keep").alias("weak_keep")
+    # each teacher frame is consumed several times (class probe, the
+    # training join, and the caller's output) — checkpoint once so the
+    # gopher scan / bigram pipeline doesn't re-run per consumer
+    gopher = (
+        gopher_decision_frame(docs)
+        .select("doc_id", F.col("keep").alias("weak_keep"))
+        .localCheckpoint(eager=True)
     )
     if classes(gopher) == 2:
         return gopher
+    # model.hint("shuffle_hash") — the q_quality_perplexity rule: the
+    # bigram side's size estimate is the compressed file size, so Spark
+    # otherwise BROADCASTS the exploded bigram stream (558 MiB at 16x
+    # stress — build died) instead of the vocabulary-sized model
     scores = perplexity_report(
-        perplexity_terms(doc_bigrams(docs), bigram_model(docs))
-    )
+        perplexity_terms(doc_bigrams(docs), bigram_model(docs).hint("shuffle_hash"))
+    ).localCheckpoint(eager=True)
     cutoff = scores.agg(
         F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")
     ).first()["c"]
@@ -1215,7 +1224,7 @@ def _classifier_teacher(docs: DataFrame) -> DataFrame | None:
         "doc_id",
         # unscorable (too-short) docs carry no evidence → label good
         (F.coalesce("avg_nll_scaled", F.lit(0)) <= cutoff).alias("weak_keep"),
-    )
+    ).localCheckpoint(eager=True)
     return ppl if classes(ppl) == 2 else None
 
 
@@ -1262,12 +1271,21 @@ def quality_classifier_scores(
             F.lit(None).cast("double").alias("score"),
             F.lit(True).alias("keep"),
         )
+    # SHUFFLE_HASH: Spark's size estimate for the tokenized projection
+    # is the compressed parquet file size, so at 16x stress it tried to
+    # BROADCAST a side that materializes to 558+ MiB of token arrays
+    # and died building it — hint both ways out of broadcast (teacher
+    # is corpus-sized too; the join keys are uniform doc_ids)
     labeled = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
-    ).join(teacher, "doc_id")
+    ).hint("shuffle_hash").join(teacher, "doc_id")
+    # checkpoint the featurized frame: LBFGS re-reads it every
+    # iteration (25x), and without materialization each pass re-runs
+    # tokenize + hash + the teacher join (at 100 TB, train on a SAMPLE
+    # — the checkpoint is then sample-sized)
     feats = _classifier_tf().transform(
         labeled.withColumn("label", F.col("weak_keep").cast("double"))
-    )
+    ).localCheckpoint(eager=True)
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -1317,12 +1335,17 @@ def quality_classifier_fit(docs: DataFrame):
     teacher = _classifier_teacher(docs)
     if teacher is None:
         return None
+    # SHUFFLE_HASH: Spark's size estimate for the tokenized projection
+    # is the compressed parquet file size, so at 16x stress it tried to
+    # BROADCAST a side that materializes to 558+ MiB of token arrays
+    # and died building it — hint both ways out of broadcast (teacher
+    # is corpus-sized too; the join keys are uniform doc_ids)
     labeled = docs.select(
         "doc_id", tokens_expr(F.col("text")).alias("toks")
-    ).join(teacher, "doc_id")
+    ).hint("shuffle_hash").join(teacher, "doc_id")
     feats = _classifier_tf().transform(
         labeled.withColumn("label", F.col("weak_keep").cast("double"))
-    )
+    ).localCheckpoint(eager=True)  # LBFGS re-reads per iteration
     return LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -3905,16 +3928,21 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sigstore-style term → postings segments); the scoring math and
     snapping are unchanged."""
     d = load(spark, sf_dir, "documents")
-    ts = tokens_expr(F.col("text"))
 
     def tf_expr(term: str):
         # one-arg closure: a two-arg lambda would bind Spark's
         # (element, index) HOF signature instead of capturing the term
-        return F.size(F.filter(ts, lambda w: w == F.lit(term)))
+        return F.size(F.filter(F.col("ts"), lambda w: w == F.lit(term)))
 
-    per_doc = d.select(
+    # two-step projection on purpose (the shingled_docs rule): the token
+    # array materializes in its own Project so the tokenizer runs ONCE
+    # per row — fusing it into the 4 size() expressions re-runs the
+    # regex split per expression (measured 1.55 → 1.22 s at sf0.1 and
+    # 8.9 → 4.2 s on the 16× stress set)
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    per_doc = toks.select(
         "doc_id",
-        F.size(ts).alias("dl"),
+        F.size("ts").alias("dl"),
         *[tf_expr(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY)],
     )
     stats = per_doc.agg(
