@@ -12,6 +12,7 @@ Commands:
   list                         — catalog names (+ category, oracle?)
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
+  search <term> [term ...]     — BM25 full-text search over documents
   corpus                       — run the full corpus-build DAG
   Common flags: --sf DIR (default /root/testdata/sf0.01),
   --cpus N, --limit N, --out PATH [--format parquet|jsonl]
@@ -41,6 +42,12 @@ def _parser() -> argparse.ArgumentParser:
     sql = sub.add_parser("sql")
     sql.add_argument("statement")
     common(sql)
+    search = sub.add_parser(
+        "search", help="BM25 full-text search over the documents table"
+    )
+    search.add_argument("terms", nargs="+", help="query terms (lowercased)")
+    search.add_argument("--k", type=int, default=20, help="results to return")
+    common(search)
     corpus = sub.add_parser("corpus")
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
     corpus.add_argument("--cpus", type=int, default=8)
@@ -87,6 +94,12 @@ def main(argv: list[str] | None = None) -> int:
         from .sql import run_sql
 
         _emit(run_sql(spark, args.statement, args.sf), args)
+    elif args.cmd == "search":
+        from .queries.llm import bm25_topk
+        from .tables import load
+
+        terms = tuple(t.lower() for t in args.terms)
+        _emit(bm25_topk(load(spark, args.sf, "documents"), terms, k=args.k), args)
     elif args.cmd == "corpus":
         from .pipelines.corpus_build import corpus_build_dag
         from .workflow import build

@@ -3927,7 +3927,24 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ad-hoc queries, the same plan serves from an inverted index
     (sigstore-style term → postings segments); the scoring math and
     snapping are unchanged."""
-    d = load(spark, sf_dir, "documents")
+    return bm25_topk(load(spark, sf_dir, "documents"), BM25_QUERY, k=20)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k over a documents frame for an ARBITRARY term tuple —
+    the parameterized engine behind q_search_bm25 and the CLI
+    ``search`` command: (rank, doc_id, score_scaled, n_terms_hit).
+    Same integer-snapped scoring and TakeOrderedAndProject plan as the
+    catalog query (whose fixed-term instance is the hash-verified
+    evidence for this code path)."""
+    from pyspark.sql import Window
 
     def tf_expr(term: str):
         # one-arg closure: a two-arg lambda would bind Spark's
@@ -3936,21 +3953,21 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # two-step projection on purpose (the shingled_docs rule): the token
     # array materializes in its own Project so the tokenizer runs ONCE
-    # per row — fusing it into the 4 size() expressions re-runs the
+    # per row — fusing it into the size() expressions re-runs the
     # regex split per expression (measured 1.55 → 1.22 s at sf0.1 and
     # 8.9 → 4.2 s on the 16× stress set)
-    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
     per_doc = toks.select(
         "doc_id",
         F.size("ts").alias("dl"),
-        *[tf_expr(term).alias(f"tf{i}") for i, term in enumerate(BM25_QUERY)],
+        *[tf_expr(term).alias(f"tf{i}") for i, term in enumerate(terms)],
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sumdl"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
-            for i in range(len(BM25_QUERY))
+            for i in range(len(terms))
         ],
     )
     scored = per_doc.join(F.broadcast(stats))
@@ -3966,27 +3983,22 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         w_i = F.floor(
             F.col(f"tf{i}")
-            * F.lit(BM25_K1 + 1)
+            * F.lit(k1 + 1)
             / (
                 F.col(f"tf{i}")
-                + F.lit(BM25_K1)
-                * (F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl))
+                + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl))
             )
             * 10000
             + F.lit(0.5)
         )
         return F.when(F.col(f"tf{i}") == 0, F.lit(0)).otherwise(idf_i * w_i)
 
-    score = sum(term_score(i) for i in range(len(BM25_QUERY)))
-    hits = sum(
-        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(BM25_QUERY))
-    )
-    from pyspark.sql import Window
-
+    score = sum(term_score(i) for i in range(len(terms)))
+    hits = sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms)))
     # limit BEFORE ranking: orderBy+limit plans as TakeOrderedAndProject
-    # (partition-local top-k + a 20-row merge — no corpus-wide sort, no
+    # (partition-local top-k + a k-row merge — no corpus-wide sort, no
     # single-partition global window); the rank window then runs on the
-    # 20 survivors only.
+    # k survivors only.
     top = (
         scored.select(
             "doc_id",
@@ -3995,7 +4007,7 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score_scaled") > 0)
         .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
-        .limit(20)
+        .limit(k)
     )
     return top.select(
         F.row_number()

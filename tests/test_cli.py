@@ -44,3 +44,24 @@ def test_sql_command(spark, sf_small, capsys):
         main(["sql", "SELECT COUNT(*) AS n FROM documents", "--sf", sf_small]) == 0
     )
     assert "500" in capsys.readouterr().out
+
+
+def test_search_command(spark, sf_small, capsys):
+    """`search` must run BM25 over the documents table for ad-hoc terms
+    and agree with the parameterized helper's own ranking."""
+    from production_ready_ds_spark.__main__ import main
+    from production_ready_ds_spark.queries.llm import bm25_topk
+    from production_ready_ds_spark.tables import load
+
+    rc = main(["search", "Spark", "vector", "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    out = capsys.readouterr().out
+    want = bm25_topk(
+        load(spark, sf_small, "documents"), ("spark", "vector"), k=3
+    ).collect()
+    assert len(want) == 3
+    for r in want:
+        assert f"|{r.doc_id} " in out or f"|{r.doc_id}|" in out.replace(" ", "|"), (
+            r.doc_id,
+            out,
+        )
