@@ -1372,7 +1372,7 @@ def quality_classifier_apply(model, docs: DataFrame) -> DataFrame:
     )
 
 
-@query("q_quality_classifier", category="llm-text", sql=None)
+@query("q_quality_classifier", category="llm-text", sql=None, bench=True)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog surface of :func:`quality_classifier_scores` over the
     documents table — the trained-model quality gate completing the
@@ -3853,6 +3853,7 @@ BM25_B = 0.75
 @query(
     "q_search_bm25",
     category="llm-text",
+    bench=True,
     sql=f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
