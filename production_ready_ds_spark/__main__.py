@@ -12,7 +12,8 @@ Commands:
   list                         — catalog names (+ category, oracle?)
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
-  search <term> [term ...]     — BM25 full-text search over documents
+  search <term> [term ...]     — BM25 full-text search (--index for postings)
+  index  --root DIR            — build the BM25 inverted index
   corpus                       — run the full corpus-build DAG
   Common flags: --sf DIR (default /root/testdata/sf0.01),
   --cpus N, --limit N, --out PATH [--format parquet|jsonl]
@@ -47,7 +48,19 @@ def _parser() -> argparse.ArgumentParser:
     )
     search.add_argument("terms", nargs="+", help="query terms (lowercased)")
     search.add_argument("--k", type=int, default=20, help="results to return")
+    search.add_argument(
+        "--index",
+        default=None,
+        help="TermStore root built by `index` — serve from postings "
+        "instead of scanning the corpus (identical integers)",
+    )
     common(search)
+    index = sub.add_parser(
+        "index", help="build/refresh the BM25 inverted index (TermStore)"
+    )
+    index.add_argument("--root", required=True, help="TermStore directory")
+    index.add_argument("--sf", default="/root/testdata/sf0.01")
+    index.add_argument("--cpus", type=int, default=8)
     corpus = sub.add_parser("corpus")
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
     corpus.add_argument("--cpus", type=int, default=8)
@@ -95,11 +108,27 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
-        from .queries.llm import bm25_topk
+        # dict.fromkeys: dedupe while keeping order — a repeated term
+        # would double-score on the scan path but not the indexed one
+        terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
+        if args.index:
+            from .operators.termstore import TermStore
+
+            _emit(TermStore(args.index).search(spark, terms, k=args.k), args)
+        else:
+            from .queries.llm import bm25_topk
+            from .tables import load
+
+            _emit(bm25_topk(load(spark, args.sf, "documents"), terms, k=args.k), args)
+    elif args.cmd == "index":
+        from .operators.termstore import TermStore
         from .tables import load
 
-        terms = tuple(t.lower() for t in args.terms)
-        _emit(bm25_topk(load(spark, args.sf, "documents"), terms, k=args.k), args)
+        docs = load(spark, args.sf, "documents")
+        store = TermStore(args.root)
+        wrote = store.append(docs, id_min=0, id_max=2**62, skip_if_range_indexed=True)
+        n, sumdl = store.stats()
+        print(f"{'indexed' if wrote else 'already indexed'}: {n} docs, {sumdl} tokens at {args.root}")
     elif args.cmd == "corpus":
         from .pipelines.corpus_build import corpus_build_dag
         from .workflow import build

@@ -1,0 +1,235 @@
+"""Manifest-backed inverted text index: term-clustered postings
+segments + corpus statistics, so an ad-hoc BM25 query reads O(query
+terms) postings instead of scanning the corpus.
+
+The FULL-TEXT twin of :mod:`sigstore` (lexical dedup state) and
+:mod:`ivfstore` (vector lists): ``queries/llm.py bm25_topk`` scores a
+query by scanning and tokenizing every document — the right plan for a
+one-off batch job, the wrong one for a search service. This store
+moves the tokenize + tf/dl work to INGEST time:
+
+- **Postings, term-clustered.** Each append lands as ``seg=<n>/`` of
+  ``(term, doc_id, tf, dl)`` rows written via
+  :func:`.layout.write_range_clustered` on ``term``, so every file and
+  row group owns a slice of the term domain and a query's
+  ``In(term, ...)`` predicate prunes to the matched row groups — the
+  inverted-list read, not a table scan. ``dl`` (doc length) is
+  DENORMALIZED into every posting row: +8 bytes/posting buys scoring
+  without any join back to a doc-length table.
+- **Statistics in the manifest.** BM25 needs corpus-level N and Σdl;
+  each segment records its batch's ``n_docs``/``sum_dl`` (counted over
+  ALL batch docs, hit or not) and search sums the manifest — O(1)
+  metadata, never a corpus aggregate at query time.
+- **Scoring is bit-identical to the scan path.** ``search`` rebuilds
+  the EXACT expression tree of ``bm25_topk`` — same JVM ``F.log``,
+  same rational tf part, same floor(x·1e4+0.5) integer snap — over
+  (postings ⋈ per-term df), with N/Σdl as integer literals whose
+  division produces the same IEEE double the scan path's aggregate
+  row does. Indexed and scan results are therefore EQUAL integers,
+  not approximately equal (equivalence-tested).
+- **Append is O(batch)** (tokenize + one (doc, term) count shuffle +
+  one clustered segment write), idempotent under the sigstore
+  ``skip_if_range_indexed`` contract, with the same crash ordering
+  (segment data durable before the manifest replace) and single-writer
+  assumption. ``compact`` folds segments to bound footer opens.
+
+Deletion note: removing a document would also have to DECREMENT the
+manifest's n_docs/sum_dl or every later score drifts from a fresh
+build — v1 keeps the store append-only and documents rebuild as the
+deletion path (the sigstore RTBF helper only handles row removal).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .layout import write_range_clustered
+
+MANIFEST = "_term_manifest.json"
+
+
+class TermStore:
+    """Persistent inverted index (see module docstring)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+
+    # -- manifest ------------------------------------------------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def segments(self) -> list[dict]:
+        try:
+            with open(self._path(MANIFEST)) as fh:
+                return json.load(fh)["segments"]
+        except FileNotFoundError:
+            return []
+
+    def _write_manifest(self, segments: list[dict]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path(MANIFEST) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"segments": segments}, fh)
+        os.replace(tmp, self._path(MANIFEST))
+
+    def stats(self) -> tuple[int, int]:
+        """(N docs, Σ doc length) across every indexed batch — O(1)
+        manifest metadata."""
+        segs = self.segments()
+        return (
+            sum(s["n_docs"] for s in segs),
+            sum(s["sum_dl"] for s in segs),
+        )
+
+    # -- writes --------------------------------------------------------
+    def append(
+        self,
+        docs: DataFrame,
+        *,
+        id_min: int,
+        id_max: int,
+        n_files: int = 4,
+        skip_if_range_indexed: bool = False,
+    ) -> bool:
+        """Tokenize a batch and register its postings as a
+        term-clustered segment. Statistics count EVERY batch doc (a doc
+        with no indexed term still contributes to N and Σdl — BM25's
+        corpus stats are document-level, not posting-level)."""
+        from ..functions.text import tokens_expr
+
+        segments = self.segments()
+        if skip_if_range_indexed and any(
+            s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
+        ):
+            return False
+        toks = docs.select(
+            "doc_id", tokens_expr(F.col("text")).alias("ts")
+        ).localCheckpoint(eager=True)  # consumed by stats AND postings
+        stats_row = toks.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("sumdl")
+        ).first()
+        postings = (
+            toks.select(
+                "doc_id",
+                F.size("ts").alias("dl"),
+                F.explode("ts").alias("term"),
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+        seg = {
+            "seg": max((s["seg"] for s in segments), default=-1) + 1,
+            "id_min": id_min,
+            "id_max": id_max,
+            "n_docs": int(stats_row["n"]),
+            "sum_dl": int(stats_row["sumdl"] or 0),
+        }
+        write_range_clustered(
+            postings, self._path(f"seg={seg['seg']}"), ["term"], n_files=n_files
+        )
+        self._write_manifest([*segments, seg])
+        return True
+
+    def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
+        """Fold all segments into one term-clustered segment."""
+        segments = self.segments()
+        if len(segments) <= 1:
+            return len(segments)
+        df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segments])
+        merged = {
+            "seg": max(s["seg"] for s in segments) + 1,
+            "id_min": min(s["id_min"] for s in segments),
+            "id_max": max(s["id_max"] for s in segments),
+            "n_docs": sum(s["n_docs"] for s in segments),
+            "sum_dl": sum(s["sum_dl"] for s in segments),
+        }
+        write_range_clustered(
+            df, self._path(f"seg={merged['seg']}"), ["term"], n_files=n_files
+        )
+        self._write_manifest([merged])
+        import shutil
+
+        for s in segments:
+            shutil.rmtree(self._path(f"seg={s['seg']}"), ignore_errors=True)
+        return 1
+
+    # -- reads ---------------------------------------------------------
+    def read_postings(self, spark: SparkSession, terms: list[str]) -> DataFrame | None:
+        """Postings rows of the given terms, with the In(term) predicate
+        pushed to parquet row-group stats on term-clustered segments —
+        the inverted-list read. Threshold is RATCHETED up (the ivfstore
+        rule: a set/restore pair would revert before the lazy scan
+        executes)."""
+        segs = self.segments()
+        if not segs or not terms:
+            return None
+        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+        current = int(spark.conf.get(conf_key, "10"))
+        spark.conf.set(conf_key, str(max(current, len(terms) + 1)))
+        df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
+        return df.filter(F.col("term").isin([str(t) for t in terms]))
+
+    def search(
+        self, spark: SparkSession, terms: tuple[str, ...], *, k: int = 20,
+        k1: float = 1.2, b: float = 0.75,
+    ) -> DataFrame:
+        """BM25 top-k from the index: (rank, doc_id, score_scaled,
+        n_terms_hit), integer-equal to ``bm25_topk`` over the same
+        corpus (the expression trees match node for node; see module
+        docstring). Work: O(Σ matched postings) + a k-row merge."""
+        from pyspark.sql import Window
+
+        post = self.read_postings(spark, list(terms))
+        if post is None:
+            raise ValueError(f"TermStore at {self.root} is empty or no terms given")
+        n, sumdl = self.stats()
+        # per-term document frequency — exact, from the fetched lists;
+        # ≤ |terms| rows, broadcast back onto the postings
+        dfs = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = post.join(F.broadcast(dfs), "term")
+        # identical expression shapes to bm25_topk: lit(n)/lit(sumdl)
+        # divide to the same IEEE double the scan path's aggregate row
+        # produces, and F.log is the same JVM ln on both paths
+        avgdl = F.lit(sumdl) * 1.0 / F.lit(n)
+        idf = F.floor(
+            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * 10000
+            + F.lit(0.5)
+        )
+        w = F.floor(
+            F.col("tf")
+            * F.lit(k1 + 1)
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl))
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        per_doc = (
+            scored.select("doc_id", (idf * w).alias("s"))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("s").cast("long").alias("score_scaled"),
+                F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            )
+        )
+        top = (
+            per_doc.filter(F.col("score_scaled") > 0)
+            .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return top.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+            "doc_id",
+            "score_scaled",
+            "n_terms_hit",
+        )

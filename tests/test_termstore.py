@@ -1,0 +1,76 @@
+"""TermStore (operators/termstore.py): the persistent inverted index
+must score BIT-IDENTICALLY to the corpus-scan BM25 (integer equality,
+not approximation), stay exact under incremental appends, skip
+re-appends idempotently, and read O(query terms) postings (pushed
+In(term) over term-clustered segments)."""
+
+from __future__ import annotations
+
+from production_ready_ds_spark.operators.termstore import TermStore
+from production_ready_ds_spark.queries.llm import bm25_topk
+from production_ready_ds_spark.tables import load
+
+
+def _results(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_indexed_search_equals_corpus_scan(spark, sf_small, tmp_path):
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    for terms in [("spark", "query", "vector"), ("join",), ("table", "hash")]:
+        scan = _results(bm25_topk(docs, terms, k=15))
+        indexed = _results(store.search(spark, terms, k=15))
+        assert indexed == scan, terms
+    # manifest stats equal the corpus aggregates the scan path computes
+    n, sumdl = store.stats()
+    assert n == docs.count()
+
+
+def test_incremental_appends_equal_one_shot(spark, sf_small, tmp_path):
+    """Two id-ranged appends must produce the same manifest statistics
+    and the same search integers as one whole-corpus append — and both
+    equal the scan path (the sigstore incremental evidence form)."""
+    docs = load(spark, sf_small, "documents")
+    lo = docs.filter("doc_id < 250")
+    hi = docs.filter("doc_id >= 250")
+    inc = TermStore(str(tmp_path / "inc"))
+    assert inc.append(lo, id_min=0, id_max=249)
+    assert inc.append(hi, id_min=250, id_max=10**9)
+    one = TermStore(str(tmp_path / "one"))
+    assert one.append(docs, id_min=0, id_max=10**9)
+    assert inc.stats() == one.stats()
+    terms = ("spark", "vector")
+    want = _results(bm25_topk(docs, terms, k=10))
+    assert _results(inc.search(spark, terms, k=10)) == want
+    assert _results(one.search(spark, terms, k=10)) == want
+    # compaction folds segments without changing a single integer
+    assert inc.compact(spark) == 1
+    assert inc.stats() == one.stats()
+    assert _results(inc.search(spark, terms, k=10)) == want
+
+
+def test_append_is_idempotent_on_indexed_range(spark, sf_small, tmp_path):
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    assert not store.append(
+        docs, id_min=0, id_max=10**9, skip_if_range_indexed=True
+    )
+    assert len(store.segments()) == 1
+
+
+def test_postings_read_is_query_terms_only(spark, sf_small, tmp_path):
+    from production_ready_ds_spark.plans.audit import pushed_filters
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    store.append(docs, id_min=0, id_max=10**9)
+    post = store.read_postings(spark, ["spark", "vector"])
+    pushed = " ".join(pushed_filters(post))
+    assert "term" in pushed and "In(" in pushed, pushed
+    assert {r.term for r in post.select("term").distinct().collect()} <= {
+        "spark",
+        "vector",
+    }
