@@ -4059,3 +4059,73 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     store.append(docs, id_min=0, id_max=2**62, skip_if_range_indexed=True)
     return store.search(spark, BM25_QUERY, k=20)
+
+
+@query(
+    "q_search_hybrid",
+    category="llm-similarity",
+    sql=f"""
+    WITH c AS (
+      SELECT bm.rank AS bm25_rank, bm.doc_id,
+             CAST(e.embedding AS DOUBLE[]) AS de
+      FROM ( {_BM25_SQL} ) bm
+      JOIN embeddings e ON e.vec_id = bm.doc_id
+    ),
+    seed AS (SELECT de AS qe FROM c ORDER BY bm25_rank LIMIT 1)
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(c.de, seed.qe) DESC, c.doc_id
+           ) AS BIGINT) AS hybrid_rank,
+           c.doc_id,
+           CAST(c.bm25_rank AS BIGINT) AS bm25_rank,
+           ROUND(list_cosine_similarity(c.de, seed.qe), 4) AS cos_sim
+    FROM c, seed
+    """,
+)
+def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — the lexical-then-semantic two-stage ranker every
+    RAG/retrieval stack runs: BM25 produces the candidate set (the
+    recall stage: cheap, index-servable — q_search_bm25's exact
+    top-20), then the candidates are RERANKED by embedding cosine to
+    the top lexical hit's vector (pseudo-relevance feedback with one
+    seed — deterministic by construction, because the query vector is
+    a STORED embedding, not a float aggregate whose summation order
+    could drift between engines). Candidates without a stored
+    embedding drop out at the join (rerank requires a vector), which
+    the oracle mirrors. Output: (hybrid_rank, doc_id, bm25_rank,
+    cos_sim) — both rank columns, so the reader sees exactly how the
+    semantic stage reordered the lexical one.
+
+    Scale shape: stage 1 is the TakeOrderedAndProject BM25 plan (or
+    the TermStore inverted-list read — same integers, q_search_bm25_
+    indexed); stage 2 touches ONLY the k candidates: the 20-row
+    frame broadcasts into the embeddings scan (doc_id-pruned), the
+    seed is a 1-row broadcast, and the rerank window runs on ≤ k
+    rows. At 100 TB the rerank cost is O(k·dim) regardless of corpus
+    size — the whole point of the two-stage shape."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    bm = bm25_topk(docs, BM25_QUERY, k=20)
+    cand = F.broadcast(bm.select(F.col("rank").alias("bm25_rank"), "doc_id")).join(
+        emb, "doc_id"
+    )
+    seed = cand.orderBy("bm25_rank").limit(1).select(
+        F.col("embedding").alias("qe")
+    )
+    sims = cand.crossJoin(F.broadcast(seed)).select(
+        "doc_id",
+        "bm25_rank",
+        cosine(F.col("embedding"), F.col("qe")).alias("raw_cos"),
+    )
+    return sims.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("raw_cos"), F.asc("doc_id")))
+        .cast("long")
+        .alias("hybrid_rank"),
+        "doc_id",
+        "bm25_rank",
+        F.round("raw_cos", 4).alias("cos_sim"),
+    )
