@@ -622,3 +622,16 @@ def test_bm25_is_map_side_plus_takeordered(spark, sf_small, cat):
     assert has_broadcast_join(df), plan[:800]
     for cols in exchange_input_columns(df):
         assert "text" not in cols and "ts" not in cols, cols
+
+
+def test_hybrid_rerank_stays_candidate_sized(spark, sf_small, cat):
+    """q_search_hybrid's semantic stage must touch only the k BM25
+    candidates: the candidate frame and the 1-row seed join by
+    broadcast, the rerank window runs on <= k rows, and document text
+    never reaches an exchange."""
+    df = cat["q_search_hybrid"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]  # the BM25 stage
+    assert plan.count("BroadcastExchange") >= 2, plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols, cols
