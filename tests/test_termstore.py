@@ -74,3 +74,51 @@ def test_postings_read_is_query_terms_only(spark, sf_small, tmp_path):
         "spark",
         "vector",
     }
+
+
+def test_streaming_ingest_equals_batch_build(spark, sf_small, tmp_path):
+    """TermStore.append composes with Structured Streaming's
+    foreachBatch — the online-indexing shape: each micro-batch of
+    documents tokenizes and appends as its own postings segment, the
+    manifest accumulates the batch statistics, and the resulting index
+    answers searches with the SAME integers as a one-shot build (and
+    therefore as the corpus scan) — the IVFStore streaming-ingest
+    evidence form applied to full-text search."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.streaming.events import _as_stream_dir
+
+    docs = load(spark, sf_small, "documents")
+    one = TermStore(str(tmp_path / "one"))
+    one.append(docs, id_min=0, id_max=10**9)
+
+    store = TermStore(str(tmp_path / "stream"))
+
+    def ingest(batch_df, batch_id):
+        ids = batch_df.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if ids[0] is not None:
+            store.append(batch_df, id_min=ids[0], id_max=ids[1])
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(_as_stream_dir(os.path.join(sf_small, "documents.parquet")))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert store.segments(), "streaming ingest must register segments"
+    assert store.stats() == one.stats()
+    terms = ("spark", "query", "vector")
+    assert _results(store.search(spark, terms, k=10)) == _results(
+        one.search(spark, terms, k=10)
+    )
