@@ -174,18 +174,26 @@ class IVFStore:
         vec_col: str = "embedding",
         n_files: int = 4,
         skip_if_range_indexed: bool = False,
+        assigned: DataFrame | None = None,
     ) -> bool:
         """Assign a batch and register it as a list-clustered segment.
         Returns False (no write) when ``skip_if_range_indexed`` and a
         manifest segment already overlaps [id_min, id_max] — the
         id-range-batched recompute case (pipelines/ingest_semdedup.py),
-        mirroring SignatureStore.append's idempotence contract."""
+        mirroring SignatureStore.append's idempotence contract. A
+        caller that already ran :meth:`assign` on the batch (the
+        ingest DAG needs the assignment for its decision pass) passes
+        the frame via ``assigned`` so the argmin map pass isn't paid
+        twice; it must hold exactly this batch's
+        (id_col, vec_col, list_id) rows under this store's
+        centroids."""
         segments = self.segments()
         if skip_if_range_indexed and any(
             s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
         ):
             return False
-        assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
+        if assigned is None:
+            assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
         seg = {
             "seg": max((s["seg"] for s in segments), default=-1) + 1,
             "id_min": id_min,

@@ -313,8 +313,13 @@ class PNGDecoder(Decoder):
         if not buf:
             return "not-png", None
         buf = bytes(buf)
-        if len(buf) < 8 + 25 or buf[:8] != cls.MAGIC:
+        if buf[:8] != cls.MAGIC:
             return "not-png", None
+        if len(buf) < 8 + 25:
+            # signature present but cut before a complete IHDR chunk:
+            # that's a TRUNCATED PNG, not junk — label it corrupt so
+            # quarantine reports count it in the right reject class
+            return "corrupt", None
         pos, ihdr, plte, idat, ended = 8, None, None, bytearray(), False
         while pos + 12 <= len(buf):
             (ln,) = struct.unpack(">I", buf[pos : pos + 4])

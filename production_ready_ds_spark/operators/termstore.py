@@ -52,6 +52,18 @@ from .layout import write_range_clustered
 
 MANIFEST = "_term_manifest.json"
 
+#: canonical BM25 constants — defined HERE (operators never import the
+#: queries package, so this is the cycle-safe home) and imported by
+#: queries/llm.py, so the scan path, the oracle SQL, and the index
+#: path can never drift onto different constants
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: bump when the postings schema, tokenizer convention, or scoring
+#: snap changes — cache keys (q_search_bm25_indexed's /tmp store)
+#: include it so stale indexes built by older code are never re-served
+STORE_VERSION = 1
+
 
 class TermStore:
     """Persistent inverted index (see module docstring)."""
@@ -113,6 +125,11 @@ class TermStore:
         stats_row = toks.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("sumdl")
         ).first()
+        if not stats_row["n"]:
+            # an idle micro-batch: a zero-row segment would be an
+            # unreadable parquet dir (no part files) and an n_docs=0
+            # manifest entry that divides search's stats by zero
+            return False
         postings = (
             toks.select(
                 "doc_id",
@@ -176,14 +193,18 @@ class TermStore:
 
     def search(
         self, spark: SparkSession, terms: tuple[str, ...], *, k: int = 20,
-        k1: float = 1.2, b: float = 0.75,
+        k1: float = BM25_K1, b: float = BM25_B,
     ) -> DataFrame:
         """BM25 top-k from the index: (rank, doc_id, score_scaled,
         n_terms_hit), integer-equal to ``bm25_topk`` over the same
         corpus (the expression trees match node for node; see module
-        docstring). Work: O(Σ matched postings) + a k-row merge."""
+        docstring; both paths dedupe repeated query terms — postings
+        are unique per (term, doc), so a double-scored duplicate could
+        never be served from an index). Work: O(Σ matched postings) +
+        a k-row merge."""
         from pyspark.sql import Window
 
+        terms = tuple(dict.fromkeys(terms))
         post = self.read_postings(spark, list(terms))
         if post is None:
             raise ValueError(f"TermStore at {self.root} is empty or no terms given")

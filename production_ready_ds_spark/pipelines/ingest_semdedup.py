@@ -128,8 +128,14 @@ class SemDedupBatch(SparkTask):
         )
         accepted = vecs.join(rejects, "vec_id", "left_anti")
 
-        # Index FIRST (idempotent), publish the target SECOND.
+        # Index FIRST (idempotent), publish the target SECOND. The
+        # decision pass already materialized the assignment — hand it
+        # to append so the argmin map pass isn't paid twice.
         store.append(
-            vecs, id_min=lo, id_max=hi - 1, skip_if_range_indexed=True
+            vecs,
+            id_min=lo,
+            id_max=hi - 1,
+            skip_if_range_indexed=True,
+            assigned=assigned,
         )
         accepted.write.mode("overwrite").parquet(self.output().path)

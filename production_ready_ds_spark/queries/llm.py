@@ -1240,8 +1240,10 @@ def quality_classifier_scores(
     (method='classifier'). ``teacher`` is any (doc_id, weak_keep)
     frame; default is the :func:`_classifier_teacher` ladder (Gopher
     rules, then the perplexity decile gate where the rules
-    degenerate). A None/one-class teacher → every doc kept with NULL
-    score (no evidence, no drop).
+    degenerate). EVERY document is scored even when the teacher labels
+    only a sample — unlabeled docs carry weak_keep NULL but a real
+    model decision. A None/one-class teacher → every doc kept with
+    NULL score (no evidence, no drop).
 
     Why a model when the rules exist: the classifier generalizes the
     rule signal into a CALIBRATED per-document score usable at any
@@ -1260,8 +1262,6 @@ def quality_classifier_scores(
     fixed partitioning — pinned by test), and the score separates
     held-out Gopher rule labels with AUC ≥ 0.9 on a constructed
     mixed-quality corpus (bound-tested in tests/test_llm_ops.py)."""
-    from pyspark.ml.classification import LogisticRegression
-
     if teacher is None:
         teacher = _classifier_teacher(docs)
     if teacher is None:
@@ -1271,36 +1271,13 @@ def quality_classifier_scores(
             F.lit(None).cast("double").alias("score"),
             F.lit(True).alias("keep"),
         )
-    # SHUFFLE_HASH: Spark's size estimate for the tokenized projection
-    # is the compressed parquet file size, so at 16x stress it tried to
-    # BROADCAST a side that materializes to 558+ MiB of token arrays
-    # and died building it — hint both ways out of broadcast (teacher
-    # is corpus-sized too; the join keys are uniform doc_ids)
-    labeled = docs.select(
-        "doc_id", tokens_expr(F.col("text")).alias("toks")
-    ).hint("shuffle_hash").join(teacher, "doc_id")
-    # checkpoint the featurized frame: LBFGS re-reads it every
-    # iteration (25x), and without materialization each pass re-runs
-    # tokenize + hash + the teacher join (at 100 TB, train on a SAMPLE
-    # — the checkpoint is then sample-sized)
-    feats = _classifier_tf().transform(
-        labeled.withColumn("label", F.col("weak_keep").cast("double"))
-    ).localCheckpoint(eager=True)
-    lr = LogisticRegression(
-        featuresCol="features",
-        labelCol="label",
-        maxIter=25,
-        regParam=0.01,
-        standardization=False,
-    )
-    model = lr.fit(feats)
-    scored = model.transform(feats)
-    prob1 = _prob1()
-    return scored.select(
-        "doc_id",
-        "weak_keep",
-        F.round(prob1, 4).alias("score"),
-        (prob1 >= 0.5).alias("keep"),
+    model = quality_classifier_fit(docs, teacher)
+    # score EVERY document — the teacher may label only a SAMPLE (the
+    # documented production shape); unlabeled docs still get a model
+    # decision, with weak_keep NULL marking them as unsupervised
+    scored = quality_classifier_apply(model, docs)
+    return scored.join(teacher, "doc_id", "left").select(
+        "doc_id", "weak_keep", "score", "keep"
     )
 
 
@@ -1323,16 +1300,23 @@ def _prob1() -> Column:
     return F.element_at(vector_to_array(F.col("probability")), 2)
 
 
-def quality_classifier_fit(docs: DataFrame):
-    """Fit the quality classifier on a (static) corpus and return the
-    trained LogisticRegressionModel, or None when the teacher ladder is
-    degenerate — the trainer half of quality_classifier_scores, split
-    out so a STREAMING scorer can train once on the reference corpus
-    and apply the broadcast coefficients to a stream
-    (q_stream_classifier)."""
+def quality_classifier_fit(
+    docs: DataFrame, teacher: DataFrame | None = None
+):
+    """Fit the quality classifier and return the trained
+    LogisticRegressionModel, or None when the teacher is degenerate —
+    THE one trainer definition (quality_classifier_scores and the
+    streaming q_stream_classifier both call it, so batch and stream
+    can never train different models). ``teacher`` defaults to the
+    :func:`_classifier_teacher` ladder; pass a (doc_id, weak_keep)
+    frame to supervise from a labeled sample. The featurized frame is
+    checkpointed because LBFGS re-reads it every iteration (25×); at
+    100 TB, train on a SAMPLE — the checkpoint is then
+    sample-sized."""
     from pyspark.ml.classification import LogisticRegression
 
-    teacher = _classifier_teacher(docs)
+    if teacher is None:
+        teacher = _classifier_teacher(docs)
     if teacher is None:
         return None
     # SHUFFLE_HASH: Spark's size estimate for the tokenized projection
@@ -3846,8 +3830,11 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: corpus vocabulary with df ≈ 0.77·N, so tf/length differences — not
 #: mere term presence — drive the ranking)
 BM25_QUERY = ("spark", "query", "vector")
-BM25_K1 = 1.2
-BM25_B = 0.75
+
+# canonical BM25 constants live in operators/termstore.py (the
+# cycle-safe home) so the scan path, the oracle SQL, and the index
+# path can never drift apart
+from ..operators.termstore import BM25_B, BM25_K1  # noqa: E402
 
 
 # shared by q_search_bm25 and its TermStore twin (one oracle text so the
@@ -3949,8 +3936,13 @@ def bm25_topk(
     ``search`` command: (rank, doc_id, score_scaled, n_terms_hit).
     Same integer-snapped scoring and TakeOrderedAndProject plan as the
     catalog query (whose fixed-term instance is the hash-verified
-    evidence for this code path)."""
+    evidence for this code path). Repeated query terms are deduped —
+    double-scoring a duplicate is never the intended semantics and
+    would diverge from the index path, whose postings are unique per
+    (term, doc)."""
     from pyspark.sql import Window
+
+    terms = tuple(dict.fromkeys(terms))
 
     def tf_expr(term: str):
         # one-arg closure: a two-arg lambda would bind Spark's
@@ -4051,9 +4043,15 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.termstore import TermStore
 
+    from ..operators.termstore import STORE_VERSION
+
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:16]
+    # STORE_VERSION in the key: a tokenizer/postings/scoring change
+    # bumps it, so a stale index built by older code is never re-served
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{mtime}:v{STORE_VERSION}".encode()
+    ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"prds_termstore_{key}")
     store = TermStore(root)
     docs = load(spark, sf_dir, "documents")
@@ -4108,7 +4106,10 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    bm = bm25_topk(docs, BM25_QUERY, k=20)
+    # checkpoint: the 20-row candidate frame is consumed TWICE (seed
+    # build + rerank scan) — without materialization the whole BM25
+    # corpus scan would execute twice per run
+    bm = bm25_topk(docs, BM25_QUERY, k=20).localCheckpoint(eager=True)
     cand = F.broadcast(bm.select(F.col("rank").alias("bm25_rank"), "doc_id")).join(
         emb, "doc_id"
     )

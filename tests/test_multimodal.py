@@ -218,6 +218,9 @@ def test_png_rejects_malformed_and_out_of_subset():
     assert mm.PNGDecoder.parse(good) is not None
     assert mm.PNGDecoder.parse_fmt(None) == ("not-png", None)
     assert mm.PNGDecoder.parse_fmt(b"\x89PNG") == ("not-png", None)
+    # signature present but cut before a complete IHDR: a truncated
+    # PNG, counted as corrupt (not junk) in quarantine reports
+    assert mm.PNGDecoder.parse_fmt(good[:20]) == ("corrupt", None)
     assert mm.PNGDecoder.parse_fmt(good[:-4]) == ("corrupt", None)  # truncated IEND
     # Truncation at EVERY offset inside the trailing chunks must return
     # None, never raise — in particular mid-CRC (regression: a file cut
