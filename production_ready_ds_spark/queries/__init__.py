@@ -173,6 +173,7 @@ _EXTENSION_PRIORITY = (
     "q_stream_classifier",
     "q_search_bm25_indexed",
     "q_search_hybrid",
+    "q_search_phrase",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

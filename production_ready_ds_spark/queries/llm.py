@@ -4130,3 +4130,88 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_rank",
         F.round("raw_cos", 4).alias("cos_sim"),
     )
+
+
+#: fixed exact phrase for the catalog surface (the corpus's most
+#: frequent bigram, so ranking exercises real count variation)
+PHRASE_QUERY = ("table", "hash")
+
+
+@query(
+    "q_search_phrase",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, ts[i] || ' ' || ts[i+1] AS gram
+      FROM t, UNNEST(range(1, len(ts))) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_hits, MIN(i) AS first_pos
+      FROM g WHERE gram = '{" ".join(PHRASE_QUERY)}' GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(first_pos AS BIGINT) AS first_pos
+    FROM s ORDER BY rank LIMIT 20
+    """,
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-PHRASE search — the sequence-match capability BM25's
+    bag-of-words scoring cannot express: documents containing the
+    query tokens CONSECUTIVELY, ranked by occurrence count, with the
+    first match position (1-based token offset) for snippeting. All
+    outputs are integers, so there is no cross-engine float surface
+    at all — counts, positions, and the top-20 cutoff are exact on
+    both engines by construction.
+
+    Scale shape: phrase matching is MAP-ONLY — the token array and
+    the adjacent-gram array each materialize in their own Project
+    (the tokenizer-fusion rule), the per-doc hit count and first
+    position are array expressions on the resident gram array (no
+    explode, no per-token shuffle), and the only corpus-ordered stage
+    is the TakeOrderedAndProject top-k. At 100 TB with ad-hoc
+    phrases, TermStore's postings gain a positions column and phrase
+    match becomes a per-doc positions-intersection over the terms'
+    fetched lists — the classic positional inverted index; the
+    per-doc verification math here is unchanged."""
+    from pyspark.sql import Window
+
+    phrase = " ".join(PHRASE_QUERY)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("ts") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("ts"), i), F.element_at(F.col("ts"), i + 1)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    hits = grams.select(
+        "doc_id",
+        F.size(F.filter(F.col("grams"), lambda g: g == F.lit(phrase)))
+        .cast("long")
+        .alias("n_hits"),
+        F.array_position(F.col("grams"), phrase).cast("long").alias("first_pos"),
+    ).filter(F.col("n_hits") > 0)
+    top = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(20)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "n_hits",
+        "first_pos",
+    )
