@@ -54,6 +54,11 @@ def _parser() -> argparse.ArgumentParser:
         help="TermStore root built by `index` — serve from postings "
         "instead of scanning the corpus (identical integers)",
     )
+    search.add_argument(
+        "--phrase",
+        action="store_true",
+        help="exact consecutive-phrase match instead of BM25 ranking",
+    )
     common(search)
     index = sub.add_parser(
         "index", help="build/refresh the BM25 inverted index (TermStore)"
@@ -108,18 +113,32 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
-        # dict.fromkeys: dedupe while keeping order — a repeated term
-        # would double-score on the scan path but not the indexed one
-        terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
-        if args.index:
-            from .operators.termstore import TermStore
+        if args.phrase:
+            # phrases keep duplicates and order — "buffalo buffalo" is
+            # a real phrase query
+            phrase = tuple(t.lower() for t in args.terms)
+            if args.index:
+                from .operators.termstore import TermStore
 
-            _emit(TermStore(args.index).search(spark, terms, k=args.k), args)
+                _emit(TermStore(args.index).search_phrase(spark, phrase, k=args.k), args)
+            else:
+                from .queries.llm import phrase_topk
+                from .tables import load
+
+                _emit(phrase_topk(load(spark, args.sf, "documents"), phrase, k=args.k), args)
         else:
-            from .queries.llm import bm25_topk
-            from .tables import load
+            # dedupe while keeping order — a repeated term would
+            # double-score on the scan path but not the indexed one
+            terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
+            if args.index:
+                from .operators.termstore import TermStore
 
-            _emit(bm25_topk(load(spark, args.sf, "documents"), terms, k=args.k), args)
+                _emit(TermStore(args.index).search(spark, terms, k=args.k), args)
+            else:
+                from .queries.llm import bm25_topk
+                from .tables import load
+
+                _emit(bm25_topk(load(spark, args.sf, "documents"), terms, k=args.k), args)
     elif args.cmd == "index":
         from .operators.termstore import TermStore
         from .tables import load

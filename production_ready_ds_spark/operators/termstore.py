@@ -8,14 +8,17 @@ query by scanning and tokenizing every document — the right plan for a
 one-off batch job, the wrong one for a search service. This store
 moves the tokenize + tf/dl work to INGEST time:
 
-- **Postings, term-clustered.** Each append lands as ``seg=<n>/`` of
-  ``(term, doc_id, tf, dl)`` rows written via
+- **Postings, term-clustered AND positional.** Each append lands as
+  ``seg=<n>/`` of ``(term, doc_id, tf, dl, positions)`` rows written via
   :func:`.layout.write_range_clustered` on ``term``, so every file and
   row group owns a slice of the term domain and a query's
   ``In(term, ...)`` predicate prunes to the matched row groups — the
   inverted-list read, not a table scan. ``dl`` (doc length) is
   DENORMALIZED into every posting row: +8 bytes/posting buys scoring
-  without any join back to a doc-length table.
+  without any join back to a doc-length table, and ``positions``
+  (sorted 1-based token offsets) makes the store a POSITIONAL index:
+  ``search_phrase`` answers exact-phrase queries by intersecting the
+  phrase terms' offset lists — never re-reading text.
 - **Statistics in the manifest.** BM25 needs corpus-level N and Σdl;
   each segment records its batch's ``n_docs``/``sum_dl`` (counted over
   ALL batch docs, hit or not) and search sums the manifest — O(1)
@@ -62,7 +65,7 @@ BM25_B = 0.75
 #: bump when the postings schema, tokenizer convention, or scoring
 #: snap changes — cache keys (q_search_bm25_indexed's /tmp store)
 #: include it so stale indexes built by older code are never re-served
-STORE_VERSION = 1
+STORE_VERSION = 2  # v2: positional postings (positions array column)
 
 
 class TermStore:
@@ -134,10 +137,16 @@ class TermStore:
             toks.select(
                 "doc_id",
                 F.size("ts").alias("dl"),
-                F.explode("ts").alias("term"),
+                F.posexplode("ts").alias("p", "term"),
             )
             .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                # 1-based token offsets, sorted (collect_list order is
+                # nondeterministic) — the POSITIONAL index: phrase
+                # queries intersect these lists instead of scanning text
+                F.sort_array(F.collect_list(F.col("p") + 1)).alias("positions"),
+            )
         )
         seg = {
             "seg": max((s["seg"] for s in segments), default=-1) + 1,
@@ -253,4 +262,58 @@ class TermStore:
             "doc_id",
             "score_scaled",
             "n_terms_hit",
+        )
+
+    def search_phrase(
+        self, spark: SparkSession, phrase: tuple[str, ...], *, k: int = 20
+    ) -> DataFrame:
+        """EXACT-PHRASE top-k from the POSITIONAL index: (rank, doc_id,
+        n_hits, first_pos), integer-equal to the corpus-scan
+        q_search_phrase — a phrase occurs at token offset p iff for
+        every j the j-th phrase term's posting for the doc contains
+        p + j, so matching is a per-doc intersection of the fetched
+        positions lists (the classic positional-inverted-index plan):
+        ≤ |phrase| broadcast-sized per-term frames join on doc_id, one
+        array filter finds the surviving offsets, and only docs
+        containing EVERY term are ever touched. Work: O(Σ phrase-term
+        postings), independent of corpus size."""
+        from pyspark.sql import Window
+
+        if len(phrase) < 2:
+            raise ValueError("phrase needs at least 2 terms")
+        post = self.read_postings(spark, list(dict.fromkeys(phrase)))
+        if post is None:
+            raise ValueError(f"TermStore at {self.root} is empty or no terms given")
+        post = post.localCheckpoint(eager=True)  # one frame per phrase term below
+        base = post.filter(F.col("term") == phrase[0]).select(
+            "doc_id", F.col("positions").alias("p0")
+        )
+        cur = base
+        for j, term in enumerate(phrase[1:], start=1):
+            nxt = post.filter(F.col("term") == term).select(
+                "doc_id", F.col("positions").alias(f"p{j}")
+            )
+            cur = cur.join(nxt, "doc_id")
+        def contains_at(col_name: str, off: int):
+            # one-arg closure factory: extra lambda params would bind
+            # Spark's (element, index) HOF signature
+            return lambda p: F.array_contains(F.col(col_name), p + off)
+
+        hit = F.col("p0")
+        for j in range(1, len(phrase)):
+            hit = F.filter(hit, contains_at(f"p{j}", j))
+        scored = cur.select(
+            "doc_id",
+            F.size(hit).cast("long").alias("n_hits"),
+            F.element_at(hit, 1).cast("long").alias("first_pos"),
+        ).filter(F.col("n_hits") > 0)
+        top = scored.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+        return top.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+            "doc_id",
+            "n_hits",
+            "first_pos",
         )

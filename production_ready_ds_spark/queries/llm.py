@@ -4178,20 +4178,33 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases, TermStore's postings gain a positions column and phrase
     match becomes a per-doc positions-intersection over the terms'
     fetched lists — the classic positional inverted index; the
-    per-doc verification math here is unchanged."""
+    per-doc verification math here is unchanged (and implemented:
+    TermStore.search_phrase serves the same integers from positional
+    postings)."""
+    return phrase_topk(load(spark, sf_dir, "documents"), PHRASE_QUERY, k=20)
+
+
+def phrase_topk(
+    docs: DataFrame, phrase_terms: tuple[str, ...], *, k: int = 20
+) -> DataFrame:
+    """Exact-phrase top-k over a documents frame for an ARBITRARY
+    phrase — the parameterized engine behind q_search_phrase and the
+    CLI ``search --phrase`` scan path; TermStore.search_phrase is the
+    positional-index twin returning the same integers."""
     from pyspark.sql import Window
 
-    phrase = " ".join(PHRASE_QUERY)
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    phrase = " ".join(phrase_terms)
+    n = len(phrase_terms)
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
     grams = toks.select(
         "doc_id",
         F.when(
-            F.size("ts") >= 2,
+            F.size("ts") >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size("ts") - 1),
+                F.sequence(F.lit(1), F.size("ts") - (n - 1)),
                 lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("ts"), i), F.element_at(F.col("ts"), i + 1)
+                    " ",
+                    *[F.element_at(F.col("ts"), i + j) for j in range(n)],
                 ),
             ),
         )
@@ -4205,7 +4218,7 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_hits"),
         F.array_position(F.col("grams"), phrase).cast("long").alias("first_pos"),
     ).filter(F.col("n_hits") > 0)
-    top = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(20)
+    top = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
     return top.select(
         F.row_number()
         .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))

@@ -122,3 +122,36 @@ def test_streaming_ingest_equals_batch_build(spark, sf_small, tmp_path):
     assert _results(store.search(spark, terms, k=10)) == _results(
         one.search(spark, terms, k=10)
     )
+
+
+def test_phrase_search_equals_corpus_scan(spark, sf_small, tmp_path):
+    """The positional index's phrase search must return the EXACT
+    integers of the corpus-scan q_search_phrase (counts, first
+    positions, ranking), and a 3-token constructed phrase must
+    intersect across all three terms' position lists."""
+    from production_ready_ds_spark.queries import catalog
+    from production_ready_ds_spark.queries.llm import PHRASE_QUERY
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    store.append(docs, id_min=0, id_max=10**9)
+    scan = _results(catalog()["q_search_phrase"].fn(spark, sf_small))
+    assert scan, "fixture phrase must occur in the corpus"
+    assert _results(store.search_phrase(spark, PHRASE_QUERY, k=20)) == scan
+
+    # constructed corpus: 3-token phrase with a repeated first term,
+    # multiple hits, and a decoy doc with the terms NON-consecutive
+    rows = [
+        (1, "alpha beta gamma alpha beta gamma", "en", "s", 1),
+        (2, "alpha beta delta gamma", "en", "s", 1),  # broken sequence
+        (3, "x alpha beta gamma y", "en", "s", 1),
+        (4, "alpha gamma beta", "en", "s", 1),  # all terms, wrong order
+    ]
+    d2 = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    s2 = TermStore(str(tmp_path / "p3"))
+    s2.append(d2, id_min=0, id_max=10)
+    got = _results(s2.search_phrase(spark, ("alpha", "beta", "gamma"), k=10))
+    # doc 1: hits at positions 1 and 4; doc 3: hit at position 2
+    assert got == [(1, 1, 2, 1), (2, 3, 1, 2)]
