@@ -4043,20 +4043,35 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.termstore import TermStore
 
-    from ..operators.termstore import STORE_VERSION
+    return _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
+
+
+def _cached_corpus_index(spark: SparkSession, sf_dir: str):
+    """The per-(corpus mtime, STORE_VERSION) /tmp TermStore both
+    indexed catalog queries share — ONE key definition, so the BM25
+    and phrase twins can never read different stores. STORE_VERSION
+    in the key means a tokenizer/postings/scoring change never
+    re-serves a stale index; a fresh corpus gets a fresh directory."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.termstore import STORE_VERSION, TermStore
 
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
-    # STORE_VERSION in the key: a tokenizer/postings/scoring change
-    # bumps it, so a stale index built by older code is never re-served
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{mtime}:v{STORE_VERSION}".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"prds_termstore_{key}")
     store = TermStore(root)
-    docs = load(spark, sf_dir, "documents")
-    store.append(docs, id_min=0, id_max=2**62, skip_if_range_indexed=True)
-    return store.search(spark, BM25_QUERY, k=20)
+    store.append(
+        load(spark, sf_dir, "documents"),
+        id_min=0,
+        id_max=2**62,
+        skip_if_range_indexed=True,
+    )
+    return store
 
 
 @query(
@@ -4137,10 +4152,10 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASE_QUERY = ("table", "hash")
 
 
-@query(
-    "q_search_phrase",
-    category="llm-text",
-    sql=f"""
+# shared by q_search_phrase and its positional-index twin (one oracle
+# text so the scan and TermStore.search_phrase paths are held to the
+# identical integers)
+_PHRASE_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
     ),
@@ -4158,7 +4173,13 @@ PHRASE_QUERY = ("table", "hash")
            doc_id, CAST(n_hits AS BIGINT) AS n_hits,
            CAST(first_pos AS BIGINT) AS first_pos
     FROM s ORDER BY rank LIMIT 20
-    """,
+    """
+
+
+@query(
+    "q_search_phrase",
+    category="llm-text",
+    sql=_PHRASE_SQL,
 )
 def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-PHRASE search — the sequence-match capability BM25's
@@ -4227,4 +4248,18 @@ def phrase_topk(
         "doc_id",
         "n_hits",
         "first_pos",
+    )
+
+
+@query("q_search_phrase_indexed", category="llm-text", sql=_PHRASE_SQL)
+def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_phrase served from the POSITIONAL inverted index
+    (TermStore.search_phrase) and held to the IDENTICAL oracle — the
+    q_search_bm25_indexed evidence form for phrase queries: a
+    hash-green row proves tokenize → positional postings → pushed
+    In(term) read → per-doc offset-list intersection → top-k end to
+    end. Shares q_search_bm25_indexed's per-(corpus, STORE_VERSION)
+    /tmp index, so the build cost is paid once for both."""
+    return _cached_corpus_index(spark, sf_dir).search_phrase(
+        spark, PHRASE_QUERY, k=20
     )
