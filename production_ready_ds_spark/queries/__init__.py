@@ -175,6 +175,7 @@ _EXTENSION_PRIORITY = (
     "q_search_hybrid",
     "q_search_phrase",
     "q_search_phrase_indexed",
+    "q_mix_epochs",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

@@ -876,3 +876,96 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 4
         ).alias("contamination"),
     )
+
+
+# Per-language EPOCH factors (how many passes over each source a
+# training run makes — the Llama/Gopher-style source-weighting knob
+# expressed as repetition): integer part = whole copies, fractional
+# part = probability of one extra copy, realized by the same
+# md5-prefix 16-bit draw as the mixing family ("ep" salt so the draw
+# is independent of the q_mix_domains keep draw). All thresholds are
+# EXACT multiples of 65536 (.75, .5, .25), so no float ever crosses
+# the oracle.
+EPOCH_FACTORS = {"en": 0.75, "de": 2.5, "es": 1.25, "fr": 3.0}  # others: 1.0
+_EPOCH_PARTS = {
+    lang: (int(f), round((f - int(f)) * 65536))
+    for lang, f in EPOCH_FACTORS.items()
+}
+
+
+@query(
+    "q_mix_epochs",
+    category="llm-traindata",
+    sql=f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('ep' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             CASE lang
+               {" ".join(
+                   f"WHEN '{lang}' THEN {whole}"
+                   + (f" + CASE WHEN h < {thr} THEN 1 ELSE 0 END" if thr else "")
+                   for lang, (whole, thr) in _EPOCH_PARTS.items()
+               )}
+               ELSE 1 END AS n_copies
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(u.copy_id AS BIGINT) AS copy_id
+    FROM c, UNNEST(range(n_copies)) AS u(copy_id)
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-based source upsampling — the third member of the mixing
+    family: q_mix_domains downsamples by keep-rate, q_mix_temperature
+    computes tempered rates from the corpus, and this one REPEATS
+    sources (epochs > 1) the way LLM data recipes weight small
+    high-quality sources — each document materializes
+    floor(f) copies plus one more with probability frac(f), where f is
+    its language's epoch factor. The fractional draw is the mixing
+    family's deterministic md5-prefix uniform (salted 'ep' so it is
+    independent of the q_mix_domains keep draw), so expected copies
+    per language = f exactly, reproducible across runs, engines, and
+    repartitionings; fractional thresholds are exact multiples of
+    1/65536, so the oracle comparison is pure integers. Output is the
+    materialized training multiset: (doc_id, lang, copy_id) with
+    copy_id 0..n-1 — downstream shuffling/packing treats each copy as
+    a row, exactly like a multi-epoch dataloader would.
+
+    Scale shape: MAP-ONLY — one md5 per doc, a when-chain for the copy
+    count, and a guarded sequence-explode (empty for n_copies = 0; the
+    sequence-counts-DOWN trap is guarded explicitly). At 100 TB the
+    explode multiplies bytes by the weighted epoch mean — the actual
+    training-set size — and nothing shuffles; a pipeline that prefers
+    virtual epochs keeps n_copies as a column and skips the explode."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ep"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_copies = F.lit(1)
+    expr = None
+    for lang, (whole, thr) in _EPOCH_PARTS.items():
+        copies = F.lit(whole) + (
+            F.when(h < thr, 1).otherwise(0) if thr else F.lit(0)
+        )
+        expr = F.when(F.col("lang") == lang, copies) if expr is None else expr.when(
+            F.col("lang") == lang, copies
+        )
+    n_copies = expr.otherwise(F.lit(1))
+    c = d.select("doc_id", "lang", n_copies.alias("n_copies"))
+    copies = F.when(
+        F.col("n_copies") > 0,
+        F.sequence(F.lit(0), F.col("n_copies") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    return c.select(
+        "doc_id", "lang", F.explode(copies).alias("copy_id")
+    ).withColumn("copy_id", F.col("copy_id").cast("long"))
