@@ -65,3 +65,21 @@ def test_search_command(spark, sf_small, capsys):
             r.doc_id,
             out,
         )
+
+
+def test_search_phrase_command(spark, sf_small, capsys):
+    """`search --phrase` must run exact-phrase matching and agree with
+    the parameterized scan helper."""
+    from production_ready_ds_spark.__main__ import main
+    from production_ready_ds_spark.queries.llm import phrase_topk
+    from production_ready_ds_spark.tables import load
+
+    rc = main(["search", "table", "hash", "--phrase", "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    out = capsys.readouterr().out
+    want = phrase_topk(
+        load(spark, sf_small, "documents"), ("table", "hash"), k=3
+    ).collect()
+    assert want, "fixture phrase must match"
+    for r in want:
+        assert f"|{r.doc_id} " in out, (r.doc_id, out)
