@@ -15,6 +15,7 @@ Commands:
   search <term> [term ...]     — BM25 full-text search (--index for postings)
   index  --root DIR            — build the BM25 inverted index
   corpus                       — run the full corpus-build DAG
+  Any data command takes --explain to print the formatted plan.
   Common flags: --sf DIR (default /root/testdata/sf0.01),
   --cpus N, --limit N, --out PATH [--format parquet|jsonl]
 """
@@ -35,6 +36,11 @@ def _parser() -> argparse.ArgumentParser:
         sp.add_argument("--limit", type=int, default=20)
         sp.add_argument("--out", default=None)
         sp.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+        sp.add_argument(
+            "--explain",
+            action="store_true",
+            help="print the formatted physical plan instead of executing",
+        )
 
     sub.add_parser("list")
     run = sub.add_parser("run")
@@ -74,6 +80,13 @@ def _parser() -> argparse.ArgumentParser:
 
 
 def _emit(df, args) -> None:
+    if getattr(args, "explain", False):
+        # the plan a reader audits for pushdown/broadcast/shuffle shape
+        # (the same surface tests/test_plans.py pins in CI)
+        from .plans.audit import explain_str
+
+        print(explain_str(df))
+        return
     if args.out:
         if args.format == "jsonl":
             from .sources.jsonl import write_jsonl
