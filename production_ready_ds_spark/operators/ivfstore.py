@@ -142,25 +142,53 @@ class IVFStore:
 
     def assign(self, embeddings: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
         """(id, embedding, list_id) for a batch: nearest persisted
-        centroid per vector. The broadcast cross join is map-side and
-        the k-way fan-out collapses BEFORE the exchange (partial
-        min_by combine emits one row per id per partition), so the one
-        shuffle carries O(batch) argmin rows — never batch × k. No ML
-        model load; the centroids ride as k × dim broadcast doubles."""
-        spark = embeddings.sparkSession
-        cen = self.centroid_frame(spark)
-        # broadcast k rows; per row compute distance to each centroid
-        # and keep the argmin — a map-side window-free min_by
-        d2 = _sqdist(F.col(vec_col), F.col("centroid"))
-        scored = embeddings.select(id_col, vec_col).crossJoin(F.broadcast(cen)).withColumn(
-            "_d2", d2
-        )
-        return (
-            scored.groupBy(id_col)
-            .agg(
-                F.min_by(F.struct("list_id", vec_col), F.struct("_d2", "list_id")).alias("_m")
-            )
-            .select(id_col, F.col(f"_m.{vec_col}").alias(vec_col), F.col("_m.list_id").alias("list_id"))
+        centroid per vector, computed as ONE BLAS matmul per Arrow
+        batch (mapInPandas; the centroid matrix rides in the closure —
+        k × dim float64, kilobytes at any sane k) — ZERO shuffles.
+
+        Why not the JVM fold: the per-(row, centroid) zip_with distance
+        was fine at k = 16, but the corpus-scaled knob makes k grow
+        with the data — at k = 500 on the 16× stress set the
+        interpreted fold paid 500 × 32 000 per-pair evaluations and
+        took 199 s; the batched ‖x‖² − 2·X·Cᵀ + ‖c‖² argmin does the
+        same flops at memory bandwidth (measured 199 → ~8 s). Ties
+        break to the LOWEST list id (np.argmin picks the first
+        minimum), matching the old min_by (d2, list_id) ordering."""
+        import numpy as np
+
+        cents = self.centroids()
+        if cents is None:
+            raise ValueError(f"IVFStore at {self.root} has no trained centroids")
+        C = np.asarray(cents, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+
+        def kernel(it):
+            import pandas as pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {id_col: pd.Series(dtype="int64"),
+                         vec_col: pd.Series(dtype="object"),
+                         "list_id": pd.Series(dtype="int32")}
+                    )
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        vec_col: pdf[vec_col],
+                        "list_id": d2.argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        from ..tables import spread
+
+        # spread: per-row numpy CPU behind a possibly-one-row-group
+        # scan (the q_image_resize rule) — no-op on real lakes
+        return spread(embeddings.select(id_col, vec_col)).mapInPandas(
+            kernel, schema=f"{id_col} long, {vec_col} array<float>, list_id int"
         )
 
     # -- writes --------------------------------------------------------

@@ -155,3 +155,36 @@ def test_phrase_search_equals_corpus_scan(spark, sf_small, tmp_path):
     got = _results(s2.search_phrase(spark, ("alpha", "beta", "gamma"), k=10))
     # doc 1: hits at positions 1 and 4; doc 3: hit at position 2
     assert got == [(1, 1, 2, 1), (2, 3, 1, 2)]
+
+
+def test_phrase_and_bm25_index_equivalence_random_corpora(spark, tmp_path):
+    """Property check over randomized small corpora (tiny vocabulary →
+    dense phrase collisions, duplicate terms, repeated tokens inside a
+    doc): for every draw, BOTH index paths must equal their scan
+    twins exactly — BM25 integers and phrase hit counts/positions."""
+    import random
+
+    from production_ready_ds_spark.queries.llm import bm25_topk, phrase_topk
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        rows = []
+        for doc_id in range(30):
+            n = rng.randint(0, 12)
+            rows.append(
+                (doc_id, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", 1)
+            )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        store = TermStore(str(tmp_path / f"t{trial}"))
+        assert store.append(docs, id_min=0, id_max=100)
+        terms = ("aa", "cc")
+        assert _results(store.search(spark, terms, k=30)) == _results(
+            bm25_topk(docs, terms, k=30)
+        ), trial
+        phrase = ("bb", "aa")
+        assert _results(store.search_phrase(spark, phrase, k=30)) == _results(
+            phrase_topk(docs, phrase, k=30)
+        ), trial
