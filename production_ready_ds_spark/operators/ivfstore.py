@@ -313,27 +313,51 @@ class IVFStore:
         vec_col: str = "embedding",
     ) -> DataFrame:
         """Cosine top-k neighbors from the store for each probe row:
-        rank centroids per probe (|probes| × k, broadcast-sized), fetch
-        ONLY the probed lists, bucket-equi-join, per-probe top-k.
-        Returns (probe_id, neighbor_id, cos_sim); a probe never matches
-        its own id."""
+        rank centroids per probe, fetch ONLY the probed lists,
+        bucket-equi-join, per-probe top-k. Returns (probe_id,
+        neighbor_id, cos_sim); a probe never matches its own id.
+
+        The probe → list ranking is the assign() matmul kernel (top
+        nprobe instead of argmin): the per-(probe, centroid) JVM fold
+        it replaces is exactly the pattern the corpus-scaled knob
+        turns super-linear — at k = 4096 a 10 000-probe batch would
+        pay 40 M interpreted distance folds; the batched matmul does
+        the same flops at memory bandwidth with ZERO shuffles. Ties
+        break to the lowest list id (stable argsort), matching the
+        old (d2, list_id) window order."""
+        import numpy as np
+
         from pyspark.sql import Window
 
         from ..functions.vectors import cosine_prenormed, norm
 
         spark = probes.sparkSession
-        cen = self.centroid_frame(spark)
-        d2 = _sqdist(F.col("pe"), F.col("centroid"))
-        w_lists = Window.partitionBy("probe_id").orderBy(F.asc("_d2"), F.asc("list_id"))
-        probe_lists = (
-            probes.select(
-                F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pe")
-            )
-            .crossJoin(F.broadcast(cen))
-            .withColumn("_d2", d2)
-            .withColumn("_rn", F.row_number().over(w_lists))
-            .filter(F.col("_rn") <= nprobe)
-            .select("probe_id", "pe", "list_id")
+        cents = self.centroids()
+        if cents is None:
+            raise ValueError(f"IVFStore at {self.root} has no trained centroids")
+        C = np.asarray(cents, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+        npb = int(nprobe)
+
+        def rank_lists(it):
+            import pandas as pd
+
+            for pdf in it:
+                out = {"probe_id": [], "pe": [], "list_id": []}
+                if len(pdf):
+                    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+                    order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+                    for row_i, pid in enumerate(pdf[id_col]):
+                        for lid in order[row_i]:
+                            out["probe_id"].append(pid)
+                            out["pe"].append(pdf[vec_col].iloc[row_i])
+                            out["list_id"].append(int(lid))
+                yield pd.DataFrame(out)
+
+        probe_lists = probes.select(id_col, vec_col).mapInPandas(
+            rank_lists,
+            schema="probe_id long, pe array<float>, list_id int",
         )
         wanted = sorted(
             {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}
