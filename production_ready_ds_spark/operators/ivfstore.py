@@ -16,8 +16,10 @@ search O(probed lists). The 100 TB contract per operation:
   only after the segment data is durable (the sigstore crash
   ordering: an unregistered directory is invisible; a dangling
   manifest entry is impossible).
-- **search is O(probed lists)**: a probe ranks the k centroids
-  (|probes| × k rows, broadcast-sized), and candidate rows are read
+- **search is O(probed lists)**: a probe ranks the k centroids with
+  the same batched matmul kernel assign uses (zero shuffles; the old
+  per-(probe, centroid) JVM fold went super-linear once the
+  corpus-scaled knob grew k), and candidate rows are read
   with an ``In(list_id, ...)`` predicate parquet stats evaluate per
   row group — on list-clustered segments that is the inverted-list
   read, not a table scan. The IN-pushdown threshold is raised past
