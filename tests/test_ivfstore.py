@@ -180,3 +180,39 @@ def test_delete_ids_forgets_vectors_but_keeps_neighbors(spark, tmp_path, embs):
     }
     assert set(low_victims).isdisjoint(remaining)
     assert remaining, "other neighbors must still be returned"
+
+
+def test_assign_matches_bruteforce_argmin_and_tiebreak(spark, tmp_path, embs):
+    """The matmul assign must equal the NumPy brute-force nearest
+    centroid for every vector, break exact ties to the LOWEST list id
+    (the old min_by (d2, list_id) order), and plan with no KEYED
+    shuffle (the only exchange allowed is tables.spread's round-robin
+    small-file parallelizer, a no-op on real lakes — the property that
+    keeps append O(batch))."""
+    import json
+
+    import numpy as np
+
+    from production_ready_ds_spark.plans.audit import explain_str
+
+    store = IVFStore(str(tmp_path / "bf"))
+    store.train(embs, k=16)
+    got = {r.vec_id: r.list_id for r in store.assign(embs).collect()}
+    C = np.asarray(store.centroids(), dtype=np.float64)
+    for r in embs.collect():
+        x = np.array(r.embedding, dtype=np.float64)
+        d2 = ((C - x) ** 2).sum(axis=1)
+        assert got[r.vec_id] == int(d2.argmin()), r.vec_id
+    # exact-tie corpus: duplicate centroids -> lowest list id wins
+    dup = IVFStore(str(tmp_path / "tie"))
+    dup._write_json(
+        "_ivf_centroids.json", {"centroids": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]}
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.9])], "vec_id long, embedding array<float>"
+    )
+    tie = {r.vec_id: r.list_id for r in dup.assign(vecs).collect()}
+    assert tie[1] == 0, "exact tie between list 0 and 2 must pick 0"
+    plan = explain_str(store.assign(embs))
+    assert "hashpartitioning" not in plan, plan[:600]
+    assert "rangepartitioning" not in plan, plan[:600]
