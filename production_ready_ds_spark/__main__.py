@@ -12,7 +12,7 @@ Commands:
   list                         — catalog names (+ category, oracle?)
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
-  search <term> [term ...]     — BM25 full-text search (--index for postings)
+  search <term> [term ...]     — BM25 (--index postings / --phrase / --hybrid)
   index  --root DIR            — build the BM25 inverted index
   corpus                       — run the full corpus-build DAG
   Any data command takes --explain to print the formatted plan.
@@ -64,6 +64,12 @@ def _parser() -> argparse.ArgumentParser:
         "--phrase",
         action="store_true",
         help="exact consecutive-phrase match instead of BM25 ranking",
+    )
+    search.add_argument(
+        "--hybrid",
+        action="store_true",
+        help="rerank the BM25 candidates by embedding cosine to the "
+        "top lexical hit's vector (two-stage RAG ranking)",
     )
     common(search)
     index = sub.add_parser(
@@ -139,6 +145,20 @@ def main(argv: list[str] | None = None) -> int:
                 from .tables import load
 
                 _emit(phrase_topk(load(spark, args.sf, "documents"), phrase, k=args.k), args)
+        elif args.hybrid:
+            from pyspark.sql import functions as F
+
+            from .queries.llm import hybrid_topk
+            from .tables import load
+
+            terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
+            emb = load(spark, args.sf, "embeddings").select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            )
+            _emit(
+                hybrid_topk(load(spark, args.sf, "documents"), emb, terms, k=args.k),
+                args,
+            )
         else:
             # dedupe while keeping order — a repeated term would
             # double-score on the scan path but not the indexed one

@@ -4121,10 +4121,26 @@ def q_search_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
-    # checkpoint: the 20-row candidate frame is consumed TWICE (seed
+    return hybrid_topk(docs, emb, BM25_QUERY, k=20)
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """The two-stage BM25 → cosine-rerank ranker behind q_search_hybrid
+    and the CLI ``search --hybrid``, for an ARBITRARY term tuple —
+    ``emb`` is a (doc_id, embedding) frame. Candidates without a
+    stored embedding drop out at the rerank join."""
+    from pyspark.sql import Window
+
+    # checkpoint: the k-row candidate frame is consumed TWICE (seed
     # build + rerank scan) — without materialization the whole BM25
     # corpus scan would execute twice per run
-    bm = bm25_topk(docs, BM25_QUERY, k=20).localCheckpoint(eager=True)
+    bm = bm25_topk(docs, terms, k=k).localCheckpoint(eager=True)
     cand = F.broadcast(bm.select(F.col("rank").alias("bm25_rank"), "doc_id")).join(
         emb, "doc_id"
     )
