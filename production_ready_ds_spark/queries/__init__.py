@@ -143,13 +143,11 @@ _CONTRACT_ORDER = (
 # q_decontaminate + q_pack_sequences → back. Round-5 front:
 # q_mix_domains (last of the round-2 training-data trio) +
 # q_dedup_semantic (the round-4 SemDeDup flagship).
-# ROUND-6 ROTATION (do at round start, after CORRECTNESS_r05 lands):
-# move q_mix_domains + q_dedup_semantic to the back; the front becomes
-# q_pack_bestfit + q_dedup_substring_runs, then the queue below.
+# ROUND-7 ROTATION (do at round start, after CORRECTNESS_r06 lands):
+# move q_pack_bestfit + q_dedup_substring_runs to the back; the front
+# becomes q_image_png + q_quality_perplexity, then the queue below.
 _EXTENSION_PRIORITY = (
-    "q_mix_domains",
-    "q_dedup_semantic",
-    # round-4 additions, queued next for driver slots
+    # round-6 driver slots (rotation: 2 fresh names per round)
     "q_pack_bestfit",
     "q_dedup_substring_runs",
     "q_image_png",
@@ -251,13 +249,15 @@ _EXTENSION_PRIORITY = (
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
-    # verified in rounds 2-4 — rotated to the back
+    # verified in rounds 2-5 — rotated to the back
     "q_dedup_clusters",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_sim_topk_bucketed",
     "q_decontaminate",
     "q_pack_sequences",
+    "q_mix_domains",
+    "q_dedup_semantic",
 )
 
 
