@@ -64,7 +64,17 @@ _FLOOR_NOTES = {
         "quiet-start suite 1.90 s vs isolated same-hour session 2.56 s "
         "vs round-4 quiet window 1.38 s on the identical plan; plan "
         "pinned in test_plans.py, 4x-stress ratio x2.2 in SCALE.md"
-    )
+    ),
+    "bench_reanchor_r6": (
+        "round-6 quiet-window re-anchor (load_avg_start 0.00): the 40 "
+        "r4-common queries total 28.11 s vs r4's 27.48 s (1.023x) — "
+        "BENCH_r05's 1.21x drift was ambient load (load_avg 4.8), not "
+        "plan regression, as its notes claimed. Sole >1.3x query: "
+        "q_dedup_semantic 0.638->0.844 s, whose plan CHANGED in r5 "
+        "(corpus-scaled quantizer: more sign-plane buckets = small "
+        "fixed overhead at sf0.1, bought FLAT 0.68/0.59/0.55 s across "
+        "the 16x stress corpus, SCALE.md) — intentional trade, not drift"
+    ),
 }
 
 

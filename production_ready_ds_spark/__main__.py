@@ -132,6 +132,19 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
+        if args.phrase and args.hybrid:
+            print("--phrase and --hybrid are mutually exclusive", file=sys.stderr)
+            return 2
+        if args.phrase and len(args.terms) < 2:
+            # validated HERE so both serving paths behave the same:
+            # TermStore.search_phrase raises on <2 terms while the scan
+            # path would silently degrade to a single-term match
+            print(
+                "--phrase needs at least 2 terms; drop --phrase for a "
+                "single-term search",
+                file=sys.stderr,
+            )
+            return 2
         if args.phrase:
             # phrases keep duplicates and order — "buffalo buffalo" is
             # a real phrase query
@@ -155,8 +168,21 @@ def main(argv: list[str] | None = None) -> int:
             emb = load(spark, args.sf, "embeddings").select(
                 F.col("vec_id").alias("doc_id"), "embedding"
             )
+            cand = None
+            if args.index:
+                # stage 1 from the persistent inverted index — same
+                # integers as the scan (TermStore.search equivalence)
+                from .operators.termstore import TermStore
+
+                cand = TermStore(args.index).search(spark, terms, k=args.k)
             _emit(
-                hybrid_topk(load(spark, args.sf, "documents"), emb, terms, k=args.k),
+                hybrid_topk(
+                    load(spark, args.sf, "documents"),
+                    emb,
+                    terms,
+                    k=args.k,
+                    candidates=cand,
+                ),
                 args,
             )
         else:

@@ -224,6 +224,30 @@ class IVFStore:
             return False
         if assigned is None:
             assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
+        # One bounded agg over the batch before anything is written:
+        # (a) an EMPTY batch (an id-range gap spanning a whole ingest
+        # window) must not register a segment — a zero-row parquet dir
+        # has no part files, so every later read_lists/search/compact
+        # over the manifest would die on schema inference, permanently
+        # poisoning the store (TermStore.append guards this same
+        # hazard); (b) the batch's ids must actually lie inside the
+        # declared [id_min, id_max], or skip_if_range_indexed would
+        # silently drop a future overlapping batch while search keeps
+        # returning confidently wrong rows. checkpoint so the assign
+        # matmul isn't paid twice (once here, once by the write).
+        assigned = assigned.localCheckpoint(eager=True)
+        bounds = assigned.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        ).first()
+        if not bounds["n"]:
+            return False
+        if bounds["lo"] < id_min or bounds["hi"] > id_max:
+            raise ValueError(
+                f"batch ids [{bounds['lo']}, {bounds['hi']}] escape the "
+                f"declared segment range [{id_min}, {id_max}]"
+            )
         seg = {
             "seg": max((s["seg"] for s in segments), default=-1) + 1,
             "id_min": id_min,

@@ -126,13 +126,25 @@ class TermStore:
             "doc_id", tokens_expr(F.col("text")).alias("ts")
         ).localCheckpoint(eager=True)  # consumed by stats AND postings
         stats_row = toks.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("sumdl")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("ts")).alias("sumdl"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
         ).first()
         if not stats_row["n"]:
             # an idle micro-batch: a zero-row segment would be an
             # unreadable parquet dir (no part files) and an n_docs=0
             # manifest entry that divides search's stats by zero
             return False
+        if stats_row["lo"] < id_min or stats_row["hi"] > id_max:
+            # a mis-declared range + skip_if_range_indexed would
+            # silently drop a future overlapping batch (stats AND
+            # postings missing) while search keeps returning
+            # confidently wrong integers — fail loudly instead
+            raise ValueError(
+                f"batch doc_ids [{stats_row['lo']}, {stats_row['hi']}] escape "
+                f"the declared segment range [{id_min}, {id_max}]"
+            )
         postings = (
             toks.select(
                 "doc_id",

@@ -4037,21 +4037,27 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: the build is q_search_bm25's map pass plus one (term, doc)
     count shuffle and a clustered write; the query reads only matched
     row groups (plan-asserted in tests/test_termstore.py)."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..operators.termstore import TermStore
-
     return _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
 
 
 def _cached_corpus_index(spark: SparkSession, sf_dir: str):
-    """The per-(corpus mtime, STORE_VERSION) /tmp TermStore both
+    """The per-(corpus signature, STORE_VERSION) /tmp TermStore both
     indexed catalog queries share — ONE key definition, so the BM25
     and phrase twins can never read different stores. STORE_VERSION
     in the key means a tokenizer/postings/scoring change never
-    re-serves a stale index; a fresh corpus gets a fresh directory."""
+    re-serves a stale index; a fresh corpus gets a fresh directory.
+
+    The key hashes a recursive (relpath, size, mtime_ns) manifest of
+    the corpus, not one mtime: a corpus COPIED with preserved
+    timestamps still re-keys when any part file's name or size
+    differs (the one residual blind spot — same-size same-mtime
+    content swaps — would need a full content read, which would cost
+    more than the index build it guards). Concurrent first-builds are
+    SERIALIZED with an exclusive flock on a sibling lockfile:
+    TermStore is single-writer, and two processes racing the seg=0
+    write + manifest replace would corrupt the store; after the lock,
+    skip_if_range_indexed makes the loser's append a no-op."""
+    import fcntl
     import hashlib
     import os
     import tempfile
@@ -4059,18 +4065,36 @@ def _cached_corpus_index(spark: SparkSession, sf_dir: str):
     from ..operators.termstore import STORE_VERSION, TermStore
 
     src = os.path.join(sf_dir, "documents.parquet")
-    mtime = int(os.stat(src).st_mtime_ns) if os.path.exists(src) else 0
+
+    def stat_sig(path: str) -> list[tuple[str, int, int]]:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return [("", st.st_size, st.st_mtime_ns)]
+        out: list[tuple[str, int, int]] = []
+        for base, _dirs, files in os.walk(path):
+            for name in files:
+                p = os.path.join(base, name)
+                st = os.stat(p)
+                out.append((os.path.relpath(p, path), st.st_size, st.st_mtime_ns))
+        return sorted(out)
+
+    sig = stat_sig(src) if os.path.exists(src) else []
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:v{STORE_VERSION}".encode()
+        repr((os.path.abspath(sf_dir), sig, STORE_VERSION)).encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), f"prds_termstore_{key}")
     store = TermStore(root)
-    store.append(
-        load(spark, sf_dir, "documents"),
-        id_min=0,
-        id_max=2**62,
-        skip_if_range_indexed=True,
-    )
+    with open(root + ".lock", "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            store.append(
+                load(spark, sf_dir, "documents"),
+                id_min=0,
+                id_max=2**62,
+                skip_if_range_indexed=True,
+            )
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
     return store
 
 
@@ -4130,17 +4154,23 @@ def hybrid_topk(
     terms: tuple[str, ...],
     *,
     k: int = 20,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The two-stage BM25 → cosine-rerank ranker behind q_search_hybrid
     and the CLI ``search --hybrid``, for an ARBITRARY term tuple —
     ``emb`` is a (doc_id, embedding) frame. Candidates without a
-    stored embedding drop out at the rerank join."""
+    stored embedding drop out at the rerank join. Pass ``candidates``
+    (a (rank, doc_id, ...) frame, e.g. TermStore.search's output —
+    integer-equal to the scan) to serve stage 1 from a persistent
+    index instead of re-scanning ``docs`` (CLI ``--hybrid --index``)."""
     from pyspark.sql import Window
 
     # checkpoint: the k-row candidate frame is consumed TWICE (seed
     # build + rerank scan) — without materialization the whole BM25
     # corpus scan would execute twice per run
-    bm = bm25_topk(docs, terms, k=k).localCheckpoint(eager=True)
+    bm = (
+        candidates if candidates is not None else bm25_topk(docs, terms, k=k)
+    ).localCheckpoint(eager=True)
     cand = F.broadcast(bm.select(F.col("rank").alias("bm25_rank"), "doc_id")).join(
         emb, "doc_id"
     )

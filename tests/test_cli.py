@@ -83,3 +83,49 @@ def test_search_phrase_command(spark, sf_small, capsys):
     assert want, "fixture phrase must match"
     for r in want:
         assert f"|{r.doc_id} " in out, (r.doc_id, out)
+
+
+def test_search_phrase_single_term_fails_cleanly(capsys, sf_small):
+    """TermStore.search_phrase needs >= 2 terms and the scan path would
+    silently degrade — the CLI validates once for both paths."""
+    assert main(["search", "table", "--phrase", "--sf", sf_small]) == 2
+    assert "at least 2 terms" in capsys.readouterr().err
+
+
+def test_search_phrase_hybrid_conflict_fails_cleanly(capsys, sf_small):
+    assert (
+        main(["search", "table", "hash", "--phrase", "--hybrid", "--sf", sf_small])
+        == 2
+    )
+    assert "mutually exclusive" in capsys.readouterr().err
+
+
+def test_search_hybrid_with_index_serves_stage1_from_store(
+    spark, sf_small, tmp_path, capsys
+):
+    """`search --hybrid --index` must serve the lexical stage from the
+    TermStore and return the same ranking as the scan-path hybrid
+    (TermStore.search is integer-equal to bm25_topk)."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.queries.llm import hybrid_topk
+    from production_ready_ds_spark.tables import load
+
+    root = str(tmp_path / "ts")
+    assert main(["index", "--root", root, "--sf", sf_small]) == 0
+    capsys.readouterr()
+    rc = main(
+        ["search", "spark", "vector", "--hybrid", "--index", root,
+         "--k", "3", "--sf", sf_small]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    emb = load(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    want = hybrid_topk(
+        load(spark, sf_small, "documents"), emb, ("spark", "vector"), k=3
+    ).collect()
+    assert want
+    for r in want:
+        assert str(r.doc_id) in out, (r.doc_id, out)

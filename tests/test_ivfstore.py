@@ -216,3 +216,31 @@ def test_assign_matches_bruteforce_argmin_and_tiebreak(spark, tmp_path, embs):
     plan = explain_str(store.assign(embs))
     assert "hashpartitioning" not in plan, plan[:600]
     assert "rangepartitioning" not in plan, plan[:600]
+
+
+def test_append_empty_batch_is_refused_and_store_stays_readable(spark, tmp_path, embs):
+    """A zero-row batch (an id-range gap spanning a whole ingest
+    window) must NOT register a segment: an empty parquet dir has no
+    part files, so one registered empty segment would poison every
+    later read_lists/search/compact with schema-inference failures."""
+    store = IVFStore(str(tmp_path / "empty"))
+    store.train(embs)
+    assert store.append(embs.filter(F.col("vec_id") < 100), id_min=0, id_max=99)
+    assert (
+        store.append(embs.filter(F.col("vec_id") < 0), id_min=1000, id_max=1999)
+        is False
+    )
+    assert len(store.segments()) == 1
+    probes = embs.filter(F.col("vec_id") < 3)
+    assert store.search(probes).count() > 0  # store not poisoned
+
+
+def test_append_rejects_ids_outside_declared_range(spark, tmp_path, embs):
+    """A mis-declared [id_min, id_max] + skip_if_range_indexed would
+    silently drop a future overlapping batch — append fails loudly
+    instead, and writes nothing."""
+    store = IVFStore(str(tmp_path / "range"))
+    store.train(embs)
+    with pytest.raises(ValueError, match="escape"):
+        store.append(embs, id_min=0, id_max=10)
+    assert store.segments() == []

@@ -188,3 +188,17 @@ def test_phrase_and_bm25_index_equivalence_random_corpora(spark, tmp_path):
         assert _results(store.search_phrase(spark, phrase, k=30)) == _results(
             phrase_topk(docs, phrase, k=30)
         ), trial
+
+
+def test_append_rejects_ids_outside_declared_range(spark, sf_small, tmp_path):
+    """A mis-declared [id_min, id_max] + skip_if_range_indexed would
+    silently drop a future overlapping batch (stats AND postings
+    missing) while search keeps returning confidently wrong integers —
+    append fails loudly instead, and writes nothing."""
+    import pytest
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "rng"))
+    with pytest.raises(ValueError, match="escape"):
+        store.append(docs, id_min=0, id_max=3)
+    assert store.segments() == []
