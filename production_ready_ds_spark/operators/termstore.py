@@ -36,10 +36,14 @@ moves the tokenize + tf/dl work to INGEST time:
   (segment data durable before the manifest replace) and single-writer
   assumption. ``compact`` folds segments to bound footer opens.
 
-Deletion note: removing a document would also have to DECREMENT the
-manifest's n_docs/sum_dl or every later score drifts from a fresh
-build — v1 keeps the store append-only and documents rebuild as the
-deletion path (the sigstore RTBF helper only handles row removal).
+Deletion (RTBF parity with sigstore/IVFStore): ``delete_ids`` rewrites
+only the manifest-intersecting segments (postings AND the per-segment
+``docs_seg=<n>/`` doc-length sidecar) and DECREMENTS each segment's
+``n_docs``/``sum_dl`` by the deleted docs' recorded lengths, so
+post-delete scores are integer-equal to a fresh build of the surviving
+corpus (equivalence-tested). The sidecar exists because stats are
+DOCUMENT-level: a zero-token doc contributes to N with no posting row,
+so postings alone could never decrement exactly.
 """
 
 from __future__ import annotations
@@ -65,7 +69,7 @@ BM25_B = 0.75
 #: bump when the postings schema, tokenizer convention, or scoring
 #: snap changes — cache keys (q_search_bm25_indexed's /tmp store)
 #: include it so stale indexes built by older code are never re-served
-STORE_VERSION = 2  # v2: positional postings (positions array column)
+STORE_VERSION = 3  # v3: per-segment doc-length sidecar (delete_ids)
 
 
 class TermStore:
@@ -170,8 +174,102 @@ class TermStore:
         write_range_clustered(
             postings, self._path(f"seg={seg['seg']}"), ["term"], n_files=n_files
         )
+        # per-segment doc-length sidecar (doc_id, dl) — ONE row per
+        # batch doc incl. zero-token docs; what lets delete_ids
+        # decrement n_docs/sum_dl exactly. Tiny: n_docs rows, one file.
+        toks.select(
+            "doc_id", F.size("ts").cast("long").alias("dl")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._path(f"docs_seg={seg['seg']}")
+        )
+        # manifest replaced only after BOTH data dirs are durable (the
+        # sigstore crash ordering)
         self._write_manifest([*segments, seg])
         return True
+
+    def delete_ids(
+        self, spark: SparkSession, ids: list[int], *, n_files: int = 4
+    ) -> int:
+        """Right-to-be-forgotten: remove the given doc ids from the
+        index so every later search scores EXACTLY as a fresh build of
+        the surviving corpus would — postings rows dropped AND each
+        affected segment's manifest ``n_docs``/``sum_dl`` decremented
+        by the deleted docs' sidecar-recorded lengths (stale stats are
+        the score drift the module docstring warns about). Only
+        manifest-intersecting segments are rewritten (per-ID interval
+        check, the sigstore kernel's rule — cost O(affected segments),
+        not O(store)); a segment emptied of docs is dropped outright.
+        Crash ordering and single-writer contract as append. Returns
+        the number of segments rewritten or dropped."""
+        import shutil
+
+        if not ids:
+            return 0
+        id_list = [int(x) for x in ids]
+        segments = self.segments()
+        affected = [
+            s
+            for s in segments
+            if any(s["id_min"] <= i <= s["id_max"] for i in id_list)
+        ]
+        if not affected:
+            return 0
+        next_seg = max(s["seg"] for s in segments) + 1
+        replaced: dict[int, dict | None] = {}
+        old_dirs: list[str] = []
+        for s in affected:
+            docmap = spark.read.parquet(self._path(f"docs_seg={s['seg']}"))
+            gone = docmap.filter(F.col("doc_id").isin(id_list)).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
+            ).first()
+            if not gone["n"]:
+                # ids fell in the covering range but none were present
+                replaced[s["seg"]] = s
+                continue
+            old_dirs.append(self._path(f"seg={s['seg']}"))
+            old_dirs.append(self._path(f"docs_seg={s['seg']}"))
+            new = {
+                "seg": next_seg,
+                "id_min": s["id_min"],
+                "id_max": s["id_max"],
+                "n_docs": int(s["n_docs"]) - int(gone["n"]),
+                "sum_dl": int(s["sum_dl"]) - int(gone["dl"]),
+            }
+            next_seg += 1
+            if new["n_docs"] <= 0:
+                replaced[s["seg"]] = None  # segment emptied: drop it
+                continue
+            kept_post = spark.read.parquet(
+                self._path(f"seg={s['seg']}")
+            ).filter(~F.col("doc_id").isin(id_list))
+            # repartition(1) (never coalesce) on the all-postings-gone
+            # edge: guarantees one writer task, so the dir always holds
+            # a schema-bearing part file instead of poisoning reads
+            if kept_post.limit(1).count():
+                write_range_clustered(
+                    kept_post, self._path(f"seg={new['seg']}"), ["term"],
+                    n_files=n_files,
+                )
+            else:
+                kept_post.repartition(1).write.mode("overwrite").parquet(
+                    self._path(f"seg={new['seg']}")
+                )
+            docmap.filter(~F.col("doc_id").isin(id_list)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(self._path(f"docs_seg={new['seg']}"))
+            replaced[s["seg"]] = new
+        new_manifest = []
+        for s in segments:
+            r = replaced.get(s["seg"], s)
+            if r is not None:
+                new_manifest.append(r)
+        self._write_manifest(new_manifest)
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return sum(
+            1 for s in affected if replaced.get(s["seg"]) is not s
+        )
 
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
         """Fold all segments into one term-clustered segment."""
@@ -189,11 +287,17 @@ class TermStore:
         write_range_clustered(
             df, self._path(f"seg={merged['seg']}"), ["term"], n_files=n_files
         )
+        spark.read.parquet(
+            *[self._path(f"docs_seg={s['seg']}") for s in segments]
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._path(f"docs_seg={merged['seg']}")
+        )
         self._write_manifest([merged])
         import shutil
 
         for s in segments:
             shutil.rmtree(self._path(f"seg={s['seg']}"), ignore_errors=True)
+            shutil.rmtree(self._path(f"docs_seg={s['seg']}"), ignore_errors=True)
         return 1
 
     # -- reads ---------------------------------------------------------

@@ -202,3 +202,57 @@ def test_append_rejects_ids_outside_declared_range(spark, sf_small, tmp_path):
     with pytest.raises(ValueError, match="escape"):
         store.append(docs, id_min=0, id_max=3)
     assert store.segments() == []
+
+
+def test_delete_ids_scores_equal_fresh_rebuild(spark, sf_small, tmp_path):
+    """RTBF parity: delete-then-search must return the IDENTICAL
+    integers to rebuild-without-the-docs-then-search — postings gone
+    AND manifest n_docs/sum_dl decremented (stale stats would shift
+    every idf/avgdl and drift the scores)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_small, "documents")
+    victims = [r.doc_id for r in docs.select("doc_id").orderBy("doc_id").limit(7).collect()]
+
+    deleted = TermStore(str(tmp_path / "del"))
+    # two segments so deletion exercises the only-affected-rewrite path
+    assert deleted.append(docs.filter(F.col("doc_id") < 250), id_min=0, id_max=249)
+    assert deleted.append(docs.filter(F.col("doc_id") >= 250), id_min=250, id_max=10**9)
+    assert deleted.delete_ids(spark, victims) == 1  # victims live in seg 0 only
+
+    fresh = TermStore(str(tmp_path / "fresh"))
+    assert fresh.append(docs.filter(~F.col("doc_id").isin(victims)), id_min=0, id_max=10**9)
+
+    assert deleted.stats() == fresh.stats()
+    for terms in [("spark", "query", "vector"), ("join",), ("table", "hash")]:
+        assert _results(deleted.search(spark, terms, k=15)) == _results(
+            fresh.search(spark, terms, k=15)
+        ), terms
+    assert _results(deleted.search_phrase(spark, ("table", "hash"), k=15)) == _results(
+        fresh.search_phrase(spark, ("table", "hash"), k=15)
+    )
+    # deleted ids can never surface again
+    hits = {r.doc_id for r in deleted.search(spark, ("spark", "query"), k=100).collect()}
+    assert not (hits & set(victims))
+
+
+def test_delete_ids_survives_compact_and_empty_segment_drop(spark, sf_small, tmp_path):
+    """Deleting EVERY doc of a segment drops it from the manifest (an
+    empty parquet dir would poison later reads), and compaction after
+    deletion preserves both scores and stats."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "drop"))
+    assert store.append(docs.filter(F.col("doc_id") < 20), id_min=0, id_max=19)
+    assert store.append(docs.filter(F.col("doc_id") >= 20), id_min=20, id_max=10**9)
+    assert store.delete_ids(spark, list(range(20))) == 1
+    assert len(store.segments()) == 1  # seg 0 emptied -> dropped
+    fresh = TermStore(str(tmp_path / "fresh2"))
+    assert fresh.append(docs.filter(F.col("doc_id") >= 20), id_min=0, id_max=10**9)
+    assert store.stats() == fresh.stats()
+    before = _results(store.search(spark, ("spark", "vector"), k=10))
+    assert before == _results(fresh.search(spark, ("spark", "vector"), k=10))
+    assert store.compact(spark) == 1
+    assert store.stats() == fresh.stats()
+    assert _results(store.search(spark, ("spark", "vector"), k=10)) == before
