@@ -12,7 +12,7 @@ Commands:
   list                         — catalog names (+ category, oracle?)
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
-  search <term> [term ...]     — BM25 (--index postings / --phrase / --hybrid)
+  search <term> [term ...]     — BM25 (--index postings / --phrase / --hybrid / --rrf)
   index  --root DIR            — build the BM25 inverted index
   corpus                       — run the full corpus-build DAG
   Any data command takes --explain to print the formatted plan.
@@ -70,6 +70,13 @@ def _parser() -> argparse.ArgumentParser:
         action="store_true",
         help="rerank the BM25 candidates by embedding cosine to the "
         "top lexical hit's vector (two-stage RAG ranking)",
+    )
+    search.add_argument(
+        "--rrf",
+        action="store_true",
+        help="fuse the BM25 top-k with the seed-vector cosine top-k by "
+        "reciprocal-rank fusion (surfaces semantic hits sharing no "
+        "query term)",
     )
     common(search)
     index = sub.add_parser(
@@ -132,8 +139,11 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
-        if args.phrase and args.hybrid:
-            print("--phrase and --hybrid are mutually exclusive", file=sys.stderr)
+        if sum([args.phrase, args.hybrid, args.rrf]) > 1:
+            print(
+                "--phrase, --hybrid and --rrf are mutually exclusive",
+                file=sys.stderr,
+            )
             return 2
         if args.phrase and len(args.terms) < 2:
             # validated HERE so both serving paths behave the same:
@@ -158,10 +168,10 @@ def main(argv: list[str] | None = None) -> int:
                 from .tables import load
 
                 _emit(phrase_topk(load(spark, args.sf, "documents"), phrase, k=args.k), args)
-        elif args.hybrid:
+        elif args.hybrid or args.rrf:
             from pyspark.sql import functions as F
 
-            from .queries.llm import hybrid_topk
+            from .queries.llm import hybrid_topk, rrf_topk
             from .tables import load
 
             terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
@@ -175,8 +185,9 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.termstore import TermStore
 
                 cand = TermStore(args.index).search(spark, terms, k=args.k)
+            ranker = rrf_topk if args.rrf else hybrid_topk
             _emit(
-                hybrid_topk(
+                ranker(
                     load(spark, args.sf, "documents"),
                     emb,
                     terms,

@@ -4193,6 +4193,406 @@ def hybrid_topk(
     )
 
 
+#: standard reciprocal-rank-fusion constant (Cormack & Clarke 2009 —
+#: "Reciprocal Rank Fusion outperforms Condorcet and individual rank
+#: learning methods", SIGIR; K=60 is the paper's setting)
+RRF_K = 60
+#: integer numerator for the RRF sum: both engines compute
+#: NUMER div/// (K + rank) in EXACT integer division, so fusion
+#: scores are integers with zero float surface
+RRF_NUMER = 1_000_000_000
+
+
+@query(
+    "q_search_rrf",
+    category="llm-similarity",
+    sql=f"""
+    WITH bm AS (
+      SELECT rank AS bm25_rank, doc_id FROM ( {_BM25_SQL} )
+    ),
+    cand AS (
+      SELECT bm.bm25_rank, bm.doc_id, CAST(e.embedding AS DOUBLE[]) AS de
+      FROM bm JOIN embeddings e ON e.vec_id = bm.doc_id
+    ),
+    seed AS (SELECT de AS qe FROM cand ORDER BY bm25_rank LIMIT 1),
+    ann AS (
+      SELECT * FROM (
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), seed.qe) DESC, e.vec_id
+               ) AS BIGINT) AS ann_rank,
+               e.vec_id AS doc_id
+        FROM embeddings e, seed
+      ) WHERE ann_rank <= 20
+    ),
+    f AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             bm.bm25_rank, ann.ann_rank,
+             COALESCE({RRF_NUMER} // ({RRF_K} + bm.bm25_rank), 0)
+             + COALESCE({RRF_NUMER} // ({RRF_K} + ann.ann_rank), 0) AS s
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+             AS rrf_rank,
+           doc_id, CAST(s AS BIGINT) AS rrf_score,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(ann_rank AS BIGINT) AS ann_rank
+    FROM f
+    """,
+)
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search v2 — candidate FUSION, not just rerank: the BM25
+    top-20 (lexical list) is UNIONED with the embedding-cosine top-20
+    for the query vector (semantic list; seed = the top lexical hit's
+    stored embedding, the deterministic pseudo-relevance-feedback
+    convention q_search_hybrid set) and fused by reciprocal-rank
+    fusion: score(d) = Σ_lists NUMER div (K + rank_list(d)), exact
+    integer division on both engines, missing-from-a-list contributing
+    0. This fixes q_search_hybrid's named reach limit: a document
+    SEMANTICALLY close to the query but sharing NO query term can now
+    surface through the ANN list (rerank-only hybrid can never rank
+    it) — property-tested with a constructed no-term-overlap corpus.
+
+    Scale shape: the lexical list is the TakeOrderedAndProject BM25
+    plan (or the TermStore inverted-list read — rrf_topk takes a
+    candidates frame); the semantic list is one corpus pass against a
+    1-row broadcast seed (or the IVFStore probed-lists read at scale —
+    same fusion arithmetic on whatever candidate lists arrive); fusion
+    itself joins two ≤ k-row frames. Output ranks on integer RRF
+    scores only — no float crosses the top-k cutoff."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return rrf_topk(docs, emb, BM25_QUERY, k=20)
+
+
+def rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    k: int = 20,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-k and the seed-vector
+    cosine top-k (see q_search_rrf) for an ARBITRARY term tuple —
+    ``emb`` is a (doc_id, embedding) frame. ``candidates`` (a
+    (rank, doc_id, ...) frame, e.g. TermStore.search's integer-equal
+    output) serves the lexical list from a persistent index."""
+    from pyspark.sql import Window
+
+    bm = (
+        (candidates if candidates is not None else bm25_topk(docs, terms, k=k))
+        .select(F.col("rank").alias("bm25_rank"), "doc_id")
+        .localCheckpoint(eager=True)  # consumed by seed AND fusion
+    )
+    seed = (
+        F.broadcast(bm)
+        .join(emb, "doc_id")
+        .orderBy("bm25_rank")
+        .limit(1)
+        .select(F.col("embedding").alias("qe"))
+    )
+    sims = emb.crossJoin(F.broadcast(seed)).select(
+        "doc_id", cosine(F.col("embedding"), F.col("qe")).alias("raw_cos")
+    )
+    # orderBy+limit = TakeOrderedAndProject (partition-local top-k +
+    # k-row merge), THEN rank the k survivors — never a global window
+    ann = (
+        sims.orderBy(F.desc("raw_cos"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("raw_cos"), F.asc("doc_id")))
+            .cast("long")
+            .alias("ann_rank"),
+            "doc_id",
+        )
+    )
+    fused = bm.join(ann, "doc_id", "full_outer")
+    score = F.coalesce(
+        F.expr(f"{RRF_NUMER} div ({RRF_K} + bm25_rank)"), F.lit(0)
+    ) + F.coalesce(F.expr(f"{RRF_NUMER} div ({RRF_K} + ann_rank)"), F.lit(0))
+    return fused.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc(score), F.asc("doc_id")))
+        .cast("long")
+        .alias("rrf_rank"),
+        "doc_id",
+        score.cast("long").alias("rrf_score"),
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        F.col("ann_rank").cast("long").alias("ann_rank"),
+    )
+
+
+#: Hamming distance between two bucket ids as explicit shifted-bit sums
+#: (no bit_count dependency in the oracle; SIGN_MAX_PLANES bits cover
+#: every scaled bucket id)
+_DUCK_HAMMING = " + ".join(
+    f"((xor(p.pbucket, k.bucket) >> {i}) & 1)" for i in range(SIGN_MAX_PLANES)
+)
+
+
+@query(
+    "q_ann_recall",
+    category="llm-similarity",
+    sql=f"""
+    WITH {_DUCK_PLANES_CTE},
+    b AS (
+      SELECT vec_id, {_DUCK_BUCKET_SCALED} AS bucket,
+             CAST(embedding AS DOUBLE[]) AS de
+      FROM embeddings, planes
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, bucket AS pbucket, de AS pe
+      FROM b WHERE vec_id < 10
+    ),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, c.de) DESC, c.vec_id
+               ) AS rn
+        FROM probes p JOIN b c ON c.vec_id <> p.probe_id
+      ) WHERE rn <= 3
+    ),
+    ranked AS (
+      SELECT p.probe_id, k.bucket,
+             ROW_NUMBER() OVER (PARTITION BY p.probe_id
+               ORDER BY ({_DUCK_HAMMING}), k.bucket) AS brank
+      FROM probes p CROSS JOIN (SELECT DISTINCT bucket FROM b) k
+    ),
+    budgets AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+    ann AS (
+      SELECT nprobe, probe_id, neighbor_id FROM (
+        SELECT g.nprobe, r.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY g.nprobe, r.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, c.de) DESC, c.vec_id
+               ) AS rn
+        FROM budgets g
+        JOIN ranked r ON r.brank <= g.nprobe
+        JOIN b c ON c.bucket = r.bucket AND c.vec_id <> r.probe_id
+        JOIN probes p ON p.probe_id = r.probe_id
+      ) WHERE rn <= 3
+    ),
+    h AS (
+      SELECT a.nprobe, COUNT(*) AS n_hits
+      FROM ann a JOIN truth t
+        ON t.probe_id = a.probe_id AND t.neighbor_id = a.neighbor_id
+      GROUP BY a.nprobe
+    )
+    SELECT CAST(g.nprobe AS BIGINT) AS nprobe,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth
+    FROM budgets g LEFT JOIN h ON h.nprobe = g.nprobe
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY REPORT — recall@3 of the sign-bucket inverted-list
+    search vs exact brute force, per probe budget nprobe ∈ {1,2,4,8}:
+    the corpus-owner-runnable diagnostic that turns 'trust the index'
+    into measured integers. For each probe vector, buckets are ranked
+    by (Hamming distance of sign patterns, bucket id) — deterministic
+    integer arithmetic, the sign-bucket analogue of IVF's
+    rank-centroids-by-distance — the top ``nprobe`` buckets' vectors
+    are the candidate set, and n_hits counts ANN-top-3 ∩ true-top-3
+    over all probes (n_truth = the attainable maximum). Monotone in
+    nprobe by construction; where the curve flattens is the operating
+    point. The trained-KMeans twin (q_ann_recall_ivf) reports the same
+    integers for IVFStore — rows-only, since centroids are learned
+    state no SQL oracle can re-derive.
+
+    Scale shape: probes are a bounded broadcast; the bucket ranking is
+    |probes| × (≤ 2^planes distinct buckets) — metadata-sized; the
+    candidate read is the probed buckets only (on IVFStore, the pushed
+    In(list_id) inverted-list read); truth is one corpus pass per
+    probe batch, the same brute-force baseline q_sim_cosine_topk
+    serves — you run this report on a SAMPLE of probes, not the
+    corpus, so 100 TB cost is probe-batch-sized."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    p = _scaled_planes_for(e)
+    e = e.withColumn("bucket", sign_bucket(F.col("embedding"), p)).withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+        F.col("bucket").alias("pbucket"),
+    )
+    sims_all = (
+        e.crossJoin(broadcast(probes.drop("pbucket")))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    truth = (
+        sims_all.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # consumed by the hit join AND the total
+    )
+    ranked = (
+        probes.select("probe_id", "pbucket")
+        .crossJoin(broadcast(e.select("bucket").distinct()))
+        .withColumn(
+            "hd", F.bit_count(F.col("pbucket").bitwiseXOR(F.col("bucket")))
+        )
+        .withColumn(
+            "brank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy("hd", "bucket")
+            ),
+        )
+        .select("probe_id", "bucket", "brank")
+    )
+    budgets = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    cand = (
+        broadcast(budgets)
+        .join(ranked, F.col("brank") <= F.col("nprobe"))
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "bucket",
+                F.col("embedding").alias("ce"),
+                F.col("nrm").alias("cnrm"),
+            ),
+            "bucket",
+        )
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .join(broadcast(probes.select("probe_id", "pe", "pnrm")), "probe_id")
+        .select(
+            "nprobe",
+            "probe_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("pe"), F.col("ce"), F.col("pnrm"), F.col("cnrm")
+            ).alias("cos_sim"),
+        )
+    )
+    wa = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    ann = (
+        cand.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 3)
+        .select("nprobe", "probe_id", "neighbor_id")
+    )
+    hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return (
+        budgets
+        .join(broadcast(hits), "nprobe", "left")
+        .crossJoin(broadcast(total))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "n_truth",
+        )
+    )
+
+
+@query("q_ann_recall_ivf", category="llm-similarity", sql=None)
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_recall for the TRAINED quantizer: recall@3 of
+    IVFStore.search vs brute force per nprobe ∈ {1,2,4,8}, at the
+    corpus-scaled list count (scaled_ivf_k). Declared ROWS-ONLY:
+    KMeans centroids are learned state a SQL oracle cannot re-derive
+    (same declaration class as q_train_pipeline); determinism within
+    an engine is covered by the seeded trainer and the store's
+    brute-force-equality property tests (tests/test_ivfstore.py).
+    Output shape and semantics match q_ann_recall exactly, so the two
+    reports read side by side: sign-grid vs trained lists at equal
+    probe budgets."""
+    from pyspark.sql import Window
+
+    from ..operators.ivfstore import IVFStore
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = IVFStore(_scratch_dir("prds_ivf_recall", sf_dir))
+    if store.centroids() is None or not store.segments():
+        store.train(e)
+        store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
+    probes = e.filter(F.col("vec_id") < 10)
+
+    en = e.withColumn("nrm", norm(F.col("embedding")))
+    pr = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sims_all = (
+        en.crossJoin(broadcast(pr))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    truth = (
+        sims_all.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    parts = []
+    for nprobe in (1, 2, 4, 8):
+        found = store.search(probes, top_k=3, nprobe=nprobe).select(
+            F.lit(nprobe).alias("nprobe"),
+            "probe_id",
+            F.col("neighbor_id"),
+        )
+        parts.append(found)
+    ann = parts[0]
+    for part in parts[1:]:
+        ann = ann.unionByName(part)
+    hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    budgets = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    return (
+        budgets
+        .join(broadcast(hits), "nprobe", "left")
+        .crossJoin(broadcast(total))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "n_truth",
+        )
+    )
+
+
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(corpus, prefix) scratch directory under /tmp for cached
+    derived state (the _cached_corpus_index key convention, without
+    the mtime manifest — callers that need staleness detection build
+    their own key)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+
+
 #: fixed exact phrase for the catalog surface (the corpus's most
 #: frequent bigram, so ranking exercises real count variation)
 PHRASE_QUERY = ("table", "hash")

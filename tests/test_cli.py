@@ -129,3 +129,25 @@ def test_search_hybrid_with_index_serves_stage1_from_store(
     assert want
     for r in want:
         assert str(r.doc_id) in out, (r.doc_id, out)
+
+
+def test_search_rrf_command(spark, sf_small, capsys):
+    """`search --rrf` must fuse the lexical and semantic candidate
+    lists and agree with the parameterized helper."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.queries.llm import rrf_topk
+    from production_ready_ds_spark.tables import load
+
+    rc = main(["search", "spark", "vector", "--rrf", "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    out = capsys.readouterr().out
+    emb = load(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    want = rrf_topk(
+        load(spark, sf_small, "documents"), emb, ("spark", "vector"), k=3
+    ).collect()
+    assert want
+    for r in want:
+        assert str(r.doc_id) in out, (r.doc_id, out)

@@ -1371,3 +1371,57 @@ def test_quality_classifier_degenerate_teacher_keeps_all(spark):
     assert len(got) == 30
     assert all(r.keep for r in got)
     assert all(r.score is None for r in got)
+
+
+def test_rrf_surfaces_lexically_disjoint_semantic_hit(spark):
+    """The reach fix q_search_rrf exists for: a document SEMANTICALLY
+    close to the query seed but sharing NO query term must rank via
+    the ANN list — while rerank-only hybrid_topk can never surface it
+    (its candidates are BM25 hits by construction)."""
+    from production_ready_ds_spark.queries.llm import hybrid_topk, rrf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma alpha"),
+            (1, "alpha beta unrelated words here"),
+            (2, "completely different vocabulary entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.99, 0.1, 0.0, 0.0]),  # near doc 0 (the BM25 seed)
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    fused = {r.doc_id: r for r in rrf_topk(docs, emb, ("alpha", "beta"), k=3).collect()}
+    assert 2 in fused, "no-term-overlap doc must rank through the ANN list"
+    assert fused[2].bm25_rank is None and fused[2].ann_rank is not None
+    # doc 0 tops both lists -> highest fused score
+    assert fused[0].rrf_rank == 1
+    hyb = {r.doc_id for r in hybrid_topk(docs, emb, ("alpha", "beta"), k=3).collect()}
+    assert 2 not in hyb, "rerank-only hybrid cannot surface it (the documented limit)"
+
+
+def test_rrf_scores_are_exact_reciprocal_rank_integers(spark):
+    """RRF arithmetic contract: score = Σ 1e9 div (60 + rank), exact
+    integer division, 0 for a missing list."""
+    from production_ready_ds_spark.queries.llm import RRF_K, RRF_NUMER, rrf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha other"), (2, "nothing shared")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.9, 0.1])],
+        "doc_id long, embedding array<float>",
+    )
+    for r in rrf_topk(docs, emb, ("alpha", "beta"), k=3).collect():
+        want = 0
+        if r.bm25_rank is not None:
+            want += RRF_NUMER // (RRF_K + r.bm25_rank)
+        if r.ann_rank is not None:
+            want += RRF_NUMER // (RRF_K + r.ann_rank)
+        assert r.rrf_score == want, (r.doc_id, r.rrf_score, want)
