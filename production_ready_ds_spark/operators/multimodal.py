@@ -181,14 +181,17 @@ class PNGDecoder(Decoder):
     feature schema as RawRGBDecoder, so it drops into
     extract_features / the resize pipeline unchanged — the pluggable-
     decoder contract working on a real interchange format, not a
-    bespoke layout. Scope (round-4 verdict item 7 widened it one
-    notch): 8-bit non-interlaced TRUECOLOR (type 2), GRAYSCALE
-    (type 0, expanded G→GGG), and PALETTE (type 3, PLTE-mapped;
-    out-of-range indices reject the image per RFC 2083 §4.1.2);
-    alpha variants (4/6) and 16-bit/interlaced stay rejected — and
-    any CRC or length corruption — yielding all-NULL features rather
-    than failing the batch (decode errors at 100 TB are data, not
-    exceptions). ``parse_fmt`` additionally reports WHICH path decoded
+    bespoke layout. Scope (widened one notch per round — this round
+    added the alpha pair): 8-bit non-interlaced TRUECOLOR (type 2),
+    GRAYSCALE (type 0, expanded G→GGG), PALETTE (type 3, PLTE-mapped;
+    out-of-range indices reject the image per RFC 2083 §4.1.2),
+    GRAY+ALPHA (type 4) and RGBA (type 6) — alpha is FLATTENED over
+    the declared white background (``ALPHA_BG``) with the exact
+    integer rounding ``(a·fg + (255−a)·bg + 127) // 255``, keeping
+    the raw-RGB output contract; 16-bit and interlaced stay rejected —
+    and any CRC or length corruption — yielding all-NULL features
+    rather than failing the batch (decode errors at 100 TB are data,
+    not exceptions). ``parse_fmt`` additionally reports WHICH path decoded
     or why not, so corpus reports can surface per-format quarantine
     rates (q_image_png_report). Reconstruction is a per-pixel Python
     loop: fine for the fixture sizes here and for correctness
@@ -218,8 +221,7 @@ class PNGDecoder(Decoder):
         """Apply filter ``ft`` to one raw scanline, returning the
         filtered bytes — encode-side twin of the reconstruction in
         parse, kept adjacent so the two cannot drift. ``bpp`` is the
-        filter unit (RFC 2083 §6.2): 3 for truecolor, 1 for
-        grayscale/palette."""
+        filter unit (RFC 2083 §6.2): see :attr:`BPP` per color type."""
         out = bytearray(len(raw))
         for i in range(len(raw)):
             left = raw[i - bpp] if i >= bpp else 0
@@ -257,16 +259,21 @@ class PNGDecoder(Decoder):
         palette: bytes | None = None,
     ) -> bytes:
         """Build a valid 8-bit PNG: truecolor (``ctype=2``, w*h*3 pixel
-        bytes), grayscale (``ctype=0``, w*h bytes) or palette
-        (``ctype=3``, w*h index bytes + a 3·N-byte ``palette``).
-        ``filter_types`` (one per scanline, default all 0) lets fixtures
-        exercise every reconstruction path — a decoder that only ever
-        sees filter 0 proves nothing about Sub/Up/Average/Paeth."""
+        bytes), grayscale (``ctype=0``, w*h bytes), palette
+        (``ctype=3``, w*h index bytes + a 3·N-byte ``palette``),
+        gray+alpha (``ctype=4``, w*h*2 G,A pairs) or RGBA (``ctype=6``,
+        w*h*4 R,G,B,A quads). ``filter_types`` (one per scanline,
+        default all 0) lets fixtures exercise every reconstruction
+        path — a decoder that only ever sees filter 0 proves nothing
+        about Sub/Up/Average/Paeth."""
         import zlib
 
-        if ctype not in (0, 2, 3):
-            raise ValueError("ctype must be 0 (gray), 2 (rgb) or 3 (palette)")
-        bpp = 3 if ctype == 2 else 1
+        if ctype not in (0, 2, 3, 4, 6):
+            raise ValueError(
+                "ctype must be 0 (gray), 2 (rgb), 3 (palette), "
+                "4 (gray+alpha) or 6 (rgba)"
+            )
+        bpp = cls.BPP[ctype]
         if len(pixels) != width * height * bpp:
             raise ValueError(f"pixels must be width*height*{bpp} bytes")
         if ctype == 3:
@@ -296,15 +303,22 @@ class PNGDecoder(Decoder):
     # ---- decode ----
 
     #: decode outcome labels for parse_fmt / q_image_png_report
-    FMT_NAMES = {0: "gray", 2: "rgb", 3: "palette"}
+    FMT_NAMES = {0: "gray", 2: "rgb", 3: "palette", 4: "gray-alpha", 6: "rgba"}
+    #: bytes per pixel in the FILTER unit (RFC 2083 §6.2) per color type
+    BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    #: background level alpha flattens onto (white — the curation
+    #: convention for document images); one channel value, applied per
+    #: channel with exact integer rounding
+    ALPHA_BG = 255
 
     @classmethod
     def parse_fmt(cls, buf) -> tuple[str, tuple[int, int, bytes] | None]:
         """(outcome, parsed) where parsed is (width, height, w*h*3 RGB
         bytes) on success and None otherwise, and outcome is the
-        decode/reject class: 'gray' / 'rgb' / 'palette' on success,
+        decode/reject class: 'gray' / 'rgb' / 'palette' / 'gray-alpha'
+        / 'rgba' on success,
         'not-png' (no signature), 'unsupported' (valid header outside
-        the declared subset — alpha, 16-bit, interlaced), or 'corrupt'
+        the declared subset — 16-bit, interlaced), or 'corrupt'
         (CRC/length/inflate/filter/palette-index violations). The
         outcome column is what a corpus report aggregates into
         per-format quarantine rates."""
@@ -343,7 +357,7 @@ class PNGDecoder(Decoder):
         if ihdr is None or not idat or not ended or len(ihdr) != 13:
             return "corrupt", None
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-        if depth != 8 or ctype not in (0, 2, 3) or comp or filt or interlace:
+        if depth != 8 or ctype not in cls.BPP or comp or filt or interlace:
             return "unsupported", None  # outside the declared subset
         if w == 0 or h == 0:
             return "corrupt", None
@@ -354,7 +368,7 @@ class PNGDecoder(Decoder):
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
             return "corrupt", None
-        bpp = 3 if ctype == 2 else 1
+        bpp = cls.BPP[ctype]
         stride = w * bpp
         if len(raw) != h * (1 + stride):
             return "corrupt", None
@@ -382,21 +396,41 @@ class PNGDecoder(Decoder):
             rgb = bytes(out)
         elif ctype == 0:
             rgb = bytes(b for g in out for b in (g, g, g))
-        else:  # palette
+        elif ctype == 3:  # palette
             n_entries = len(plte) // 3
             if any(i >= n_entries for i in out):
                 return "corrupt", None  # out-of-range index, RFC 2083 §4.1.2
             rgb = bytes(
                 b for i in out for b in plte[3 * i : 3 * i + 3]
             )
+        else:  # alpha variants: flatten over the declared background
+            bg = cls.ALPHA_BG
+
+            def flat(fg: int, a: int) -> int:
+                # exact integer source-over compositing with round-half-up
+                return (a * fg + (255 - a) * bg + 127) // 255
+
+            if ctype == 4:  # (G, A) pairs -> gray composited, expanded GGG
+                rgb = bytes(
+                    b
+                    for j in range(0, len(out), 2)
+                    for c in (flat(out[j], out[j + 1]),)
+                    for b in (c, c, c)
+                )
+            else:  # ctype 6: (R, G, B, A) quads -> per-channel composite
+                rgb = bytes(
+                    flat(out[j + ch], out[j + 3])
+                    for j in range(0, len(out), 4)
+                    for ch in (0, 1, 2)
+                )
         return fmt, (int(w), int(h), rgb)
 
     @classmethod
     def parse(cls, buf) -> tuple[int, int, bytes] | None:
         """(width, height, w*h*3 RGB bytes) for a well-formed 8-bit
-        gray/RGB/palette non-interlaced PNG, None otherwise — same
-        contract as RawRGBDecoder.parse, so downstream stages are
-        layout-agnostic."""
+        gray/RGB/palette/gray-alpha/RGBA non-interlaced PNG (alpha
+        flattened over ALPHA_BG), None otherwise — same contract as
+        RawRGBDecoder.parse, so downstream stages are layout-agnostic."""
         return cls.parse_fmt(buf)[1]
 
     def decode(self, buf: bytes | None) -> dict:

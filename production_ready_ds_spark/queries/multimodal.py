@@ -280,11 +280,12 @@ def q_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_png_report",
     category="llm-multimodal",
     sql="""
-    SELECT CASE doc_id % 6
+    SELECT CASE doc_id % 8
              WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray' WHEN 2 THEN 'palette'
-             WHEN 3 THEN 'corrupt' WHEN 4 THEN 'unsupported'
+             WHEN 3 THEN 'gray-alpha' WHEN 4 THEN 'rgba'
+             WHEN 5 THEN 'corrupt' WHEN 6 THEN 'unsupported'
              ELSE 'not-png' END AS outcome,
-           CASE WHEN doc_id % 6 <= 2 THEN TRUE ELSE FALSE END AS decoded,
+           CASE WHEN doc_id % 8 <= 4 THEN TRUE ELSE FALSE END AS decoded,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY 1, 2
@@ -293,21 +294,23 @@ def q_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format decode/reject counts over a mixed PNG corpus — the
     quarantine-rate surface the round-4 verdict asked for: corpus
-    owners see HOW MANY payloads decoded on each color-model path and
-    how many fell into each reject class (corrupt bytes, valid-but-
-    unsupported headers like RGBA, non-PNG junk), instead of silent
-    NULL features. Outcome labels come from the REAL
-    ``PNGDecoder.parse_fmt`` decode attempt on each payload, not from
-    bookkeeping: the corpus synthesizes by ``doc_id % 6`` a truecolor
-    / grayscale / palette PNG, a mid-CRC-truncated PNG, an RGBA-header
-    PNG, and plain junk bytes — so the hash gate verifies the decoder
-    CLASSIFIES every payload exactly as constructed (a decoder that
-    mislabeled corruption as unsupported, or decoded junk, fails the
-    count table).
+    owners see HOW MANY payloads decoded on each color-model path
+    (now INCLUDING the round-6 alpha pair: gray+alpha and RGBA,
+    flattened over the declared background) and how many fell into
+    each reject class (corrupt bytes, valid-but-unsupported headers
+    like 16-bit depth, non-PNG junk), instead of silent NULL features.
+    Outcome labels come from the REAL ``PNGDecoder.parse_fmt`` decode
+    attempt on each payload, not from bookkeeping: the corpus
+    synthesizes by ``doc_id % 8`` a truecolor / grayscale / palette /
+    gray-alpha / RGBA PNG, a mid-CRC-truncated PNG, a 16-bit-depth
+    header, and plain junk bytes — so the hash gate verifies the
+    decoder CLASSIFIES every payload exactly as constructed (a decoder
+    that mislabeled corruption as unsupported, or decoded junk, fails
+    the count table).
 
     Scale shape: the decode attempt is the same Arrow-batched map pass
     the feature pipeline runs anyway; the report is one |classes|-row
-    (≤6 groups) hash aggregate on a tiny string key — map-side
+    (≤8 groups) hash aggregate on a tiny string key — map-side
     combined, nothing corpus-sized shuffles."""
     from ..operators.multimodal import PNGDecoder
     from ..tables import spread
@@ -324,18 +327,20 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pal = bytes(
             b for i in range(256) for b in ((3 * i) % 256, (5 * i) % 256, (7 * i) % 256)
         )
-        rgba_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
-        rgba = (
+        # valid chunk grammar, depth=16 header: the one remaining
+        # declared-unsupported class reachable without corruption
+        deep_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+        deep = (
             PNGDecoder.MAGIC
-            + PNGDecoder._chunk(b"IHDR", rgba_ihdr)
-            + PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 16))))
+            + PNGDecoder._chunk(b"IHDR", deep_ihdr)
+            + PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 24))))
             + PNGDecoder._chunk(b"IEND", b"")
         )
         for pdf in it:
             outcomes = []
             for doc_id in pdf["doc_id"]:
                 w, h = int(8 + doc_id % 9), int(8 + doc_id % 7)
-                mode = int(doc_id) % 6
+                mode = int(doc_id) % 8
                 if mode == 0:
                     body = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
                     buf = PNGDecoder.encode(w, h, body.tobytes())
@@ -346,12 +351,18 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = ((doc_id * 31 + np.arange(w * h)) % 256).astype(np.uint8)
                     buf = PNGDecoder.encode(w, h, idx.tobytes(), ctype=3, palette=pal)
                 elif mode == 3:
+                    body = ((doc_id * 31 + np.arange(w * h * 2)) % 256).astype(np.uint8)
+                    buf = PNGDecoder.encode(w, h, body.tobytes(), ctype=4)
+                elif mode == 4:
+                    body = ((doc_id * 31 + np.arange(w * h * 4)) % 256).astype(np.uint8)
+                    buf = PNGDecoder.encode(w, h, body.tobytes(), ctype=6)
+                elif mode == 5:
                     body = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
                     # cut through IEND into IDAT's 4-byte CRC — the
                     # exact truncation class of the round-4 advice fix
                     buf = PNGDecoder.encode(w, h, body.tobytes())[:-14]
-                elif mode == 4:
-                    buf = rgba
+                elif mode == 6:
+                    buf = deep
                 else:
                     buf = b"junk bytes, not a png at all " + bytes([doc_id % 256])
                 fmt, _ = PNGDecoder.parse_fmt(buf)
@@ -360,7 +371,9 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = ids.mapInPandas(synth_and_classify, schema="doc_id long, outcome string")
     return out.groupBy("outcome").agg(
-        F.max(F.col("outcome").isin("rgb", "gray", "palette")).alias("decoded"),
+        F.max(
+            F.col("outcome").isin("rgb", "gray", "palette", "gray-alpha", "rgba")
+        ).alias("decoded"),
         F.count(F.lit(1)).alias("n_docs"),
     )
 

@@ -209,8 +209,9 @@ def test_png_roundtrip_every_filter_type():
 
 def test_png_rejects_malformed_and_out_of_subset():
     """Corruption (CRC, truncation) and declared-out-of-subset headers
-    (alpha variants, 16-bit, interlaced) must yield None — with the
-    RIGHT outcome label — never garbage."""
+    (16-bit, interlaced) must yield None — with the RIGHT outcome
+    label — never garbage. Alpha variants are IN-subset since round 6:
+    a wrong-stride alpha body is corrupt, not unsupported."""
     import struct
     import zlib
 
@@ -246,8 +247,10 @@ def test_png_rejects_malformed_and_out_of_subset():
             + mm.PNGDecoder._chunk(b"IEND", b"")
         )
 
-    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 4, 0))[0] == "unsupported"  # gray+alpha
-    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 6, 0))[0] == "unsupported"  # RGBA
+    # alpha headers are in-subset since round 6 — these bodies carry
+    # the WRONG stride for their color type, so they're corrupt
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 4, 0))[0] == "corrupt"  # gray+alpha
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 6, 0))[0] == "corrupt"  # RGBA
     assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 2, 0))[0] == "unsupported"  # 16-bit
     assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 2, 1))[0] == "unsupported"  # interlaced
     # a gray header whose body carries the WRONG stride is corrupt, not
@@ -368,3 +371,60 @@ def test_wav_odd_chunk_word_alignment():
     out = out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
     d = mm.WAVAudioDecoder().decode(out)
     assert d["n_samples"] == 4 and d["sr"] == 8000, d
+
+
+def test_png_alpha_round_trip_all_filters():
+    """Round-6 subset widening: gray+alpha (ctype 4) and RGBA (ctype 6)
+    must decode through every scanline filter with the alpha channel
+    flattened over the declared white background by the exact integer
+    formula (a*fg + (255-a)*bg + 127) // 255."""
+    import numpy as np
+
+    bg = mm.PNGDecoder.ALPHA_BG
+
+    def flat(fg, a):
+        return (int(a) * int(fg) + (255 - int(a)) * bg + 127) // 255
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (16, 9), (5, 7)]:
+        ga = rng.randint(0, 256, w * h * 2, dtype=np.uint8)
+        want_ga = bytes(
+            b
+            for j in range(0, len(ga), 2)
+            for c in (flat(ga[j], ga[j + 1]),)
+            for b in (c, c, c)
+        )
+        rgba = rng.randint(0, 256, w * h * 4, dtype=np.uint8)
+        want_rgba = bytes(
+            flat(rgba[j + ch], rgba[j + 3])
+            for j in range(0, len(rgba), 4)
+            for ch in (0, 1, 2)
+        )
+        for f in range(5):
+            fmt, got = mm.PNGDecoder.parse_fmt(
+                mm.PNGDecoder.encode(w, h, ga.tobytes(), [f] * h, ctype=4)
+            )
+            assert fmt == "gray-alpha" and got == (w, h, want_ga), (w, h, f)
+            fmt, got = mm.PNGDecoder.parse_fmt(
+                mm.PNGDecoder.encode(w, h, rgba.tobytes(), [f] * h, ctype=6)
+            )
+            assert fmt == "rgba" and got == (w, h, want_rgba), (w, h, f)
+
+
+def test_png_alpha_compositing_boundaries():
+    """Alpha semantics pinned at the boundaries: a=255 is the identity
+    (RGBA decodes to its own RGB), a=0 is the background everywhere,
+    and a mid alpha rounds half-up."""
+    # fully opaque: identity with the RGB decode of the same pixels
+    rgb = bytes([10, 20, 30, 200, 150, 100])
+    rgba = bytes([10, 20, 30, 255, 200, 150, 100, 255])
+    _, got = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(2, 1, rgba, ctype=6))
+    assert got == (2, 1, rgb)
+    # fully transparent: the declared white background
+    rgba0 = bytes([10, 20, 30, 0, 200, 150, 100, 0])
+    _, got = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(2, 1, rgba0, ctype=6))
+    assert got == (2, 1, bytes([255] * 6))
+    # half alpha (a=128 on fg=0 over bg=255): (128*0 + 127*255 + 127)//255 = 127
+    ga = bytes([0, 128])
+    _, got = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(1, 1, ga, ctype=4))
+    assert got == (1, 1, bytes([127, 127, 127]))
