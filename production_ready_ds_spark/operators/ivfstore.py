@@ -285,6 +285,30 @@ class IVFStore:
             ),
         )
 
+    def compact_tiered(
+        self, spark: SparkSession, *, fanout: int = 8, n_files: int = 8
+    ) -> int:
+        """LSM-style leveled fold (the sigstore kernel): amortized
+        O(batch·log) rewrite per append instead of compact()'s full
+        O(store) fold — the shape a continuously-fed vector index runs
+        (pipelines/ingest_semdedup.py appends per batch; footer-open
+        cost stays O(fanout·levels))."""
+        from .layout import write_range_clustered
+        from .sigstore import compact_tiered_segments
+
+        return compact_tiered_segments(
+            spark,
+            segments=self.segments(),
+            fanout=fanout,
+            seg_path=lambda s: self._path(f"seg={s['seg']}"),
+            write_segment=lambda df, seg: write_range_clustered(
+                df, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
+            ),
+            write_manifest=lambda segs: self._write_json(
+                MANIFEST, {"segments": segs}
+            ),
+        )
+
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
         """Fold all segments into one list-clustered segment (bounds
         footer-open cost). Single-writer, like sigstore.compact."""

@@ -224,33 +224,21 @@ class SignatureStore:
         re-fold on every trigger would pay, and footer-open cost stays
         O(fanout · levels). Same single-writer contract as append.
         Returns the segment count after folding."""
-        import shutil
-
-        while True:
-            segs = self.segments()
-            by_level: dict[int, list[dict]] = {}
-            for s in segs:
-                by_level.setdefault(int(s.get("level", 0)), []).append(s)
-            ripe = next(
-                (g for _, g in sorted(by_level.items()) if len(g) >= fanout), None
-            )
-            if ripe is None:
-                return len(segs)
-            df = spark.read.parquet(*[self._seg_path(s) for s in ripe])
-            merged = {
-                "seg": max(s["seg"] for s in segs) + 1,
-                "id_min": min(s["id_min"] for s in ripe),
-                "id_max": max(s["id_max"] for s in ripe),
+        return compact_tiered_segments(
+            spark,
+            segments=self.segments(),
+            fanout=fanout,
+            seg_path=self._seg_path,
+            write_segment=lambda df, seg: write_range_clustered(
+                df, self._seg_path(seg), ["band", "key"], n_files=n_files
+            ),
+            write_manifest=self._write_manifest,
+            merge_fields=lambda ripe: {
                 "rows": sum(s["rows"] for s in ripe)
                 if all(s["rows"] is not None for s in ripe)
-                else None,
-                "level": int(ripe[0].get("level", 0)) + 1,
-            }
-            write_range_clustered(df, self._seg_path(merged), ["band", "key"], n_files=n_files)
-            ripe_ids = {s["seg"] for s in ripe}
-            self._write_manifest([s for s in segs if s["seg"] not in ripe_ids] + [merged])
-            for s in ripe:
-                shutil.rmtree(self._seg_path(s), ignore_errors=True)
+                else None
+            },
+        )
 
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
         """Fold all segments into one range-clustered segment (bounds
@@ -276,6 +264,67 @@ class SignatureStore:
         for s in segments:
             shutil.rmtree(self._seg_path(s), ignore_errors=True)
         return 1
+
+
+def compact_tiered_segments(
+    spark: SparkSession,
+    *,
+    segments: list[dict],
+    fanout: int,
+    seg_path,
+    write_segment,
+    write_manifest,
+    merge_fields=None,
+    extra_merge=None,
+    extra_cleanup=None,
+) -> int:
+    """Shared LSM-style leveled-fold kernel for the manifest-backed
+    stores (SignatureStore / TermStore / IVFStore): whenever any level
+    holds ≥ ``fanout`` segments, merge that level into ONE segment at
+    level+1 and cascade — each row rewritten at most once per level,
+    so amortized compaction cost per batch is
+    O(batch · log_fanout(corpus/batch)) and footer-open cost stays
+    O(fanout · levels), never the O(corpus) a full re-fold on every
+    trigger would pay.
+
+    ``merge_fields(ripe) -> dict`` enriches the merged manifest entry
+    with store-specific statistics (sigstore's rows, termstore's
+    n_docs/sum_dl); ``extra_merge(ripe, merged)`` materializes any
+    sidecar data BEFORE the manifest swap (termstore's doc-length
+    docmap — the append crash ordering: all data durable, then one
+    manifest replace); ``extra_cleanup(seg)`` removes sidecar dirs of
+    folded segments. Single-writer contract, like append/compact.
+    Returns the segment count after folding."""
+    import shutil
+
+    while True:
+        by_level: dict[int, list[dict]] = {}
+        for s in segments:
+            by_level.setdefault(int(s.get("level", 0)), []).append(s)
+        ripe = next(
+            (g for _, g in sorted(by_level.items()) if len(g) >= fanout), None
+        )
+        if ripe is None:
+            return len(segments)
+        df = spark.read.parquet(*[seg_path(s) for s in ripe])
+        merged = {
+            "seg": max(s["seg"] for s in segments) + 1,
+            "id_min": min(s["id_min"] for s in ripe),
+            "id_max": max(s["id_max"] for s in ripe),
+            "level": int(ripe[0].get("level", 0)) + 1,
+        }
+        if merge_fields is not None:
+            merged.update(merge_fields(ripe))
+        write_segment(df, merged)
+        if extra_merge is not None:
+            extra_merge(ripe, merged)
+        ripe_ids = {s["seg"] for s in ripe}
+        segments = [s for s in segments if s["seg"] not in ripe_ids] + [merged]
+        write_manifest(segments)
+        for s in ripe:
+            shutil.rmtree(seg_path(s), ignore_errors=True)
+            if extra_cleanup is not None:
+                extra_cleanup(s)
 
 
 def delete_ids_from_segments(

@@ -271,6 +271,47 @@ class TermStore:
             1 for s in affected if replaced.get(s["seg"]) is not s
         )
 
+    def compact_tiered(
+        self, spark: SparkSession, *, fanout: int = 8, n_files: int = 8
+    ) -> int:
+        """LSM-style leveled fold (the sigstore kernel): whenever any
+        level holds ≥ ``fanout`` segments, merge into one at level+1 —
+        amortized O(batch·log) rewrite per ingest batch instead of
+        compact()'s full O(store) fold, the shape a continuously-fed
+        search index runs from its single-writer slot. Manifest stats
+        sum across the folded segments; the doc-length sidecar merges
+        alongside BEFORE the manifest swap (crash ordering)."""
+        import shutil
+
+        from .sigstore import compact_tiered_segments
+
+        def extra_merge(ripe: list[dict], merged: dict) -> None:
+            spark.read.parquet(
+                *[self._path(f"docs_seg={s['seg']}") for s in ripe]
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._path(f"docs_seg={merged['seg']}")
+            )
+
+        def extra_cleanup(s: dict) -> None:
+            shutil.rmtree(self._path(f"docs_seg={s['seg']}"), ignore_errors=True)
+
+        return compact_tiered_segments(
+            spark,
+            segments=self.segments(),
+            fanout=fanout,
+            seg_path=lambda s: self._path(f"seg={s['seg']}"),
+            write_segment=lambda df, seg: write_range_clustered(
+                df, self._path(f"seg={seg['seg']}"), ["term"], n_files=n_files
+            ),
+            write_manifest=self._write_manifest,
+            merge_fields=lambda ripe: {
+                "n_docs": sum(int(s["n_docs"]) for s in ripe),
+                "sum_dl": sum(int(s["sum_dl"]) for s in ripe),
+            },
+            extra_merge=extra_merge,
+            extra_cleanup=extra_cleanup,
+        )
+
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
         """Fold all segments into one term-clustered segment."""
         segments = self.segments()

@@ -4203,10 +4203,10 @@ RRF_K = 60
 RRF_NUMER = 1_000_000_000
 
 
-@query(
-    "q_search_rrf",
-    category="llm-similarity",
-    sql=f"""
+# shared by q_search_rrf and its indexed twin (one oracle text, so the
+# scan-served and TermStore-served fusion paths are held to identical
+# integers — the _BM25_SQL convention applied to fusion)
+_RRF_SQL = f"""
     WITH bm AS (
       SELECT rank AS bm25_rank, doc_id FROM ( {_BM25_SQL} )
     ),
@@ -4238,8 +4238,10 @@ RRF_NUMER = 1_000_000_000
            CAST(bm25_rank AS BIGINT) AS bm25_rank,
            CAST(ann_rank AS BIGINT) AS ann_rank
     FROM f
-    """,
-)
+    """
+
+
+@query("q_search_rrf", category="llm-similarity", sql=_RRF_SQL)
 def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID search v2 — candidate FUSION, not just rerank: the BM25
     top-20 (lexical list) is UNIONED with the embedding-cosine top-20
@@ -4265,6 +4267,24 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "embedding"
     )
     return rrf_topk(docs, emb, BM25_QUERY, k=20)
+
+
+@query("q_search_rrf_indexed", category="llm-similarity", sql=_RRF_SQL)
+def q_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_rrf with the LEXICAL list served from the persistent
+    TermStore inverted index (the shared per-corpus /tmp store the
+    other indexed twins use) — held to the IDENTICAL oracle, because
+    TermStore.search is integer-equal to the bm25_topk scan and the
+    fusion arithmetic is exact integer division on both engines. A
+    hash-green row proves the full index-served fusion path: pushed
+    In(term) postings read → BM25 integers → RRF union with the ANN
+    list → integer ranking."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cand = _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
+    return rrf_topk(docs, emb, BM25_QUERY, k=20, candidates=cand)
 
 
 def rrf_topk(

@@ -244,3 +244,23 @@ def test_append_rejects_ids_outside_declared_range(spark, tmp_path, embs):
     with pytest.raises(ValueError, match="escape"):
         store.append(embs, id_min=0, id_max=10)
     assert store.segments() == []
+
+
+def test_compact_tiered_preserves_search(spark, tmp_path, embs):
+    """LSM leveled fold (sigstore-kernel parity): many small appends
+    with a small fanout must cascade into few segments while search
+    results stay identical to a one-shot build."""
+    probes = embs.filter(F.col("vec_id") < 5)
+    one = IVFStore(str(tmp_path / "one"))
+    one.train(embs)
+    one.append(embs, id_min=0, id_max=10**9)
+
+    store = IVFStore(str(tmp_path / "lsm"))
+    store.train(embs)  # same seed + data -> same centroids
+    bounds = list(range(0, 450, 50)) + [10**9]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        batch = embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        store.append(batch, id_min=lo, id_max=hi - 1)
+        store.compact_tiered(spark, fanout=4)
+    assert len(store.segments()) < 9
+    assert _results(store.search(probes)) == _results(one.search(probes))

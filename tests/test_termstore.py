@@ -256,3 +256,46 @@ def test_delete_ids_survives_compact_and_empty_segment_drop(spark, sf_small, tmp
     assert store.compact(spark) == 1
     assert store.stats() == fresh.stats()
     assert _results(store.search(spark, ("spark", "vector"), k=10)) == before
+
+
+def test_compact_tiered_preserves_scores_and_stats(spark, sf_small, tmp_path):
+    """LSM leveled fold (sigstore-kernel parity): 9 per-50-doc appends
+    with fanout 4 must cascade into few segments while BM25/phrase
+    integers and manifest stats stay exactly those of a one-shot
+    build — including the doc-length sidecar, so delete_ids still
+    decrements exactly AFTER tiered folds."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "lsm"))
+    for lo in range(0, 450, 50):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50))
+        assert store.append(batch, id_min=lo, id_max=lo + 49)
+        store.compact_tiered(spark, fanout=4)
+    assert store.append(
+        docs.filter(F.col("doc_id") >= 450), id_min=450, id_max=10**9
+    )
+    n_segs = store.compact_tiered(spark, fanout=4)
+    assert n_segs == len(store.segments()) < 10
+
+    one = TermStore(str(tmp_path / "one"))
+    assert one.append(docs, id_min=0, id_max=10**9)
+    assert store.stats() == one.stats()
+    terms = ("spark", "query", "vector")
+    assert _results(store.search(spark, terms, k=15)) == _results(
+        one.search(spark, terms, k=15)
+    )
+    assert _results(store.search_phrase(spark, ("table", "hash"), k=10)) == _results(
+        one.search_phrase(spark, ("table", "hash"), k=10)
+    )
+    # the sidecar survived the folds: deletion still equals a rebuild
+    victims = [0, 1, 2]
+    store.delete_ids(spark, victims)
+    fresh = TermStore(str(tmp_path / "fresh"))
+    assert fresh.append(
+        docs.filter(~F.col("doc_id").isin(victims)), id_min=0, id_max=10**9
+    )
+    assert store.stats() == fresh.stats()
+    assert _results(store.search(spark, terms, k=15)) == _results(
+        fresh.search(spark, terms, k=15)
+    )
