@@ -4241,7 +4241,7 @@ _RRF_SQL = f"""
     """
 
 
-@query("q_search_rrf", category="llm-similarity", sql=_RRF_SQL)
+@query("q_search_rrf", category="llm-similarity", bench=True, sql=_RRF_SQL)
 def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID search v2 — candidate FUSION, not just rerank: the BM25
     top-20 (lexical list) is UNIONED with the embedding-cosine top-20
@@ -4294,12 +4294,19 @@ def rrf_topk(
     *,
     k: int = 20,
     candidates: DataFrame | None = None,
+    ann_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion of the BM25 top-k and the seed-vector
     cosine top-k (see q_search_rrf) for an ARBITRARY term tuple —
-    ``emb`` is a (doc_id, embedding) frame. ``candidates`` (a
-    (rank, doc_id, ...) frame, e.g. TermStore.search's integer-equal
-    output) serves the lexical list from a persistent index."""
+    ``emb`` is a (doc_id, embedding) frame. BOTH candidate stages are
+    index-servable: ``candidates`` (a (rank, doc_id, ...) frame, e.g.
+    TermStore.search's integer-equal output) serves the lexical list
+    from the inverted index; ``ann_candidates`` (an
+    (ann_rank, doc_id) frame, e.g. IVFStore.search's per-probe top-k
+    re-ranked) serves the semantic list from the vector index instead
+    of the brute-force corpus pass — at high nprobe the IVF list
+    equals brute force exactly (tested), and at lower nprobe RRF
+    degrades gracefully because a missing list member just scores 0."""
     from pyspark.sql import Window
 
     bm = (
@@ -4307,29 +4314,33 @@ def rrf_topk(
         .select(F.col("rank").alias("bm25_rank"), "doc_id")
         .localCheckpoint(eager=True)  # consumed by seed AND fusion
     )
-    seed = (
-        F.broadcast(bm)
-        .join(emb, "doc_id")
-        .orderBy("bm25_rank")
-        .limit(1)
-        .select(F.col("embedding").alias("qe"))
-    )
-    sims = emb.crossJoin(F.broadcast(seed)).select(
-        "doc_id", cosine(F.col("embedding"), F.col("qe")).alias("raw_cos")
-    )
-    # orderBy+limit = TakeOrderedAndProject (partition-local top-k +
-    # k-row merge), THEN rank the k survivors — never a global window
-    ann = (
-        sims.orderBy(F.desc("raw_cos"), F.asc("doc_id"))
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.desc("raw_cos"), F.asc("doc_id")))
-            .cast("long")
-            .alias("ann_rank"),
-            "doc_id",
+    if ann_candidates is not None:
+        ann = ann_candidates.select("ann_rank", "doc_id")
+    else:
+        seed = (
+            F.broadcast(bm)
+            .join(emb, "doc_id")
+            .orderBy("bm25_rank")
+            .limit(1)
+            .select(F.col("embedding").alias("qe"))
         )
-    )
+        sims = emb.crossJoin(F.broadcast(seed)).select(
+            "doc_id", cosine(F.col("embedding"), F.col("qe")).alias("raw_cos")
+        )
+        # orderBy+limit = TakeOrderedAndProject (partition-local top-k
+        # + k-row merge), THEN rank the k survivors — never a global
+        # window
+        ann = (
+            sims.orderBy(F.desc("raw_cos"), F.asc("doc_id"))
+            .limit(k)
+            .select(
+                F.row_number()
+                .over(Window.orderBy(F.desc("raw_cos"), F.asc("doc_id")))
+                .cast("long")
+                .alias("ann_rank"),
+                "doc_id",
+            )
+        )
     fused = bm.join(ann, "doc_id", "full_outer")
     score = F.coalesce(
         F.expr(f"{RRF_NUMER} div ({RRF_K} + bm25_rank)"), F.lit(0)
@@ -4357,6 +4368,7 @@ _DUCK_HAMMING = " + ".join(
 @query(
     "q_ann_recall",
     category="llm-similarity",
+    bench=True,
     sql=f"""
     WITH {_DUCK_PLANES_CTE},
     b AS (

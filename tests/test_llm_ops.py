@@ -1425,3 +1425,56 @@ def test_rrf_scores_are_exact_reciprocal_rank_integers(spark):
         if r.ann_rank is not None:
             want += RRF_NUMER // (RRF_K + r.ann_rank)
         assert r.rrf_score == want, (r.doc_id, r.rrf_score, want)
+
+
+def test_rrf_ivf_served_ann_list_matches_brute_force(spark, sf_small, tmp_path):
+    """Verdict parity: the fusion's semantic list can be served from
+    the IVFStore — at nprobe = every list the store's ranking is the
+    brute-force ranking, so the fused output is IDENTICAL to
+    q_search_rrf's corpus-pass shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.ivfstore import IVFStore
+    from production_ready_ds_spark.queries.llm import bm25_topk, rrf_topk
+    from production_ready_ds_spark.tables import load
+
+    terms = ("spark", "vector")
+    k = 10
+    docs = load(spark, sf_small, "documents")
+    emb = load(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    brute = [tuple(r) for r in rrf_topk(docs, emb, terms, k=k).collect()]
+
+    # seed doc: top BM25 hit holding a stored embedding (the rrf_topk
+    # convention), served here as a 1-row probe into the vector index
+    bm = bm25_topk(docs, terms, k=k)
+    seed_id = (
+        bm.join(emb, "doc_id").orderBy("rank").limit(1).first().doc_id
+    )
+    store = IVFStore(str(tmp_path / "ivf"))
+    n_lists = store.train(emb, vec_col="embedding")
+    store.append(emb, id_min=0, id_max=10**9, id_col="doc_id")
+    probe = emb.filter(F.col("doc_id") == seed_id)
+    found = store.search(
+        probe, top_k=k - 1, nprobe=n_lists, id_col="doc_id"
+    )
+    # store excludes the probe itself; brute force ranks it first at
+    # cos=1 — prepend it and shift the store ranks by one
+    neigh = found.select(
+        (
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("ann_rank"),
+        F.col("neighbor_id").alias("doc_id"),
+    )
+    seed_row = spark.createDataFrame([(1, seed_id)], "ann_rank long, doc_id long")
+    fused = rrf_topk(
+        docs, emb, terms, k=k, ann_candidates=seed_row.unionByName(neigh)
+    )
+    assert [tuple(r) for r in fused.collect()] == brute
