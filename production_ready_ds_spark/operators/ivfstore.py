@@ -215,15 +215,25 @@ class IVFStore:
         ingest DAG needs the assignment for its decision pass) passes
         the frame via ``assigned`` so the argmin map pass isn't paid
         twice; it must hold exactly this batch's
-        (id_col, vec_col, list_id) rows under this store's
-        centroids."""
+        (id_col, vec_col, list_id) rows under this store's centroids,
+        and should be MATERIALIZED (localCheckpoint) — append consumes
+        it twice (bounds agg + write) and does not re-checkpoint a
+        caller-provided frame."""
         segments = self.segments()
         if skip_if_range_indexed and any(
             s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
         ):
             return False
         if assigned is None:
-            assigned = self.assign(embeddings, id_col=id_col, vec_col=vec_col)
+            # checkpoint so the assign matmul isn't paid twice (once by
+            # the bounds agg below, once by the write). A CALLER-provided
+            # frame is NOT re-checkpointed — the ingest DAG already
+            # materializes it (re-checkpointing would copy the batch's
+            # vectors into block storage a second time); callers passing
+            # a lazy frame just pay its recompute on the agg.
+            assigned = self.assign(
+                embeddings, id_col=id_col, vec_col=vec_col
+            ).localCheckpoint(eager=True)
         # One bounded agg over the batch before anything is written:
         # (a) an EMPTY batch (an id-range gap spanning a whole ingest
         # window) must not register a segment — a zero-row parquet dir
@@ -233,9 +243,7 @@ class IVFStore:
         # hazard); (b) the batch's ids must actually lie inside the
         # declared [id_min, id_max], or skip_if_range_indexed would
         # silently drop a future overlapping batch while search keeps
-        # returning confidently wrong rows. checkpoint so the assign
-        # matmul isn't paid twice (once here, once by the write).
-        assigned = assigned.localCheckpoint(eager=True)
+        # returning confidently wrong rows.
         bounds = assigned.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(id_col).alias("lo"),

@@ -96,6 +96,22 @@ class TermStore:
             json.dump({"segments": segments}, fh)
         os.replace(tmp, self._path(MANIFEST))
 
+    def _docmap_path(self, seg: dict) -> str:
+        """Path of a segment's doc-length sidecar, with a CLEAR error
+        for stores built before STORE_VERSION 3 (no sidecar on disk):
+        delete/compact would otherwise die mid-rewrite on an unguided
+        PATH_NOT_FOUND — after possibly having written a merged
+        postings dir. Callers resolve every needed sidecar BEFORE
+        writing anything."""
+        p = self._path(f"docs_seg={seg['seg']}")
+        if not os.path.isdir(p):
+            raise ValueError(
+                f"TermStore at {self.root} has no doc-length sidecar for "
+                f"seg={seg['seg']} — it was built by STORE_VERSION < 3; "
+                "rebuild the index to enable delete_ids/compact"
+            )
+        return p
+
     def stats(self) -> tuple[int, int]:
         """(N docs, Σ doc length) across every indexed batch — O(1)
         manifest metadata."""
@@ -214,11 +230,14 @@ class TermStore:
         ]
         if not affected:
             return 0
+        # resolve every sidecar FIRST — a v2 store fails loudly here,
+        # before any rewrite could leave orphan directories
+        docmaps = {s["seg"]: self._docmap_path(s) for s in affected}
         next_seg = max(s["seg"] for s in segments) + 1
         replaced: dict[int, dict | None] = {}
         old_dirs: list[str] = []
         for s in affected:
-            docmap = spark.read.parquet(self._path(f"docs_seg={s['seg']}"))
+            docmap = spark.read.parquet(docmaps[s["seg"]])
             gone = docmap.filter(F.col("doc_id").isin(id_list)).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("dl"), F.lit(0)).alias("dl"),
@@ -228,21 +247,28 @@ class TermStore:
                 replaced[s["seg"]] = s
                 continue
             old_dirs.append(self._path(f"seg={s['seg']}"))
-            old_dirs.append(self._path(f"docs_seg={s['seg']}"))
-            new = {
-                "seg": next_seg,
-                "id_min": s["id_min"],
-                "id_max": s["id_max"],
-                "n_docs": int(s["n_docs"]) - int(gone["n"]),
-                "sum_dl": int(s["sum_dl"]) - int(gone["dl"]),
-            }
+            old_dirs.append(docmaps[s["seg"]])
+            # dict(s, ...) preserves every other manifest field — in
+            # particular 'level', or the next compact_tiered would see
+            # a big folded segment back at level 0 and re-merge it with
+            # fresh batches: an O(store) rewrite the LSM contract bans
+            new = dict(
+                s,
+                seg=next_seg,
+                n_docs=int(s["n_docs"]) - int(gone["n"]),
+                sum_dl=int(s["sum_dl"]) - int(gone["dl"]),
+            )
             next_seg += 1
             if new["n_docs"] <= 0:
                 replaced[s["seg"]] = None  # segment emptied: drop it
                 continue
-            kept_post = spark.read.parquet(
-                self._path(f"seg={s['seg']}")
-            ).filter(~F.col("doc_id").isin(id_list))
+            # checkpoint: the kept frame feeds the emptiness probe AND
+            # the rewrite — one read of the old segment, not two
+            kept_post = (
+                spark.read.parquet(self._path(f"seg={s['seg']}"))
+                .filter(~F.col("doc_id").isin(id_list))
+                .localCheckpoint(eager=True)
+            )
             # repartition(1) (never coalesce) on the all-postings-gone
             # edge: guarantees one writer task, so the dir always holds
             # a schema-bearing part file instead of poisoning reads
@@ -285,9 +311,12 @@ class TermStore:
 
         from .sigstore import compact_tiered_segments
 
+        for s in self.segments():  # fail loudly on a pre-v3 store
+            self._docmap_path(s)
+
         def extra_merge(ripe: list[dict], merged: dict) -> None:
             spark.read.parquet(
-                *[self._path(f"docs_seg={s['seg']}") for s in ripe]
+                *[self._docmap_path(s) for s in ripe]
             ).coalesce(1).write.mode("overwrite").parquet(
                 self._path(f"docs_seg={merged['seg']}")
             )
@@ -317,6 +346,8 @@ class TermStore:
         segments = self.segments()
         if len(segments) <= 1:
             return len(segments)
+        # resolve sidecars BEFORE writing anything (pre-v3 store check)
+        doc_paths = [self._docmap_path(s) for s in segments]
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segments])
         merged = {
             "seg": max(s["seg"] for s in segments) + 1,
@@ -328,11 +359,9 @@ class TermStore:
         write_range_clustered(
             df, self._path(f"seg={merged['seg']}"), ["term"], n_files=n_files
         )
-        spark.read.parquet(
-            *[self._path(f"docs_seg={s['seg']}") for s in segments]
-        ).coalesce(1).write.mode("overwrite").parquet(
-            self._path(f"docs_seg={merged['seg']}")
-        )
+        spark.read.parquet(*doc_paths).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self._path(f"docs_seg={merged['seg']}"))
         self._write_manifest([merged])
         import shutil
 

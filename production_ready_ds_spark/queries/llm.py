@@ -10,6 +10,8 @@ LSH band / label bucket, and brute-force cosine is only on the
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -4057,14 +4059,33 @@ def _cached_corpus_index(spark: SparkSession, sf_dir: str):
     TermStore is single-writer, and two processes racing the seg=0
     write + manifest replace would corrupt the store; after the lock,
     skip_if_range_indexed makes the loser's append a no-op."""
-    import fcntl
+    from ..operators.termstore import STORE_VERSION, TermStore
+
+    store = TermStore(
+        _corpus_cache_dir("prds_termstore", sf_dir, "documents", STORE_VERSION)
+    )
+    with _build_lock(store.root):
+        store.append(
+            load(spark, sf_dir, "documents"),
+            id_min=0,
+            id_max=2**62,
+            skip_if_range_indexed=True,
+        )
+    return store
+
+
+def _corpus_cache_dir(prefix: str, sf_dir: str, table: str, version) -> str:
+    """Shared /tmp cache-key convention for corpus-derived persistent
+    state (the TermStore AND IVFStore caches): the key hashes
+    (abspath, recursive (relpath, size, mtime_ns) manifest of the
+    source table, version), so a REGENERATED corpus at the same path —
+    or a version bump of the derived layout — always gets a fresh
+    directory instead of silently re-serving stale state."""
     import hashlib
     import os
     import tempfile
 
-    from ..operators.termstore import STORE_VERSION, TermStore
-
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
 
     def stat_sig(path: str) -> list[tuple[str, int, int]]:
         if os.path.isfile(path):
@@ -4080,22 +4101,24 @@ def _cached_corpus_index(spark: SparkSession, sf_dir: str):
 
     sig = stat_sig(src) if os.path.exists(src) else []
     key = hashlib.md5(
-        repr((os.path.abspath(sf_dir), sig, STORE_VERSION)).encode()
+        repr((os.path.abspath(sf_dir), sig, version)).encode()
     ).hexdigest()[:16]
-    root = os.path.join(tempfile.gettempdir(), f"prds_termstore_{key}")
-    store = TermStore(root)
+    return os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+
+
+@contextmanager
+def _build_lock(root: str):
+    """Exclusive flock on a sibling lockfile — serializes concurrent
+    first-builds of a shared single-writer /tmp store; after the lock
+    the store's own idempotence guard makes the loser a no-op."""
+    import fcntl
+
     with open(root + ".lock", "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
         try:
-            store.append(
-                load(spark, sf_dir, "documents"),
-                id_min=0,
-                id_max=2**62,
-                skip_if_range_indexed=True,
-            )
+            yield
         finally:
             fcntl.flock(lk, fcntl.LOCK_UN)
-    return store
 
 
 @query(
@@ -4232,12 +4255,14 @@ _RRF_SQL = f"""
              + COALESCE({RRF_NUMER} // ({RRF_K} + ann.ann_rank), 0) AS s
       FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
     )
-    SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
-             AS rrf_rank,
-           doc_id, CAST(s AS BIGINT) AS rrf_score,
-           CAST(bm25_rank AS BIGINT) AS bm25_rank,
-           CAST(ann_rank AS BIGINT) AS ann_rank
-    FROM f
+    SELECT * FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+               AS rrf_rank,
+             doc_id, CAST(s AS BIGINT) AS rrf_score,
+             CAST(bm25_rank AS BIGINT) AS bm25_rank,
+             CAST(ann_rank AS BIGINT) AS ann_rank
+      FROM f
+    ) WHERE rrf_rank <= 20
     """
 
 
@@ -4345,15 +4370,21 @@ def rrf_topk(
     score = F.coalesce(
         F.expr(f"{RRF_NUMER} div ({RRF_K} + bm25_rank)"), F.lit(0)
     ) + F.coalesce(F.expr(f"{RRF_NUMER} div ({RRF_K} + ann_rank)"), F.lit(0))
-    return fused.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc(score), F.asc("doc_id")))
-        .cast("long")
-        .alias("rrf_rank"),
-        "doc_id",
-        score.cast("long").alias("rrf_score"),
-        F.col("bm25_rank").cast("long").alias("bm25_rank"),
-        F.col("ann_rank").cast("long").alias("ann_rank"),
+    # the fused union holds up to 2k docs; the contract (and the CLI's
+    # --k) is k RESULTS, so cut after ranking — the window input is
+    # already ≤ 2k rows, never corpus-sized
+    return (
+        fused.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc(score), F.asc("doc_id")))
+            .cast("long")
+            .alias("rrf_rank"),
+            "doc_id",
+            score.cast("long").alias("rrf_score"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("ann_rank").cast("long").alias("ann_rank"),
+        )
+        .filter(F.col("rrf_rank") <= k)
     )
 
 
@@ -4554,10 +4585,17 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivfstore import IVFStore
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    store = IVFStore(_scratch_dir("prds_ivf_recall", sf_dir))
-    if store.centroids() is None or not store.segments():
-        store.train(e)
-        store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
+    # same staleness + single-writer discipline as the TermStore cache:
+    # the key re-derives from the corpus stat manifest (a regenerated
+    # corpus at the same path never re-serves old centroids/segments),
+    # and the first build is flock-serialized
+    store = IVFStore(
+        _corpus_cache_dir("prds_ivf_recall", sf_dir, "embeddings", 1)
+    )
+    with _build_lock(store.root):
+        if store.centroids() is None or not store.segments():
+            store.train(e)
+            store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
     probes = e.filter(F.col("vec_id") < 10)
 
     en = e.withColumn("nrm", norm(F.col("embedding")))
@@ -4610,19 +4648,6 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
         )
     )
-
-
-def _scratch_dir(prefix: str, sf_dir: str) -> str:
-    """Per-(corpus, prefix) scratch directory under /tmp for cached
-    derived state (the _cached_corpus_index key convention, without
-    the mtime manifest — callers that need staleness detection build
-    their own key)."""
-    import hashlib
-    import os
-    import tempfile
-
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
 
 
 #: fixed exact phrase for the catalog surface (the corpus's most
