@@ -14,6 +14,7 @@ Commands:
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
   search <term> [term ...]     — BM25 (--index postings / --phrase / --hybrid / --rrf)
   index  --root DIR            — build the BM25 inverted index
+         [--delete IDs | --compact | --compact-tiered] — maintenance
   corpus                       — run the full corpus-build DAG
   Any data command takes --explain to print the formatted plan.
   Common flags: --sf DIR (default /root/testdata/sf0.01),
@@ -80,11 +81,29 @@ def _parser() -> argparse.ArgumentParser:
     )
     common(search)
     index = sub.add_parser(
-        "index", help="build/refresh the BM25 inverted index (TermStore)"
+        "index", help="build/refresh/maintain the BM25 inverted index (TermStore)"
     )
     index.add_argument("--root", required=True, help="TermStore directory")
     index.add_argument("--sf", default="/root/testdata/sf0.01")
     index.add_argument("--cpus", type=int, default=8)
+    index.add_argument(
+        "--delete",
+        default=None,
+        metavar="ID[,ID...]",
+        help="remove these doc_ids from the index (RTBF; post-delete "
+        "scores equal a fresh build) instead of appending",
+    )
+    index.add_argument(
+        "--compact",
+        action="store_true",
+        help="fold ALL segments into one (full O(store) rewrite)",
+    )
+    index.add_argument(
+        "--compact-tiered",
+        action="store_true",
+        help="LSM leveled fold (amortized O(batch log) — the "
+        "continuous-ingest shape)",
+    )
     corpus = sub.add_parser("corpus")
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
     corpus.add_argument("--cpus", type=int, default=8)
@@ -213,11 +232,32 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.termstore import TermStore
         from .tables import load
 
-        docs = load(spark, args.sf, "documents")
         store = TermStore(args.root)
-        wrote = store.append(docs, id_min=0, id_max=2**62, skip_if_range_indexed=True)
-        n, sumdl = store.stats()
-        print(f"{'indexed' if wrote else 'already indexed'}: {n} docs, {sumdl} tokens at {args.root}")
+        if args.delete:
+            ids = [int(x) for x in args.delete.split(",") if x.strip()]
+            n_rw = store.delete_ids(spark, ids)
+            n, sumdl = store.stats()
+            print(
+                f"deleted {len(ids)} ids ({n_rw} segments rewritten): "
+                f"{n} docs, {sumdl} tokens at {args.root}"
+            )
+        elif args.compact or args.compact_tiered:
+            n_segs = (
+                store.compact_tiered(spark)
+                if args.compact_tiered
+                else store.compact(spark)
+            )
+            print(f"compacted to {n_segs} segment(s) at {args.root}")
+        else:
+            docs = load(spark, args.sf, "documents")
+            wrote = store.append(
+                docs, id_min=0, id_max=2**62, skip_if_range_indexed=True
+            )
+            n, sumdl = store.stats()
+            print(
+                f"{'indexed' if wrote else 'already indexed'}: "
+                f"{n} docs, {sumdl} tokens at {args.root}"
+            )
     elif args.cmd == "corpus":
         from .pipelines.corpus_build import corpus_build_dag
         from .workflow import build

@@ -151,3 +151,24 @@ def test_search_rrf_command(spark, sf_small, capsys):
     assert want
     for r in want:
         assert str(r.doc_id) in out, (r.doc_id, out)
+
+
+def test_index_delete_and_compact_commands(spark, sf_small, tmp_path, capsys):
+    """`index --delete` must remove the ids (searches re-score as a
+    fresh build) and `index --compact` must fold segments — the CLI
+    face of the store's RTBF/maintenance operations."""
+    from production_ready_ds_spark.operators.termstore import TermStore
+
+    root = str(tmp_path / "ts")
+    assert main(["index", "--root", root, "--sf", sf_small]) == 0
+    out1 = capsys.readouterr().out
+    assert "indexed: 500 docs" in out1
+    assert main(["index", "--root", root, "--delete", "0,1,2", "--sf", sf_small]) == 0
+    out2 = capsys.readouterr().out
+    assert "deleted 3 ids" in out2 and "497 docs" in out2
+    store = TermStore(root)
+    hits = {r.doc_id for r in store.search(spark, ("spark",), k=100).collect()}
+    assert not (hits & {0, 1, 2})
+    assert main(["index", "--root", root, "--compact", "--sf", sf_small]) == 0
+    assert "compacted to 1 segment" in capsys.readouterr().out
+    assert store.stats()[0] == 497
