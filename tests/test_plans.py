@@ -635,3 +635,29 @@ def test_hybrid_rerank_stays_candidate_sized(spark, sf_small, cat):
     assert plan.count("BroadcastExchange") >= 2, plan[:800]
     for cols in exchange_input_columns(df):
         assert "text" not in cols and "ts" not in cols, cols
+
+
+def test_rrf_fusion_stays_candidate_sized(spark, sf_small, cat):
+    """q_search_rrf: the lexical stage is the TakeOrderedAndProject
+    BM25 plan, the seed and ANN-candidate frames join by broadcast,
+    and document text never reaches an exchange — fusion itself only
+    ever touches <= 2k rows."""
+    df = cat["q_search_rrf"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert plan.count("BroadcastExchange") >= 2, plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols, cols
+
+
+def test_ann_recall_report_never_shuffles_embeddings(spark, sf_small, cat):
+    """q_ann_recall: probes/budgets/bucket-rank frames ride broadcasts;
+    the embedding vectors themselves never cross an exchange (the
+    candidate and truth passes are map-side against broadcast probes,
+    and only (nprobe, probe, neighbor) hit rows reach the final
+    aggregate)."""
+    df = cat["q_ann_recall"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan, plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "embedding" not in cols and "pe" not in cols and "ce" not in cols, cols
