@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from .llm import _PPL_SQL
+from .llm import _BM25_SQL, _PPL_SQL
 from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
 
 
@@ -318,3 +318,58 @@ def q_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         out = quality_classifier_apply(model, stream)
     return _run_stream(spark, out, "append")
+
+
+@query("q_stream_index", category="streaming", sql=_BM25_SQL)
+def q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE INDEXING run to completion: the documents stream is
+    foreachBatch-ingested into a persistent TermStore — one
+    term-clustered postings segment per micro-batch, manifest
+    statistics accumulating batch by batch — and the fixed BM25 query
+    is then served FROM THE STREAMED INDEX. Registered with the
+    identical oracle SQL as q_search_bm25/_indexed (one _BM25_SQL
+    constant), so a green row proves the entire online path end to
+    end: micro-batch tokenize → per-batch segment append → summed
+    manifest stats → pushed-In postings read → integer-snapped
+    scoring — stream-built and batch-built indexes are
+    INTEGER-INTERCHANGEABLE (also equivalence-tested in
+    tests/test_termstore.py test_streaming_ingest_equals_batch_build).
+
+    Shape: ingest work is O(micro-batch) (TermStore.append's
+    contract); nothing re-tokenizes earlier batches, and the search
+    reads O(query terms) postings off the accumulated segments. The
+    store lands in a fresh temp directory per run (a repeated range
+    guard can't dedupe arbitrary file-order batches, so each replay
+    gets its own root — the production deployment keys the root by
+    stream checkpoint, pipelines/ingest_termstore.py shape)."""
+    import os
+    import tempfile
+
+    from ..operators.termstore import TermStore
+    from ..streaming.events import _as_stream_dir
+    from .llm import BM25_QUERY
+
+    root = tempfile.mkdtemp(prefix="prds_stream_index_")
+    store = TermStore(root)
+
+    def ingest(batch_df, batch_id):
+        bounds = batch_df.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if bounds[0] is not None:
+            store.append(batch_df, id_min=bounds[0], id_max=bounds[1])
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return store.search(spark, BM25_QUERY, k=20)
