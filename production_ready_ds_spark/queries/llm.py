@@ -1754,6 +1754,113 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_quality_readability",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ts) AS n_words,
+             GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences,
+             COALESCE(list_sum(list_transform(ts,
+               t -> GREATEST(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)
+               AS n_syllables
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CAST(FLOOR((206.835
+                 - (1.015 * (CAST(n_words AS DOUBLE) / n_sentences))
+                 - (84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                * 100 + 0.5) AS BIGINT) AS ease_x100,
+           CAST(FLOOR(((0.39 * (CAST(n_words AS DOUBLE) / n_sentences))
+                 + (11.8 * (CAST(n_syllables AS DOUBLE) / n_words))
+                 - 15.59) * 100 + 0.5) AS BIGINT) AS grade_x100,
+           CASE WHEN FLOOR((206.835
+                 - (1.015 * (CAST(n_words AS DOUBLE) / n_sentences))
+                 - (84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                * 100 + 0.5) >= 7000 THEN 'easy'
+                WHEN FLOOR((206.835
+                 - (1.015 * (CAST(n_words AS DOUBLE) / n_sentences))
+                 - (84.6 * (CAST(n_syllables AS DOUBLE) / n_words)))
+                * 100 + 0.5) >= 3000 THEN 'standard'
+                ELSE 'difficult' END AS band
+    FROM m WHERE n_words > 0
+    """,
+)
+def q_quality_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY quality gate — Flesch reading ease and
+    Flesch-Kincaid grade per document (Flesch 1948 / Kincaid 1975),
+    the classic prose-complexity filters corpus curators run next to
+    the Gopher rules: word count from the shared tokenizer, sentence
+    count from terminal-punctuation runs (min 1), syllables from
+    vowel-group runs per word (min 1 — the standard heuristic; both
+    engines count the identical regex matches). The two scores are
+    pure rational arithmetic on those three integers — no libm — so
+    both engines compute the identical IEEE double and the ×100
+    integer snap makes the hash gate exact; the band label cuts on the
+    snapped integer (easy ≥ 70.00, standard ≥ 30.00).
+
+    Scale shape: MAP-ONLY — tokens, sentence counts and the syllable
+    fold are per-row array expressions in whole-stage codegen; no
+    shuffle at any corpus size (a curation pipeline composes this as
+    one more column on the quality-gate map pass)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_expr(F.col("text")).alias("ts")
+    )
+    m = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.aggregate(
+            F.transform(
+                F.col("ts"),
+                lambda t: F.greatest(
+                    F.lit(1), F.regexp_count(t, F.lit("[aeiouy]+"))
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    w_per_s = F.col("n_words").cast("double") / F.col("n_sentences")
+    syl_per_w = F.col("n_syllables").cast("double") / F.col("n_words")
+    # association order matches the SQL exactly: (a - b) - c and
+    # (a + b) - c on the same doubles → bit-identical before the snap
+    ease = F.floor(
+        (F.lit(206.835) - (F.lit(1.015) * w_per_s) - (F.lit(84.6) * syl_per_w))
+        * 100
+        + F.lit(0.5)
+    )
+    grade = F.floor(
+        ((F.lit(0.39) * w_per_s) + (F.lit(11.8) * syl_per_w) - F.lit(15.59))
+        * 100
+        + F.lit(0.5)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        ease.cast("long").alias("ease_x100"),
+        grade.cast("long").alias("grade_x100"),
+        F.when(ease >= 7000, F.lit("easy"))
+        .when(ease >= 3000, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    )
+
+
 @query("q_quality_compress", category="llm-text", sql=None)
 def q_quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal: deflated_bytes / raw_bytes per

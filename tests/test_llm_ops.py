@@ -1478,3 +1478,39 @@ def test_rrf_ivf_served_ann_list_matches_brute_force(spark, sf_small, tmp_path):
         docs, emb, terms, k=k, ann_candidates=seed_row.unionByName(neigh)
     )
     assert [tuple(r) for r in fused.collect()] == brute
+
+
+def test_readability_separates_simple_from_polysyllabic(spark, tmp_path):
+    """The Flesch gate must place short-word simple prose in a higher
+    ease band than dense polysyllabic text, count the declared units
+    (words / sentence runs / vowel-group syllables, min 1 each), and
+    match the hand-computed snap."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran. We all had fun."),
+            (2, "Incomprehensibility characterizes interdisciplinary "
+                "epistemological institutionalization methodologies."),
+            (3, "no punctuation here at all"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from production_ready_ds_spark.queries import catalog
+
+    rows = {
+        r.doc_id: r
+        for r in catalog()["q_quality_readability"].fn(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].band == "easy" and rows[2].band == "difficult"
+    assert rows[1].ease_x100 > rows[2].ease_x100
+    assert rows[2].grade_x100 > rows[1].grade_x100
+    # unit counting: doc 1 = 10 words, 3 sentence runs; doc 3 has no
+    # terminal punctuation -> sentence floor of 1
+    assert (rows[1].n_words, rows[1].n_sentences) == (10, 3)
+    assert rows[3].n_sentences == 1
+    # hand-check the snap on doc 1 (all monosyllabic)
+    assert rows[1].n_syllables == 10
+    w_s, syl_w = 10 / 3, 10 / 10
+    import math
+
+    want = math.floor((206.835 - 1.015 * w_s - 84.6 * syl_w) * 100 + 0.5)
+    assert rows[1].ease_x100 == want
