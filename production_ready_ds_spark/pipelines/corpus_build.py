@@ -105,7 +105,14 @@ class QualityFilter(SparkTask):
       labels from the Gopher→perplexity teacher ladder, drop docs the
       model scores below 0.5. Featurize+score are map-only; training
       is per-training-row (sample-trainable at scale); a degenerate
-      (one-class) teacher keeps everything — no evidence, no drop."""
+      (one-class) teacher keeps everything — no evidence, no drop.
+    - ``method='readability'``: the Flesch gate
+      (q_quality_readability / llm.readability_scores — one
+      definition): drop docs whose snapped reading-ease lands in the
+      'difficult' band (< 30.00) — a FIXED interpretable threshold,
+      not a corpus percentile, so the gate's behavior doesn't shift
+      with the batch mix; map-only, zero extra shuffles; zero-word
+      docs carry no evidence and are kept."""
 
     data_root = Parameter()
     sf_dir = Parameter()
@@ -128,6 +135,12 @@ class QualityFilter(SparkTask):
             bad = quality_classifier_scores(docs).filter(~F.col("keep")).select(
                 "doc_id"
             )
+        elif self.method == "readability":
+            from ..queries.llm import readability_scores
+
+            bad = readability_scores(docs).filter(
+                F.col("band") == "difficult"
+            ).select("doc_id")
         elif self.method == "perplexity":
             from ..queries.llm import (
                 bigram_model,

@@ -174,6 +174,13 @@ _EXTENSION_PRIORITY = (
     "q_search_phrase",
     "q_search_phrase_indexed",
     "q_mix_epochs",
+    # round-6 additions
+    "q_search_rrf",
+    "q_ann_recall",
+    "q_quality_readability",
+    "q_stream_index",
+    "q_search_rrf_indexed",
+    "q_ann_recall_ivf",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

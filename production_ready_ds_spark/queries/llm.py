@@ -1809,9 +1809,19 @@ def q_quality_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: MAP-ONLY — tokens, sentence counts and the syllable
     fold are per-row array expressions in whole-stage codegen; no
-    shuffle at any corpus size (a curation pipeline composes this as
-    one more column on the quality-gate map pass)."""
-    toks = load(spark, sf_dir, "documents").select(
+    shuffle at any corpus size (pipelines/corpus_build.py QualityFilter
+    method='readability' composes the same readability_scores helper
+    as one more column on the quality-gate map pass)."""
+    return readability_scores(load(spark, sf_dir, "documents"))
+
+
+def readability_scores(docs: DataFrame) -> DataFrame:
+    """The ONE readability definition (see q_quality_readability) for
+    an arbitrary documents frame — shared by the oracle-checked
+    catalog query and the QualityFilter gate so the two can never
+    drift. Zero-word docs carry no evidence and are excluded (the
+    gate keeps them — keep-on-no-evidence)."""
+    toks = docs.select(
         "doc_id", "text", tokens_expr(F.col("text")).alias("ts")
     )
     m = toks.select(

@@ -150,3 +150,25 @@ def test_quality_filter_classifier_method(spark, sf_small, tmp_path):
         r.doc_id: r.keep for r in quality_classifier_scores(before).collect()
     }
     assert kept == {d for d, k in want.items() if k}
+
+
+def test_quality_filter_readability_method(spark, sf_small, tmp_path):
+    """The method='readability' option must drop exactly the
+    'difficult'-band docs (one shared definition with
+    q_quality_readability) and write its own stage target."""
+    from production_ready_ds_spark.pipelines.corpus_build import QualityFilter
+    from production_ready_ds_spark.queries.llm import readability_scores
+    from production_ready_ds_spark.workflow import build
+
+    root = str(tmp_path)
+    build([QualityFilter(data_root=root, sf_dir=sf_small, method="readability")])
+    before = spark.read.parquet(f"{root}/corpus/decontaminated")
+    after = spark.read.parquet(f"{root}/corpus/quality-readability")
+    kept = {r.doc_id for r in after.select("doc_id").collect()}
+    src = {r.doc_id for r in before.select("doc_id").collect()}
+    assert kept <= src
+    hard = {
+        r.doc_id
+        for r in readability_scores(before).filter("band = 'difficult'").collect()
+    }
+    assert kept == src - hard

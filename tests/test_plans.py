@@ -661,3 +661,12 @@ def test_ann_recall_report_never_shuffles_embeddings(spark, sf_small, cat):
     assert "BroadcastExchange" in plan, plan[:800]
     for cols in exchange_input_columns(df):
         assert "embedding" not in cols and "pe" not in cols and "ce" not in cols, cols
+
+
+def test_readability_gate_is_map_only(spark, sf_small, cat):
+    """q_quality_readability: pure per-row column arithmetic — the
+    plan must contain NO exchange at all (the gate composes as one
+    more column on a curation map pass at any corpus size)."""
+    df = cat["q_quality_readability"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan[:800]
