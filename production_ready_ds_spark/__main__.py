@@ -15,6 +15,9 @@ Commands:
   search <term> [term ...]     — BM25 (--index postings / --phrase / --hybrid / --rrf)
   index  --root DIR            — build the BM25 inverted index
          [--delete IDs | --compact | --compact-tiered] — maintenance
+  vindex --root DIR            — build the IVF vector index; plus
+         [--probe IDs --k N --nprobe N | --recall | --delete IDs |
+          --compact | --compact-tiered]
   corpus                       — run the full corpus-build DAG
   Any data command takes --explain to print the formatted plan.
   Common flags: --sf DIR (default /root/testdata/sf0.01),
@@ -104,6 +107,38 @@ def _parser() -> argparse.ArgumentParser:
         help="LSM leveled fold (amortized O(batch log) — the "
         "continuous-ingest shape)",
     )
+    vindex = sub.add_parser(
+        "vindex",
+        help="build/query/maintain the IVF vector index (IVFStore)",
+    )
+    vindex.add_argument("--root", required=True, help="IVFStore directory")
+    vindex.add_argument("--sf", default="/root/testdata/sf0.01")
+    vindex.add_argument("--cpus", type=int, default=8)
+    vindex.add_argument(
+        "--probe",
+        default=None,
+        metavar="ID[,ID...]",
+        help="search: cosine top-k neighbors for these vec_ids",
+    )
+    vindex.add_argument("--k", type=int, default=5, help="neighbors per probe")
+    vindex.add_argument("--nprobe", type=int, default=4, help="lists probed")
+    vindex.add_argument(
+        "--recall",
+        action="store_true",
+        help="recall@k vs exact brute force per nprobe in {1,2,4,8} "
+        "for vec_id < 10 probes (the q_ann_recall_ivf report on THIS store)",
+    )
+    vindex.add_argument(
+        "--delete",
+        default=None,
+        metavar="ID[,ID...]",
+        help="remove these vec_ids from the index (RTBF)",
+    )
+    vindex.add_argument("--compact", action="store_true")
+    vindex.add_argument(
+        "--compact-tiered", action="store_true", help="LSM leveled fold"
+    )
+    vindex.add_argument("--limit", type=int, default=20)
     corpus = sub.add_parser("corpus")
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
     corpus.add_argument("--cpus", type=int, default=8)
@@ -257,6 +292,55 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"{'indexed' if wrote else 'already indexed'}: "
                 f"{n} docs, {sumdl} tokens at {args.root}"
+            )
+    elif args.cmd == "vindex":
+        from pyspark.sql import functions as F
+
+        from .operators.ivfstore import IVFStore
+        from .tables import load
+
+        store = IVFStore(args.root)
+        if args.delete:
+            ids = [int(x) for x in args.delete.split(",") if x.strip()]
+            n_rw = store.delete_ids(spark, ids)
+            print(
+                f"deleted {len(ids)} ids ({n_rw} segments rewritten) at {args.root}"
+            )
+        elif args.compact or args.compact_tiered:
+            n_segs = (
+                store.compact_tiered(spark)
+                if args.compact_tiered
+                else store.compact(spark)
+            )
+            print(f"compacted to {n_segs} segment(s) at {args.root}")
+        elif args.probe:
+            ids = [int(x) for x in args.probe.split(",") if x.strip()]
+            emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
+            store.search(
+                emb.filter(F.col("vec_id").isin(ids)),
+                top_k=args.k,
+                nprobe=args.nprobe,
+            ).orderBy("probe_id", F.desc("cos_sim"), "neighbor_id").show(
+                args.limit, truncate=False
+            )
+        elif args.recall:
+            from .queries.llm import ivf_recall_report
+
+            emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
+            ivf_recall_report(store, emb).orderBy("nprobe").show(
+                args.limit, truncate=False
+            )
+        else:
+            emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
+            if store.centroids() is None:
+                k = store.train(emb)
+                print(f"trained {k} lists (corpus-scaled)")
+            wrote = store.append(
+                emb, id_min=0, id_max=2**62, skip_if_range_indexed=True
+            )
+            print(
+                f"{'indexed' if wrote else 'already indexed'} "
+                f"{len(store.segments())} segment(s) at {args.root}"
             )
     elif args.cmd == "corpus":
         from .pipelines.corpus_build import corpus_build_dag

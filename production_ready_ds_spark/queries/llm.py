@@ -4697,8 +4697,6 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output shape and semantics match q_ann_recall exactly, so the two
     reports read side by side: sign-grid vs trained lists at equal
     probe budgets."""
-    from pyspark.sql import Window
-
     from ..operators.ivfstore import IVFStore
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -4713,9 +4711,26 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if store.centroids() is None or not store.segments():
             store.train(e)
             store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
-    probes = e.filter(F.col("vec_id") < 10)
+    return ivf_recall_report(store, e)
 
-    en = e.withColumn("nrm", norm(F.col("embedding")))
+
+def ivf_recall_report(
+    store,
+    emb: DataFrame,
+    *,
+    budgets: tuple[int, ...] = (1, 2, 4, 8),
+    top_k: int = 3,
+) -> DataFrame:
+    """The ONE recall-report definition (see q_ann_recall_ivf) over an
+    ARBITRARY already-built IVFStore — also the CLI ``vindex --recall``
+    body, so the catalog row and the corpus-owner diagnostic can never
+    drift. ``emb`` is a (vec_id, embedding) frame; probes are
+    vec_id < 10."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    probes = emb.filter(F.col("vec_id") < 10)
+    en = emb.withColumn("nrm", norm(F.col("embedding")))
     pr = en.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
@@ -4735,15 +4750,15 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     truth = (
         sims_all.withColumn("rn", F.row_number().over(wt))
-        .filter(F.col("rn") <= 3)
+        .filter(F.col("rn") <= top_k)
         .select("probe_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     parts = []
-    for nprobe in (1, 2, 4, 8):
-        found = store.search(probes, top_k=3, nprobe=nprobe).select(
-            F.lit(nprobe).alias("nprobe"),
+    for nprobe in budgets:
+        found = store.search(probes, top_k=top_k, nprobe=nprobe).select(
+            F.lit(int(nprobe)).alias("nprobe"),
             "probe_id",
             F.col("neighbor_id"),
         )
@@ -4754,9 +4769,9 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
-    budgets = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
+    budget_df = spark.createDataFrame([(int(b),) for b in budgets], "nprobe int")
     return (
-        budgets
+        budget_df
         .join(broadcast(hits), "nprobe", "left")
         .crossJoin(broadcast(total))
         .select(

@@ -172,3 +172,45 @@ def test_index_delete_and_compact_commands(spark, sf_small, tmp_path, capsys):
     assert main(["index", "--root", root, "--compact", "--sf", sf_small]) == 0
     assert "compacted to 1 segment" in capsys.readouterr().out
     assert store.stats()[0] == 497
+
+
+def test_vindex_build_search_recall_delete(spark, sf_small, tmp_path, capsys):
+    """The vector-index CLI face: build trains + appends, --probe
+    serves neighbors from the store, --recall prints the nprobe sweep,
+    --delete forgets ids, --compact folds segments."""
+    from production_ready_ds_spark.operators.ivfstore import IVFStore
+
+    root = str(tmp_path / "ivf")
+    assert main(["vindex", "--root", root, "--sf", sf_small]) == 0
+    out = capsys.readouterr().out
+    assert "trained" in out and "indexed 1 segment" in out
+    # probe: neighbors come from the store and match a direct search
+    assert main(
+        ["vindex", "--root", root, "--probe", "0,1", "--k", "2", "--sf", sf_small]
+    ) == 0
+    out = capsys.readouterr().out
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    want = IVFStore(root).search(
+        emb.filter(F.col("vec_id").isin([0, 1])), top_k=2, nprobe=4
+    ).collect()
+    assert want
+    for r in want:
+        assert str(r.neighbor_id) in out
+    # recall report: 4 budget rows, monotone hits
+    assert main(["vindex", "--root", root, "--recall", "--sf", sf_small]) == 0
+    out = capsys.readouterr().out
+    for b in (1, 2, 4, 8):
+        assert f"|{b} " in out.replace("| ", "|") or f"|{b}|" in out.replace(" ", "|")
+    # delete + compact keep the store serving
+    assert main(["vindex", "--root", root, "--delete", "0", "--sf", sf_small]) == 0
+    assert "deleted 1 ids" in capsys.readouterr().out
+    assert main(["vindex", "--root", root, "--compact", "--sf", sf_small]) == 0
+    assert "compacted to 1 segment" in capsys.readouterr().out
+    hits = IVFStore(root).search(
+        emb.filter(F.col("vec_id") == 1), top_k=3, nprobe=4
+    ).collect()
+    assert hits and all(r.neighbor_id != 0 for r in hits)
