@@ -2156,6 +2156,83 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sentence-window chunker: chunks of SENT_WINDOW consecutive
+#: sentences starting every SENT_STRIDE sentences (1-sentence overlap)
+SENT_WINDOW = 3
+SENT_STRIDE = 2
+
+
+@query(
+    "q_chunk_sentences",
+    category="llm-text",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(text, '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, sents, len(sents) AS n FROM s WHERE len(sents) >= 1
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(sents, i*{SENT_STRIDE}+1,
+                               i*{SENT_STRIDE}+{SENT_WINDOW})) AS BIGINT)
+             AS n_sentences,
+           array_to_string(list_slice(sents, i*{SENT_STRIDE}+1,
+                                      i*{SENT_STRIDE}+{SENT_WINDOW}), ' ')
+             AS chunk_text
+    FROM sized, UNNEST(range(0, ((n - 1) // {SENT_STRIDE}) + 1)) AS u(i)
+    """,
+)
+def q_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTENCE-window chunking — the semantic sibling of
+    q_chunk_documents' token windows and the other standard RAG
+    chunker: each chunk is {SENT_WINDOW} consecutive sentences
+    starting every {SENT_STRIDE} (so adjacent chunks overlap by one
+    sentence and never split a sentence mid-thought, the property
+    token windows can't give). Sentences split on terminal-punctuation
+    runs, trimmed, empties dropped — identical regex semantics on both
+    engines, chunk boundaries a pure function of the sentence count,
+    chunk text re-joined from the same trimmed pieces: hash-exact.
+
+    Scale shape: MAP-ONLY — split/trim/filter are per-row array
+    expressions, chunk starts explode in place (ceil(n/stride) rows
+    per doc), and the slice carries only the chunk's own sentences;
+    no shuffle at any corpus size.
+
+    Honest evidence note: the synthetic corpus carries no terminal
+    punctuation, so every document is ONE sentence and the driver's
+    hash row exercises the single-window edge (1 chunk per doc);
+    multi-sentence windowing, the one-sentence overlap, and tail
+    clipping are pinned on punctuated fixtures in
+    tests/test_llm_ops.py."""
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    sized = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", sents.alias("sents"))
+        .withColumn("n", F.size("sents"))
+        .filter(F.col("n") >= 1)
+    )
+    idx = F.sequence(F.lit(0), F.expr(f"(n - 1) div {SENT_STRIDE}"))
+    chunk = F.slice(
+        F.col("sents"), F.col("i") * SENT_STRIDE + 1, SENT_WINDOW
+    )
+    return sized.select(
+        "doc_id", "sents", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_sentences"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 

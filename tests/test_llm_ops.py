@@ -1514,3 +1514,31 @@ def test_readability_separates_simple_from_polysyllabic(spark, tmp_path):
 
     want = math.floor((206.835 - 1.015 * w_s - 84.6 * syl_w) * 100 + 0.5)
     assert rows[1].ease_x100 == want
+
+
+def test_sentence_chunker_windows_overlap_and_clip(spark, tmp_path):
+    """q_chunk_sentences on punctuated text (the synthetic corpus has
+    none — this is the real-behavior pin): 3-sentence windows starting
+    every 2, adjacent chunks share one sentence, the tail clips."""
+    spark.createDataFrame(
+        [
+            (1, "One fish. Two fish! Red fish? Blue fish. Old fish."),
+            (2, "Just one sentence here."),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from production_ready_ds_spark.queries import catalog
+
+    rows = catalog()["q_chunk_sentences"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: 5 sentences -> chunks at offsets 0, 2, 4
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    assert by_doc[1][0].chunk_text == "One fish Two fish Red fish"
+    assert by_doc[1][1].chunk_text == "Red fish Blue fish Old fish"
+    assert by_doc[1][2].chunk_text == "Old fish"  # tail clips
+    assert [by_doc[1][i].n_sentences for i in (0, 1, 2)] == [3, 3, 1]
+    # doc 2: single sentence -> exactly one 1-sentence chunk
+    assert sorted(by_doc[2]) == [0]
+    assert by_doc[2][0].chunk_text == "Just one sentence here"
