@@ -4791,6 +4791,44 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_recall_report(store, e)
 
 
+@query("q_sim_topk_pq", category="llm-similarity", sql=None)
+def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZED ANN top-k — the asymmetric-distance (ADC)
+    search of Jégou et al. 2011 over PQ codes (operators/pq.py
+    PQCodec): each corpus vector is stored as m=8 code bytes (32×
+    smaller than float32), per-probe (m × ks) lookup tables replace
+    d-dim dot products, and the top-3 neighbors per probe (vec_id <
+    10) come out of code arithmetic alone. Declared ROWS-ONLY: the
+    codebooks are trained KMeans state no SQL oracle can re-derive
+    (the q_ann_recall_ivf declaration class); encode-argmin
+    correctness, family recall, and ADC ≡ reconstruction-distance
+    equality are property-tested in tests/test_pq.py.
+
+    Scale shape: training is per-sample-row (codebooks are kilobytes
+    of JSON, cached per corpus signature like the IVF store); encode
+    is one matmul-argmin map pass; search streams the 32×-smaller
+    CODES frame once with partition-local top-k inside the kernel —
+    only probes·(k+1) rows per partition reach the final window. The
+    full IVFPQ composition prunes the candidate read with
+    IVFStore.read_lists first; PQ then shrinks what is read."""
+    import os
+
+    from ..operators.pq import PQCodec
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = _corpus_cache_dir("prds_pq", sf_dir, "embeddings", 1)
+    path = os.path.join(root, "codebooks.json")
+    with _build_lock(root):
+        if os.path.exists(path):
+            codec = PQCodec.load(path)
+        else:
+            codec = PQCodec.train(e)
+            codec.save(path)
+    codes = codec.encode(e)
+    probes = e.filter(F.col("vec_id") < 10)
+    return codec.adc_topk(probes, codes, top_k=3)
+
+
 def ivf_recall_report(
     store,
     emb: DataFrame,

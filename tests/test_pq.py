@@ -1,0 +1,104 @@
+"""Product quantization (operators/pq.py): encode is the exact
+per-subspace argmin, ADC ranks by true reconstruction distance, codes
+compress 32x, and near-duplicate families are recalled through codes
+alone."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from production_ready_ds_spark.operators.pq import PQCodec
+from production_ready_ds_spark.tables import load
+
+
+@pytest.fixture()
+def embs(spark, sf_small):
+    return load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+
+
+def test_encode_is_exact_subspace_argmin_and_deterministic(spark, embs):
+    codec = PQCodec.train(embs, m=8, ks=16)
+    rows = {r.vec_id: list(r.codes) for r in codec.encode(embs).collect()}
+    rows2 = {r.vec_id: list(r.codes) for r in codec.encode(embs).collect()}
+    assert rows == rows2
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in embs.collect()}
+    assert len(rows) == len(vecs)
+    # spot-verify the argmin on 10 vectors: each code byte is the
+    # nearest subspace centroid, first-minimum tie-break
+    for vid in sorted(vecs)[:10]:
+        x = vecs[vid]
+        for j in range(codec.m):
+            s = x[j * codec.dsub : (j + 1) * codec.dsub]
+            d2 = ((codec.codebooks[j] - s) ** 2).sum(axis=1)
+            assert rows[vid][j] == int(d2.argmin()), (vid, j)
+        assert all(0 <= c < codec.ks for c in rows[vid])
+    assert len(rows[vid]) == codec.m  # 8 code bytes vs 64 floats = 32x
+
+
+def test_adc_ranks_by_reconstruction_distance(spark, embs):
+    """The returned adc_rank order must equal a numpy brute force of
+    ||probe - reconstruct(codes)||² with the (d2, neighbor_id)
+    tie-break — ADC is exact given the codes."""
+    codec = PQCodec.train(embs, m=8, ks=16)
+    codes = {r.vec_id: np.asarray(r.codes) for r in codec.encode(embs).collect()}
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in embs.collect()}
+    from pyspark.sql import functions as F
+
+    got = codec.adc_topk(
+        embs.filter(F.col("vec_id") < 3), codec.encode(embs), top_k=3
+    ).collect()
+    by_probe: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append((r.adc_rank, r.neighbor_id))
+    recon = {vid: codec.reconstruct(c) for vid, c in codes.items()}
+    for pid in (0, 1, 2):
+        want = sorted(
+            (float(((vecs[pid] - recon[vid]) ** 2).sum()), vid)
+            for vid in vecs
+            if vid != pid
+        )[:3]
+        assert sorted(by_probe[pid]) == [
+            (i + 1, vid) for i, (_, vid) in enumerate(want)
+        ], pid
+
+
+def test_adc_recalls_near_duplicate_family(spark):
+    """A corpus of separated cluster centers plus one near-identical
+    sibling per probe: ADC over codes alone must rank the sibling
+    first for (almost) every probe — the dedup-family recall PQ must
+    not lose to 32x compression."""
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 64) * 4.0
+    rows = []
+    for i, b in enumerate(base):
+        rows.append((i, [float(x) for x in b]))
+        rows.append((1000 + i, [float(x) for x in b + rng.randn(64) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codec = PQCodec.train(emb, m=8, ks=16)
+    from pyspark.sql import functions as F
+
+    top1 = (
+        codec.adc_topk(emb.filter(F.col("vec_id") < 40), codec.encode(emb), top_k=1)
+        .collect()
+    )
+    hits = sum(1 for r in top1 if r.neighbor_id == 1000 + r.probe_id)
+    assert hits >= 36, f"family recall through codes too low: {hits}/40"
+
+
+def test_save_load_round_trip(spark, embs, tmp_path):
+    codec = PQCodec.train(embs, m=8, ks=16)
+    p = str(tmp_path / "cb.json")
+    codec.save(p)
+    back = PQCodec.load(p)
+    assert back.m == codec.m and back.ks == codec.ks and back.dsub == codec.dsub
+    for a, b in zip(codec.codebooks, back.codebooks):
+        assert np.array_equal(a, b)
+
+
+def test_train_rejects_indivisible_dim(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        PQCodec.train(emb, m=2, ks=2)
