@@ -102,3 +102,60 @@ def test_train_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         PQCodec.train(emb, m=2, ks=2)
+
+
+def test_ivfpq_composition_prunes_candidate_read(spark, embs, tmp_path):
+    """The full IVFPQ plan the docstrings name: PQ codes are written
+    range-clustered on the IVF list id, a probe ranks lists with the
+    store's centroids, the code read is pruned by a pushed
+    In(list_id) filter, and ADC runs only on the probed lists'
+    codes — results match whole-corpus ADC wherever the probed lists
+    contain the true top-1."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.ivfstore import IVFStore
+    from production_ready_ds_spark.operators.layout import write_range_clustered
+    from production_ready_ds_spark.plans.audit import pushed_filters
+
+    store = IVFStore(str(tmp_path / "ivf"))
+    store.train(embs)
+    codec = PQCodec.train(embs, m=8, ks=16)
+    # codes + list assignment, clustered on list_id (the IVFPQ layout)
+    assigned = store.assign(embs).select("vec_id", "list_id")
+    coded = codec.encode(embs).join(assigned, "vec_id")
+    write_range_clustered(coded, str(tmp_path / "codes"), ["list_id"], n_files=4)
+
+    probes = embs.filter(F.col("vec_id") < 5)
+    # rank lists per probe exactly as IVFStore.search does: reuse the
+    # store's own assignment kernel at nprobe granularity via assign's
+    # argmin on centroids (nprobe=ALL lists here would be brute force;
+    # take the probe's home list + 3 nearest by centroid distance)
+    cents = np.asarray(store.centroids())
+    pv = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in probes.collect()}
+    wanted: set[int] = set()
+    for x in pv.values():
+        d2 = ((cents - x) ** 2).sum(axis=1)
+        wanted |= {int(i) for i in np.argsort(d2, kind="stable")[:4]}
+
+    # the pruned read: pushed In(list_id) over the clustered layout
+    conf = "spark.sql.parquet.pushdown.inFilterThreshold"
+    spark.conf.set(conf, str(max(int(spark.conf.get(conf, "10")), len(wanted) + 1)))
+    cand = spark.read.parquet(str(tmp_path / "codes")).filter(
+        F.col("list_id").isin(sorted(wanted))
+    )
+    pushed = " ".join(pushed_filters(cand))
+    assert "list_id" in pushed and "In(" in pushed, pushed
+
+    pruned = {
+        (r.probe_id, r.adc_rank): r.neighbor_id
+        for r in codec.adc_topk(probes, cand.drop("list_id"), top_k=1).collect()
+    }
+    full = {
+        (r.probe_id, r.adc_rank): r.neighbor_id
+        for r in codec.adc_topk(probes, codec.encode(embs), top_k=1).collect()
+    }
+    # the pruned top-1 equals the full-ADC top-1 whenever the true
+    # neighbor's list was probed — require it for most probes (IVF
+    # recall at nprobe=4 of the scaled lists)
+    agree = sum(1 for k in full if pruned.get(k) == full[k])
+    assert agree >= 3, (agree, pruned, full)
