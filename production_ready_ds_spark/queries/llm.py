@@ -949,6 +949,85 @@ def q_dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_agreement",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_JACCARD_CTES},
+    {_DUCK_PLANES_CTE},
+    b AS (
+      SELECT vec_id, {_DUCK_BUCKET_SCALED} AS bucket,
+             CAST(embedding AS DOUBLE[]) AS de
+      FROM embeddings, planes
+    ),
+    sem AS (
+      SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_cosine_similarity(a.de, c.de) >= {EMBED_COS_THRESHOLD}
+    ),
+    lex AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p
+      JOIN embeddings e1 ON p.doc_a = e1.vec_id
+      JOIN embeddings e2 ON p.doc_b = e2.vec_id
+    ),
+    u AS (
+      SELECT l.doc_a IS NOT NULL AS lexical, s.doc_a IS NOT NULL AS semantic
+      FROM lex l FULL OUTER JOIN sem s
+        ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+    )
+    SELECT CASE WHEN lexical AND semantic THEN 'both'
+                WHEN lexical THEN 'lexical_only'
+                ELSE 'semantic_only' END AS agreement,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY 1
+    """,
+)
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SIGNAL dedup audit — the curation diagnostic that tells a
+    corpus owner whether their lexical and semantic near-dup detectors
+    see the same duplicates: the shingle-Jaccard pair set
+    (q_dedup_ngram_jaccard, restricted to docs carrying embeddings so
+    both detectors judge the same universe) is full-outer joined with
+    the sign-bucket embedding pair set (q_dedup_embedding) and counted
+    into 'both' / 'lexical_only' / 'semantic_only'. Large
+    lexical_only = paraphrase-blind embeddings or a too-tight cosine
+    threshold; large semantic_only = topically-near but textually
+    distinct docs (NOT duplicates — a threshold warning). Composes the
+    two existing pair generators verbatim, so this query's oracle is
+    the conjunction of theirs.
+
+    Scale shape: both pair sets already carry their own 100 TB bounds
+    (rank-capped shingle blocking; corpus-scaled sign buckets); the
+    audit adds one pair-key full-outer join and a ≤3-group count —
+    pair tables are tiny relative to the corpus by construction."""
+    lex = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    emb_ids = load(spark, sf_dir, "embeddings").select("vec_id")
+    lex = lex.join(
+        emb_ids.withColumnRenamed("vec_id", "doc_a"), "doc_a", "left_semi"
+    ).join(emb_ids.withColumnRenamed("vec_id", "doc_b"), "doc_b", "left_semi")
+    sem = q_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    fused = lex.withColumn("lexical", F.lit(True)).join(
+        sem.withColumn("semantic", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    return (
+        fused.select(
+            F.when(
+                F.col("lexical").isNotNull() & F.col("semantic").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("lexical").isNotNull(), F.lit("lexical_only"))
+            .otherwise(F.lit("semantic_only"))
+            .alias("agreement")
+        )
+        .groupBy("agreement")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@query(
     "q_dedup_semantic",
     category="llm-dedup",
     bench=True,
