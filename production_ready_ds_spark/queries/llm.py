@@ -4908,6 +4908,76 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec.adc_topk(probes, codes, top_k=3)
 
 
+@query("q_ann_recall_pq", category="llm-similarity", sql=None)
+def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ member of the ANN-quality family (q_ann_recall /
+    q_ann_recall_ivf): recall@3 of asymmetric-distance search over
+    8-byte PQ codes vs EXACT squared-L2 brute force on the float
+    vectors — how much neighbor quality 32× compression costs, as
+    integer hit counts (truth and ADC use the same L2 metric, so the
+    comparison isolates quantization loss; the cosine-based reports
+    isolate list-pruning loss). Declared ROWS-ONLY: trained codebooks
+    (the q_sim_topk_pq cache, shared). Probes are vec_id < 10,
+    matching the family convention.
+
+    Honest reading: on the ISOTROPIC synthetic corpus this reports
+    LOW recall (5/30 at sf0.01) — the expected worst case at m=8,
+    ks=16 (32 bits/vector) when vectors have no cluster structure for
+    the codebooks to exploit; the family-structured stress corpus
+    recalls 10/10 at rank 1 (tests/test_pq.py). That gap is exactly
+    what the diagnostic exists to surface: an owner of isotropic data
+    raises ks/m (more bits) before trusting PQ candidates."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..operators.pq import PQCodec
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = _corpus_cache_dir("prds_pq", sf_dir, "embeddings", 1)
+    path = os.path.join(root, "codebooks.json")
+    with _build_lock(root):
+        if os.path.exists(path):
+            codec = PQCodec.load(path)
+        else:
+            codec = PQCodec.train(e)
+            codec.save(path)
+    probes = e.filter(F.col("vec_id") < 10)
+    pr = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("pe"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sims_all = (
+        e.crossJoin(broadcast(pr))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), d2.alias("d2"))
+    )
+    wt = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    truth = (
+        sims_all.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    ann = codec.adc_topk(probes, codec.encode(e), top_k=3).select(
+        "probe_id", "neighbor_id"
+    )
+    hits = ann.join(truth, ["probe_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return hits.crossJoin(broadcast(total))
+
+
 def ivf_recall_report(
     store,
     emb: DataFrame,
