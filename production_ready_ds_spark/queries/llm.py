@@ -4925,8 +4925,12 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks=16 (32 bits/vector) when vectors have no cluster structure for
     the codebooks to exploit; the family-structured stress corpus
     recalls 10/10 at rank 1 (tests/test_pq.py). That gap is exactly
-    what the diagnostic exists to surface: an owner of isotropic data
-    raises ks/m (more bits) before trusting PQ candidates."""
+    what the diagnostic exists to surface — and WHICH knob to move:
+    measured at sf0.1, raising ks alone barely helps on isotropic
+    data (ks 16 → 256 at m=8: 6 → 7/30) while more, smaller
+    subspaces do (m=16, ks=256: 18/30 at 128 bits/vector) — finer
+    subspace granularity is the isotropic-data lever, codebook size
+    is the clustered-data one."""
     import os
 
     from pyspark.sql import Window
