@@ -316,10 +316,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.probe:
             ids = [int(x) for x in args.probe.split(",") if x.strip()]
             emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
+            probes_df = emb.filter(F.col("vec_id").isin(ids))
+            found = {r.vec_id for r in probes_df.select("vec_id").collect()}
+            missing = sorted(set(ids) - found)
+            if missing:
+                # without this, an unknown probe id surfaces as the
+                # store's misleading "IVFStore ... is empty" error
+                print(
+                    f"probe ids not in the embeddings table: {missing}",
+                    file=sys.stderr,
+                )
+                return 2
             store.search(
-                emb.filter(F.col("vec_id").isin(ids)),
-                top_k=args.k,
-                nprobe=args.nprobe,
+                probes_df, top_k=args.k, nprobe=args.nprobe
             ).orderBy("probe_id", F.desc("cos_sim"), "neighbor_id").show(
                 args.limit, truncate=False
             )

@@ -218,10 +218,15 @@ class PQCodec:
                         d += lut[:, j, :][:, codes_arr[:, j]]
                     # partition-local top-k: only the per-batch best
                     # survive to the shuffle — P·keep rows per batch,
-                    # never P·batch (the map-side-combine discipline)
+                    # never P·batch (the map-side-combine discipline).
+                    # lexsort, NOT argpartition: PQ makes exact d2
+                    # ties common (duplicate vectors share codes), and
+                    # an arbitrary tie cut at the keep boundary could
+                    # drop the lowest-id candidate the final
+                    # (d2, neighbor_id) window is promised to return
                     for pi in range(len(P)):
                         if len(ids) > keep:
-                            sel = np.argpartition(d[pi], keep - 1)[:keep]
+                            sel = np.lexsort((ids, d[pi]))[:keep]
                         else:
                             sel = np.arange(len(ids))
                         out["probe_id"].extend([int(pids[pi])] * len(sel))

@@ -126,20 +126,37 @@ class TermStore:
         self,
         docs: DataFrame,
         *,
-        id_min: int,
-        id_max: int,
+        id_min: int | None = None,
+        id_max: int | None = None,
         n_files: int = 4,
         skip_if_range_indexed: bool = False,
     ) -> bool:
         """Tokenize a batch and register its postings as a
         term-clustered segment. Statistics count EVERY batch doc (a doc
         with no indexed term still contributes to N and Σdl — BM25's
-        corpus stats are document-level, not posting-level)."""
+        corpus stats are document-level, not posting-level).
+
+        ``id_min``/``id_max`` declare the segment's covering id range
+        (the skip_if_range_indexed / delete-pruning key). Omit BOTH to
+        derive them from the batch's own min/max doc_id — free, since
+        the stats pass computes those anyway (the streaming-ingest
+        case, which otherwise pays a redundant per-micro-batch
+        aggregation); derived bounds are checked for overlap AFTER the
+        stats pass."""
         from ..functions.text import tokens_expr
 
+        if (id_min is None) != (id_max is None):
+            raise ValueError("pass both id_min and id_max, or neither")
+
         segments = self.segments()
-        if skip_if_range_indexed and any(
-            s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
+
+        def range_indexed(lo: int, hi: int) -> bool:
+            return any(
+                s["id_min"] <= hi and s["id_max"] >= lo for s in segments
+            )
+
+        if skip_if_range_indexed and id_min is not None and range_indexed(
+            id_min, id_max
         ):
             return False
         toks = docs.select(
@@ -156,7 +173,11 @@ class TermStore:
             # unreadable parquet dir (no part files) and an n_docs=0
             # manifest entry that divides search's stats by zero
             return False
-        if stats_row["lo"] < id_min or stats_row["hi"] > id_max:
+        if id_min is None:
+            id_min, id_max = int(stats_row["lo"]), int(stats_row["hi"])
+            if skip_if_range_indexed and range_indexed(id_min, id_max):
+                return False
+        elif stats_row["lo"] < id_min or stats_row["hi"] > id_max:
             # a mis-declared range + skip_if_range_indexed would
             # silently drop a future overlapping batch (stats AND
             # postings missing) while search keeps returning

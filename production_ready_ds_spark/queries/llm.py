@@ -4890,22 +4890,30 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only probes·(k+1) rows per partition reach the final window. The
     full IVFPQ composition prunes the candidate read with
     IVFStore.read_lists first; PQ then shrinks what is read."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codec = _cached_pq_codec(e, sf_dir)
+    codes = codec.encode(e)
+    probes = e.filter(F.col("vec_id") < 10)
+    return codec.adc_topk(probes, codes, top_k=3)
+
+
+def _cached_pq_codec(e: DataFrame, sf_dir: str):
+    """The ONE load-or-train-under-lock block for the per-corpus PQ
+    codebook cache (the _cached_corpus_index convention) — shared by
+    q_sim_topk_pq and q_ann_recall_pq, which read the SAME cache file
+    and therefore must stay byte-equivalent on how it is built."""
     import os
 
     from ..operators.pq import PQCodec
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     root = _corpus_cache_dir("prds_pq", sf_dir, "embeddings", 1)
     path = os.path.join(root, "codebooks.json")
     with _build_lock(root):
         if os.path.exists(path):
-            codec = PQCodec.load(path)
-        else:
-            codec = PQCodec.train(e)
-            codec.save(path)
-    codes = codec.encode(e)
-    probes = e.filter(F.col("vec_id") < 10)
-    return codec.adc_topk(probes, codes, top_k=3)
+            return PQCodec.load(path)
+        codec = PQCodec.train(e)
+        codec.save(path)
+        return codec
 
 
 @query("q_ann_recall_pq", category="llm-similarity", sql=None)
@@ -4931,21 +4939,10 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspaces do (m=16, ks=256: 18/30 at 128 bits/vector) — finer
     subspace granularity is the isotropic-data lever, codebook size
     is the clustered-data one."""
-    import os
-
     from pyspark.sql import Window
 
-    from ..operators.pq import PQCodec
-
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    root = _corpus_cache_dir("prds_pq", sf_dir, "embeddings", 1)
-    path = os.path.join(root, "codebooks.json")
-    with _build_lock(root):
-        if os.path.exists(path):
-            codec = PQCodec.load(path)
-        else:
-            codec = PQCodec.train(e)
-            codec.save(path)
+    codec = _cached_pq_codec(e, sf_dir)
     probes = e.filter(F.col("vec_id") < 10)
     pr = probes.select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")

@@ -26,7 +26,11 @@ def _run_stream(spark: SparkSession, sdf, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # fail LOUDLY: falling through would serve a partial result
+        # that surfaces later as an inscrutable oracle hash mismatch
+        q.stop()
+        raise TimeoutError(f"streaming query {name} did not drain in 300s")
     return spark.table(name)
 
 
@@ -336,40 +340,48 @@ def q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_termstore.py test_streaming_ingest_equals_batch_build).
 
     Shape: ingest work is O(micro-batch) (TermStore.append's
-    contract); nothing re-tokenizes earlier batches, and the search
-    reads O(query terms) postings off the accumulated segments. The
-    store lands in a fresh temp directory per run (a repeated range
-    guard can't dedupe arbitrary file-order batches, so each replay
-    gets its own root — the production deployment keys the root by
-    stream checkpoint, pipelines/ingest_termstore.py shape)."""
+    contract — batch segment bounds derive from the stats pass append
+    runs anyway, no extra per-batch aggregation); nothing
+    re-tokenizes earlier batches, and the search reads O(query terms)
+    postings off the accumulated segments. The store lands in ONE
+    corpus-keyed staging directory that each replay WIPES and
+    rebuilds (bounded /tmp footprint — a per-run mkdtemp would leak a
+    full index copy per invocation), flock-serialized under the
+    single-writer contract; a production deployment instead keys the
+    root by stream checkpoint and appends forever
+    (pipelines/ingest_termstore.py shape)."""
     import os
-    import tempfile
+    import shutil
 
-    from ..operators.termstore import TermStore
+    from ..operators.termstore import STORE_VERSION, TermStore
     from ..streaming.events import _as_stream_dir
-    from .llm import BM25_QUERY
+    from .llm import BM25_QUERY, _build_lock, _corpus_cache_dir
 
-    root = tempfile.mkdtemp(prefix="prds_stream_index_")
-    store = TermStore(root)
+    root = _corpus_cache_dir(
+        "prds_stream_index", sf_dir, "documents", STORE_VERSION
+    )
+    with _build_lock(root):
+        shutil.rmtree(root, ignore_errors=True)
+        store = TermStore(root)
 
-    def ingest(batch_df, batch_id):
-        bounds = batch_df.agg(F.min("doc_id"), F.max("doc_id")).first()
-        if bounds[0] is not None:
-            store.append(batch_df, id_min=bounds[0], id_max=bounds[1])
+        def ingest(batch_df, batch_id):
+            store.append(batch_df)  # bounds derived from the batch
 
-    stream = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, n_chars long"
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
         )
-        .format("parquet")
-        .option("maxFilesPerTrigger", 1)
-        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
-    )
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", os.path.join(root, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q_stream_index ingest did not drain in 300s")
     return store.search(spark, BM25_QUERY, k=20)
