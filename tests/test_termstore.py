@@ -299,3 +299,30 @@ def test_compact_tiered_preserves_scores_and_stats(spark, sf_small, tmp_path):
     assert _results(store.search(spark, terms, k=15)) == _results(
         fresh.search(spark, terms, k=15)
     )
+
+
+def test_append_derives_bounds_from_batch(spark, sf_small, tmp_path):
+    """Omitting id_min/id_max derives the segment range from the
+    batch's own min/max doc_id (free — the stats pass computes them
+    anyway), and skip_if_range_indexed still dedupes a replayed
+    derived-bounds batch; mixing one bound with the other is an
+    error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "auto"))
+    batch = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    assert store.append(batch)
+    seg = store.segments()[0]
+    assert (seg["id_min"], seg["id_max"]) == (100, 199)
+    assert store.append(batch, skip_if_range_indexed=True) is False
+    with pytest.raises(ValueError, match="both"):
+        store.append(batch, id_min=0)
+    # derived-bounds store scores identically to an explicit-bounds one
+    explicit = TermStore(str(tmp_path / "explicit"))
+    assert explicit.append(batch, id_min=100, id_max=199)
+    assert store.stats() == explicit.stats()
+    assert _results(store.search(spark, ("spark",), k=10)) == _results(
+        explicit.search(spark, ("spark",), k=10)
+    )
