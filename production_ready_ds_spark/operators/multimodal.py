@@ -187,11 +187,14 @@ class PNGDecoder(Decoder):
     out-of-range indices reject the image per RFC 2083 §4.1.2),
     GRAY+ALPHA (type 4) and RGBA (type 6) — alpha is FLATTENED over
     the declared white background (``ALPHA_BG``) with the exact
-    integer rounding ``(a·fg + (255−a)·bg + 127) // 255``, keeping
-    the raw-RGB output contract; 16-bit and interlaced stay rejected —
-    and any CRC or length corruption — yielding all-NULL features
-    rather than failing the batch (decode errors at 100 TB are data,
-    not exceptions). ``parse_fmt`` additionally reports WHICH path decoded
+    integer rounding ``(a·fg + (255−a)·bg + 127) // 255`` — plus
+    16-BIT grayscale and truecolor (big-endian samples, RFC 2083
+    §2.4, downscaled to 8-bit with the exact rounding
+    ``(v·255 + 32767) // 65535``), keeping the raw-RGB output
+    contract. Interlaced images, 16-bit alpha/palette combinations,
+    and any CRC or length corruption stay rejected — yielding
+    all-NULL features rather than failing the batch (decode errors at
+    100 TB are data, not exceptions). ``parse_fmt`` additionally reports WHICH path decoded
     or why not, so corpus reports can surface per-format quarantine
     rates (q_image_png_report). Reconstruction is a per-pixel Python
     loop: fine for the fixture sizes here and for correctness
@@ -257,15 +260,18 @@ class PNGDecoder(Decoder):
         *,
         ctype: int = 2,
         palette: bytes | None = None,
+        depth: int = 8,
     ) -> bytes:
-        """Build a valid 8-bit PNG: truecolor (``ctype=2``, w*h*3 pixel
+        """Build a valid PNG: truecolor (``ctype=2``, w*h*3 pixel
         bytes), grayscale (``ctype=0``, w*h bytes), palette
         (``ctype=3``, w*h index bytes + a 3·N-byte ``palette``),
         gray+alpha (``ctype=4``, w*h*2 G,A pairs) or RGBA (``ctype=6``,
-        w*h*4 R,G,B,A quads). ``filter_types`` (one per scanline,
-        default all 0) lets fixtures exercise every reconstruction
-        path — a decoder that only ever sees filter 0 proves nothing
-        about Sub/Up/Average/Paeth."""
+        w*h*4 R,G,B,A quads); ``depth=16`` (gray/truecolor only) takes
+        big-endian 2-byte samples, doubling the pixel byte counts.
+        ``filter_types`` (one per scanline, default all 0) lets
+        fixtures exercise every reconstruction path — a decoder that
+        only ever sees filter 0 proves nothing about
+        Sub/Up/Average/Paeth."""
         import zlib
 
         if ctype not in (0, 2, 3, 4, 6):
@@ -273,7 +279,11 @@ class PNGDecoder(Decoder):
                 "ctype must be 0 (gray), 2 (rgb), 3 (palette), "
                 "4 (gray+alpha) or 6 (rgba)"
             )
-        bpp = cls.BPP[ctype]
+        if depth not in (8, 16) or (
+            depth == 16 and ctype not in cls.DEPTH16_CTYPES
+        ):
+            raise ValueError("depth 16 is only valid for gray/truecolor")
+        bpp = cls.BPP[ctype] * (depth // 8)
         if len(pixels) != width * height * bpp:
             raise ValueError(f"pixels must be width*height*{bpp} bytes")
         if ctype == 3:
@@ -290,7 +300,7 @@ class PNGDecoder(Decoder):
             body.append(fts[y])
             body += cls._filter_scanline(fts[y], raw, prev, bpp)
             prev = raw
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
         out = cls.MAGIC + cls._chunk(b"IHDR", ihdr)
         if ctype == 3:
             out += cls._chunk(b"PLTE", bytes(palette))
@@ -303,9 +313,13 @@ class PNGDecoder(Decoder):
     # ---- decode ----
 
     #: decode outcome labels for parse_fmt / q_image_png_report
+    #: (16-bit variants get a "16" suffix, e.g. 'rgb16')
     FMT_NAMES = {0: "gray", 2: "rgb", 3: "palette", 4: "gray-alpha", 6: "rgba"}
-    #: bytes per pixel in the FILTER unit (RFC 2083 §6.2) per color type
+    #: SAMPLES per pixel in the FILTER unit (RFC 2083 §6.2) per color
+    #: type — the byte-level filter unit is this × (depth // 8)
     BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    #: color types that additionally decode at 16-bit depth
+    DEPTH16_CTYPES = (0, 2)
     #: background level alpha flattens onto (white — the curation
     #: convention for document images); one channel value, applied per
     #: channel with exact integer rounding
@@ -357,18 +371,21 @@ class PNGDecoder(Decoder):
         if ihdr is None or not idat or not ended or len(ihdr) != 13:
             return "corrupt", None
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-        if depth != 8 or ctype not in cls.BPP or comp or filt or interlace:
+        depth_ok = depth == 8 or (depth == 16 and ctype in cls.DEPTH16_CTYPES)
+        if not depth_ok or ctype not in cls.BPP or comp or filt or interlace:
             return "unsupported", None  # outside the declared subset
         if w == 0 or h == 0:
             return "corrupt", None
-        fmt = cls.FMT_NAMES[ctype]
+        fmt = cls.FMT_NAMES[ctype] + ("16" if depth == 16 else "")
         if ctype == 3 and (plte is None or len(plte) % 3 or len(plte) > 768):
             return "corrupt", None
         try:
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
             return "corrupt", None
-        bpp = cls.BPP[ctype]
+        # the FILTER unit is bytes-per-pixel: samples × sample width
+        # (RFC 2083 §6.2 — 16-bit filters operate on raw bytes)
+        bpp = cls.BPP[ctype] * (depth // 8)
         stride = w * bpp
         if len(raw) != h * (1 + stride):
             return "corrupt", None
@@ -392,6 +409,15 @@ class PNGDecoder(Decoder):
                     line[i] = (line[i] + cls._paeth(left, prev[i], ul)) & 0xFF
             out += line
             prev = line
+        if depth == 16:
+            # big-endian u16 samples → 8-bit with the exact rounding
+            # (v·255 + 32767) // 65535 (the linear rescale, round
+            # half-up — NOT a bare high-byte truncation, which is off
+            # by one for ~half the domain)
+            out = bytearray(
+                ((out[j] << 8 | out[j + 1]) * 255 + 32767) // 65535
+                for j in range(0, len(out), 2)
+            )
         if ctype == 2:
             rgb = bytes(out)
         elif ctype == 0:

@@ -280,12 +280,13 @@ def q_image_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_image_png_report",
     category="llm-multimodal",
     sql="""
-    SELECT CASE doc_id % 8
+    SELECT CASE doc_id % 9
              WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray' WHEN 2 THEN 'palette'
              WHEN 3 THEN 'gray-alpha' WHEN 4 THEN 'rgba'
-             WHEN 5 THEN 'corrupt' WHEN 6 THEN 'unsupported'
+             WHEN 5 THEN 'rgb16'
+             WHEN 6 THEN 'corrupt' WHEN 7 THEN 'unsupported'
              ELSE 'not-png' END AS outcome,
-           CASE WHEN doc_id % 8 <= 4 THEN TRUE ELSE FALSE END AS decoded,
+           CASE WHEN doc_id % 9 <= 5 THEN TRUE ELSE FALSE END AS decoded,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY 1, 2
@@ -295,22 +296,23 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format decode/reject counts over a mixed PNG corpus — the
     quarantine-rate surface the round-4 verdict asked for: corpus
     owners see HOW MANY payloads decoded on each color-model path
-    (now INCLUDING the round-6 alpha pair: gray+alpha and RGBA,
-    flattened over the declared background) and how many fell into
-    each reject class (corrupt bytes, valid-but-unsupported headers
-    like 16-bit depth, non-PNG junk), instead of silent NULL features.
-    Outcome labels come from the REAL ``PNGDecoder.parse_fmt`` decode
-    attempt on each payload, not from bookkeeping: the corpus
-    synthesizes by ``doc_id % 8`` a truecolor / grayscale / palette /
-    gray-alpha / RGBA PNG, a mid-CRC-truncated PNG, a 16-bit-depth
-    header, and plain junk bytes — so the hash gate verifies the
-    decoder CLASSIFIES every payload exactly as constructed (a decoder
-    that mislabeled corruption as unsupported, or decoded junk, fails
-    the count table).
+    (now INCLUDING the round-6 widenings: the alpha pair flattened
+    over the declared background, and 16-bit truecolor with the exact
+    integer downscale) and how many fell into each reject class
+    (corrupt bytes, valid-but-unsupported headers like interlacing,
+    non-PNG junk), instead of silent NULL features. Outcome labels
+    come from the REAL ``PNGDecoder.parse_fmt`` decode attempt on
+    each payload, not from bookkeeping: the corpus synthesizes by
+    ``doc_id % 9`` a truecolor / grayscale / palette / gray-alpha /
+    RGBA / 16-bit-truecolor PNG, a mid-CRC-truncated PNG, an
+    interlaced header, and plain junk bytes — so the hash gate
+    verifies the decoder CLASSIFIES every payload exactly as
+    constructed (a decoder that mislabeled corruption as unsupported,
+    or decoded junk, fails the count table).
 
     Scale shape: the decode attempt is the same Arrow-batched map pass
     the feature pipeline runs anyway; the report is one |classes|-row
-    (≤8 groups) hash aggregate on a tiny string key — map-side
+    (≤9 groups) hash aggregate on a tiny string key — map-side
     combined, nothing corpus-sized shuffles."""
     from ..operators.multimodal import PNGDecoder
     from ..tables import spread
@@ -327,20 +329,20 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pal = bytes(
             b for i in range(256) for b in ((3 * i) % 256, (5 * i) % 256, (7 * i) % 256)
         )
-        # valid chunk grammar, depth=16 header: the one remaining
+        # valid chunk grammar, interlace=1 header: the one remaining
         # declared-unsupported class reachable without corruption
-        deep_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
-        deep = (
+        laced_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+        laced = (
             PNGDecoder.MAGIC
-            + PNGDecoder._chunk(b"IHDR", deep_ihdr)
-            + PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 24))))
+            + PNGDecoder._chunk(b"IHDR", laced_ihdr)
+            + PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 12))))
             + PNGDecoder._chunk(b"IEND", b"")
         )
         for pdf in it:
             outcomes = []
             for doc_id in pdf["doc_id"]:
                 w, h = int(8 + doc_id % 9), int(8 + doc_id % 7)
-                mode = int(doc_id) % 8
+                mode = int(doc_id) % 9
                 if mode == 0:
                     body = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
                     buf = PNGDecoder.encode(w, h, body.tobytes())
@@ -357,12 +359,19 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     body = ((doc_id * 31 + np.arange(w * h * 4)) % 256).astype(np.uint8)
                     buf = PNGDecoder.encode(w, h, body.tobytes(), ctype=6)
                 elif mode == 5:
+                    body16 = ((doc_id * 131 + np.arange(w * h * 3)) % 65536).astype(
+                        ">u2"
+                    )
+                    buf = PNGDecoder.encode(
+                        w, h, body16.tobytes(), ctype=2, depth=16
+                    )
+                elif mode == 6:
                     body = ((doc_id * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
                     # cut through IEND into IDAT's 4-byte CRC — the
                     # exact truncation class of the round-4 advice fix
                     buf = PNGDecoder.encode(w, h, body.tobytes())[:-14]
-                elif mode == 6:
-                    buf = deep
+                elif mode == 7:
+                    buf = laced
                 else:
                     buf = b"junk bytes, not a png at all " + bytes([doc_id % 256])
                 fmt, _ = PNGDecoder.parse_fmt(buf)
@@ -372,7 +381,9 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ids.mapInPandas(synth_and_classify, schema="doc_id long, outcome string")
     return out.groupBy("outcome").agg(
         F.max(
-            F.col("outcome").isin("rgb", "gray", "palette", "gray-alpha", "rgba")
+            F.col("outcome").isin(
+                "rgb", "gray", "palette", "gray-alpha", "rgba", "rgb16"
+            )
         ).alias("decoded"),
         F.count(F.lit(1)).alias("n_docs"),
     )

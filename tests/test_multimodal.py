@@ -247,11 +247,14 @@ def test_png_rejects_malformed_and_out_of_subset():
             + mm.PNGDecoder._chunk(b"IEND", b"")
         )
 
-    # alpha headers are in-subset since round 6 — these bodies carry
-    # the WRONG stride for their color type, so they're corrupt
+    # alpha and 16-bit gray/truecolor headers are in-subset since
+    # round 6 — these bodies carry the WRONG stride for their color
+    # type, so they're corrupt
     assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 4, 0))[0] == "corrupt"  # gray+alpha
     assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 6, 0))[0] == "corrupt"  # RGBA
-    assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 2, 0))[0] == "unsupported"  # 16-bit
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 2, 0))[0] == "corrupt"  # 16-bit rgb
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 4, 0))[0] == "unsupported"  # 16-bit alpha
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 3, 0))[0] == "unsupported"  # 16-bit palette
     assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 2, 1))[0] == "unsupported"  # interlaced
     # a gray header whose body carries the WRONG stride is corrupt, not
     # unsupported (grayscale itself is in-subset since round 5)
@@ -428,3 +431,47 @@ def test_png_alpha_compositing_boundaries():
     ga = bytes([0, 128])
     _, got = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(1, 1, ga, ctype=4))
     assert got == (1, 1, bytes([127, 127, 127]))
+
+
+def test_png_16bit_round_trip_all_filters():
+    """Round-6 second widening: 16-bit grayscale and truecolor decode
+    through every scanline filter with the exact integer downscale
+    (v*255 + 32767) // 65535 — boundary-pinned: 0 -> 0, 65535 -> 255,
+    and 32896 (= 0x8080) -> 128."""
+    import numpy as np
+
+    def scale(v):
+        return (v * 255 + 32767) // 65535
+
+    rng = np.random.RandomState(17)
+    for w, h in [(1, 1), (9, 5)]:
+        g16 = rng.randint(0, 65536, w * h, dtype=np.uint16)
+        want_g = bytes(b for v in g16 for c in (scale(int(v)),) for b in (c, c, c))
+        rgb16 = rng.randint(0, 65536, w * h * 3, dtype=np.uint16)
+        want_rgb = bytes(scale(int(v)) for v in rgb16)
+        for f in range(5):
+            fmt, got = mm.PNGDecoder.parse_fmt(
+                mm.PNGDecoder.encode(
+                    w, h, g16.astype(">u2").tobytes(), [f] * h, ctype=0, depth=16
+                )
+            )
+            assert fmt == "gray16" and got == (w, h, want_g), (w, h, f)
+            fmt, got = mm.PNGDecoder.parse_fmt(
+                mm.PNGDecoder.encode(
+                    w, h, rgb16.astype(">u2").tobytes(), [f] * h, ctype=2, depth=16
+                )
+            )
+            assert fmt == "rgb16" and got == (w, h, want_rgb), (w, h, f)
+    # boundary values of the downscale
+    import struct
+
+    samples = struct.pack(">3H", 0, 65535, 32896)
+    _, got = mm.PNGDecoder.parse_fmt(
+        mm.PNGDecoder.encode(1, 1, samples, ctype=2, depth=16)
+    )
+    assert got == (1, 1, bytes([0, 255, 128]))
+    # depth 16 is invalid for palette/alpha fixtures
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="depth 16"):
+        mm.PNGDecoder.encode(2, 1, bytes(4), ctype=4, depth=16)
