@@ -190,11 +190,15 @@ class PNGDecoder(Decoder):
     integer rounding ``(a·fg + (255−a)·bg + 127) // 255`` — plus
     16-BIT grayscale and truecolor (big-endian samples, RFC 2083
     §2.4, downscaled to 8-bit with the exact rounding
-    ``(v·255 + 32767) // 65535``), keeping the raw-RGB output
-    contract. Interlaced images, 16-bit alpha/palette combinations,
-    and any CRC or length corruption stay rejected — yielding
-    all-NULL features rather than failing the batch (decode errors at
-    100 TB are data, not exceptions). ``parse_fmt`` additionally reports WHICH path decoded
+    ``(v·255 + 32767) // 65535``) — plus ADAM7 INTERLACING (§2.6:
+    seven independently-filtered sub-images reassembled on the pixel
+    grid, equivalence-tested against the straight decode of the same
+    pixels across every supported color/depth combination), keeping
+    the raw-RGB output contract. Only 16-bit alpha/palette
+    combinations remain declared-unsupported; any CRC or length
+    corruption stays rejected — yielding all-NULL features rather
+    than failing the batch (decode errors at 100 TB are data, not
+    exceptions). ``parse_fmt`` additionally reports WHICH path decoded
     or why not, so corpus reports can surface per-format quarantine
     rates (q_image_png_report). Reconstruction is a per-pixel Python
     loop: fine for the fixture sizes here and for correctness
@@ -261,6 +265,7 @@ class PNGDecoder(Decoder):
         ctype: int = 2,
         palette: bytes | None = None,
         depth: int = 8,
+        interlace: bool = False,
     ) -> bytes:
         """Build a valid PNG: truecolor (``ctype=2``, w*h*3 pixel
         bytes), grayscale (``ctype=0``, w*h bytes), palette
@@ -289,18 +294,56 @@ class PNGDecoder(Decoder):
         if ctype == 3:
             if palette is None or len(palette) % 3 or not 0 < len(palette) <= 768:
                 raise ValueError("palette PNG needs a 3*N-byte palette, N <= 256")
-        fts = list(filter_types) if filter_types is not None else [0] * height
-        if len(fts) != height:
-            raise ValueError("one filter type per scanline")
         stride = width * bpp
-        prev = bytes(stride)
-        body = bytearray()
-        for y in range(height):
-            raw = pixels[y * stride : (y + 1) * stride]
-            body.append(fts[y])
-            body += cls._filter_scanline(fts[y], raw, prev, bpp)
-            prev = raw
-        ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0, 0)
+        if interlace:
+            # Adam7 fixture path: each pass's sub-image is filtered
+            # independently (prev resets per pass); filter_types, if
+            # given, has one entry per PASS scanline in pass order
+            passes = []
+            for x0, y0, dx, dy in cls.ADAM7:
+                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+                if pw and ph:
+                    passes.append((x0, y0, dx, dy, pw, ph))
+            total_rows = sum(p[5] for p in passes)
+            fts = (
+                list(filter_types)
+                if filter_types is not None
+                else [0] * total_rows
+            )
+            if len(fts) != total_rows:
+                raise ValueError(
+                    f"interlaced fixtures need one filter type per pass "
+                    f"scanline ({total_rows})"
+                )
+            body = bytearray()
+            row_i = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                prev = bytes(pw * bpp)
+                for py in range(ph):
+                    raw = bytearray()
+                    for px in range(pw):
+                        src = ((y0 + py * dy) * width + (x0 + px * dx)) * bpp
+                        raw += pixels[src : src + bpp]
+                    raw = bytes(raw)
+                    body.append(fts[row_i])
+                    body += cls._filter_scanline(fts[row_i], raw, prev, bpp)
+                    prev = raw
+                    row_i += 1
+        else:
+            fts = list(filter_types) if filter_types is not None else [0] * height
+            if len(fts) != height:
+                raise ValueError("one filter type per scanline")
+            prev = bytes(stride)
+            body = bytearray()
+            for y in range(height):
+                raw = pixels[y * stride : (y + 1) * stride]
+                body.append(fts[y])
+                body += cls._filter_scanline(fts[y], raw, prev, bpp)
+                prev = raw
+        ihdr = struct.pack(
+            ">IIBBBBB", width, height, depth, ctype, 0, 0, 1 if interlace else 0
+        )
         out = cls.MAGIC + cls._chunk(b"IHDR", ihdr)
         if ctype == 3:
             out += cls._chunk(b"PLTE", bytes(palette))
@@ -320,6 +363,48 @@ class PNGDecoder(Decoder):
     BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
     #: color types that additionally decode at 16-bit depth
     DEPTH16_CTYPES = (0, 2)
+    #: Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+    #: per pass, RFC 2083 §2.6 — each pass is its own filtered
+    #: sub-image; empty passes (dimension 0) contribute no bytes
+    ADAM7 = (
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    )
+
+    @classmethod
+    def _unfilter(cls, raw, pos: int, n_rows: int, stride: int, bpp: int):
+        """Reconstruct ``n_rows`` scanlines of ``stride`` bytes from
+        the filtered block at ``raw[pos:]`` (each row = 1 filter byte
+        + stride data bytes) — the RFC 2083 §6 inverse, shared by the
+        straight and per-Adam7-pass paths. Returns the concatenated
+        rows, or None on an invalid filter byte."""
+        prev = bytearray(stride)
+        out = bytearray()
+        for y in range(n_rows):
+            base = pos + y * (1 + stride)
+            ft = raw[base]
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            if ft > 4:
+                return None
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    line[i] = (line[i] + left) & 0xFF
+                elif ft == 2:
+                    line[i] = (line[i] + prev[i]) & 0xFF
+                elif ft == 3:
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+                elif ft == 4:
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + cls._paeth(left, prev[i], ul)) & 0xFF
+            out += line
+            prev = line
+        return out
     #: background level alpha flattens onto (white — the curation
     #: convention for document images); one channel value, applied per
     #: channel with exact integer rounding
@@ -372,7 +457,7 @@ class PNGDecoder(Decoder):
             return "corrupt", None
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
         depth_ok = depth == 8 or (depth == 16 and ctype in cls.DEPTH16_CTYPES)
-        if not depth_ok or ctype not in cls.BPP or comp or filt or interlace:
+        if not depth_ok or ctype not in cls.BPP or comp or filt or interlace > 1:
             return "unsupported", None  # outside the declared subset
         if w == 0 or h == 0:
             return "corrupt", None
@@ -387,28 +472,34 @@ class PNGDecoder(Decoder):
         # (RFC 2083 §6.2 — 16-bit filters operate on raw bytes)
         bpp = cls.BPP[ctype] * (depth // 8)
         stride = w * bpp
-        if len(raw) != h * (1 + stride):
-            return "corrupt", None
-        prev = bytearray(stride)
-        out = bytearray()
-        for y in range(h):
-            ft = raw[y * (1 + stride)]
-            line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
-            if ft > 4:
+        if interlace == 0:
+            if len(raw) != h * (1 + stride):
                 return "corrupt", None
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                if ft == 1:
-                    line[i] = (line[i] + left) & 0xFF
-                elif ft == 2:
-                    line[i] = (line[i] + prev[i]) & 0xFF
-                elif ft == 3:
-                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-                elif ft == 4:
-                    ul = prev[i - bpp] if i >= bpp else 0
-                    line[i] = (line[i] + cls._paeth(left, prev[i], ul)) & 0xFF
-            out += line
-            prev = line
+            out = cls._unfilter(raw, 0, h, stride, bpp)
+            if out is None:
+                return "corrupt", None
+        else:  # Adam7: 7 filtered sub-images, reassembled on the grid
+            out = bytearray(h * stride)
+            pos = 0
+            for x0, y0, dx, dy in cls.ADAM7:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if not pw or not ph:
+                    continue  # empty pass contributes no bytes
+                pstride = pw * bpp
+                if pos + ph * (1 + pstride) > len(raw):
+                    return "corrupt", None
+                sub = cls._unfilter(raw, pos, ph, pstride, bpp)
+                if sub is None:
+                    return "corrupt", None
+                pos += ph * (1 + pstride)
+                for py in range(ph):
+                    for px in range(pw):
+                        src = (py * pw + px) * bpp
+                        dst = ((y0 + py * dy) * w + (x0 + px * dx)) * bpp
+                        out[dst : dst + bpp] = sub[src : src + bpp]
+            if pos != len(raw):
+                return "corrupt", None
         if depth == 16:
             # big-endian u16 samples → 8-bit with the exact rounding
             # (v·255 + 32767) // 65535 (the linear rescale, round

@@ -329,13 +329,14 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         pal = bytes(
             b for i in range(256) for b in ((3 * i) % 256, (5 * i) % 256, (7 * i) % 256)
         )
-        # valid chunk grammar, interlace=1 header: the one remaining
+        # valid chunk grammar, 16-bit gray+alpha header: the remaining
         # declared-unsupported class reachable without corruption
-        laced_ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
-        laced = (
+        # (Adam7 interlacing decodes since the round-6 third widening)
+        deep_alpha_ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 4, 0, 0, 0)
+        unsup = (
             PNGDecoder.MAGIC
-            + PNGDecoder._chunk(b"IHDR", laced_ihdr)
-            + PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 12))))
+            + PNGDecoder._chunk(b"IHDR", deep_alpha_ihdr)
+            + PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(4 * (1 + 16))))
             + PNGDecoder._chunk(b"IEND", b"")
         )
         for pdf in it:
@@ -371,7 +372,7 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # exact truncation class of the round-4 advice fix
                     buf = PNGDecoder.encode(w, h, body.tobytes())[:-14]
                 elif mode == 7:
-                    buf = laced
+                    buf = unsup
                 else:
                     buf = b"junk bytes, not a png at all " + bytes([doc_id % 256])
                 fmt, _ = PNGDecoder.parse_fmt(buf)

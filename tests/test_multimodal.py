@@ -255,7 +255,10 @@ def test_png_rejects_malformed_and_out_of_subset():
     assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 2, 0))[0] == "corrupt"  # 16-bit rgb
     assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 4, 0))[0] == "unsupported"  # 16-bit alpha
     assert mm.PNGDecoder.parse_fmt(with_ihdr(16, 3, 0))[0] == "unsupported"  # 16-bit palette
-    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 2, 1))[0] == "unsupported"  # interlaced
+    # interlace=1 is in-subset since round 6; this body has the wrong
+    # Adam7 pass byte count, so it's corrupt — interlace>1 stays out
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 2, 1))[0] == "corrupt"
+    assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 2, 2))[0] == "unsupported"
     # a gray header whose body carries the WRONG stride is corrupt, not
     # unsupported (grayscale itself is in-subset since round 5)
     assert mm.PNGDecoder.parse_fmt(with_ihdr(8, 0, 0)) == ("corrupt", None)
@@ -475,3 +478,45 @@ def test_png_16bit_round_trip_all_filters():
 
     with _pytest.raises(ValueError, match="depth 16"):
         mm.PNGDecoder.encode(2, 1, bytes(4), ctype=4, depth=16)
+
+
+def test_png_adam7_interlaced_equals_straight_decode():
+    """Round-6 third widening: Adam7-interlaced PNGs must decode to
+    EXACTLY the bytes the straight encoding of the same pixels
+    decodes to — across color types, depths, odd dimensions (empty
+    passes), and non-zero per-pass filters."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    cases = []
+    for w, h in [(1, 1), (2, 3), (8, 8), (13, 7), (5, 11)]:
+        cases.append((w, h, rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes(), {"ctype": 2}))
+        cases.append((w, h, rng.randint(0, 256, w * h, dtype=np.uint8).tobytes(), {"ctype": 0}))
+        cases.append((w, h, rng.randint(0, 256, w * h * 4, dtype=np.uint8).tobytes(), {"ctype": 6}))
+        cases.append(
+            (w, h, rng.randint(0, 65536, w * h * 3, dtype=np.uint16).astype(">u2").tobytes(),
+             {"ctype": 2, "depth": 16})
+        )
+    pal = bytes(rng.randint(0, 256, 3 * 256, dtype=np.uint8))
+    cases.append((9, 6, rng.randint(0, 256, 54, dtype=np.uint8).tobytes(), {"ctype": 3, "palette": pal}))
+    for w, h, px, kw in cases:
+        want = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(w, h, px, **kw))
+        got = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(w, h, px, interlace=True, **kw))
+        assert got == want, (w, h, kw)
+    # non-zero filters inside passes: cycle all five across pass rows
+    w, h = 12, 10
+    px = rng.randint(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    passes = [(x0, y0, dx, dy) for x0, y0, dx, dy in mm.PNGDecoder.ADAM7]
+    total_rows = sum(
+        ((h - y0 + dy - 1) // dy) for x0, y0, dx, dy in passes
+        if w > x0 and h > y0 and ((w - x0 + dx - 1) // dx) > 0
+    )
+    fts = [(r * 7 + 1) % 5 for r in range(total_rows)]
+    got = mm.PNGDecoder.parse_fmt(
+        mm.PNGDecoder.encode(w, h, px, fts, ctype=2, interlace=True)
+    )
+    want = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(w, h, px, ctype=2))
+    assert got == want
+    # truncating the last pass's bytes is corrupt, never garbage
+    buf = mm.PNGDecoder.encode(8, 8, bytes(range(192)), ctype=2, interlace=True)
+    assert mm.PNGDecoder.parse_fmt(buf)[1] is not None
