@@ -299,12 +299,7 @@ class PNGDecoder(Decoder):
             # Adam7 fixture path: each pass's sub-image is filtered
             # independently (prev resets per pass); filter_types, if
             # given, has one entry per PASS scanline in pass order
-            passes = []
-            for x0, y0, dx, dy in cls.ADAM7:
-                pw = (width - x0 + dx - 1) // dx if width > x0 else 0
-                ph = (height - y0 + dy - 1) // dy if height > y0 else 0
-                if pw and ph:
-                    passes.append((x0, y0, dx, dy, pw, ph))
+            passes = cls._adam7_passes(width, height)
             total_rows = sum(p[5] for p in passes)
             fts = (
                 list(filter_types)
@@ -377,6 +372,21 @@ class PNGDecoder(Decoder):
     )
 
     @classmethod
+    def _adam7_passes(cls, w: int, h: int):
+        """The NON-EMPTY Adam7 passes of a w×h image as
+        (x0, y0, dx, dy, pw, ph) tuples — the one place the pass
+        geometry formula lives (encode, parse_fmt and tests all
+        consume it, so the ceil-division rule can never drift between
+        the interlacer and the de-interlacer)."""
+        out = []
+        for x0, y0, dx, dy in cls.ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw and ph:
+                out.append((x0, y0, dx, dy, pw, ph))
+        return out
+
+    @classmethod
     def _unfilter(cls, raw, pos: int, n_rows: int, stride: int, bpp: int):
         """Reconstruct ``n_rows`` scanlines of ``stride`` bytes from
         the filtered block at ``raw[pos:]`` (each row = 1 filter byte
@@ -415,9 +425,12 @@ class PNGDecoder(Decoder):
         """(outcome, parsed) where parsed is (width, height, w*h*3 RGB
         bytes) on success and None otherwise, and outcome is the
         decode/reject class: 'gray' / 'rgb' / 'palette' / 'gray-alpha'
-        / 'rgba' on success,
+        / 'rgba' — with a '16' suffix for 16-bit depth ('gray16' /
+        'rgb16'); Adam7 interlacing decodes under the same labels —
+        on success,
         'not-png' (no signature), 'unsupported' (valid header outside
-        the declared subset — 16-bit, interlaced), or 'corrupt'
+        the declared subset — 16-bit alpha/palette combinations,
+        interlace methods beyond Adam7), or 'corrupt'
         (CRC/length/inflate/filter/palette-index violations). The
         outcome column is what a corpus report aggregates into
         per-format quarantine rates."""
@@ -464,31 +477,42 @@ class PNGDecoder(Decoder):
         fmt = cls.FMT_NAMES[ctype] + ("16" if depth == 16 else "")
         if ctype == 3 and (plte is None or len(plte) % 3 or len(plte) > 768):
             return "corrupt", None
-        try:
-            raw = zlib.decompress(bytes(idat))
-        except zlib.error:
-            return "corrupt", None
         # the FILTER unit is bytes-per-pixel: samples × sample width
         # (RFC 2083 §6.2 — 16-bit filters operate on raw bytes)
         bpp = cls.BPP[ctype] * (depth // 8)
         stride = w * bpp
         if interlace == 0:
-            if len(raw) != h * (1 + stride):
-                return "corrupt", None
+            passes = None
+            expected = h * (1 + stride)
+        else:
+            passes = cls._adam7_passes(w, h)
+            expected = sum(ph * (1 + pw * bpp) for *_x, pw, ph in passes)
+        # Inflate BOUNDED by the header-declared byte count, computed
+        # from pure int arithmetic before any allocation: a crafted
+        # tiny file with a huge IHDR (or a zlib bomb) can neither
+        # drive bytearray(h*stride) into MemoryError nor inflate past
+        # expected+1 bytes — decode errors are data, not exceptions.
+        # cap further by DEFLATE's maximum expansion (~1032:1): when a
+        # huge header makes `expected` astronomically larger than the
+        # stream could ever produce, the inflate cap stays machine-
+        # sized (expected+1 itself would overflow zlib's max_length)
+        cap = min(expected + 1, 1032 * len(idat) + 64)
+        d = zlib.decompressobj()
+        try:
+            raw = d.decompress(bytes(idat), cap)
+        except zlib.error:
+            return "corrupt", None
+        if len(raw) != expected or not d.eof or d.unconsumed_tail:
+            return "corrupt", None
+        if interlace == 0:
             out = cls._unfilter(raw, 0, h, stride, bpp)
             if out is None:
                 return "corrupt", None
         else:  # Adam7: 7 filtered sub-images, reassembled on the grid
             out = bytearray(h * stride)
             pos = 0
-            for x0, y0, dx, dy in cls.ADAM7:
-                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
-                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
-                if not pw or not ph:
-                    continue  # empty pass contributes no bytes
+            for x0, y0, dx, dy, pw, ph in passes:
                 pstride = pw * bpp
-                if pos + ph * (1 + pstride) > len(raw):
-                    return "corrupt", None
                 sub = cls._unfilter(raw, pos, ph, pstride, bpp)
                 if sub is None:
                     return "corrupt", None
@@ -498,8 +522,6 @@ class PNGDecoder(Decoder):
                         src = (py * pw + px) * bpp
                         dst = ((y0 + py * dy) * w + (x0 + px * dx)) * bpp
                         out[dst : dst + bpp] = sub[src : src + bpp]
-            if pos != len(raw):
-                return "corrupt", None
         if depth == 16:
             # big-endian u16 samples → 8-bit with the exact rounding
             # (v·255 + 32767) // 65535 (the linear rescale, round
@@ -544,10 +566,12 @@ class PNGDecoder(Decoder):
 
     @classmethod
     def parse(cls, buf) -> tuple[int, int, bytes] | None:
-        """(width, height, w*h*3 RGB bytes) for a well-formed 8-bit
-        gray/RGB/palette/gray-alpha/RGBA non-interlaced PNG (alpha
-        flattened over ALPHA_BG), None otherwise — same contract as
-        RawRGBDecoder.parse, so downstream stages are layout-agnostic."""
+        """(width, height, w*h*3 RGB bytes) for a well-formed PNG in
+        the declared subset — 8-bit gray/RGB/palette/gray-alpha/RGBA
+        and 16-bit gray/RGB, straight or Adam7-interlaced (alpha
+        flattened over ALPHA_BG, 16-bit downscaled exactly) — None
+        otherwise; same contract as RawRGBDecoder.parse, so
+        downstream stages are layout-agnostic."""
         return cls.parse_fmt(buf)[1]
 
     def decode(self, buf: bytes | None) -> dict:

@@ -299,13 +299,15 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (now INCLUDING the round-6 widenings: the alpha pair flattened
     over the declared background, and 16-bit truecolor with the exact
     integer downscale) and how many fell into each reject class
-    (corrupt bytes, valid-but-unsupported headers like interlacing,
-    non-PNG junk), instead of silent NULL features. Outcome labels
-    come from the REAL ``PNGDecoder.parse_fmt`` decode attempt on
-    each payload, not from bookkeeping: the corpus synthesizes by
-    ``doc_id % 9`` a truecolor / grayscale / palette / gray-alpha /
-    RGBA / 16-bit-truecolor PNG, a mid-CRC-truncated PNG, an
-    interlaced header, and plain junk bytes — so the hash gate
+    (corrupt bytes, valid-but-unsupported headers — 16-bit
+    alpha/palette combinations, the only class left now that Adam7
+    interlacing decodes — and non-PNG junk), instead of silent NULL
+    features. Outcome labels come from the REAL
+    ``PNGDecoder.parse_fmt`` decode attempt on each payload, not from
+    bookkeeping: the corpus synthesizes by ``doc_id % 9`` a truecolor
+    / grayscale / palette / gray-alpha / RGBA / 16-bit-truecolor PNG,
+    a mid-CRC-truncated PNG, a 16-bit gray-alpha header, and plain
+    junk bytes — so the hash gate
     verifies the decoder CLASSIFIES every payload exactly as
     constructed (a decoder that mislabeled corruption as unsupported,
     or decoded junk, fails the count table).

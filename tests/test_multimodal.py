@@ -517,6 +517,54 @@ def test_png_adam7_interlaced_equals_straight_decode():
     )
     want = mm.PNGDecoder.parse_fmt(mm.PNGDecoder.encode(w, h, px, ctype=2))
     assert got == want
-    # truncating the last pass's bytes is corrupt, never garbage
-    buf = mm.PNGDecoder.encode(8, 8, bytes(range(192)), ctype=2, interlace=True)
-    assert mm.PNGDecoder.parse_fmt(buf)[1] is not None
+    # byte-accounting corruption classes: a zlib-valid stream whose
+    # raw bytes end short of (or run past) the Adam7 pass total is
+    # corrupt — and the geometry helper is the single source of truth
+    import struct
+    import zlib
+
+    def laced_with_raw(raw_bytes):
+        ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 1)
+        return (
+            mm.PNGDecoder.MAGIC
+            + mm.PNGDecoder._chunk(b"IHDR", ihdr)
+            + mm.PNGDecoder._chunk(b"IDAT", zlib.compress(raw_bytes))
+            + mm.PNGDecoder._chunk(b"IEND", b"")
+        )
+
+    expected = sum(
+        ph * (1 + pw * 3) for *_a, pw, ph in mm.PNGDecoder._adam7_passes(8, 8)
+    )
+    assert mm.PNGDecoder.parse_fmt(laced_with_raw(bytes(expected)))[1] is not None
+    assert mm.PNGDecoder.parse_fmt(laced_with_raw(bytes(expected - 1)))[0] == "corrupt"
+    assert mm.PNGDecoder.parse_fmt(laced_with_raw(bytes(expected + 1)))[0] == "corrupt"
+
+
+def test_png_huge_header_tiny_body_is_corrupt_not_memoryerror():
+    """A crafted ~100-byte interlaced PNG declaring a 50000x50000
+    image must classify as corrupt — never attempt a gigabyte
+    allocation (MemoryError/OverflowError kill the Spark task; decode
+    errors are data). Same guarantee for a declared-size zlib bomb:
+    the inflate is bounded by the header-declared byte count."""
+    import struct
+    import zlib
+
+    for w, h, interlace in [(50000, 50000, 1), (50000, 50000, 0), (2**31 - 1, 2**31 - 1, 1)]:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, interlace)
+        buf = (
+            mm.PNGDecoder.MAGIC
+            + mm.PNGDecoder._chunk(b"IHDR", ihdr)
+            + mm.PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(10)))
+            + mm.PNGDecoder._chunk(b"IEND", b"")
+        )
+        assert mm.PNGDecoder.parse_fmt(buf) == ("corrupt", None), (w, interlace)
+    # zlib bomb: 1 MB of zeros compresses to ~1 KB but the header
+    # declares a 2x2 image — bounded inflate classifies it corrupt
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        mm.PNGDecoder.MAGIC
+        + mm.PNGDecoder._chunk(b"IHDR", ihdr)
+        + mm.PNGDecoder._chunk(b"IDAT", zlib.compress(bytes(1_000_000)))
+        + mm.PNGDecoder._chunk(b"IEND", b"")
+    )
+    assert mm.PNGDecoder.parse_fmt(bomb) == ("corrupt", None)
