@@ -113,3 +113,29 @@ def test_jsonl_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
     assert len(raw) == 2 and any("not json" in x for x in raw)
     # default read drops the corrupt rows silently
     assert read_jsonl(spark, path, "doc_id long, text string").count() == 2
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
+    """ORC source/sink: write -> read returns identical rows + schema,
+    and predicate pushdown + column pruning survive the format swap
+    (the contract that lets a parquet-shaped pipeline consume
+    Hive-heritage ORC inputs unchanged)."""
+    from production_ready_ds_spark.plans.audit import explain_str, pushed_filters
+    from production_ready_ds_spark.sources.orc import read_orc, write_orc
+    from production_ready_ds_spark.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    q = back.filter("doc_id < 10").select("doc_id", "lang")
+    pushed = " ".join(pushed_filters(q))
+    assert "doc_id" in pushed, explain_str(q)[:600]
+    assert q.count() == 10
+    # array-typed embeddings round-trip too
+    emb = load(spark, sf_small, "embeddings")
+    write_orc(emb, str(tmp_path / "emb_orc"))
+    back2 = read_orc(spark, str(tmp_path / "emb_orc"))
+    assert back2.schema == emb.schema and back2.count() == emb.count()
