@@ -39,7 +39,9 @@ def _parser() -> argparse.ArgumentParser:
         sp.add_argument("--cpus", type=int, default=8)
         sp.add_argument("--limit", type=int, default=20)
         sp.add_argument("--out", default=None)
-        sp.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+        sp.add_argument(
+            "--format", choices=["parquet", "jsonl", "orc"], default="parquet"
+        )
         sp.add_argument(
             "--explain",
             action="store_true",
@@ -159,6 +161,10 @@ def _emit(df, args) -> None:
             from .sources.jsonl import write_jsonl
 
             write_jsonl(df, args.out)
+        elif args.format == "orc":
+            from .sources.orc import write_orc
+
+            write_orc(df, args.out)
         else:
             df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")

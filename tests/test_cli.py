@@ -214,3 +214,13 @@ def test_vindex_build_search_recall_delete(spark, sf_small, tmp_path, capsys):
         emb.filter(F.col("vec_id") == 1), top_k=3, nprobe=4
     ).collect()
     assert hits and all(r.neighbor_id != 0 for r in hits)
+
+
+def test_run_query_writes_orc(spark, sf_small, tmp_path):
+    out = str(tmp_path / "agg_orc")
+    assert (
+        main(["run", "q_agg_pricing", "--sf", sf_small, "--out", out,
+              "--format", "orc"]) == 0
+    )
+    back = spark.read.orc(out)
+    assert back.count() == 6
