@@ -84,6 +84,12 @@ def _parser() -> argparse.ArgumentParser:
         "reciprocal-rank fusion (surfaces semantic hits sharing no "
         "query term)",
     )
+    search.add_argument(
+        "--prefix",
+        action="store_true",
+        help="treat the single term as a prefix (wildcard search: "
+        "rank docs by occurrences of any term starting with it)",
+    )
     common(search)
     index = sub.add_parser(
         "index", help="build/refresh/maintain the BM25 inverted index (TermStore)"
@@ -199,11 +205,14 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
-        if sum([args.phrase, args.hybrid, args.rrf]) > 1:
+        if sum([args.phrase, args.hybrid, args.rrf, args.prefix]) > 1:
             print(
-                "--phrase, --hybrid and --rrf are mutually exclusive",
+                "--phrase, --hybrid, --rrf and --prefix are mutually exclusive",
                 file=sys.stderr,
             )
+            return 2
+        if args.prefix and len(args.terms) != 1:
+            print("--prefix takes exactly one term", file=sys.stderr)
             return 2
         if args.phrase and len(args.terms) < 2:
             # validated HERE so both serving paths behave the same:
@@ -215,7 +224,24 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.phrase:
+        if args.prefix:
+            prefix = args.terms[0].lower()
+            if args.index:
+                from .operators.termstore import TermStore
+
+                _emit(
+                    TermStore(args.index).search_prefix(spark, prefix, k=args.k),
+                    args,
+                )
+            else:
+                from .queries.llm import prefix_topk
+                from .tables import load
+
+                _emit(
+                    prefix_topk(load(spark, args.sf, "documents"), prefix, k=args.k),
+                    args,
+                )
+        elif args.phrase:
             # phrases keep duplicates and order — "buffalo buffalo" is
             # a real phrase query
             phrase = tuple(t.lower() for t in args.terms)

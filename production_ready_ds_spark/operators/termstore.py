@@ -471,6 +471,54 @@ class TermStore:
             "n_terms_hit",
         )
 
+    def read_postings_range(
+        self, spark: SparkSession, lo: str, hi: str
+    ) -> DataFrame | None:
+        """Postings rows with lo <= term < hi, pushed as RANGE
+        predicates parquet stats evaluate per row group — on
+        term-clustered segments a prefix's terms live in one or two
+        row groups, so this is the dictionary-range read a real
+        inverted index serves wildcard queries from (no threshold
+        ratchet needed: range filters push natively)."""
+        segs = self.segments()
+        if not segs:
+            return None
+        df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
+        return df.filter((F.col("term") >= lo) & (F.col("term") < hi))
+
+    def search_prefix(
+        self, spark: SparkSession, prefix: str, *, k: int = 20
+    ) -> DataFrame:
+        """PREFIX top-k from the index: (rank, doc_id, n_hits,
+        n_terms) — documents ranked by total occurrences of any term
+        starting with ``prefix`` (ties: fewer chars ≻ lower doc_id is
+        NOT used; ordering is (n_hits desc, doc_id asc), matching the
+        scan path's integers exactly). The postings read is the
+        term-RANGE scan [prefix, next(prefix)) — O(matching postings),
+        independent of corpus size on term-clustered segments."""
+        from pyspark.sql import Window
+
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        post = self.read_postings_range(spark, prefix, hi)
+        if post is None:
+            raise ValueError(f"TermStore at {self.root} is empty")
+        per_doc = post.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        top = per_doc.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+        return top.select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rank"),
+            "doc_id",
+            "n_hits",
+            "n_terms",
+        )
+
     def search_phrase(
         self, spark: SparkSession, phrase: tuple[str, ...], *, k: int = 20
     ) -> DataFrame:

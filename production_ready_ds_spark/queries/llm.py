@@ -5047,6 +5047,91 @@ def ivf_recall_report(
     )
 
 
+#: fixed prefix for the catalog surface — matches several corpus terms
+#: (scan/slow/sort/stream/spark/small...), so the per-doc n_terms
+#: column exercises real variation
+PREFIX_QUERY = "s"
+
+# shared by q_search_prefix and its indexed twin (one oracle text, the
+# _BM25_SQL convention)
+_PREFIX_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(ts, x -> starts_with(x, '{PREFIX_QUERY}')))
+               AS n_hits,
+             len(list_distinct(
+               list_filter(ts, x -> starts_with(x, '{PREFIX_QUERY}'))))
+               AS n_terms
+      FROM t
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_terms AS BIGINT) AS n_terms
+    FROM m WHERE n_hits > 0 ORDER BY rank LIMIT 20
+    """
+
+
+@query("q_search_prefix", category="llm-text", sql=_PREFIX_SQL)
+def q_search_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX (wildcard) search — documents ranked by total
+    occurrences of any term starting with '{PREFIX_QUERY}', with the
+    distinct matched-term count alongside: the `spar*` query class
+    BM25's exact-term matching can't express. All-integer outputs
+    (counts + ranks), so there is no cross-engine float surface.
+
+    Scale shape: the scan path is MAP-ONLY (one array filter on the
+    resident token array, no explode) + TakeOrderedAndProject top-k;
+    the TermStore twin (q_search_prefix_indexed) serves the same
+    integers from a term-RANGE postings read [prefix, next(prefix))
+    that parquet row-group stats prune on the term-clustered
+    segments — the dictionary-range read real inverted indexes serve
+    wildcard queries from, this time exploiting the clustering with
+    RANGE pushdown rather than In()."""
+    return prefix_topk(load(spark, sf_dir, "documents"), PREFIX_QUERY, k=20)
+
+
+def prefix_topk(docs: DataFrame, prefix: str, *, k: int = 20) -> DataFrame:
+    """Scan-path prefix search for an ARBITRARY prefix (the engine
+    behind q_search_prefix and the CLI); TermStore.search_prefix is
+    the index twin returning the same integers."""
+    from pyspark.sql import Window
+
+    # two-step Project (the tokenizer-fusion rule): tokenize once,
+    # then both counts read the resident array
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    matched = F.filter(F.col("ts"), lambda t: t.startswith(prefix))
+    m = toks.select(
+        "doc_id",
+        F.size(matched).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(matched)).cast("long").alias("n_terms"),
+    ).filter(F.col("n_hits") > 0)
+    top = m.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+        "doc_id",
+        "n_hits",
+        "n_terms",
+    )
+
+
+@query("q_search_prefix_indexed", category="llm-text", sql=_PREFIX_SQL)
+def q_search_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_prefix served from the persistent TermStore via the
+    term-RANGE postings read (see TermStore.search_prefix) — held to
+    the IDENTICAL oracle; a hash-green row proves the range-pruned
+    dictionary read end to end."""
+    return _cached_corpus_index(spark, sf_dir).search_prefix(
+        spark, PREFIX_QUERY, k=20
+    )
+
+
 #: fixed exact phrase for the catalog surface (the corpus's most
 #: frequent bigram, so ranking exercises real count variation)
 PHRASE_QUERY = ("table", "hash")

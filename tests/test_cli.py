@@ -224,3 +224,20 @@ def test_run_query_writes_orc(spark, sf_small, tmp_path):
     )
     back = spark.read.orc(out)
     assert back.count() == 6
+
+
+def test_search_prefix_command(spark, sf_small, capsys):
+    """`search <term> --prefix` ranks docs by occurrences of any term
+    starting with it, agreeing with the parameterized helper."""
+    from production_ready_ds_spark.queries.llm import prefix_topk
+    from production_ready_ds_spark.tables import load
+
+    rc = main(["search", "sp", "--prefix", "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    out = capsys.readouterr().out
+    want = prefix_topk(load(spark, sf_small, "documents"), "sp", k=3).collect()
+    assert want
+    for r in want:
+        assert str(r.doc_id) in out
+    assert main(["search", "a", "b", "--prefix", "--sf", sf_small]) == 2
+    assert "exactly one term" in capsys.readouterr().err

@@ -326,3 +326,25 @@ def test_append_derives_bounds_from_batch(spark, sf_small, tmp_path):
     assert _results(store.search(spark, ("spark",), k=10)) == _results(
         explicit.search(spark, ("spark",), k=10)
     )
+
+
+def test_prefix_search_equals_scan_and_pushes_range(spark, sf_small, tmp_path):
+    """TermStore.search_prefix must return the scan path's exact
+    integers, and its postings read must push RANGE predicates on
+    term (the dictionary-range read the term clustering exists for —
+    range pushdown, not just In())."""
+    from production_ready_ds_spark.plans.audit import pushed_filters
+    from production_ready_ds_spark.queries.llm import prefix_topk
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "pfx"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    for prefix in ("s", "qu", "t"):
+        scan = _results(prefix_topk(docs, prefix, k=15))
+        indexed = _results(store.search_prefix(spark, prefix, k=15))
+        assert indexed == scan, prefix
+    post = store.read_postings_range(spark, "s", "t")
+    pushed = " ".join(pushed_filters(post))
+    assert "GreaterThanOrEqual(term" in pushed and "LessThan(term" in pushed, pushed
+    got = {r.term for r in post.select("term").distinct().collect()}
+    assert got and all(t.startswith("s") for t in got)
