@@ -12,7 +12,8 @@ Commands:
   list                         — catalog names (+ category, oracle?)
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
-  search <term> [term ...]     — BM25 (--index postings / --phrase / --hybrid / --rrf)
+  search <term> [term ...]     — BM25 (--index postings / --phrase /
+                                 --hybrid / --rrf / --prefix wildcard)
   index  --root DIR            — build the BM25 inverted index
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
@@ -21,7 +22,7 @@ Commands:
   corpus                       — run the full corpus-build DAG
   Any data command takes --explain to print the formatted plan.
   Common flags: --sf DIR (default /root/testdata/sf0.01),
-  --cpus N, --limit N, --out PATH [--format parquet|jsonl]
+  --cpus N, --limit N, --out PATH [--format parquet|jsonl|orc]
 """
 
 from __future__ import annotations
@@ -211,8 +212,11 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.prefix and len(args.terms) != 1:
-            print("--prefix takes exactly one term", file=sys.stderr)
+        if args.prefix and (len(args.terms) != 1 or not args.terms[0].strip()):
+            # empty prefix would match EVERY token on the scan path
+            # (startswith('') is vacuously true) and raise on the
+            # index path — reject once here for both
+            print("--prefix takes exactly one non-empty term", file=sys.stderr)
             return 2
         if args.phrase and len(args.terms) < 2:
             # validated HERE so both serving paths behave the same:

@@ -55,6 +55,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ranking import ranked_topk
 from .layout import write_range_clustered
 
 MANIFEST = "_term_manifest.json"
@@ -418,8 +419,6 @@ class TermStore:
         are unique per (term, doc), so a double-scored duplicate could
         never be served from an index). Work: O(Σ matched postings) +
         a k-row merge."""
-        from pyspark.sql import Window
-
         terms = tuple(dict.fromkeys(terms))
         post = self.read_postings(spark, list(terms))
         if post is None:
@@ -456,35 +455,31 @@ class TermStore:
                 F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
             )
         )
-        top = (
-            per_doc.filter(F.col("score_scaled") > 0)
-            .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
-            .limit(k)
-        )
-        return top.select(
-            F.row_number()
-            .over(Window.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
-            .cast("long")
-            .alias("rank"),
-            "doc_id",
-            "score_scaled",
-            "n_terms_hit",
+        return ranked_topk(
+            per_doc.filter(F.col("score_scaled") > 0),
+            [F.desc("score_scaled"), F.asc("doc_id")],
+            k=k,
         )
 
     def read_postings_range(
-        self, spark: SparkSession, lo: str, hi: str
+        self, spark: SparkSession, lo: str, hi: str | None
     ) -> DataFrame | None:
-        """Postings rows with lo <= term < hi, pushed as RANGE
-        predicates parquet stats evaluate per row group — on
+        """Postings rows with lo <= term (< hi when given), pushed as
+        RANGE predicates parquet stats evaluate per row group — on
         term-clustered segments a prefix's terms live in one or two
         row groups, so this is the dictionary-range read a real
         inverted index serves wildcard queries from (no threshold
-        ratchet needed: range filters push natively)."""
+        ratchet needed: range filters push natively). ``hi=None``
+        drops the upper bound (the no-successor edge — the caller
+        narrows by its own predicate)."""
         segs = self.segments()
         if not segs:
             return None
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
-        return df.filter((F.col("term") >= lo) & (F.col("term") < hi))
+        df = df.filter(F.col("term") >= lo)
+        if hi is not None:
+            df = df.filter(F.col("term") < hi)
+        return df
 
     def search_prefix(
         self, spark: SparkSession, prefix: str, *, k: int = 20
@@ -496,28 +491,20 @@ class TermStore:
         scan path's integers exactly). The postings read is the
         term-RANGE scan [prefix, next(prefix)) — O(matching postings),
         independent of corpus size on term-clustered segments."""
-        from pyspark.sql import Window
-
         if not prefix:
             raise ValueError("prefix must be non-empty")
-        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-        post = self.read_postings_range(spark, prefix, hi)
+        post = self.read_postings_range(spark, prefix, _next_prefix(prefix))
         if post is None:
             raise ValueError(f"TermStore at {self.root} is empty")
+        # belt-and-braces startswith on top of the range: exactly the
+        # prefix semantics even on the no-successor edge (hi=None),
+        # and a no-op narrowing otherwise
+        post = post.filter(F.col("term").startswith(prefix))
         per_doc = post.groupBy("doc_id").agg(
             F.sum("tf").cast("long").alias("n_hits"),
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
-        top = per_doc.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
-        return top.select(
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
-            .cast("long")
-            .alias("rank"),
-            "doc_id",
-            "n_hits",
-            "n_terms",
-        )
+        return ranked_topk(per_doc, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
     def search_phrase(
         self, spark: SparkSession, phrase: tuple[str, ...], *, k: int = 20
@@ -532,8 +519,6 @@ class TermStore:
         array filter finds the surviving offsets, and only docs
         containing EVERY term are ever touched. Work: O(Σ phrase-term
         postings), independent of corpus size."""
-        from pyspark.sql import Window
-
         if len(phrase) < 2:
             raise ValueError("phrase needs at least 2 terms")
         post = self.read_postings(spark, list(dict.fromkeys(phrase)))
@@ -562,13 +547,23 @@ class TermStore:
             F.size(hit).cast("long").alias("n_hits"),
             F.element_at(hit, 1).cast("long").alias("first_pos"),
         ).filter(F.col("n_hits") > 0)
-        top = scored.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
-        return top.select(
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
-            .cast("long")
-            .alias("rank"),
-            "doc_id",
-            "n_hits",
-            "first_pos",
-        )
+        return ranked_topk(scored, [F.desc("n_hits"), F.asc("doc_id")], k=k)
+
+
+def _next_prefix(prefix: str) -> str | None:
+    """Smallest string greater than every string with this prefix —
+    the upper bound of the dictionary range [prefix, next). Walks back
+    over code points that have no valid successor (U+D7FF would step
+    into surrogate space, U+10FFFF has nothing above it); returns None
+    when no bound exists (all-max prefix) — callers then drop the
+    upper bound and narrow with startswith."""
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        nxt = cp + 1
+        if nxt == 0xD800:  # skip the surrogate block entirely
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return "".join(chars[:i]) + chr(nxt)
+        # no successor at this position: drop it and bump the previous
+    return None

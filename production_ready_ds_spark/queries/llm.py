@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.ranking import ranked_topk
 from ..functions.text import STOPWORDS, stopword_ratio, tokens_expr
 from ..functions.vectors import (
     SIGN_MAX_PLANES,
@@ -4215,8 +4216,6 @@ def bm25_topk(
     double-scoring a duplicate is never the intended semantics and
     would diverge from the index path, whose postings are unique per
     (term, doc)."""
-    from pyspark.sql import Window
-
     terms = tuple(dict.fromkeys(terms))
 
     def tf_expr(term: str):
@@ -4272,24 +4271,14 @@ def bm25_topk(
     # (partition-local top-k + a k-row merge — no corpus-wide sort, no
     # single-partition global window); the rank window then runs on the
     # k survivors only.
-    top = (
+    return ranked_topk(
         scored.select(
             "doc_id",
             score.cast("long").alias("score_scaled"),
             hits.cast("long").alias("n_terms_hit"),
-        )
-        .filter(F.col("score_scaled") > 0)
-        .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
-        .limit(k)
-    )
-    return top.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
-        .cast("long")
-        .alias("rank"),
-        "doc_id",
-        "score_scaled",
-        "n_terms_hit",
+        ).filter(F.col("score_scaled") > 0),
+        [F.desc("score_scaled"), F.asc("doc_id")],
+        k=k,
     )
 
 
@@ -5098,8 +5087,11 @@ def prefix_topk(docs: DataFrame, prefix: str, *, k: int = 20) -> DataFrame:
     """Scan-path prefix search for an ARBITRARY prefix (the engine
     behind q_search_prefix and the CLI); TermStore.search_prefix is
     the index twin returning the same integers."""
-    from pyspark.sql import Window
-
+    if not prefix:
+        # parity with TermStore.search_prefix: an empty prefix matches
+        # every token (startswith('') is vacuously true) and would
+        # "rank" docs by raw length — reject on both serving paths
+        raise ValueError("prefix must be non-empty")
     # two-step Project (the tokenizer-fusion rule): tokenize once,
     # then both counts read the resident array
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
@@ -5109,16 +5101,7 @@ def prefix_topk(docs: DataFrame, prefix: str, *, k: int = 20) -> DataFrame:
         F.size(matched).cast("long").alias("n_hits"),
         F.size(F.array_distinct(matched)).cast("long").alias("n_terms"),
     ).filter(F.col("n_hits") > 0)
-    top = m.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
-    return top.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
-        .cast("long")
-        .alias("rank"),
-        "doc_id",
-        "n_hits",
-        "n_terms",
-    )
+    return ranked_topk(m, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
 
 @query("q_search_prefix_indexed", category="llm-text", sql=_PREFIX_SQL)
@@ -5197,8 +5180,6 @@ def phrase_topk(
     phrase — the parameterized engine behind q_search_phrase and the
     CLI ``search --phrase`` scan path; TermStore.search_phrase is the
     positional-index twin returning the same integers."""
-    from pyspark.sql import Window
-
     phrase = " ".join(phrase_terms)
     n = len(phrase_terms)
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
@@ -5224,16 +5205,7 @@ def phrase_topk(
         .alias("n_hits"),
         F.array_position(F.col("grams"), phrase).cast("long").alias("first_pos"),
     ).filter(F.col("n_hits") > 0)
-    top = hits.orderBy(F.desc("n_hits"), F.asc("doc_id")).limit(k)
-    return top.select(
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_hits"), F.asc("doc_id")))
-        .cast("long")
-        .alias("rank"),
-        "doc_id",
-        "n_hits",
-        "first_pos",
-    )
+    return ranked_topk(hits, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
 
 @query("q_search_phrase_indexed", category="llm-text", sql=_PHRASE_SQL)

@@ -45,6 +45,10 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # pin ORC pushdown explicitly (it is the Spark default, but a
+        # deployment flipping defaults must not silently lose the
+        # scan-shape contract sources/orc.py asserts)
+        .config("spark.sql.orc.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
     )
 

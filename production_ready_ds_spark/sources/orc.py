@@ -10,14 +10,15 @@ pins, not code volume —
 - **predicate pushdown + column pruning survive the format swap**:
   ORC files carry min/max stride statistics exactly like parquet row
   groups, and Spark's native reader pushes filters into them
-  (``spark.sql.orc.filterPushdown``, enabled in our tuned session;
-  plan-asserted in tests/test_sources.py, the same evidence form the
-  parquet paths carry). A pipeline moved from parquet inputs to ORC
-  inputs keeps its scan shape.
-- **round-trip fidelity**: write → read returns the identical rows and
-  schema for every column type the engine's tables use (longs,
-  strings, doubles, arrays, timestamps) — tested against the shipped
-  testdata tables.
+  (``spark.sql.orc.filterPushdown`` — the Spark default, and PINNED
+  explicitly in session.configure so a deployment flipping defaults
+  cannot silently lose it; plan-asserted in tests/test_sources.py,
+  the same evidence form the parquet paths carry). A pipeline moved
+  from parquet inputs to ORC inputs keeps its scan shape.
+- **round-trip fidelity**: write → read returns identical rows and
+  schema for the engine's table types — longs, strings, doubles,
+  float arrays, and the events table's timestamp column are all
+  exercised in tests/test_sources.py.
 - at 100 TB the layout disciplines are format-agnostic: the
   ``layout.write_range_clustered`` clustering write works unchanged
   on ORC (repartitionByRange + sortWithinPartitions feed any columnar

@@ -238,6 +238,10 @@ def test_search_prefix_command(spark, sf_small, capsys):
     want = prefix_topk(load(spark, sf_small, "documents"), "sp", k=3).collect()
     assert want
     for r in want:
-        assert str(r.doc_id) in out
+        # delimited-cell match, not a bare substring (a doc_id's digits
+        # could appear vacuously in ranks or other ids)
+        assert f"|{r.doc_id} " in out, (r.doc_id, out)
     assert main(["search", "a", "b", "--prefix", "--sf", sf_small]) == 2
-    assert "exactly one term" in capsys.readouterr().err
+    assert "non-empty term" in capsys.readouterr().err
+    assert main(["search", "", "--prefix", "--sf", sf_small]) == 2
+    assert "non-empty term" in capsys.readouterr().err

@@ -139,3 +139,11 @@ def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
     write_orc(emb, str(tmp_path / "emb_orc"))
     back2 = read_orc(spark, str(tmp_path / "emb_orc"))
     assert back2.schema == emb.schema and back2.count() == emb.count()
+    # the timestamp-bearing events table round-trips value-exactly
+    ev = load(spark, sf_small, "events")
+    write_orc(ev, str(tmp_path / "ev_orc"))
+    back3 = read_orc(spark, str(tmp_path / "ev_orc"))
+    assert back3.schema == ev.schema
+    a = ev.agg({"ts": "min"}).first()[0], ev.agg({"ts": "max"}).first()[0], ev.count()
+    b = back3.agg({"ts": "min"}).first()[0], back3.agg({"ts": "max"}).first()[0], back3.count()
+    assert a == b
