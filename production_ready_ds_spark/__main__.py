@@ -13,7 +13,7 @@ Commands:
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
   search <term> [term ...]     — BM25 (--index postings / --phrase /
-                                 --hybrid / --rrf / --prefix wildcard)
+                                 --hybrid / --rrf / --prefix / --fuzzy)
   index  --root DIR            — build the BM25 inverted index
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
@@ -90,6 +90,12 @@ def _parser() -> argparse.ArgumentParser:
         action="store_true",
         help="treat the single term as a prefix (wildcard search: "
         "rank docs by occurrences of any term starting with it)",
+    )
+    search.add_argument(
+        "--fuzzy",
+        action="store_true",
+        help="typo-tolerant: rank docs by occurrences of any term "
+        "within edit distance 1 of the query terms",
     )
     common(search)
     index = sub.add_parser(
@@ -206,9 +212,10 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
-        if sum([args.phrase, args.hybrid, args.rrf, args.prefix]) > 1:
+        if sum([args.phrase, args.hybrid, args.rrf, args.prefix, args.fuzzy]) > 1:
             print(
-                "--phrase, --hybrid, --rrf and --prefix are mutually exclusive",
+                "--phrase, --hybrid, --rrf, --prefix and --fuzzy are "
+                "mutually exclusive",
                 file=sys.stderr,
             )
             return 2
@@ -245,6 +252,15 @@ def main(argv: list[str] | None = None) -> int:
                     prefix_topk(load(spark, args.sf, "documents"), prefix, k=args.k),
                     args,
                 )
+        elif args.fuzzy:
+            from .queries.llm import fuzzy_topk
+            from .tables import load
+
+            terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
+            _emit(
+                fuzzy_topk(load(spark, args.sf, "documents"), terms, k=args.k),
+                args,
+            )
         elif args.phrase:
             # phrases keep duplicates and order — "buffalo buffalo" is
             # a real phrase query

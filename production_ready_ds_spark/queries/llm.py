@@ -5104,6 +5104,93 @@ def prefix_topk(docs: DataFrame, prefix: str, *, k: int = 20) -> DataFrame:
     return ranked_topk(m, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
 
+#: fixed TYPO terms for the catalog surface — neither exists in the
+#: corpus vocabulary; each sits at edit distance 1 from a real term
+#: (sparc→spark, qery→query), so matching must go through the fuzzy
+#: comparator, never an exact hit
+FUZZY_QUERY_TERMS = ("sparc", "qery")
+FUZZY_MAX_DIST = 1
+
+
+@query(
+    "q_search_fuzzy",
+    category="llm-text",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(ts, x -> least(
+               levenshtein(x, '{FUZZY_QUERY_TERMS[0]}'),
+               levenshtein(x, '{FUZZY_QUERY_TERMS[1]}')
+             ) <= {FUZZY_MAX_DIST})) AS n_hits,
+             len(list_distinct(list_filter(ts, x -> least(
+               levenshtein(x, '{FUZZY_QUERY_TERMS[0]}'),
+               levenshtein(x, '{FUZZY_QUERY_TERMS[1]}')
+             ) <= {FUZZY_MAX_DIST}))) AS n_terms
+      FROM t
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_terms AS BIGINT) AS n_terms
+    FROM m WHERE n_hits > 0 ORDER BY rank LIMIT 20
+    """,
+)
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY (typo-tolerant) search — documents ranked by occurrences
+    of any term within edit distance {FUZZY_MAX_DIST} of the query
+    terms, which are deliberate TYPOS absent from the corpus
+    vocabulary (sparc, qery): an exact or prefix matcher returns
+    nothing for this query; only the Levenshtein comparator finds
+    spark/query. Both engines run the same dynamic-programming edit
+    distance on the same tokens, so counts and ranks are exact
+    integers (levenshtein is integer arithmetic — no float surface).
+
+    Scale shape: MAP-ONLY — the per-token distance runs on the
+    resident token array in whole-stage codegen (no explode), then
+    the shared ranked_topk TakeOrderedAndProject. At 100 TB with a
+    persistent index you run the comparator over the VOCABULARY
+    (TermStore's distinct terms — thousands of rows, the dictionary
+    pass real search engines do) and fetch only matched terms'
+    postings; the per-doc counting math here is unchanged."""
+    return fuzzy_topk(
+        load(spark, sf_dir, "documents"),
+        FUZZY_QUERY_TERMS,
+        max_dist=FUZZY_MAX_DIST,
+        k=20,
+    )
+
+
+def fuzzy_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    max_dist: int = 1,
+    k: int = 20,
+) -> DataFrame:
+    """Scan-path fuzzy search for ARBITRARY query terms (the engine
+    behind q_search_fuzzy and the CLI ``search --fuzzy``)."""
+    # two-step Project (the tokenizer-fusion rule)
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+
+    def near(t):
+        dists = [F.levenshtein(t, F.lit(q)) for q in terms]
+        d = dists[0]
+        for other in dists[1:]:
+            d = F.least(d, other)
+        return d <= max_dist
+
+    matched = F.filter(F.col("ts"), near)
+    m = toks.select(
+        "doc_id",
+        F.size(matched).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(matched)).cast("long").alias("n_terms"),
+    ).filter(F.col("n_hits") > 0)
+    return ranked_topk(m, [F.desc("n_hits"), F.asc("doc_id")], k=k)
+
+
 @query("q_search_prefix_indexed", category="llm-text", sql=_PREFIX_SQL)
 def q_search_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_search_prefix served from the persistent TermStore via the

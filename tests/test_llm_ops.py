@@ -1542,3 +1542,26 @@ def test_sentence_chunker_windows_overlap_and_clip(spark, tmp_path):
     # doc 2: single sentence -> exactly one 1-sentence chunk
     assert sorted(by_doc[2]) == [0]
     assert by_doc[2][0].chunk_text == "Just one sentence here"
+
+
+def test_fuzzy_search_finds_what_exact_match_cannot(spark, tmp_path):
+    """The typo query terms are absent from the corpus vocabulary, so
+    BM25/exact matching returns nothing — only the Levenshtein
+    comparator surfaces the intended terms, counting every occurrence
+    within the distance budget."""
+    from production_ready_ds_spark.queries.llm import bm25_topk, fuzzy_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark query table"),
+            (1, "spark hash join"),
+            (2, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert bm25_topk(docs, ("sparc", "qery"), k=5).count() == 0
+    got = {r.doc_id: r for r in fuzzy_topk(docs, ("sparc", "qery"), k=5).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0].n_hits, got[0].n_terms) == (3, 2)  # spark x2 + query
+    assert (got[1].n_hits, got[1].n_terms) == (1, 1)
+    assert got[0].rank == 1
