@@ -253,14 +253,22 @@ def main(argv: list[str] | None = None) -> int:
                     args,
                 )
         elif args.fuzzy:
-            from .queries.llm import fuzzy_topk
-            from .tables import load
-
             terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
-            _emit(
-                fuzzy_topk(load(spark, args.sf, "documents"), terms, k=args.k),
-                args,
-            )
+            if args.index:
+                from .operators.termstore import TermStore
+
+                _emit(
+                    TermStore(args.index).search_fuzzy(spark, terms, k=args.k),
+                    args,
+                )
+            else:
+                from .queries.llm import fuzzy_topk
+                from .tables import load
+
+                _emit(
+                    fuzzy_topk(load(spark, args.sf, "documents"), terms, k=args.k),
+                    args,
+                )
         elif args.phrase:
             # phrases keep duplicates and order — "buffalo buffalo" is
             # a real phrase query

@@ -506,6 +506,46 @@ class TermStore:
         )
         return ranked_topk(per_doc, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
+    def search_fuzzy(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...],
+        *,
+        max_dist: int = 1,
+        k: int = 20,
+    ) -> DataFrame:
+        """TYPO-tolerant top-k from the index: (rank, doc_id, n_hits,
+        n_terms), integer-equal to the corpus-scan fuzzy search — the
+        DICTIONARY pass real engines run: the Levenshtein comparator
+        scans the store's distinct terms (a column-pruned
+        vocabulary-sized read, thousands of rows at any corpus size,
+        collected bounded), then ONLY the matched terms' postings are
+        fetched via the pushed In(term) inverted-list read. Work:
+        O(vocabulary) comparator + O(matched postings) — never a
+        corpus scan."""
+        segs = self.segments()
+        if not segs or not terms:
+            raise ValueError(f"TermStore at {self.root} is empty or no terms given")
+        vocab = (
+            spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
+            .select("term")
+            .distinct()
+        )
+        d = F.levenshtein(F.col("term"), F.lit(terms[0]))
+        for q in terms[1:]:
+            d = F.least(d, F.levenshtein(F.col("term"), F.lit(q)))
+        matched = [r.term for r in vocab.filter(d <= max_dist).collect()]
+        if not matched:
+            return spark.createDataFrame(
+                [], "rank long, doc_id long, n_hits long, n_terms long"
+            )
+        post = self.read_postings(spark, matched)
+        per_doc = post.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        return ranked_topk(per_doc, [F.desc("n_hits"), F.asc("doc_id")], k=k)
+
     def search_phrase(
         self, spark: SparkSession, phrase: tuple[str, ...], *, k: int = 20
     ) -> DataFrame:

@@ -5112,10 +5112,9 @@ FUZZY_QUERY_TERMS = ("sparc", "qery")
 FUZZY_MAX_DIST = 1
 
 
-@query(
-    "q_search_fuzzy",
-    category="llm-text",
-    sql=f"""
+# shared by q_search_fuzzy and its indexed twin (one oracle text, the
+# _BM25_SQL convention)
+_FUZZY_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
     ),
@@ -5136,8 +5135,10 @@ FUZZY_MAX_DIST = 1
            doc_id, CAST(n_hits AS BIGINT) AS n_hits,
            CAST(n_terms AS BIGINT) AS n_terms
     FROM m WHERE n_hits > 0 ORDER BY rank LIMIT 20
-    """,
-)
+    """
+
+
+@query("q_search_fuzzy", category="llm-text", sql=_FUZZY_SQL)
 def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY (typo-tolerant) search — documents ranked by occurrences
     of any term within edit distance {FUZZY_MAX_DIST} of the query
@@ -5189,6 +5190,19 @@ def fuzzy_topk(
         F.size(F.array_distinct(matched)).cast("long").alias("n_terms"),
     ).filter(F.col("n_hits") > 0)
     return ranked_topk(m, [F.desc("n_hits"), F.asc("doc_id")], k=k)
+
+
+@query("q_search_fuzzy_indexed", category="llm-text", sql=_FUZZY_SQL)
+def q_search_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_fuzzy served from the persistent TermStore via the
+    DICTIONARY pass (TermStore.search_fuzzy: Levenshtein over the
+    vocabulary-sized distinct-terms read, then the pushed In(term)
+    postings fetch for the matched terms only) — held to the
+    IDENTICAL oracle; a hash-green row proves the typo-tolerant index
+    path end to end."""
+    return _cached_corpus_index(spark, sf_dir).search_fuzzy(
+        spark, FUZZY_QUERY_TERMS, max_dist=FUZZY_MAX_DIST, k=20
+    )
 
 
 @query("q_search_prefix_indexed", category="llm-text", sql=_PREFIX_SQL)

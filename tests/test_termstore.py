@@ -348,3 +348,22 @@ def test_prefix_search_equals_scan_and_pushes_range(spark, sf_small, tmp_path):
     assert "GreaterThanOrEqual(term" in pushed and "LessThan(term" in pushed, pushed
     got = {r.term for r in post.select("term").distinct().collect()}
     assert got and all(t.startswith("s") for t in got)
+
+
+def test_fuzzy_search_equals_scan(spark, sf_small, tmp_path):
+    """TermStore.search_fuzzy (dictionary pass + In-pruned postings)
+    must return the scan path's exact integers, and an
+    impossible-to-match query yields an empty frame with the right
+    schema, not an error."""
+    from production_ready_ds_spark.queries.llm import fuzzy_topk
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "fz"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    for terms in [("sparc", "qery"), ("tble",), ("windoq", "streem")]:
+        scan = _results(fuzzy_topk(docs, terms, k=15))
+        indexed = _results(store.search_fuzzy(spark, terms, k=15))
+        assert indexed == scan, terms
+    empty = store.search_fuzzy(spark, ("zzzzzzzzzz",), k=5)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["rank", "doc_id", "n_hits", "n_terms"]
