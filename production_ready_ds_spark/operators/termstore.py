@@ -72,6 +72,10 @@ BM25_B = 0.75
 #: include it so stale indexes built by older code are never re-served
 STORE_VERSION = 3  # v3: per-segment doc-length sidecar (delete_ids)
 
+#: driver-side cap on fuzzy dictionary matches (the collect_prune_keys
+#: bound applied to search_fuzzy's matched-term collect)
+FUZZY_MAX_MATCHED = 1024
+
 
 class TermStore:
     """Persistent inverted index (see module docstring)."""
@@ -518,11 +522,14 @@ class TermStore:
         n_terms), integer-equal to the corpus-scan fuzzy search — the
         DICTIONARY pass real engines run: the Levenshtein comparator
         scans the store's distinct terms (a column-pruned
-        vocabulary-sized read, thousands of rows at any corpus size,
-        collected bounded), then ONLY the matched terms' postings are
-        fetched via the pushed In(term) inverted-list read. Work:
-        O(vocabulary) comparator + O(matched postings) — never a
-        corpus scan."""
+        vocabulary-sized read, thousands of rows at any corpus size),
+        then ONLY the matched terms' postings are fetched via the
+        pushed In(term) inverted-list read. Work: O(vocabulary)
+        comparator + O(matched postings) — never a corpus scan. The
+        matched-term collect is DRIVER-BOUNDED (the collect_prune_keys
+        rule): more than FUZZY_MAX_MATCHED matches raises instead of
+        shipping an unbounded isin list to the driver — tighten
+        max_dist or the query terms."""
         segs = self.segments()
         if not segs or not terms:
             raise ValueError(f"TermStore at {self.root} is empty or no terms given")
@@ -534,7 +541,13 @@ class TermStore:
         d = F.levenshtein(F.col("term"), F.lit(terms[0]))
         for q in terms[1:]:
             d = F.least(d, F.levenshtein(F.col("term"), F.lit(q)))
-        matched = [r.term for r in vocab.filter(d <= max_dist).collect()]
+        rows = vocab.filter(d <= max_dist).limit(FUZZY_MAX_MATCHED + 1).collect()
+        if len(rows) > FUZZY_MAX_MATCHED:
+            raise ValueError(
+                f"fuzzy query matches more than {FUZZY_MAX_MATCHED} vocabulary "
+                "terms — tighten max_dist or the query terms"
+            )
+        matched = [r.term for r in rows]
         if not matched:
             return spark.createDataFrame(
                 [], "rank long, doc_id long, n_hits long, n_terms long"

@@ -5121,12 +5121,10 @@ _FUZZY_SQL = f"""
     m AS (
       SELECT doc_id,
              len(list_filter(ts, x -> least(
-               levenshtein(x, '{FUZZY_QUERY_TERMS[0]}'),
-               levenshtein(x, '{FUZZY_QUERY_TERMS[1]}')
+               {", ".join(f"levenshtein(x, '{t}')" for t in FUZZY_QUERY_TERMS)}
              ) <= {FUZZY_MAX_DIST})) AS n_hits,
              len(list_distinct(list_filter(ts, x -> least(
-               levenshtein(x, '{FUZZY_QUERY_TERMS[0]}'),
-               levenshtein(x, '{FUZZY_QUERY_TERMS[1]}')
+               {", ".join(f"levenshtein(x, '{t}')" for t in FUZZY_QUERY_TERMS)}
              ) <= {FUZZY_MAX_DIST}))) AS n_terms
       FROM t
     )
@@ -5173,6 +5171,9 @@ def fuzzy_topk(
 ) -> DataFrame:
     """Scan-path fuzzy search for ARBITRARY query terms (the engine
     behind q_search_fuzzy and the CLI ``search --fuzzy``)."""
+    if not terms:
+        # parity with TermStore.search_fuzzy's error contract
+        raise ValueError("fuzzy search needs at least one query term")
     # two-step Project (the tokenizer-fusion rule)
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
 
