@@ -13,7 +13,8 @@ Commands:
   run    <query>               — execute one catalog query
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
   search <term> [term ...]     — BM25 (--index postings / --phrase /
-                                 --hybrid / --rrf / --prefix / --fuzzy)
+                                 --hybrid / --rrf / --prefix / --fuzzy /
+                                 --must-not T... / --near SLOP)
   index  --root DIR            — build the BM25 inverted index
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
@@ -96,6 +97,23 @@ def _parser() -> argparse.ArgumentParser:
         action="store_true",
         help="typo-tolerant: rank docs by occurrences of any term "
         "within edit distance 1 of the query terms",
+    )
+    search.add_argument(
+        "--must-not",
+        dest="must_not",
+        nargs="+",
+        default=None,
+        metavar="TERM",
+        help="boolean retrieval: docs containing EVERY positional term "
+        "and NONE of these, ranked by summed must-term occurrences",
+    )
+    search.add_argument(
+        "--near",
+        type=int,
+        default=None,
+        metavar="SLOP",
+        help="proximity: the two terms within SLOP token positions, "
+        "ranked by closest pair then within-window pair count",
     )
     common(search)
     index = sub.add_parser(
@@ -212,13 +230,32 @@ def main(argv: list[str] | None = None) -> int:
 
         _emit(run_sql(spark, args.statement, args.sf), args)
     elif args.cmd == "search":
-        if sum([args.phrase, args.hybrid, args.rrf, args.prefix, args.fuzzy]) > 1:
+        modes = [
+            args.phrase,
+            args.hybrid,
+            args.rrf,
+            args.prefix,
+            args.fuzzy,
+            args.must_not is not None,
+            args.near is not None,
+        ]
+        if sum(modes) > 1:
             print(
-                "--phrase, --hybrid, --rrf, --prefix and --fuzzy are "
-                "mutually exclusive",
+                "--phrase, --hybrid, --rrf, --prefix, --fuzzy, "
+                "--must-not and --near are mutually exclusive",
                 file=sys.stderr,
             )
             return 2
+        if args.near is not None:
+            near_terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
+            if len(near_terms) != 2:
+                print(
+                    "--near takes exactly 2 distinct terms", file=sys.stderr
+                )
+                return 2
+            if args.near < 1:
+                print("--near SLOP must be >= 1", file=sys.stderr)
+                return 2
         if args.prefix and (len(args.terms) != 1 or not args.terms[0].strip()):
             # empty prefix would match EVERY token on the scan path
             # (startswith('') is vacuously true) and raise on the
@@ -282,6 +319,51 @@ def main(argv: list[str] | None = None) -> int:
                 from .tables import load
 
                 _emit(phrase_topk(load(spark, args.sf, "documents"), phrase, k=args.k), args)
+        elif args.must_not is not None:
+            must = tuple(dict.fromkeys(t.lower() for t in args.terms))
+            must_not = tuple(dict.fromkeys(t.lower() for t in args.must_not))
+            if args.index:
+                from .operators.termstore import TermStore
+
+                _emit(
+                    TermStore(args.index).search_boolean(
+                        spark, must, must_not, k=args.k
+                    ),
+                    args,
+                )
+            else:
+                from .queries.llm import boolean_topk
+                from .tables import load
+
+                _emit(
+                    boolean_topk(
+                        load(spark, args.sf, "documents"), must, must_not, k=args.k
+                    ),
+                    args,
+                )
+        elif args.near is not None:
+            if args.index:
+                from .operators.termstore import TermStore
+
+                _emit(
+                    TermStore(args.index).search_proximity(
+                        spark, near_terms, slop=args.near, k=args.k
+                    ),
+                    args,
+                )
+            else:
+                from .queries.llm import proximity_topk
+                from .tables import load
+
+                _emit(
+                    proximity_topk(
+                        load(spark, args.sf, "documents"),
+                        near_terms,
+                        slop=args.near,
+                        k=args.k,
+                    ),
+                    args,
+                )
         elif args.hybrid or args.rrf:
             from pyspark.sql import functions as F
 

@@ -559,6 +559,86 @@ class TermStore:
         )
         return ranked_topk(per_doc, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
+    def search_boolean(
+        self,
+        spark: SparkSession,
+        must: tuple[str, ...],
+        must_not: tuple[str, ...] = (),
+        *,
+        k: int = 20,
+    ) -> DataFrame:
+        """BOOLEAN top-k from the index: (rank, doc_id, tf_must) for
+        documents containing EVERY ``must`` term and NONE of the
+        ``must_not`` terms, ranked by summed must-term occurrences —
+        integer-equal to the corpus-scan ``boolean_topk``. The classic
+        postings algebra: ONE pushed In(term) read fetches all query
+        terms' lists, the conjunction is a doc-grouped count equal to
+        |must| (set semantics — duplicates deduped, as a posting list
+        can only be intersected once), and the negation is a LEFT ANTI
+        join against the must_not doc ids — the NOT never touches
+        documents outside the fetched lists, which is why boolean
+        retrieval is index-served in every real engine. Work: O(Σ
+        query-term postings) + a k-row merge, independent of corpus
+        size."""
+        must = tuple(dict.fromkeys(must))
+        must_not = tuple(t for t in dict.fromkeys(must_not) if t not in must)
+        if not must:
+            raise ValueError("need at least one must term")
+        post = self.read_postings(spark, list(must) + list(must_not))
+        if post is None:
+            raise ValueError(f"TermStore at {self.root} is empty")
+        post = post.localCheckpoint(eager=True)  # conjunction + negation below
+        hits = (
+            post.filter(F.col("term").isin(list(must)))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("tf").cast("long").alias("tf_must"),
+                F.count(F.lit(1)).alias("n_must"),
+            )
+            .filter(F.col("n_must") == len(must))
+            .drop("n_must")
+        )
+        if must_not:
+            excl = post.filter(F.col("term").isin(list(must_not))).select("doc_id")
+            hits = hits.join(excl, "doc_id", "left_anti")
+        return ranked_topk(hits, [F.desc("tf_must"), F.asc("doc_id")], k=k)
+
+    def search_proximity(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, str],
+        *,
+        slop: int,
+        k: int = 20,
+    ) -> DataFrame:
+        """PROXIMITY top-k from the POSITIONAL index: (rank, doc_id,
+        min_dist, n_within) for documents where the two terms occur
+        within ``slop`` token positions, integer-equal to the
+        corpus-scan ``proximity_topk`` — the positions lists fetched
+        for each term join on doc_id and the same all-pairs |p1−p2|
+        distance table is computed on the resident arrays (work per
+        doc = tf1·tf2, bounded by the per-doc term frequencies — the
+        same arithmetic the scan path does, but only over docs in BOTH
+        postings lists instead of the whole corpus). Ordering:
+        (min_dist asc, n_within desc, doc_id asc)."""
+        if len(terms) != 2 or terms[0] == terms[1]:
+            raise ValueError("proximity search takes exactly 2 distinct terms")
+        post = self.read_postings(spark, list(terms))
+        if post is None:
+            raise ValueError(f"TermStore at {self.root} is empty")
+        post = post.localCheckpoint(eager=True)  # one frame per term below
+        a = post.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("positions").alias("p1")
+        )
+        b = post.filter(F.col("term") == terms[1]).select(
+            "doc_id", F.col("positions").alias("p2")
+        )
+        return ranked_topk(
+            _proximity_score(a.join(b, "doc_id"), slop),
+            [F.asc("min_dist"), F.desc("n_within"), F.asc("doc_id")],
+            k=k,
+        )
+
     def search_phrase(
         self, spark: SparkSession, phrase: tuple[str, ...], *, k: int = 20
     ) -> DataFrame:
@@ -601,6 +681,32 @@ class TermStore:
             F.element_at(hit, 1).cast("long").alias("first_pos"),
         ).filter(F.col("n_hits") > 0)
         return ranked_topk(scored, [F.desc("n_hits"), F.asc("doc_id")], k=k)
+
+
+def _proximity_score(pairs: DataFrame, slop: int) -> DataFrame:
+    """(doc_id, p1, p2) position-array rows → (doc_id, min_dist,
+    n_within) for docs whose closest occurrence pair is within
+    ``slop``. ONE definition shared by TermStore.search_proximity and
+    the corpus-scan proximity_topk (queries/llm.py) — the scan≡index
+    integer-equality contract requires both paths to build the
+    identical distance table: all-pairs |p1−p2| as a flattened
+    map-side array expression (no explode — tf1·tf2 values live in
+    one resident array per doc), min via array_min, the within-slop
+    count via a filtered size."""
+    dists = F.flatten(
+        F.transform(
+            F.col("p1"),
+            lambda x: F.transform(F.col("p2"), lambda y: F.abs(x - y)),
+        )
+    )
+    scored = pairs.select(
+        "doc_id",
+        F.array_min(dists).cast("long").alias("min_dist"),
+        F.size(F.filter(dists, lambda d: d <= F.lit(slop)))
+        .cast("long")
+        .alias("n_within"),
+    )
+    return scored.filter(F.col("min_dist") <= slop)
 
 
 def _next_prefix(prefix: str) -> str | None:

@@ -5322,3 +5322,239 @@ def q_search_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_corpus_index(spark, sf_dir).search_phrase(
         spark, PHRASE_QUERY, k=20
     )
+
+
+# --- full-text search: boolean retrieval ------------------------------
+
+#: fixed boolean query for the catalog surface: both MUST terms are
+#: common (df ≈ 0.77·N) and the MUST_NOT term excludes ~78 % of the
+#: conjunction, so all three clauses do real work in the driver row
+BOOL_MUST = ("spark", "vector")
+BOOL_MUST_NOT = ("stream",)
+
+# shared by q_search_boolean and its TermStore twin (one oracle text so
+# the scan and postings-algebra paths are held to identical integers)
+_BOOLEAN_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"len(list_filter(ts, w -> w = '{term}')) AS tf{i}"
+                 for i, term in enumerate(BOOL_MUST)
+             )},
+             {", ".join(
+                 f"len(list_filter(ts, w -> w = '{term}')) AS tn{i}"
+                 for i, term in enumerate(BOOL_MUST_NOT)
+             )}
+      FROM t
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY {" + ".join(f"tf{i}" for i in range(len(BOOL_MUST)))} DESC,
+                      doc_id) AS BIGINT) AS rank,
+           doc_id,
+           CAST({" + ".join(f"tf{i}" for i in range(len(BOOL_MUST)))} AS BIGINT)
+             AS tf_must
+    FROM d
+    WHERE {" AND ".join(f"tf{i} > 0" for i in range(len(BOOL_MUST)))}
+      AND {" AND ".join(f"tn{i} = 0" for i in range(len(BOOL_MUST_NOT)))}
+    ORDER BY rank LIMIT 20
+    """
+
+
+@query("q_search_boolean", category="llm-text", sql=_BOOLEAN_SQL)
+def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN retrieval — the third leg of the search family after
+    ranked (BM25) and sequence (phrase) matching: documents containing
+    EVERY must term AND NONE of the must-not terms, ranked by summed
+    must-term occurrences. All outputs are integers (counts and ids),
+    so there is no cross-engine float surface at all.
+
+    Scale shape: the scan path is MAP-ONLY — per-term tf columns are
+    array expressions on the once-materialized token array (the
+    tokenizer-fusion rule), the conjunction/negation is a row-local
+    predicate, and the only corpus-ordered stage is the
+    TakeOrderedAndProject top-k. At 100 TB boolean queries are served
+    from the inverted index (TermStore.search_boolean — the
+    hash-green twin below): one pushed In(term) postings read, a
+    doc-grouped intersection count, and a LEFT ANTI join for the NOT,
+    touching O(query-term postings) rows total."""
+    return boolean_topk(
+        load(spark, sf_dir, "documents"), BOOL_MUST, BOOL_MUST_NOT, k=20
+    )
+
+
+def boolean_topk(
+    docs: DataFrame,
+    must: tuple[str, ...],
+    must_not: tuple[str, ...] = (),
+    *,
+    k: int = 20,
+) -> DataFrame:
+    """Boolean top-k over a documents frame for ARBITRARY must /
+    must-not term tuples — the parameterized engine behind
+    q_search_boolean and the CLI ``search --must-not`` scan path;
+    TermStore.search_boolean is the postings-algebra twin returning
+    the same integers. Duplicate terms are deduped and a term listed
+    in both clauses keeps only its MUST role (matching the index
+    path, where a postings list can only be intersected once)."""
+    must = tuple(dict.fromkeys(must))
+    must_not = tuple(t for t in dict.fromkeys(must_not) if t not in must)
+    if not must:
+        raise ValueError("need at least one must term")
+
+    def tf_expr(term: str):
+        # one-arg closure: a two-arg lambda would bind Spark's
+        # (element, index) HOF signature instead of capturing the term
+        return F.size(F.filter(F.col("ts"), lambda w: w == F.lit(term)))
+
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    per_doc = toks.select(
+        "doc_id",
+        *[tf_expr(t).alias(f"tf{i}") for i, t in enumerate(must)],
+        *[tf_expr(t).alias(f"tn{i}") for i, t in enumerate(must_not)],
+    )
+    keep = F.lit(True)
+    for i in range(len(must)):
+        keep = keep & (F.col(f"tf{i}") > 0)
+    for i in range(len(must_not)):
+        keep = keep & (F.col(f"tn{i}") == 0)
+    hits = per_doc.filter(keep).select(
+        "doc_id",
+        sum(F.col(f"tf{i}") for i in range(len(must)))
+        .cast("long")
+        .alias("tf_must"),
+    )
+    return ranked_topk(hits, [F.desc("tf_must"), F.asc("doc_id")], k=k)
+
+
+@query("q_search_boolean_indexed", category="llm-text", sql=_BOOLEAN_SQL)
+def q_search_boolean_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_boolean served from the inverted index
+    (TermStore.search_boolean) and held to the IDENTICAL oracle — a
+    hash-green row proves the postings-algebra plan (pushed In(term)
+    read → doc-grouped intersection count → LEFT ANTI negation →
+    top-k) end to end. Shares the per-(corpus, STORE_VERSION) /tmp
+    index with the other indexed twins, so the build cost is paid
+    once for all of them."""
+    return _cached_corpus_index(spark, sf_dir).search_boolean(
+        spark, BOOL_MUST, BOOL_MUST_NOT, k=20
+    )
+
+
+# --- full-text search: proximity --------------------------------------
+
+#: fixed proximity query: both terms common, slop=4 keeps ~43 % of the
+#: co-occurrence docs at sf0.01 — the window does real filtering
+PROX_QUERY = ("spark", "vector")
+PROX_SLOP = 4
+
+# shared by q_search_proximity and its positional-index twin
+_PROX_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             list_filter(range(1, len(ts)+1), i -> ts[i] = '{PROX_QUERY[0]}')
+               AS p1,
+             list_filter(range(1, len(ts)+1), i -> ts[i] = '{PROX_QUERY[1]}')
+               AS p2
+      FROM t
+    ),
+    d AS (
+      SELECT doc_id,
+             flatten(list_transform(p1,
+               x -> list_transform(p2, y -> abs(x - y)))) AS dists
+      FROM p WHERE len(p1) > 0 AND len(p2) > 0
+    ),
+    s AS (
+      SELECT doc_id, list_min(dists) AS min_dist,
+             len(list_filter(dists, dd -> dd <= {PROX_SLOP})) AS n_within
+      FROM d
+    )
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY min_dist, n_within DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, CAST(min_dist AS BIGINT) AS min_dist,
+           CAST(n_within AS BIGINT) AS n_within
+    FROM s WHERE min_dist <= {PROX_SLOP}
+    ORDER BY rank LIMIT 20
+    """
+
+
+@query("q_search_proximity", category="llm-text", sql=_PROX_SQL)
+def q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROXIMITY search — terms NEAR each other, the middle ground
+    between BM25's bag-of-words (any distance) and phrase match
+    (distance exactly 1): documents where the two query terms occur
+    within {PROX_SLOP} token positions, ranked by closest pair then
+    by how many pairs fall inside the window. All outputs are
+    integer distances/counts — no cross-engine float surface.
+
+    Scale shape: MAP-ONLY on the scan path — per-term position lists
+    are filtered index sequences over the once-materialized token
+    array, the all-pairs |p1−p2| distance table is a flattened
+    nested-transform on arrays bounded by per-doc tf (2–3 typical,
+    never corpus-sized), and the only corpus-ordered stage is the
+    top-k. At 100 TB the positional index serves the same integers
+    from the two terms' postings (TermStore.search_proximity — the
+    twin below), touching only docs in BOTH lists."""
+    return proximity_topk(
+        load(spark, sf_dir, "documents"), PROX_QUERY, slop=PROX_SLOP, k=20
+    )
+
+
+def proximity_topk(
+    docs: DataFrame,
+    terms: tuple[str, str],
+    *,
+    slop: int,
+    k: int = 20,
+) -> DataFrame:
+    """Proximity top-k over a documents frame for an ARBITRARY term
+    pair — the parameterized engine behind q_search_proximity and the
+    CLI ``search --near`` scan path; TermStore.search_proximity is
+    the positional-index twin returning the same integers (both call
+    the ONE _proximity_score kernel in operators/termstore.py)."""
+    from ..operators.termstore import _proximity_score
+
+    if len(terms) != 2 or terms[0] == terms[1]:
+        raise ValueError("proximity search takes exactly 2 distinct terms")
+
+    def pos_expr(term: str):
+        # positions (1-based) of term in ts; the when() guard keeps
+        # sequence() off empty arrays (sequence(1,0) DESCENDS in Spark
+        # — [1,0] — while DuckDB's range(1,1) is empty)
+        return F.when(
+            F.size("ts") > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size("ts")),
+                lambda i: F.element_at(F.col("ts"), i) == F.lit(term),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    pos = toks.select(
+        "doc_id",
+        pos_expr(terms[0]).alias("p1"),
+        pos_expr(terms[1]).alias("p2"),
+    ).filter((F.size("p1") > 0) & (F.size("p2") > 0))
+    return ranked_topk(
+        _proximity_score(pos, slop),
+        [F.asc("min_dist"), F.desc("n_within"), F.asc("doc_id")],
+        k=k,
+    )
+
+
+@query("q_search_proximity_indexed", category="llm-text", sql=_PROX_SQL)
+def q_search_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_proximity served from the POSITIONAL inverted index
+    (TermStore.search_proximity) and held to the IDENTICAL oracle — a
+    hash-green row proves pushed In(term) postings read → per-doc
+    positions join → the shared _proximity_score distance kernel →
+    top-k end to end. Shares the per-(corpus, STORE_VERSION) /tmp
+    index with the other indexed twins."""
+    return _cached_corpus_index(spark, sf_dir).search_proximity(
+        spark, PROX_QUERY, slop=PROX_SLOP, k=20
+    )

@@ -367,3 +367,76 @@ def test_fuzzy_search_equals_scan(spark, sf_small, tmp_path):
     empty = store.search_fuzzy(spark, ("zzzzzzzzzz",), k=5)
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["rank", "doc_id", "n_hits", "n_terms"]
+
+
+def test_boolean_search_equals_scan(spark, sf_small, tmp_path):
+    """Postings-algebra boolean retrieval must be integer-equal to the
+    corpus scan for every clause shape: conjunction only, with
+    negation, a term repeated across clauses (MUST wins), and an
+    absent must term (empty result on BOTH paths)."""
+    from production_ready_ds_spark.queries.llm import boolean_topk
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    cases = [
+        (("spark", "vector"), ()),
+        (("spark", "vector"), ("stream",)),
+        (("join",), ("spark", "vector")),
+        (("spark", "spark"), ("spark",)),  # dedup + MUST-wins rule
+        (("zzz_not_a_term", "spark"), ()),  # absent must term → empty
+    ]
+    for must, must_not in cases:
+        scan = _results(boolean_topk(docs, must, must_not, k=15))
+        indexed = _results(store.search_boolean(spark, must, must_not, k=15))
+        assert indexed == scan, (must, must_not)
+    assert not _results(
+        store.search_boolean(spark, ("zzz_not_a_term", "spark"), (), k=15)
+    )
+
+
+def test_proximity_search_equals_scan(spark, sf_small, tmp_path):
+    """Positional proximity must be integer-equal to the corpus scan
+    across slop settings, and must agree with exact-phrase matching
+    at the boundary: every doc where the bigram 'table hash' occurs
+    has min_dist == 1 for proximity('table','hash')."""
+    from production_ready_ds_spark.queries.llm import phrase_topk, proximity_topk
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    for slop in (1, 4, 50):
+        scan = _results(proximity_topk(docs, ("spark", "vector"), slop=slop, k=15))
+        indexed = _results(
+            store.search_proximity(spark, ("spark", "vector"), slop=slop, k=15)
+        )
+        assert indexed == scan, slop
+    assert scan, "fixture pair must co-occur somewhere at slop=50"
+    phrase_docs = {r[1] for r in _results(phrase_topk(docs, ("table", "hash"), k=500))}
+    prox = {
+        r[1]: r[2]
+        for r in _results(
+            store.search_proximity(spark, ("table", "hash"), slop=1, k=500)
+        )
+    }
+    assert phrase_docs, "fixture phrase must occur in the corpus"
+    for d in phrase_docs:
+        assert prox.get(d) == 1, d
+
+
+def test_boolean_and_proximity_validation(spark, sf_small, tmp_path):
+    import pytest
+
+    from production_ready_ds_spark.queries.llm import boolean_topk, proximity_topk
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    with pytest.raises(ValueError):
+        boolean_topk(docs, (), ("spark",))
+    with pytest.raises(ValueError):
+        store.search_boolean(spark, (), ("spark",))
+    with pytest.raises(ValueError):
+        proximity_topk(docs, ("spark", "spark"), slop=2)
+    with pytest.raises(ValueError):
+        store.search_proximity(spark, ("spark", "spark"), slop=2)
