@@ -4113,9 +4113,12 @@ BM25_QUERY = ("spark", "query", "vector")
 from ..operators.termstore import BM25_B, BM25_K1  # noqa: E402
 
 
-# shared by q_search_bm25 and its TermStore twin (one oracle text so the
-# scan and the inverted-index paths are held to the identical integers)
-_BM25_SQL = f"""
+def _bm25_sql_for(terms: tuple[str, ...]) -> str:
+    """The BM25 oracle text for an arbitrary fixed term tuple — ONE
+    template so _BM25_SQL (the q_search_bm25 / _indexed / _RRF_SQL
+    constant) and q_rank_eval's ranking CTE can never drift from each
+    other's scoring math."""
+    return f"""
     WITH t AS (
       SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
     ),
@@ -4123,7 +4126,7 @@ _BM25_SQL = f"""
       SELECT doc_id, len(ts) AS dl,
              {", ".join(
                  f"len(list_filter(ts, w -> w = '{term}')) AS tf{i}"
-                 for i, term in enumerate(BM25_QUERY)
+                 for i, term in enumerate(terms)
              )}
       FROM t
     ),
@@ -4131,7 +4134,7 @@ _BM25_SQL = f"""
       SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
              {", ".join(
                  f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-                 for i in range(len(BM25_QUERY))
+                 for i in range(len(terms))
              )}
       FROM d
     ),
@@ -4143,11 +4146,11 @@ _BM25_SQL = f"""
                  f" * FLOOR(tf{i} * {BM25_K1 + 1} / (tf{i} + {BM25_K1} * "
                  f"({1 - BM25_B} + {BM25_B} * (dl / (sumdl * 1.0 / n))))"
                  f" * 10000 + 0.5) END)"
-                 for i in range(len(BM25_QUERY))
+                 for i in range(len(terms))
              )} AS score_scaled,
              {" + ".join(
                  f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END"
-                 for i in range(len(BM25_QUERY))
+                 for i in range(len(terms))
              )} AS n_terms_hit
       FROM d, g
     )
@@ -4159,6 +4162,11 @@ _BM25_SQL = f"""
     WHERE score_scaled > 0
     ORDER BY rank LIMIT 20
     """
+
+
+# shared by q_search_bm25 and its TermStore twin (one oracle text so the
+# scan and the inverted-index paths are held to the identical integers)
+_BM25_SQL = _bm25_sql_for(BM25_QUERY)
 
 
 @query(
@@ -5282,6 +5290,19 @@ def phrase_topk(
     phrase — the parameterized engine behind q_search_phrase and the
     CLI ``search --phrase`` scan path; TermStore.search_phrase is the
     positional-index twin returning the same integers."""
+    return ranked_topk(
+        phrase_hits(docs, phrase_terms),
+        [F.desc("n_hits"), F.asc("doc_id")],
+        k=k,
+    )
+
+
+def phrase_hits(docs: DataFrame, phrase_terms: tuple[str, ...]) -> DataFrame:
+    """ALL documents matching the exact phrase — (doc_id, n_hits,
+    first_pos), no top-k cutoff: the match kernel phrase_topk ranks,
+    and the UNTRUNCATED relevance set q_rank_eval judges BM25
+    against (a limited set would understate n_relevant and corrupt
+    the ideal-DCG normalizer)."""
     phrase = " ".join(phrase_terms)
     n = len(phrase_terms)
     toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
@@ -5300,14 +5321,13 @@ def phrase_topk(
         .otherwise(F.array().cast("array<string>"))
         .alias("grams"),
     )
-    hits = grams.select(
+    return grams.select(
         "doc_id",
         F.size(F.filter(F.col("grams"), lambda g: g == F.lit(phrase)))
         .cast("long")
         .alias("n_hits"),
         F.array_position(F.col("grams"), phrase).cast("long").alias("first_pos"),
     ).filter(F.col("n_hits") > 0)
-    return ranked_topk(hits, [F.desc("n_hits"), F.asc("doc_id")], k=k)
 
 
 @query("q_search_phrase_indexed", category="llm-text", sql=_PHRASE_SQL)
@@ -5557,4 +5577,139 @@ def q_search_proximity_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index with the other indexed twins."""
     return _cached_corpus_index(spark, sf_dir).search_proximity(
         spark, PROX_QUERY, slop=PROX_SLOP, k=20
+    )
+
+
+# --- full-text search: ranking-quality evaluation ---------------------
+
+# NDCG rank discounts 1e6/log2(r+1) for r = 1..20, precomputed ONCE in
+# Python and inlined as integer literals into BOTH engines' queries —
+# the zero-cross-engine-float-surface way to use a transcendental in a
+# metric (neither engine ever calls log2; they share the table).
+import math as _math  # noqa: E402
+
+_NDCG_DISCOUNTS = tuple(
+    int(1_000_000 / _math.log2(r + 1) + 0.5) for r in range(1, 21)
+)
+_NDCG_PREFIX = tuple(
+    sum(_NDCG_DISCOUNTS[: i + 1]) for i in range(len(_NDCG_DISCOUNTS))
+)
+
+# shared evaluation oracle: BM25 over the phrase's unigrams, judged
+# against the exact-phrase matches as the relevance set
+_RANK_EVAL_SQL = f"""
+    WITH bm AS ( {_bm25_sql_for(PHRASE_QUERY)} ),
+    t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+      FROM t, UNNEST(range(1, len(ts))) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    rel AS (
+      SELECT DISTINCT doc_id FROM g WHERE gram = '{" ".join(PHRASE_QUERY)}'
+    ),
+    j AS (
+      SELECT bm.rank FROM bm JOIN rel ON bm.doc_id = rel.doc_id
+    ),
+    a AS (
+      SELECT COUNT(*) AS hits_at_20,
+             COALESCE(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END), 0)
+               AS hits_at_10,
+             MIN(rank) AS first_rank,
+             COALESCE(SUM(CASE rank {" ".join(
+                 f"WHEN {r} THEN {d}"
+                 for r, d in enumerate(_NDCG_DISCOUNTS, start=1)
+             )} END), 0) AS dcg_scaled
+      FROM j
+    ),
+    r AS (SELECT COUNT(*) AS n_relevant FROM rel),
+    m AS (
+      SELECT n_relevant, hits_at_10, hits_at_20, first_rank, dcg_scaled,
+             CASE LEAST(n_relevant, 20) {" ".join(
+                 f"WHEN {r} THEN {p}"
+                 for r, p in enumerate(_NDCG_PREFIX, start=1)
+             )} ELSE 0 END AS idcg_scaled
+      FROM a, r
+    )
+    SELECT CAST(n_relevant AS BIGINT) AS n_relevant,
+           CAST(hits_at_10 AS BIGINT) AS hits_at_10,
+           CAST(hits_at_20 AS BIGINT) AS hits_at_20,
+           CAST(CASE WHEN first_rank IS NULL THEN 0
+                     ELSE 1000000 // first_rank END AS BIGINT) AS mrr_scaled,
+           CAST(dcg_scaled AS BIGINT) AS dcg_scaled,
+           CAST(idcg_scaled AS BIGINT) AS idcg_scaled,
+           CAST(CASE WHEN idcg_scaled > 0
+                     THEN (dcg_scaled * 1000000) // idcg_scaled
+                     ELSE 0 END AS BIGINT) AS ndcg_scaled
+    FROM m
+    """
+
+
+@query("q_rank_eval", category="llm-text", sql=_RANK_EVAL_SQL)
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH-QUALITY evaluation — the IR-metrics operator a search
+    stack needs next to its rankers: MRR, hits@k and (N)DCG@20 of the
+    bag-of-words BM25 ranking judged against the exact-phrase matches
+    as the relevance set ("how well does unordered term scoring
+    surface true sequence matches" — phrase containment implies both
+    terms present, so the relevance set is a strict subset of BM25's
+    candidates and the metric isolates pure RANKING quality, not
+    recall). One row, all integers: rank discounts 1e6/log2(r+1) are
+    precomputed in Python and inlined as literals into both engines
+    (_NDCG_DISCOUNTS), reciprocal rank and the NDCG ratio use exact
+    integer division (DuckDB // ≡ Spark div on non-negatives) — zero
+    cross-engine float surface.
+
+    Scale shape: the ranking is the BM25 top-20 plan unchanged; the
+    relevance set is the map-only phrase-match pass; the join is 20
+    rows against a broadcastable id set; every aggregate is a
+    single-row reduce. At 100 TB both inputs come from the inverted
+    index (TermStore.search / search_phrase serve identical integers)
+    and the evaluation cost is O(k + |relevant|)."""
+    docs = load(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, PHRASE_QUERY, k=20)
+    rel = phrase_hits(docs, PHRASE_QUERY).select("doc_id")
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    a = bm.join(rel, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("hits_at_20"),
+        F.coalesce(F.sum((F.col("rank") <= 10).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("hits_at_10"),
+        F.min("rank").alias("first_rank"),
+        F.coalesce(
+            F.sum(F.element_at(disc, F.col("rank").cast("int"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("dcg_scaled"),
+    )
+    r = rel.agg(F.count(F.lit(1)).cast("long").alias("n_relevant"))
+    m = a.crossJoin(broadcast(r)).withColumn(
+        "idcg_scaled",
+        F.when(
+            F.col("n_relevant") > 0,
+            F.element_at(prefix, F.least(F.col("n_relevant"), F.lit(20)).cast("int")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return m.select(
+        "n_relevant",
+        "hits_at_10",
+        "hits_at_20",
+        F.when(F.col("first_rank").isNull(), F.lit(0))
+        .otherwise(F.expr("1000000 div first_rank"))
+        .cast("long")
+        .alias("mrr_scaled"),
+        "dcg_scaled",
+        "idcg_scaled",
+        F.when(
+            F.col("idcg_scaled") > 0,
+            F.expr("(dcg_scaled * 1000000) div idcg_scaled"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ndcg_scaled"),
     )

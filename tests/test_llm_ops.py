@@ -1565,3 +1565,18 @@ def test_fuzzy_search_finds_what_exact_match_cannot(spark, tmp_path):
     assert (got[0].n_hits, got[0].n_terms) == (3, 2)  # spark x2 + query
     assert (got[1].n_hits, got[1].n_terms) == (1, 1)
     assert got[0].rank == 1
+
+
+def test_rank_eval_metric_bounds(spark, sf_small):
+    """IR-metric invariants that hold for ANY corpus: DCG never
+    exceeds ideal DCG (so NDCG <= 1.0 scaled), MRR <= 1.0 scaled,
+    hits@10 <= hits@20 <= min(n_relevant, 20), and MRR > 0 iff any
+    relevant doc was retrieved."""
+    from production_ready_ds_spark.queries.llm import q_rank_eval
+
+    row = q_rank_eval(spark, sf_small).collect()[0]
+    assert 0 <= row.hits_at_10 <= row.hits_at_20 <= min(row.n_relevant, 20)
+    assert row.dcg_scaled <= row.idcg_scaled
+    assert 0 <= row.ndcg_scaled <= 1_000_000
+    assert 0 <= row.mrr_scaled <= 1_000_000
+    assert (row.mrr_scaled > 0) == (row.hits_at_20 > 0)
