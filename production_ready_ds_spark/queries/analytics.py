@@ -1629,3 +1629,123 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_name")
     )
+
+
+# ------------------------------------------------------- data layout --
+
+_ZORDER_BITS = 8
+_ZORDER_TOP = (1 << _ZORDER_BITS) - 1
+
+
+def _zkey_sql(p0: str, p1: str) -> str:
+    """Morton-interleave SQL for two already-scaled [0, 2^bits) BIGINT
+    expressions — the DuckDB twin of operators/layout.zorder_key
+    (dim j's bit i lands at position i·ndims + j), generated from the
+    same bit walk so the two engines can never disagree on the key."""
+    terms = []
+    for i in range(_ZORDER_BITS):
+        terms.append(f"((({p0} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({p1} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+    WITH g AS (
+      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS mn_p,
+             CAST(MAX(l_partkey) AS DOUBLE) AS mx_p,
+             CAST(MIN(l_suppkey) AS DOUBLE) AS mn_s,
+             CAST(MAX(l_suppkey) AS DOUBLE) AS mx_s
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(LEAST({_ZORDER_TOP}, FLOOR(
+               (CAST(l_partkey AS DOUBLE) - mn_p)
+               / (CASE WHEN mx_p - mn_p = 0 THEN 1.0 ELSE mx_p - mn_p END)
+               * {_ZORDER_TOP})) AS BIGINT) AS p0,
+             CAST(LEAST({_ZORDER_TOP}, FLOOR(
+               (CAST(l_suppkey AS DOUBLE) - mn_s)
+               / (CASE WHEN mx_s - mn_s = 0 THEN 1.0 ELSE mx_s - mn_s END)
+               * {_ZORDER_TOP})) AS BIGINT) AS p1
+      FROM lineitem, g
+    ),
+    z AS (
+      SELECT l_partkey, l_suppkey, ({_zkey_sql("p0", "p1")}) >> 12 AS bucket
+      FROM s
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS pk_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS pk_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS sk_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS sk_hi
+    FROM z GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("q_zorder_layout", category="layout", sql=_ZORDER_SQL)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering assignment — the multi-dimension
+    data-layout operator behind Delta OPTIMIZE ZORDER / Iceberg
+    z-ordered rewrites, surfaced as an oracle-checked query: every
+    lineitem row's (l_partkey, l_suppkey) is min-max scaled into
+    [0, 2^8), bit-interleaved into a 16-bit Morton key by the SAME
+    zorder_key kernel operators/layout.write_zorder_clustered writes
+    files with, and the top 4 key bits (= 2 high bits per dimension)
+    become the file bucket. The per-bucket output makes the layout
+    win VISIBLE: each bucket's [pk_lo, pk_hi] × [sk_lo, sk_hi] box
+    covers ~1/4 of EACH dimension's domain (a hyper-rectangle), where
+    single-column range clustering leaves the second dimension
+    spanning its whole domain — the reason a predicate on EITHER
+    column prunes ~3/4 of z-ordered files. tests/test_layout.py
+    verifies the write path's actual file-level pruning; this query
+    pins the key math cross-engine.
+
+    Scale shape: bounds are ONE tiny aggregate broadcast back (no
+    driver collect in the query path), scaling + interleaving are
+    map-side integer expressions inside whole-stage codegen, and the
+    per-bucket aggregate groups 16 keys. At 100 TB the same pass
+    feeds repartitionByRange(zkey) + sortWithinPartitions — one
+    shuffle to a clustered layout."""
+    from ..operators.layout import zorder_key
+
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("double").alias("mn_p"),
+        F.max("l_partkey").cast("double").alias("mx_p"),
+        F.min("l_suppkey").cast("double").alias("mn_s"),
+        F.max("l_suppkey").cast("double").alias("mx_s"),
+    )
+
+    def scaled(c: str, mn: str, mx: str):
+        span = F.when(F.col(mx) - F.col(mn) == 0, F.lit(1.0)).otherwise(
+            F.col(mx) - F.col(mn)
+        )
+        return F.least(
+            F.lit(_ZORDER_TOP),
+            F.floor(
+                (F.col(c).cast("double") - F.col(mn)) / span * _ZORDER_TOP
+            ),
+        ).cast("long")
+
+    j = li.crossJoin(broadcast(bounds))
+    zkey = zorder_key(
+        [scaled("l_partkey", "mn_p", "mx_p"), scaled("l_suppkey", "mn_s", "mx_s")],
+        bits=_ZORDER_BITS,
+    )
+    return (
+        j.select(
+            F.shiftright(zkey, 12).cast("long").alias("bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("pk_lo"),
+            F.max("l_partkey").cast("long").alias("pk_hi"),
+            F.min("l_suppkey").cast("long").alias("sk_lo"),
+            F.max("l_suppkey").cast("long").alias("sk_hi"),
+        )
+        .orderBy("bucket")
+    )
