@@ -14,7 +14,8 @@ Commands:
   sql    "<select ...>"        — ad-hoc SQL over the registered tables
   search <term> [term ...]     — BM25 (--index postings / --phrase /
                                  --hybrid / --rrf / --prefix / --fuzzy /
-                                 --must-not T... / --near SLOP)
+                                 --must-not T... / --near SLOP /
+                                 --like DOC_ID)
   index  --root DIR            — build the BM25 inverted index
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
@@ -60,7 +61,11 @@ def _parser() -> argparse.ArgumentParser:
     search = sub.add_parser(
         "search", help="BM25 full-text search over the documents table"
     )
-    search.add_argument("terms", nargs="+", help="query terms (lowercased)")
+    search.add_argument(
+        "terms",
+        nargs="*",
+        help="query terms (lowercased); omitted only with --like",
+    )
     search.add_argument("--k", type=int, default=20, help="results to return")
     search.add_argument(
         "--index",
@@ -114,6 +119,15 @@ def _parser() -> argparse.ArgumentParser:
         metavar="SLOP",
         help="proximity: the two terms within SLOP token positions, "
         "ranked by closest pair then within-window pair count",
+    )
+    search.add_argument(
+        "--like",
+        type=int,
+        default=None,
+        metavar="DOC_ID",
+        help="more-like-this: use this document's top content terms as "
+        "the query (takes no positional terms; the doc itself is "
+        "excluded from results)",
     )
     common(search)
     index = sub.add_parser(
@@ -238,13 +252,31 @@ def main(argv: list[str] | None = None) -> int:
             args.fuzzy,
             args.must_not is not None,
             args.near is not None,
+            args.like is not None,
         ]
         if sum(modes) > 1:
             print(
                 "--phrase, --hybrid, --rrf, --prefix, --fuzzy, "
-                "--must-not and --near are mutually exclusive",
+                "--must-not, --near and --like are mutually exclusive",
                 file=sys.stderr,
             )
+            return 2
+        if args.like is not None and args.index:
+            # profile extraction + scoring run on the corpus scan; an
+            # index-served MLT would need the source doc's postings
+            # row-set — reject rather than silently ignore the flag
+            # (the --hybrid/--index rule)
+            print("--like is scan-only; drop --index", file=sys.stderr)
+            return 2
+        if args.like is not None and args.terms:
+            print(
+                "--like builds its query from the document itself — "
+                "drop the positional terms",
+                file=sys.stderr,
+            )
+            return 2
+        if args.like is None and not args.terms:
+            print("search needs query terms (or --like DOC_ID)", file=sys.stderr)
             return 2
         if args.near is not None:
             near_terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
@@ -364,6 +396,14 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     args,
                 )
+        elif args.like is not None:
+            from .queries.llm import mlt_topk
+            from .tables import load
+
+            _emit(
+                mlt_topk(load(spark, args.sf, "documents"), args.like, k=args.k),
+                args,
+            )
         elif args.hybrid or args.rrf:
             from pyspark.sql import functions as F
 

@@ -341,3 +341,59 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(broadcast(b), a["nk"].eqNullSafe(b["nk"])).select(
         a["nk"].alias("nk"), "n_name", "n_customers"
     )
+
+
+@query(
+    "q_join_full",
+    category="join",
+    sql="""
+    WITH a AS (
+      SELECT o_custkey, COUNT(*) AS cnt_1995 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey, COUNT(*) AS cnt_1996 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey, cnt_1995, cnt_1996
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the year-over-year activity diff: customers
+    who ordered only in 1995 (right side NULL), only in 1996 (left
+    side NULL), or in both. Completes the outer-join family next to
+    q_join_left; NULL count columns are the signal, not an accident.
+
+    Scale shape: both inputs are already aggregates (one map-side
+    combined count each), so the outer join runs key-to-key on frames
+    ≤ |customers| — the year filters prune at the parquet row-group
+    level before anything shuffles. Full outer cannot broadcast
+    (either side may need to emit unmatched rows), so the shuffle on
+    o_custkey is the floor for this semantics; AQE coalesces the
+    post-agg partitions."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_counts(year: int, key: str, out: str) -> DataFrame:
+        # per-side key aliases: both arms derive from the same scan, so
+        # unaliased keys trip Spark's ambiguous-self-join analyzer
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp_ntz"))
+            )
+            .groupBy(F.col("o_custkey").alias(key))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = year_counts(1995, "ck_a", "cnt_1995")
+    b = year_counts(1996, "ck_b", "cnt_1996")
+    return a.join(b, F.col("ck_a") == F.col("ck_b"), "full").select(
+        F.coalesce(F.col("ck_a"), F.col("ck_b")).alias("custkey"),
+        "cnt_1995",
+        "cnt_1996",
+    )

@@ -5713,3 +5713,264 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ndcg_scaled"),
     )
+
+
+# --- full-text search: result presentation (KWIC highlight) -----------
+
+#: snippet window: tokens kept on each side of the first query-term hit
+HIGHLIGHT_CONTEXT = 3
+
+# the highlight surface re-ranks NOTHING — it decorates the _BM25_SQL
+# top-20 verbatim, so the two stay in lockstep by construction
+_HIGHLIGHT_SQL = f"""
+    WITH bm AS ( {_BM25_SQL} ),
+    t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    h AS (
+      SELECT bm.rank, bm.doc_id, bm.score_scaled, ts,
+             LEAST({", ".join(
+                 f"NULLIF(list_position(ts, '{term}'), 0)"
+                 for term in BM25_QUERY
+             )}) AS hit_pos
+      FROM bm JOIN t USING (doc_id)
+    )
+    SELECT rank, doc_id, score_scaled,
+           CAST(hit_pos AS BIGINT) AS hit_pos,
+           array_to_string(
+             ts[GREATEST(1, hit_pos - {HIGHLIGHT_CONTEXT}) :
+                hit_pos + {HIGHLIGHT_CONTEXT}], ' ') AS snippet
+    FROM h ORDER BY rank
+    """
+
+
+@query("q_search_highlight", category="llm-text", sql=_HIGHLIGHT_SQL)
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) result highlighting — the
+    presentation step every search engine runs after retrieval: for
+    each q_search_bm25 top-20 document, the token window ±{HIGHLIGHT_CONTEXT}
+    around the FIRST occurrence of any query term, plus that hit's
+    1-based token offset. Ranking is inherited verbatim from the
+    BM25 surface (same integers, same oracle CTE), so this row is
+    pure decoration — no new ranking math, no new float surface:
+    hit_pos is an integer min over array_position values (both
+    engines return 0-for-absent, NULLIF-ed away; every ranked doc
+    has ≥ 1 hit by construction so the min is never NULL), and the
+    snippet is a deterministic slice+join of the token array.
+
+    Scale shape: the expensive retrieval is the already-audited BM25
+    plan; decoration then touches exactly k=20 documents — the 20-row
+    rank frame broadcasts onto the doc table (a broadcast-hash join
+    whose probe side prunes to text+doc_id), and tokenization runs on
+    20 rows, not the corpus. At 100 TB this is the snippet service
+    pattern: retrieve ids from the index, fetch k documents point-wise,
+    decorate row-locally."""
+    docs = load(spark, sf_dir, "documents")
+    return kwic_snippets(docs, bm25_topk(docs, BM25_QUERY, k=20), BM25_QUERY)
+
+
+def _min_hit_pos(terms: tuple[str, ...]) -> Column:
+    """Earliest 1-based offset of any query term in the resident
+    token array ``ts`` — NULL-ignoring min over per-term
+    array_position values (0-for-absent NULLIF-ed away; F.least
+    requires ≥ 2 columns, so the single-term query short-circuits)."""
+    hits = [
+        F.nullif(F.array_position("ts", F.lit(term)), F.lit(0)) for term in terms
+    ]
+    return hits[0] if len(hits) == 1 else F.least(*hits)
+
+
+def kwic_snippets(
+    docs: DataFrame,
+    ranked: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    context: int = HIGHLIGHT_CONTEXT,
+) -> DataFrame:
+    """Decorate a (rank, doc_id, score_scaled, ...) frame with KWIC
+    snippets from the documents frame — the engine behind
+    q_search_highlight, reusable over any retrieval surface whose
+    ranked docs each contain ≥ 1 query term (hit_pos is NULL
+    otherwise, by array_position semantics)."""
+    # broadcast the k-row rank frame; tokenize only the joined docs
+    joined = docs.join(
+        broadcast(ranked.select("rank", "doc_id", "score_scaled")), "doc_id"
+    ).select("rank", "doc_id", "score_scaled", tokens_expr(F.col("text")).alias("ts"))
+    hit = joined.select(
+        "rank",
+        "doc_id",
+        "score_scaled",
+        "ts",
+        _min_hit_pos(terms).alias("hit_pos"),
+    )
+    start = F.greatest(F.lit(1), F.col("hit_pos") - context)
+    return hit.select(
+        "rank",
+        "doc_id",
+        "score_scaled",
+        F.col("hit_pos").cast("long").alias("hit_pos"),
+        F.array_join(
+            F.slice("ts", start, F.col("hit_pos") + context - start + 1),
+            " ",
+        ).alias("snippet"),
+    )
+
+
+# --- full-text search: more-like-this (document-as-query) -------------
+
+#: fixed source document for the catalog surface
+MLT_DOC_ID = 7
+#: query profile: top terms by in-document frequency, content words only
+MLT_N_TERMS = 5
+MLT_MIN_TERM_LEN = 4
+
+_MLT_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    qt AS (
+      SELECT tok AS term FROM (
+        SELECT tok, COUNT(*) AS tf
+        FROM t, UNNEST(ts) AS u(tok)
+        WHERE doc_id = {MLT_DOC_ID} AND length(tok) >= {MLT_MIN_TERM_LEN}
+        GROUP BY tok
+      ) ORDER BY tf DESC, tok LIMIT {MLT_N_TERMS}
+    ),
+    d AS (
+      SELECT t.doc_id, len(ts) AS dl, qt.term,
+             len(list_filter(ts, w -> w = qt.term)) AS tf
+      FROM t CROSS JOIN qt
+    ),
+    g AS (SELECT COUNT(*) AS n, SUM(len(ts)) AS sumdl FROM t),
+    dfs AS (
+      SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+      FROM d GROUP BY term
+    ),
+    s AS (
+      SELECT d.doc_id,
+             SUM(FLOOR(LN(1 + (n - df + 0.5) / (df + 0.5)) * 10000 + 0.5)
+                 * FLOOR(tf * {BM25_K1 + 1} / (tf + {BM25_K1} *
+                     ({1 - BM25_B} + {BM25_B} * (dl / (sumdl * 1.0 / n))))
+                   * 10000 + 0.5)) AS score_scaled,
+             SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS n_terms_hit
+      FROM d JOIN dfs USING (term) CROSS JOIN g
+      GROUP BY d.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, CAST(score_scaled AS BIGINT) AS score_scaled,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+    FROM s
+    WHERE doc_id <> {MLT_DOC_ID} AND score_scaled > 0
+    ORDER BY rank LIMIT 20
+    """
+
+
+@query("q_search_mlt", category="llm-text", sql=_MLT_SQL)
+def q_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORE-LIKE-THIS search (the Lucene MoreLikeThis capability):
+    rank the corpus against a DOCUMENT instead of a hand-typed query.
+    The source doc's profile = its top-{MLT_N_TERMS} terms by
+    in-document frequency among content words (length ≥
+    {MLT_MIN_TERM_LEN}; ties broken by term text — fully
+    deterministic), then standard BM25 over that profile with the
+    source doc excluded from the results (it would trivially rank
+    first). Scoring math, integer snapping, and tie-breaks are the
+    _BM25_SQL conventions verbatim — same k1/b constants imported
+    from the TermStore home, same floor(x·1e4+0.5) grid after the one
+    ln per term — so the only new cross-engine surface is the term
+    PROFILE selection, which is pure integer counts.
+
+    Scale shape: profile extraction reads ONE document (doc_id
+    equality pushed to the parquet row-group); the profile (≤
+    {MLT_N_TERMS} rows) broadcasts onto the once-tokenized corpus, so
+    per-(doc, term) tf stays a map-side HOF count — no explode, no
+    per-token shuffle; df/N/Σdl are map-combined aggregates broadcast
+    back; the only corpus-ordered stage is the top-k merge. At 100 TB
+    the same profile is served from TermStore postings (read the
+    source doc's positions rows, then score O(profile-term postings))
+    — the scan here is the semantics oracle for that path."""
+    return mlt_topk(load(spark, sf_dir, "documents"), MLT_DOC_ID, k=20)
+
+
+def mlt_topk(
+    docs: DataFrame,
+    doc_id: int,
+    *,
+    n_terms: int = MLT_N_TERMS,
+    min_term_len: int = MLT_MIN_TERM_LEN,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """More-like-this top-k for an ARBITRARY source document — the
+    parameterized engine behind q_search_mlt and the CLI
+    ``search --like``. Returns (rank, doc_id, score_scaled,
+    n_terms_hit) with the source doc excluded."""
+    # one corpus tokenize feeding profile, stats and scoring (the
+    # tokenizer-fusion rule; eager checkpoint because three consumers
+    # would otherwise re-run the regex split per lineage branch)
+    toks = docs.select(
+        "doc_id", tokens_expr(F.col("text")).alias("ts")
+    ).localCheckpoint(eager=True)
+    profile = (
+        toks.filter(F.col("doc_id") == doc_id)
+        .select(F.explode("ts").alias("term"))
+        .filter(F.length("term") >= min_term_len)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        # TakeOrderedAndProject: total order (tf, term) is unique
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(n_terms)
+        .select("term")
+    )
+    per = (
+        toks.select("doc_id", F.size("ts").alias("dl"), "ts")
+        .crossJoin(broadcast(profile))
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            # HOF lambda captures the row's term column — stays in
+            # whole-stage codegen, no explode
+            F.size(F.filter(F.col("ts"), lambda w: w == F.col("term"))).alias("tf"),
+        )
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("sumdl")
+    )
+    dfs = per.groupBy("term").agg(
+        F.sum((F.col("tf") > 0).cast("int")).alias("df")
+    )
+    scored = per.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+    avgdl = F.col("sumdl") * 1.0 / F.col("n")
+    idf = F.floor(
+        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * 10000
+        + F.lit(0.5)
+    )
+    w = F.floor(
+        F.col("tf")
+        * F.lit(k1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl))
+        )
+        * 10000
+        + F.lit(0.5)
+    )
+    per_doc = (
+        scored.select("doc_id", (idf * w).alias("s"), "tf")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("long").alias("score_scaled"),
+            F.sum((F.col("tf") > 0).cast("int")).cast("long").alias("n_terms_hit"),
+        )
+    )
+    return ranked_topk(
+        per_doc.filter(
+            (F.col("doc_id") != doc_id) & (F.col("score_scaled") > 0)
+        ),
+        [F.desc("score_scaled"), F.asc("doc_id")],
+        k=k,
+    )

@@ -204,3 +204,47 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (distinct semantics both engines)."""
     a, b = _slices(spark, sf_dir)
     return a.subtract(b)
+
+
+# Two deliberately-overlapping MULTISET slices (o_custkey repeats per
+# order) — the ALL set-op pair needs real duplicate multiplicities,
+# which the customer slices above (unique c_custkey) cannot exercise.
+_MSLICE_A = "SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+_MSLICE_B = "SELECT o_custkey FROM orders WHERE o_totalprice > 150000"
+
+
+def _multiset_slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return a, b
+
+
+@query(
+    "q_intersect_all",
+    category="set-op",
+    sql=f"{_MSLICE_A} INTERSECT ALL {_MSLICE_B}",
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection keeping MIN(multiplicity A,
+    multiplicity B) copies of each key, the SQL-standard semantics
+    DISTINCT intersect erases. Physically one hash aggregation per
+    side computing per-key counts plus one key-to-key join — a
+    two-shuffle plan whose traffic is the distinct-key count, not the
+    row count (Spark plans intersectAll exactly so; duplicates are
+    re-expanded after the counts meet)."""
+    a, b = _multiset_slices(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@query(
+    "q_except_all",
+    category="set-op",
+    sql=f"{_MSLICE_A} EXCEPT ALL {_MSLICE_B}",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference keeping MAX(0, mult A − mult B)
+    copies, the multiplicity-aware complement of q_except. Same
+    counts-then-rebalance physical shape as q_intersect_all."""
+    a, b = _multiset_slices(spark, sf_dir)
+    return a.exceptAll(b)
