@@ -670,3 +670,47 @@ def test_readability_gate_is_map_only(spark, sf_small, cat):
     df = cat["q_quality_readability"].fn(spark, sf_small)
     plan = explain_str(df)
     assert "Exchange" not in plan, plan[:800]
+
+
+def test_highlight_decoration_is_k_row_broadcast(spark, sf_small, cat):
+    """q_search_highlight: retrieval is the audited BM25 plan; the
+    decoration must join the 20-row rank frame by BROADCAST onto the
+    doc table and tokenize after the join — document text/token
+    arrays never reach an exchange, so snippet cost is O(k) at any
+    corpus size."""
+    df = cat["q_search_highlight"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]  # the BM25 stage
+    assert has_broadcast_join(df), plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols and "snippet" not in cols, cols
+
+
+def test_mlt_profile_broadcasts_and_text_never_shuffles(spark, sf_small, cat):
+    """q_search_mlt: the <=5-row term profile, the df table and the
+    1-row stats frame all ride broadcasts onto the once-tokenized
+    corpus; per-(doc, term) tf stays a map-side HOF count (no explode
+    of corpus tokens into an exchange) and the only ordered stage is
+    the top-k merge."""
+    df = cat["q_search_mlt"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert plan.count("BroadcastExchange") >= 2, plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols, cols
+
+
+def test_join_full_runs_on_preaggregated_arms(spark, sf_small, cat):
+    """q_join_full: both arms aggregate BEFORE the full-outer join
+    (the year filters are pushed to the scan and each arm's partial
+    count combines map-side), so the unavoidable key shuffle moves
+    per-customer count rows, never raw orders; no broadcast is
+    expected — full outer can't broadcast by semantics."""
+    df = cat["q_join_full"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan[:800]
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, f"year range not pushed: {pushed}"
+    # every exchange carries (key, count)-shaped rows, nothing wider
+    for cols in exchange_input_columns(df):
+        assert len(cols) <= 2, cols
