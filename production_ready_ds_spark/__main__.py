@@ -261,13 +261,6 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.like is not None and args.index:
-            # profile extraction + scoring run on the corpus scan; an
-            # index-served MLT would need the source doc's postings
-            # row-set — reject rather than silently ignore the flag
-            # (the --hybrid/--index rule)
-            print("--like is scan-only; drop --index", file=sys.stderr)
-            return 2
         if args.like is not None and args.terms:
             print(
                 "--like builds its query from the document itself — "
@@ -397,13 +390,34 @@ def main(argv: list[str] | None = None) -> int:
                     args,
                 )
         elif args.like is not None:
-            from .queries.llm import mlt_topk
             from .tables import load
 
-            _emit(
-                mlt_topk(load(spark, args.sf, "documents"), args.like, k=args.k),
-                args,
-            )
+            docs = load(spark, args.sf, "documents")
+            if args.index:
+                # profile = one pushed doc_id point read; scoring =
+                # postings-served BM25 with the source doc excluded
+                # before ranks are assigned (scan-equal integers)
+                from .operators.termstore import TermStore
+                from .queries.llm import mlt_profile_terms
+
+                terms = mlt_profile_terms(docs, args.like)
+                if not terms:
+                    print(
+                        f"doc {args.like} has no content terms (or does "
+                        "not exist)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                _emit(
+                    TermStore(args.index).search(
+                        spark, terms, k=args.k, exclude_ids=(args.like,)
+                    ),
+                    args,
+                )
+            else:
+                from .queries.llm import mlt_topk
+
+                _emit(mlt_topk(docs, args.like, k=args.k), args)
         elif args.hybrid or args.rrf:
             from pyspark.sql import functions as F
 

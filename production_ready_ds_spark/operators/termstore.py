@@ -415,6 +415,7 @@ class TermStore:
     def search(
         self, spark: SparkSession, terms: tuple[str, ...], *, k: int = 20,
         k1: float = BM25_K1, b: float = BM25_B,
+        exclude_ids: tuple[int, ...] = (),
     ) -> DataFrame:
         """BM25 top-k from the index: (rank, doc_id, score_scaled,
         n_terms_hit), integer-equal to ``bm25_topk`` over the same
@@ -422,7 +423,15 @@ class TermStore:
         docstring; both paths dedupe repeated query terms — postings
         are unique per (term, doc), so a double-scored duplicate could
         never be served from an index). Work: O(Σ matched postings) +
-        a k-row merge."""
+        a k-row merge.
+
+        ``exclude_ids`` drops those documents BEFORE ranks are
+        assigned (the more-like-this source-doc exclusion: filtering
+        after top-k would burn a result slot and leave a rank gap).
+        Corpus statistics stay those of the FULL index — exclusion
+        removes candidates, it does not pretend the docs were never
+        indexed (matching the scan path, whose df/N/Σdl also count
+        the excluded doc)."""
         terms = tuple(dict.fromkeys(terms))
         post = self.read_postings(spark, list(terms))
         if post is None:
@@ -459,8 +468,13 @@ class TermStore:
                 F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
             )
         )
+        hits = per_doc.filter(F.col("score_scaled") > 0)
+        if exclude_ids:
+            hits = hits.filter(
+                ~F.col("doc_id").isin([int(i) for i in exclude_ids])
+            )
         return ranked_topk(
-            per_doc.filter(F.col("score_scaled") > 0),
+            hits,
             [F.desc("score_scaled"), F.asc("doc_id")],
             k=k,
         )

@@ -5866,7 +5866,7 @@ _MLT_SQL = f"""
     """
 
 
-@query("q_search_mlt", category="llm-text", sql=_MLT_SQL)
+@query("q_search_mlt", category="llm-text", bench=True, sql=_MLT_SQL)
 def q_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MORE-LIKE-THIS search (the Lucene MoreLikeThis capability):
     rank the corpus against a DOCUMENT instead of a hand-typed query.
@@ -5973,4 +5973,51 @@ def mlt_topk(
         ),
         [F.desc("score_scaled"), F.asc("doc_id")],
         k=k,
+    )
+
+
+def mlt_profile_terms(
+    docs: DataFrame,
+    doc_id: int,
+    *,
+    n_terms: int = MLT_N_TERMS,
+    min_term_len: int = MLT_MIN_TERM_LEN,
+) -> tuple[str, ...]:
+    """The more-like-this query profile as a Python tuple — top
+    ``n_terms`` content terms of one document by in-document tf
+    (term-text tie-break), for serving paths that need the terms on
+    the driver (TermStore postings search, the CLI). The collect is
+    bounded by ``n_terms`` BY CONSTRUCTION (the collect_prune_keys
+    rule is satisfied trivially), and the read is one pushed doc_id
+    point lookup — O(1) at any corpus size."""
+    rows = (
+        docs.filter(F.col("doc_id") == doc_id)
+        .select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .filter(F.length("term") >= min_term_len)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(n_terms)
+        .collect()
+    )
+    return tuple(r.term for r in rows)
+
+
+@query("q_search_mlt_indexed", category="llm-text", sql=_MLT_SQL)
+def q_search_mlt_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_mlt served from the persistent TermStore — and held
+    to the IDENTICAL oracle: the profile is ONE pushed doc_id point
+    read (≤ {MLT_N_TERMS} terms collected, bounded by construction),
+    scoring is the store's postings-served BM25 (same integer grid,
+    df from the fetched lists, N/Σdl from the manifest), and the
+    source document is excluded BEFORE ranks are assigned
+    (search(exclude_ids=...)) so the rank sequence matches the scan
+    path exactly. A hash-green row proves document-as-query retrieval
+    through the index end to end: at 100 TB this is the MLT serving
+    shape — point-read the doc, fetch O(profile-term postings), never
+    re-scan the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    terms = mlt_profile_terms(docs, MLT_DOC_ID)
+    return _cached_corpus_index(spark, sf_dir).search(
+        spark, terms, k=20, exclude_ids=(MLT_DOC_ID,)
     )

@@ -440,3 +440,43 @@ def test_boolean_and_proximity_validation(spark, sf_small, tmp_path):
         proximity_topk(docs, ("spark", "spark"), slop=2)
     with pytest.raises(ValueError):
         store.search_proximity(spark, ("spark", "spark"), slop=2)
+
+
+def test_mlt_index_equals_scan_and_excludes_source(spark, sf_small, tmp_path):
+    """More-like-this served from postings must return the scan path's
+    exact integers: same profile terms (one pushed point read), same
+    BM25 grid, and the source doc excluded BEFORE ranks are assigned
+    (so the rank sequence has no gap and no burned slot)."""
+    from production_ready_ds_spark.queries.llm import (
+        mlt_profile_terms,
+        mlt_topk,
+    )
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    for src in (7, 123, 400):
+        terms = mlt_profile_terms(docs, src)
+        assert 0 < len(terms) <= 5
+        scan = _results(mlt_topk(docs, src, k=15))
+        indexed = _results(
+            store.search(spark, terms, k=15, exclude_ids=(src,))
+        )
+        assert indexed == scan, src
+        assert all(r[1] != src for r in indexed)
+        assert [r[0] for r in indexed] == list(range(1, len(indexed) + 1))
+
+
+def test_search_exclude_ids_reranks_without_gap(spark, sf_small, tmp_path):
+    """Excluding the top hit promotes every later doc one rank — the
+    result equals the unexcluded list with that doc removed and ranks
+    reassigned (exclusion happens before ranking, not after)."""
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9)
+    terms = ("spark", "vector")
+    base = _results(store.search(spark, terms, k=11))
+    top = base[0][1]
+    excl = _results(store.search(spark, terms, k=10, exclude_ids=(top,)))
+    want = [(i + 1, *r[1:]) for i, r in enumerate(base[1:])]
+    assert excl == want
