@@ -417,7 +417,16 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 from .queries.llm import mlt_topk
 
-                _emit(mlt_topk(docs, args.like, k=args.k), args)
+                try:
+                    ranked = mlt_topk(docs, args.like, k=args.k)
+                except ValueError as exc:
+                    # same diagnosis as the indexed branch — a missing
+                    # or content-free doc must not silently print an
+                    # empty result set on one path and error on the
+                    # other
+                    print(exc, file=sys.stderr)
+                    return 2
+                _emit(ranked, args)
         elif args.hybrid or args.rrf:
             from pyspark.sql import functions as F
 

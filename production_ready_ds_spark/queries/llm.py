@@ -4214,6 +4214,7 @@ def bm25_topk(
     k: int = 20,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    exclude_ids: tuple[int, ...] = (),
 ) -> DataFrame:
     """BM25 top-k over a documents frame for an ARBITRARY term tuple —
     the parameterized engine behind q_search_bm25 and the CLI
@@ -4223,7 +4224,10 @@ def bm25_topk(
     evidence for this code path). Repeated query terms are deduped —
     double-scoring a duplicate is never the intended semantics and
     would diverge from the index path, whose postings are unique per
-    (term, doc)."""
+    (term, doc). ``exclude_ids`` drops those documents BEFORE ranks
+    are assigned (TermStore.search's contract: filtering after top-k
+    would burn a slot and leave a rank gap); corpus statistics stay
+    those of the FULL frame — the more-like-this convention."""
     terms = tuple(dict.fromkeys(terms))
 
     def tf_expr(term: str):
@@ -4279,12 +4283,17 @@ def bm25_topk(
     # (partition-local top-k + a k-row merge — no corpus-wide sort, no
     # single-partition global window); the rank window then runs on the
     # k survivors only.
+    final = scored.select(
+        "doc_id",
+        score.cast("long").alias("score_scaled"),
+        hits.cast("long").alias("n_terms_hit"),
+    ).filter(F.col("score_scaled") > 0)
+    if exclude_ids:
+        final = final.filter(
+            ~F.col("doc_id").isin([int(i) for i in exclude_ids])
+        )
     return ranked_topk(
-        scored.select(
-            "doc_id",
-            score.cast("long").alias("score_scaled"),
-            hits.cast("long").alias("n_terms_hit"),
-        ).filter(F.col("score_scaled") > 0),
+        final,
         [F.desc("score_scaled"), F.asc("doc_id")],
         k=k,
     )
@@ -5753,10 +5762,13 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based token offset. Ranking is inherited verbatim from the
     BM25 surface (same integers, same oracle CTE), so this row is
     pure decoration — no new ranking math, no new float surface:
-    hit_pos is an integer min over array_position values (both
-    engines return 0-for-absent, NULLIF-ed away; every ranked doc
-    has ≥ 1 hit by construction so the min is never NULL), and the
-    snippet is a deterministic slice+join of the token array.
+    hit_pos is a NULL-ignoring integer min over per-term positions
+    (Spark array_position returns 0-for-absent, NULLIF-ed to NULL;
+    DuckDB list_position returns NULL for absent directly, making its
+    NULLIF a no-op — both sides land on NULL-for-absent before the
+    min, and every ranked doc has ≥ 1 hit by construction so the min
+    is never NULL), and the snippet is a deterministic slice+join of
+    the token array.
 
     Scale shape: the expensive retrieval is the already-audited BM25
     plan; decoration then touches exactly k=20 documents — the 20-row
@@ -5772,7 +5784,8 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _min_hit_pos(terms: tuple[str, ...]) -> Column:
     """Earliest 1-based offset of any query term in the resident
     token array ``ts`` — NULL-ignoring min over per-term
-    array_position values (0-for-absent NULLIF-ed away; F.least
+    array_position values (Spark's 0-for-absent NULLIF-ed away — the
+    DuckDB twin's list_position is NULL-for-absent natively; F.least
     requires ≥ 2 columns, so the single-term query short-circuits)."""
     hits = [
         F.nullif(F.array_position("ts", F.lit(term)), F.lit(0)) for term in terms
@@ -5882,14 +5895,13 @@ def q_search_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROFILE selection, which is pure integer counts.
 
     Scale shape: profile extraction reads ONE document (doc_id
-    equality pushed to the parquet row-group); the profile (≤
-    {MLT_N_TERMS} rows) broadcasts onto the once-tokenized corpus, so
-    per-(doc, term) tf stays a map-side HOF count — no explode, no
-    per-token shuffle; df/N/Σdl are map-combined aggregates broadcast
-    back; the only corpus-ordered stage is the top-k merge. At 100 TB
-    the same profile is served from TermStore postings (read the
-    source doc's positions rows, then score O(profile-term postings))
-    — the scan here is the semantics oracle for that path."""
+    equality pushed to the parquet row-group; the ≤{MLT_N_TERMS}-row
+    collect is bounded by construction), then scoring IS the audited
+    bm25_topk plan for those terms — per-doc tf columns as map-side
+    array expressions, df/N/Σdl one map-combined broadcast row, the
+    top-k merge the only ordered stage. At 100 TB the same profile is
+    served from TermStore postings (q_search_mlt_indexed) — the scan
+    here is the semantics oracle for that path."""
     return mlt_topk(load(spark, sf_dir, "documents"), MLT_DOC_ID, k=20)
 
 
@@ -5906,74 +5918,24 @@ def mlt_topk(
     """More-like-this top-k for an ARBITRARY source document — the
     parameterized engine behind q_search_mlt and the CLI
     ``search --like``. Returns (rank, doc_id, score_scaled,
-    n_terms_hit) with the source doc excluded."""
-    # one corpus tokenize feeding profile, stats and scoring (the
-    # tokenizer-fusion rule; eager checkpoint because three consumers
-    # would otherwise re-run the regex split per lineage branch)
-    toks = docs.select(
-        "doc_id", tokens_expr(F.col("text")).alias("ts")
-    ).localCheckpoint(eager=True)
-    profile = (
-        toks.filter(F.col("doc_id") == doc_id)
-        .select(F.explode("ts").alias("term"))
-        .filter(F.length("term") >= min_term_len)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        # TakeOrderedAndProject: total order (tf, term) is unique
-        .orderBy(F.desc("tf"), F.asc("term"))
-        .limit(n_terms)
-        .select("term")
+    n_terms_hit) with the source doc excluded.
+
+    The profile is a bounded driver tuple (mlt_profile_terms: one
+    pushed point read, ≤ ``n_terms`` rows) feeding the ONE scan-path
+    scoring tree (bm25_topk with exclude_ids) — MLT adds no scoring
+    math of its own, so scan, postings and oracle-SQL paths can never
+    drift onto different constants (the _bm25_sql_for discipline on
+    the Python side). Raises ValueError when the document has no
+    content terms (or does not exist) so every caller surfaces the
+    same diagnosis instead of a shapeless no-terms failure."""
+    terms = mlt_profile_terms(
+        docs, doc_id, n_terms=n_terms, min_term_len=min_term_len
     )
-    per = (
-        toks.select("doc_id", F.size("ts").alias("dl"), "ts")
-        .crossJoin(broadcast(profile))
-        .select(
-            "doc_id",
-            "dl",
-            "term",
-            # HOF lambda captures the row's term column — stays in
-            # whole-stage codegen, no explode
-            F.size(F.filter(F.col("ts"), lambda w: w == F.col("term"))).alias("tf"),
+    if not terms:
+        raise ValueError(
+            f"doc {doc_id} has no content terms (or does not exist)"
         )
-    )
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("ts")).alias("sumdl")
-    )
-    dfs = per.groupBy("term").agg(
-        F.sum((F.col("tf") > 0).cast("int")).alias("df")
-    )
-    scored = per.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
-    avgdl = F.col("sumdl") * 1.0 / F.col("n")
-    idf = F.floor(
-        F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * 10000
-        + F.lit(0.5)
-    )
-    w = F.floor(
-        F.col("tf")
-        * F.lit(k1 + 1)
-        / (
-            F.col("tf")
-            + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl))
-        )
-        * 10000
-        + F.lit(0.5)
-    )
-    per_doc = (
-        scored.select("doc_id", (idf * w).alias("s"), "tf")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("s").cast("long").alias("score_scaled"),
-            F.sum((F.col("tf") > 0).cast("int")).cast("long").alias("n_terms_hit"),
-        )
-    )
-    return ranked_topk(
-        per_doc.filter(
-            (F.col("doc_id") != doc_id) & (F.col("score_scaled") > 0)
-        ),
-        [F.desc("score_scaled"), F.asc("doc_id")],
-        k=k,
-    )
+    return bm25_topk(docs, terms, k=k, k1=k1, b=b, exclude_ids=(doc_id,))
 
 
 def mlt_profile_terms(

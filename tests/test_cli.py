@@ -245,3 +245,54 @@ def test_search_prefix_command(spark, sf_small, capsys):
     assert "non-empty term" in capsys.readouterr().err
     assert main(["search", "", "--prefix", "--sf", sf_small]) == 2
     assert "non-empty term" in capsys.readouterr().err
+
+
+def test_search_like_command_matches_helper(spark, sf_small, capsys):
+    """`search --like` must run document-as-query retrieval and agree
+    with the parameterized scan helper's ranking."""
+    from production_ready_ds_spark.queries.llm import mlt_topk
+    from production_ready_ds_spark.tables import load
+
+    rc = main(["search", "--like", "7", "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    out = capsys.readouterr().out
+    want = mlt_topk(load(spark, sf_small, "documents"), 7, k=3).collect()
+    assert len(want) == 3
+    for r in want:
+        assert f"|{r.doc_id} " in out, (r.doc_id, out)
+
+
+def test_search_like_with_index_serves_from_store(
+    spark, sf_small, tmp_path, capsys
+):
+    """`search --like --index` must serve the postings path and print
+    the scan path's exact integers (the MLT scan≡index contract)."""
+    from production_ready_ds_spark.operators.termstore import TermStore
+    from production_ready_ds_spark.queries.llm import mlt_topk
+    from production_ready_ds_spark.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    root = str(tmp_path / "ts")
+    assert TermStore(root).append(docs, id_min=0, id_max=10**9)
+    rc = main(
+        ["search", "--like", "7", "--index", root, "--k", "3", "--sf", sf_small]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    for r in mlt_topk(docs, 7, k=3).collect():
+        assert f"|{r.doc_id} " in out, (r.doc_id, out)
+
+
+def test_search_like_validation(capsys, sf_small):
+    """--like rejects positional terms and mode combos; a missing doc
+    errors identically on the scan path (not an empty table); bare
+    `search` without terms or --like fails with guidance (nargs='*'
+    no longer lets argparse catch it)."""
+    assert main(["search", "foo", "--like", "7", "--sf", sf_small]) == 2
+    assert "drop the positional terms" in capsys.readouterr().err
+    assert main(["search", "--like", "7", "--phrase", "--sf", sf_small]) == 2
+    assert "mutually exclusive" in capsys.readouterr().err
+    assert main(["search", "--sf", sf_small]) == 2
+    assert "query terms" in capsys.readouterr().err
+    assert main(["search", "--like", "999999", "--sf", sf_small]) == 2
+    assert "no content terms" in capsys.readouterr().err
