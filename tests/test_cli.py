@@ -296,3 +296,26 @@ def test_search_like_validation(capsys, sf_small):
     assert "query terms" in capsys.readouterr().err
     assert main(["search", "--like", "999999", "--sf", sf_small]) == 2
     assert "no content terms" in capsys.readouterr().err
+
+
+def test_search_snippets_command(spark, sf_small, capsys):
+    """`search --snippets` must decorate the BM25 ranking with KWIC
+    windows (same doc ids, plus a snippet column); --snippets with any
+    other mode is rejected."""
+    rc = main(
+        ["search", "spark", "vector", "--snippets", "--k", "3", "--sf", sf_small]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "snippet" in out and "hit_pos" in out
+    from production_ready_ds_spark.queries.llm import bm25_topk
+    from production_ready_ds_spark.tables import load
+
+    for r in bm25_topk(
+        load(spark, sf_small, "documents"), ("spark", "vector"), k=3
+    ).collect():
+        assert f"|{r.doc_id} " in out, (r.doc_id, out)
+    assert (
+        main(["search", "a", "b", "--snippets", "--phrase", "--sf", sf_small]) == 2
+    )
+    assert "composes with plain BM25" in capsys.readouterr().err
