@@ -15,7 +15,7 @@ Commands:
   search <term> [term ...]     — BM25 (--index postings / --phrase /
                                  --hybrid / --rrf / --prefix / --fuzzy /
                                  --must-not T... / --near SLOP /
-                                 --like DOC_ID)
+                                 --like DOC_ID / --snippets)
   index  --root DIR            — build the BM25 inverted index
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
@@ -128,6 +128,13 @@ def _parser() -> argparse.ArgumentParser:
         help="more-like-this: use this document's top content terms as "
         "the query (takes no positional terms; the doc itself is "
         "excluded from results)",
+    )
+    search.add_argument(
+        "--snippets",
+        action="store_true",
+        help="decorate the BM25 results with KWIC snippets (first-hit "
+        "token offset + a ±3-token window); BM25 mode only, composes "
+        "with --index",
     )
     common(search)
     index = sub.add_parser(
@@ -258,6 +265,16 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 "--phrase, --hybrid, --rrf, --prefix, --fuzzy, "
                 "--must-not, --near and --like are mutually exclusive",
+                file=sys.stderr,
+            )
+            return 2
+        if args.snippets and sum(modes) > 0:
+            # decoration needs the query TERMS to locate a hit window;
+            # the other modes have their own result shapes (positions,
+            # fused ranks, ...) — reject rather than silently ignore
+            print(
+                "--snippets composes with plain BM25 (optionally "
+                "--index) only",
                 file=sys.stderr,
             )
             return 2
@@ -458,16 +475,25 @@ def main(argv: list[str] | None = None) -> int:
         else:
             # dedupe while keeping order — a repeated term would
             # double-score on the scan path but not the indexed one
+            from .tables import load
+
             terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
+            docs = load(spark, args.sf, "documents")
             if args.index:
                 from .operators.termstore import TermStore
 
-                _emit(TermStore(args.index).search(spark, terms, k=args.k), args)
+                ranked = TermStore(args.index).search(spark, terms, k=args.k)
             else:
                 from .queries.llm import bm25_topk
-                from .tables import load
 
-                _emit(bm25_topk(load(spark, args.sf, "documents"), terms, k=args.k), args)
+                ranked = bm25_topk(docs, terms, k=args.k)
+            if args.snippets:
+                # decoration is a k-row broadcast join against the doc
+                # table regardless of which path retrieved the ids
+                from .queries.llm import kwic_snippets
+
+                ranked = kwic_snippets(docs, ranked, terms)
+            _emit(ranked, args)
     elif args.cmd == "index":
         from .operators.termstore import TermStore
         from .tables import load

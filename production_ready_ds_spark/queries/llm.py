@@ -5829,6 +5829,21 @@ def kwic_snippets(
     )
 
 
+@query("q_search_highlight_indexed", category="llm-text", sql=_HIGHLIGHT_SQL)
+def q_search_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_highlight with retrieval served from the persistent
+    TermStore instead of the corpus scan — held to the IDENTICAL
+    oracle (TermStore.search returns the scan path's exact integers,
+    and the KWIC decoration is the same 20-doc broadcast join either
+    way). This IS the production snippet-service shape end to end:
+    ids from the index (O(query-term postings)), k documents fetched
+    point-wise, decoration row-local — a hash-green row proves the
+    composition, not just the parts."""
+    docs = load(spark, sf_dir, "documents")
+    ranked = _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
+    return kwic_snippets(docs, ranked, BM25_QUERY)
+
+
 # --- full-text search: more-like-this (document-as-query) -------------
 
 #: fixed source document for the catalog surface
