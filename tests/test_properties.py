@@ -173,3 +173,32 @@ def test_codecs_never_raise_on_garbage(buf):
     assert WAVAudioDecoder().decode(buf)["sr"] is None or isinstance(
         WAVAudioDecoder().decode(buf)["sr"], int
     )
+
+
+@given(
+    st.lists(words, min_size=1, max_size=40),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=15, deadline=None)  # each example is a Spark job
+def test_kwic_snippet_invariants(spark, toks, context):
+    """For any document containing the query term, the KWIC snippet
+    (1) contains the hit term, (2) spans at most 2*context+1 tokens,
+    (3) is a CONTIGUOUS slice of the document's token stream around
+    hit_pos, and (4) hit_pos is the term's first occurrence."""
+    from production_ready_ds_spark.queries.llm import kwic_snippets
+
+    term = toks[len(toks) // 2]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id long, text string"
+    )
+    ranked = spark.createDataFrame(
+        [(1, 1, 100)], "rank long, doc_id long, score_scaled long"
+    )
+    row = kwic_snippets(docs, ranked, (term,), context=context).collect()[0]
+    assert row.hit_pos == toks.index(term) + 1
+    got = row.snippet.split(" ")
+    assert term in got
+    assert len(got) <= 2 * context + 1
+    lo = max(0, row.hit_pos - 1 - context)
+    hi = min(len(toks), row.hit_pos + context)
+    assert got == toks[lo:hi]
