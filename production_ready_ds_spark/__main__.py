@@ -132,8 +132,8 @@ def _parser() -> argparse.ArgumentParser:
     search.add_argument(
         "--snippets",
         action="store_true",
-        help="decorate the BM25 results with KWIC snippets (first-hit "
-        "token offset + a ±3-token window); BM25 mode only, composes "
+        help="decorate results with KWIC snippets (a ±3-token window "
+        "around the first hit); BM25 and --phrase modes, composes "
         "with --index",
     )
     common(search)
@@ -268,13 +268,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        if args.snippets and sum(modes) > 0:
-            # decoration needs the query TERMS to locate a hit window;
-            # the other modes have their own result shapes (positions,
-            # fused ranks, ...) — reject rather than silently ignore
+        if args.snippets and sum(modes) > 0 and not args.phrase:
+            # BM25 locates the window from the query terms, phrase from
+            # its own first_pos column; the other modes' result shapes
+            # carry no hit position — reject rather than silently
+            # ignore
             print(
-                "--snippets composes with plain BM25 (optionally "
-                "--index) only",
+                "--snippets composes with plain BM25 or --phrase "
+                "(optionally --index) only",
                 file=sys.stderr,
             )
             return 2
@@ -351,16 +352,26 @@ def main(argv: list[str] | None = None) -> int:
         elif args.phrase:
             # phrases keep duplicates and order — "buffalo buffalo" is
             # a real phrase query
+            from .tables import load
+
             phrase = tuple(t.lower() for t in args.terms)
+            docs = load(spark, args.sf, "documents")
             if args.index:
                 from .operators.termstore import TermStore
 
-                _emit(TermStore(args.index).search_phrase(spark, phrase, k=args.k), args)
+                ranked = TermStore(args.index).search_phrase(
+                    spark, phrase, k=args.k
+                )
             else:
                 from .queries.llm import phrase_topk
-                from .tables import load
 
-                _emit(phrase_topk(load(spark, args.sf, "documents"), phrase, k=args.k), args)
+                ranked = phrase_topk(docs, phrase, k=args.k)
+            if args.snippets:
+                # window the whole |phrase|-token match at first_pos
+                from .queries.llm import kwic_snippets_at
+
+                ranked = kwic_snippets_at(docs, ranked, span=len(phrase))
+            _emit(ranked, args)
         elif args.must_not is not None:
             must = tuple(dict.fromkeys(t.lower() for t in args.terms))
             must_not = tuple(dict.fromkeys(t.lower() for t in args.must_not))

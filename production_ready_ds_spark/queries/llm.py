@@ -5829,6 +5829,36 @@ def kwic_snippets(
     )
 
 
+def kwic_snippets_at(
+    docs: DataFrame,
+    ranked: DataFrame,
+    *,
+    pos_col: str = "first_pos",
+    span: int = 1,
+    context: int = HIGHLIGHT_CONTEXT,
+) -> DataFrame:
+    """KWIC decoration for result frames that already carry a match
+    POSITION column (phrase search's first_pos) — the span-aware twin
+    of kwic_snippets: the window keeps ``context`` tokens on each side
+    of a ``span``-token match starting at ``pos_col`` (1-based). Same
+    k-row broadcast join + tokenize-after-join shape; rows with a NULL
+    position (no recorded hit) keep a NULL snippet."""
+    ranked_cols = ranked.columns
+    joined = docs.join(broadcast(ranked), "doc_id").select(
+        *[c for c in ranked_cols if c != "doc_id"],
+        "doc_id",
+        tokens_expr(F.col("text")).alias("ts"),
+    )
+    start = F.greatest(F.lit(1), F.col(pos_col) - context)
+    end = F.col(pos_col) + (span - 1) + context
+    return joined.select(
+        *ranked_cols,
+        F.array_join(F.slice("ts", start, end - start + 1), " ").alias(
+            "snippet"
+        ),
+    )
+
+
 @query("q_search_highlight_indexed", category="llm-text", sql=_HIGHLIGHT_SQL)
 def q_search_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_search_highlight with retrieval served from the persistent

@@ -316,6 +316,20 @@ def test_search_snippets_command(spark, sf_small, capsys):
     ).collect():
         assert f"|{r.doc_id} " in out, (r.doc_id, out)
     assert (
-        main(["search", "a", "b", "--snippets", "--phrase", "--sf", sf_small]) == 2
+        main(["search", "a", "b", "--snippets", "--fuzzy", "--sf", sf_small]) == 2
     )
     assert "composes with plain BM25" in capsys.readouterr().err
+
+
+def test_search_phrase_snippets_command(spark, sf_small, capsys):
+    """`search --phrase --snippets` must window the whole phrase span;
+    non-positional modes still reject --snippets."""
+    rc = main(
+        ["search", "table", "hash", "--phrase", "--snippets", "--k", "3",
+         "--sf", sf_small]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "snippet" in out and "table hash" in out
+    assert main(["search", "a", "b", "--rrf", "--snippets", "--sf", sf_small]) == 2
+    assert "composes with plain BM25 or --phrase" in capsys.readouterr().err

@@ -103,3 +103,29 @@ def test_mlt_profile_respects_length_gate(spark):
     rows = {r.doc_id: r for r in mlt_topk(docs, 0, k=10).collect()}
     assert 1 not in rows, "short-token-only doc must not match the profile"
     assert rows[2].n_terms_hit == 2
+
+
+def test_kwic_at_windows_whole_phrase_span(spark):
+    from production_ready_ds_spark.queries.llm import kwic_snippets_at
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c red fox jumps d e"),
+            (2, "red fox at the start"),
+        ],
+    )
+    ranked = spark.createDataFrame(
+        [(1, 1, 1, 4), (2, 2, 1, 1)],
+        "rank long, doc_id long, n_hits long, first_pos long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in kwic_snippets_at(docs, ranked, span=2, context=2).collect()
+    }
+    # 2-token match at pos 4: window [2, 7] — both phrase tokens kept
+    assert rows[1].snippet == "b c red fox jumps d"
+    # match at pos 1: clipped window [1, 4]
+    assert rows[2].snippet == "red fox at the"
+    # ranked columns survive decoration untouched
+    assert (rows[1].rank, rows[1].n_hits, rows[1].first_pos) == (1, 1, 4)
