@@ -5859,6 +5859,45 @@ def kwic_snippets_at(
     )
 
 
+# the phrase-KWIC surface decorates _PHRASE_SQL's ranking verbatim —
+# the q_search_highlight convention applied to the span-aware kernel
+# (window = the whole |phrase|-token match ± context)
+_PHRASE_HIGHLIGHT_SQL = f"""
+    WITH ph AS ( {_PHRASE_SQL} ),
+    t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    )
+    SELECT ph.rank, ph.doc_id, ph.n_hits, ph.first_pos,
+           array_to_string(
+             ts[GREATEST(1, first_pos - {HIGHLIGHT_CONTEXT}) :
+                first_pos + {len(PHRASE_QUERY) - 1 + HIGHLIGHT_CONTEXT}],
+             ' ') AS snippet
+    FROM ph JOIN t USING (doc_id) ORDER BY ph.rank
+    """
+
+
+@query(
+    "q_search_phrase_highlight", category="llm-text", sql=_PHRASE_HIGHLIGHT_SQL
+)
+def q_search_phrase_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-AWARE KWIC decoration of the exact-phrase top-20: the
+    snippet window keeps the WHOLE |phrase|-token match starting at
+    first_pos plus ± context tokens — the phrase twin of
+    q_search_highlight, hash-proving kwic_snippets_at. Ranking is
+    inherited from _PHRASE_SQL verbatim, so the only new cross-engine
+    surface is the integer window slice (both engines clip at the
+    document edges identically). Decoration again touches exactly k
+    documents via a broadcast join; at 100 TB retrieval serves from
+    the positional index (q_search_phrase_indexed) and this
+    decoration step is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    return kwic_snippets_at(
+        docs,
+        phrase_topk(docs, PHRASE_QUERY, k=20),
+        span=len(PHRASE_QUERY),
+    )
+
+
 @query("q_search_highlight_indexed", category="llm-text", sql=_HIGHLIGHT_SQL)
 def q_search_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_search_highlight with retrieval served from the persistent
