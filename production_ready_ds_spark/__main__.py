@@ -355,7 +355,9 @@ def main(argv: list[str] | None = None) -> int:
             from .tables import load
 
             phrase = tuple(t.lower() for t in args.terms)
-            docs = load(spark, args.sf, "documents")
+            # index-only serving must never touch the corpus lake —
+            # load docs only for the scan path or for decoration
+            docs = None
             if args.index:
                 from .operators.termstore import TermStore
 
@@ -365,11 +367,14 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 from .queries.llm import phrase_topk
 
+                docs = load(spark, args.sf, "documents")
                 ranked = phrase_topk(docs, phrase, k=args.k)
             if args.snippets:
                 # window the whole |phrase|-token match at first_pos
                 from .queries.llm import kwic_snippets_at
 
+                if docs is None:
+                    docs = load(spark, args.sf, "documents")
                 ranked = kwic_snippets_at(docs, ranked, span=len(phrase))
             _emit(ranked, args)
         elif args.must_not is not None:
@@ -489,7 +494,9 @@ def main(argv: list[str] | None = None) -> int:
             from .tables import load
 
             terms = tuple(dict.fromkeys(t.lower() for t in args.terms))
-            docs = load(spark, args.sf, "documents")
+            # index-only serving must never touch the corpus lake —
+            # load docs only for the scan path or for decoration
+            docs = None
             if args.index:
                 from .operators.termstore import TermStore
 
@@ -497,12 +504,15 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 from .queries.llm import bm25_topk
 
+                docs = load(spark, args.sf, "documents")
                 ranked = bm25_topk(docs, terms, k=args.k)
             if args.snippets:
                 # decoration is a k-row broadcast join against the doc
                 # table regardless of which path retrieved the ids
                 from .queries.llm import kwic_snippets
 
+                if docs is None:
+                    docs = load(spark, args.sf, "documents")
                 ranked = kwic_snippets(docs, ranked, terms)
             _emit(ranked, args)
     elif args.cmd == "index":

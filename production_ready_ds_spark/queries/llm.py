@@ -5778,7 +5778,12 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern: retrieve ids from the index, fetch k documents point-wise,
     decorate row-locally."""
     docs = load(spark, sf_dir, "documents")
-    return kwic_snippets(docs, bm25_topk(docs, BM25_QUERY, k=20), BM25_QUERY)
+    # narrow to the declared output schema BEFORE the additive
+    # decoration (the oracle emits no n_terms_hit column)
+    bm = bm25_topk(docs, BM25_QUERY, k=20).select(
+        "rank", "doc_id", "score_scaled"
+    )
+    return kwic_snippets(docs, bm, BM25_QUERY)
 
 
 def _min_hit_pos(terms: tuple[str, ...]) -> Column:
@@ -5800,27 +5805,24 @@ def kwic_snippets(
     *,
     context: int = HIGHLIGHT_CONTEXT,
 ) -> DataFrame:
-    """Decorate a (rank, doc_id, score_scaled, ...) frame with KWIC
-    snippets from the documents frame — the engine behind
-    q_search_highlight, reusable over any retrieval surface whose
-    ranked docs each contain ≥ 1 query term (hit_pos is NULL
-    otherwise, by array_position semantics)."""
+    """Decorate a ranked frame with KWIC snippets from the documents
+    frame — the engine behind q_search_highlight, reusable over any
+    retrieval surface whose ranked docs each contain ≥ 1 query term
+    (hit_pos is NULL otherwise, by array_position semantics).
+    Decoration is purely ADDITIVE: every ranked column passes through
+    (the kwic_snippets_at contract), then hit_pos + snippet append —
+    callers with a fixed output schema narrow BEFORE decorating."""
+    ranked_cols = ranked.columns
     # broadcast the k-row rank frame; tokenize only the joined docs
-    joined = docs.join(
-        broadcast(ranked.select("rank", "doc_id", "score_scaled")), "doc_id"
-    ).select("rank", "doc_id", "score_scaled", tokens_expr(F.col("text")).alias("ts"))
-    hit = joined.select(
-        "rank",
+    joined = docs.join(broadcast(ranked), "doc_id").select(
+        *[c for c in ranked_cols if c != "doc_id"],
         "doc_id",
-        "score_scaled",
-        "ts",
-        _min_hit_pos(terms).alias("hit_pos"),
+        tokens_expr(F.col("text")).alias("ts"),
     )
+    hit = joined.select(*ranked_cols, "ts", _min_hit_pos(terms).alias("hit_pos"))
     start = F.greatest(F.lit(1), F.col("hit_pos") - context)
     return hit.select(
-        "rank",
-        "doc_id",
-        "score_scaled",
+        *ranked_cols,
         F.col("hit_pos").cast("long").alias("hit_pos"),
         F.array_join(
             F.slice("ts", start, F.col("hit_pos") + context - start + 1),
@@ -5909,7 +5911,9 @@ def q_search_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     point-wise, decoration row-local — a hash-green row proves the
     composition, not just the parts."""
     docs = load(spark, sf_dir, "documents")
-    ranked = _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
+    ranked = _cached_corpus_index(spark, sf_dir).search(
+        spark, BM25_QUERY, k=20
+    ).select("rank", "doc_id", "score_scaled")
     return kwic_snippets(docs, ranked, BM25_QUERY)
 
 

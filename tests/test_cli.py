@@ -333,3 +333,30 @@ def test_search_phrase_snippets_command(spark, sf_small, capsys):
     assert "snippet" in out and "table hash" in out
     assert main(["search", "a", "b", "--rrf", "--snippets", "--sf", sf_small]) == 2
     assert "composes with plain BM25 or --phrase" in capsys.readouterr().err
+
+
+def test_index_only_search_never_touches_the_lake(
+    spark, sf_small, tmp_path, capsys
+):
+    """`search --index` (BM25 and --phrase) must serve entirely from
+    the store: with --sf pointing at a nonexistent lake the commands
+    still succeed — the regression guard for decoration-era lazy doc
+    loading. --snippets legitimately needs the lake and must fail
+    loudly on the missing path instead."""
+    from production_ready_ds_spark.operators.termstore import TermStore
+    from production_ready_ds_spark.tables import load
+
+    root = str(tmp_path / "ts")
+    assert TermStore(root).append(
+        load(spark, sf_small, "documents"), id_min=0, id_max=10**9
+    )
+    gone = str(tmp_path / "no-such-lake")
+    rc = main(["search", "spark", "--index", root, "--k", "2", "--sf", gone])
+    assert rc == 0
+    assert "doc_id" in capsys.readouterr().out
+    rc = main(
+        ["search", "table", "hash", "--phrase", "--index", root, "--k", "2",
+         "--sf", gone]
+    )
+    assert rc == 0
+    assert "first_pos" in capsys.readouterr().out
