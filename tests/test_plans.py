@@ -714,3 +714,15 @@ def test_join_full_runs_on_preaggregated_arms(spark, sf_small, cat):
     # every exchange carries (key, count)-shaped rows, nothing wider
     for cols in exchange_input_columns(df):
         assert len(cols) <= 2, cols
+
+
+def test_phrase_highlight_decoration_is_k_row_broadcast(spark, sf_small, cat):
+    """q_search_phrase_highlight: ranking is the map-only phrase plan;
+    the span-aware decoration joins the k-row frame by broadcast and
+    corpus text/token arrays never reach an exchange."""
+    df = cat["q_search_phrase_highlight"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert has_broadcast_join(df), plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols and "snippet" not in cols, cols
