@@ -1,0 +1,78 @@
+"""Markup stripping: HTML/XML → text extraction, the first cleaning
+step of every web-corpus training-data pipeline (the reference's
+corpus is API-clean Reddit JSON — `00_training_pipeline.py:37-42` —
+so this is EXT surface; CCNet/C4-style pipelines run exactly this
+before any quality gate sees a byte).
+
+Design constraints:
+
+- **Column expressions only** — the strip is a regexp_replace chain
+  in whole-stage codegen (map-only at any corpus size), never a
+  Python UDF.
+- **Cross-engine identical semantics.** Every pattern is written in
+  the common subset of Java regex (Spark) and RE2 (DuckDB): literal
+  tags ``<[^>]*>``, ``(?s)``-flagged non-greedy container blocks,
+  ``\\s+`` whitespace classes. The DuckDB twin must pass the ``g``
+  flag (DuckDB replaces the FIRST match by default; Spark replaces
+  all) — :data:`STRIP_STEPS` carries the shared patterns so the SQL
+  and the Column builder can never drift.
+- **Container elements drop CONTENT, tags drop only themselves**:
+  ``<script>``/``<style>`` bodies are code, not prose — stripping
+  their tags but keeping the payload would feed JavaScript to the
+  quality gates (the classic naive-strip corpus bug).
+- **Entity decoding after tag removal**, ``&amp;`` LAST (decoding it
+  first would re-create decodable entities from double-escaped text
+  — the standard double-unescape bug).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (pattern, replacement) regexp steps shared verbatim by the Spark
+#: builder and the DuckDB oracle (apply in order, replace-ALL)
+STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    # container elements whose CONTENT must go with them
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    # comments, then any remaining tag
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+
+#: (entity, char) literal replacements, order significant (&amp; last)
+ENTITY_STEPS: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(col: Column) -> Column:
+    """Markup → text as one codegen'd expression chain: container
+    blocks and tags to spaces, entities decoded, whitespace collapsed
+    and trimmed. Mirrors the DuckDB SQL :func:`strip_markup_sql`
+    emits step for step."""
+    out = col
+    for pat, rep in STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in ENTITY_STEPS:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_markup_sql(expr: str) -> str:
+    """The identical strip chain as DuckDB SQL over ``expr`` — built
+    from the same STRIP_STEPS/ENTITY_STEPS tuples so the two engines
+    cannot drift (DuckDB needs the explicit ``g`` flag; Spark's
+    regexp_replace is replace-all by default)."""
+    out = expr
+    for pat, rep in STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    for ent, ch in ENTITY_STEPS:
+        quoted = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{quoted}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -35,10 +35,17 @@ def _stage_dir(root: str, stage: str) -> str:
 class ScoreDocuments(SparkTask):
     """Annotate every document with the curation signals: quality score
     (length saturation × (1−stopword ratio)), marker-word language id,
-    and BPE-ish token count. One linear scan, no shuffle."""
+    and BPE-ish token count. One linear scan, no shuffle.
+
+    ``clean_markup=True`` prepends the HTML→text strip
+    (functions/markup.py, the q_clean_markup kernel) so a web-scraped
+    corpus and an API-clean one run the same downstream funnel — the
+    strip is one more regexp chain in the SAME map pass, and every
+    later stage (gates, dedup, report) consumes the CLEANED text."""
 
     data_root = Parameter()
     sf_dir = Parameter()
+    clean_markup = Parameter(default=False)
 
     def output(self):
         return ParquetTarget(_stage_dir(self.data_root, "scored"))
@@ -47,6 +54,10 @@ class ScoreDocuments(SparkTask):
         from ..queries.llm import _LANG_MARKERS
 
         d = load(spark, self.sf_dir, "documents")
+        if self.clean_markup:
+            from ..functions.markup import strip_markup
+
+            d = d.withColumn("text", strip_markup(F.col("text")))
         toks = tokens_expr(F.col("text"))
         n = F.size(toks)
         quality = F.least(n / F.lit(100.0), F.lit(1.0)) * (
@@ -90,9 +101,14 @@ class FilterQuality(SparkTask):
     data_root = Parameter()
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
+    clean_markup = Parameter(default=False)
 
     def requires(self):
-        return ScoreDocuments(data_root=self.data_root, sf_dir=self.sf_dir)
+        return ScoreDocuments(
+            data_root=self.data_root,
+            sf_dir=self.sf_dir,
+            clean_markup=self.clean_markup,
+        )
 
     def output(self):
         return ParquetTarget(_stage_dir(self.data_root, "filtered"))
@@ -111,10 +127,14 @@ class DedupExact(SparkTask):
     data_root = Parameter()
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
+    clean_markup = Parameter(default=False)
 
     def requires(self):
         return FilterQuality(
-            data_root=self.data_root, sf_dir=self.sf_dir, min_quality=self.min_quality
+            data_root=self.data_root,
+            sf_dir=self.sf_dir,
+            min_quality=self.min_quality,
+            clean_markup=self.clean_markup,
         )
 
     def output(self):
@@ -144,10 +164,14 @@ class DedupNear(SparkTask):
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
     jaccard_threshold = Parameter(default=0.5)
+    clean_markup = Parameter(default=False)
 
     def requires(self):
         return DedupExact(
-            data_root=self.data_root, sf_dir=self.sf_dir, min_quality=self.min_quality
+            data_root=self.data_root,
+            sf_dir=self.sf_dir,
+            min_quality=self.min_quality,
+            clean_markup=self.clean_markup,
         )
 
     def output(self):
@@ -177,6 +201,7 @@ class CurationReport(SparkTask):
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
     jaccard_threshold = Parameter(default=0.5)
+    clean_markup = Parameter(default=False)
 
     def requires(self):
         return DedupNear(
@@ -184,6 +209,7 @@ class CurationReport(SparkTask):
             sf_dir=self.sf_dir,
             min_quality=self.min_quality,
             jaccard_threshold=self.jaccard_threshold,
+            clean_markup=self.clean_markup,
         )
 
     def output(self):
@@ -210,11 +236,13 @@ class CurationReport(SparkTask):
 
 
 def curation_dag(data_root: str, sf_dir: str, *, min_quality: float = 0.1,
-                 jaccard_threshold: float = 0.5) -> CurationReport:
+                 jaccard_threshold: float = 0.5,
+                 clean_markup: bool = False) -> CurationReport:
     """The full curation DAG rooted at its report task."""
     return CurationReport(
         data_root=data_root,
         sf_dir=sf_dir,
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
+        clean_markup=clean_markup,
     )

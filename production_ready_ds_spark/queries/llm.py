@@ -6071,3 +6071,99 @@ def q_search_mlt_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_corpus_index(spark, sf_dir).search(
         spark, terms, k=20, exclude_ids=(MLT_DOC_ID,)
     )
+
+
+# --- corpus cleaning: markup strip (HTML -> text) ---------------------
+
+#: the synthetic documents are API-clean text, so the markup fixture
+#: is CONSTRUCTED deterministically from each doc's own fields (the
+#: q_image_png convention: synthesis is part of the fixture, the strip
+#: is the operator under test) — one parts list drives BOTH engines'
+#: construction so they cannot drift
+_MARKUP_PARTS: tuple[tuple[str, str], ...] = (
+    ("lit", '<html><head><title>'),
+    ("col", "source"),
+    ("lit", " &amp; "),
+    ("col", "lang"),
+    ("lit", '</title><style>p { margin: 0; }</style>'
+            '<script>if (1 &lt; 2) { var x = "<i>"; }</script>'
+            "</head><body><!-- id="),
+    ("id", "doc_id"),
+    ("lit", ' --><p class="doc">'),
+    ("col", "text"),
+    ("lit", "</p><br/>&quot;fin&#39;</body></html>"),
+)
+
+
+def _marked_sql() -> str:
+    parts = []
+    for kind, v in _MARKUP_PARTS:
+        if kind == "lit":
+            parts.append("'" + v.replace("'", "''") + "'")
+        elif kind == "id":
+            parts.append(f"CAST({v} AS VARCHAR)")
+        else:
+            parts.append(v)
+    return " || ".join(parts)
+
+
+def _markup_sql() -> str:
+    from ..functions.markup import strip_markup_sql
+
+    marked = _marked_sql()
+    return f"""
+    WITH m AS (
+      SELECT doc_id, ({marked}) AS marked FROM documents
+    )
+    SELECT doc_id, {strip_markup_sql("marked")} AS clean,
+           CAST(length(marked) - length({strip_markup_sql("marked")}) AS BIGINT)
+             AS chars_removed
+    FROM m
+    """
+
+
+@query("q_clean_markup", category="llm-text", sql=_markup_sql())
+def q_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKUP STRIP — HTML/XML → text extraction, the step every
+    web-corpus pipeline (CCNet/C4) runs before any quality gate sees
+    a byte; the reference's Reddit corpus arrives API-clean, so this
+    is the EXT cleaning surface. Each document is wrapped in a
+    deterministic HTML shell built from its OWN fields (title from
+    source+lang, a script block with tag-bearing string content, a
+    comment carrying the doc_id, entities — the fixture-synthesis
+    convention q_image_png uses for PNG bytes), then stripped by the
+    shared kernel: container blocks (script/style/comments) drop WITH
+    their content (keeping script payloads is the classic naive-strip
+    corpus bug), remaining tags drop alone, entities decode after tag
+    removal (&amp; last — the double-unescape rule), whitespace
+    collapses. functions/markup.py STRIP_STEPS/ENTITY_STEPS drive the
+    Spark Column chain AND the oracle SQL, so the engines cannot
+    drift; patterns live in the Java-regex ∩ RE2 common subset.
+
+    Scale shape: construction and strip are ONE map-side
+    regexp_replace chain in whole-stage codegen — zero exchanges,
+    composing as a column step in the curation pipeline at any corpus
+    size (text never shuffles; the only output traffic is the cleaned
+    column itself)."""
+    from ..functions.markup import strip_markup
+
+    cols = []
+    for kind, v in _MARKUP_PARTS:
+        if kind == "lit":
+            cols.append(F.lit(v))
+        elif kind == "id":
+            cols.append(F.col(v).cast("string"))
+        else:
+            cols.append(F.col(v))
+    marked = F.concat(*cols)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", marked.alias("marked")
+    )
+    clean = strip_markup(F.col("marked"))
+    return d.select(
+        "doc_id",
+        clean.alias("clean"),
+        (F.length("marked") - F.length(clean)).cast("long").alias(
+            "chars_removed"
+        ),
+    )

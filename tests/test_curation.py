@@ -63,3 +63,56 @@ def test_curation_incremental_resume(spark, sf_small, tmp_path):
         "FilterQuality",
         "DedupExact",
     }
+
+
+def test_curation_clean_markup_equals_clean_corpus(spark, sf_small, tmp_path):
+    """A markup-wrapped corpus run with clean_markup=True must score
+    IDENTICALLY to the clean corpus run without it — the strip
+    composes as a transparent first step of the funnel (and without
+    the flag, markup visibly poisons the signals)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    # wrap every document in an HTML shell (script payload included —
+    # the content a naive strip would leak into the quality gates)
+    wrapped_dir = str(tmp_path / "wrapped")
+    os.makedirs(wrapped_dir)
+    load(spark, sf_small, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.col("text"),
+            F.lit('</p><script>var x = "<i>spam</i>";</script></body></html>'),
+        ),
+    ).write.parquet(os.path.join(wrapped_dir, "documents.parquet"))
+
+    clean_root, wrapped_root = str(tmp_path / "a"), str(tmp_path / "b")
+    build([ScoreDocuments(data_root=clean_root, sf_dir=sf_small)])
+    build(
+        [
+            ScoreDocuments(
+                data_root=wrapped_root, sf_dir=wrapped_dir, clean_markup=True
+            )
+        ]
+    )
+    cols = ["doc_id", "text", "quality", "pred_lang", "n_bpe_tokens"]
+    a = sorted(
+        spark.read.parquet(os.path.join(clean_root, "curation", "scored"))
+        .select(*cols).collect()
+    )
+    b = sorted(
+        spark.read.parquet(os.path.join(wrapped_root, "curation", "scored"))
+        .select(*cols).collect()
+    )
+    assert a == b
+    # control: without the flag the wrapped corpus scores differently
+    control_root = str(tmp_path / "c")
+    build([ScoreDocuments(data_root=control_root, sf_dir=wrapped_dir)])
+    c = sorted(
+        spark.read.parquet(os.path.join(control_root, "curation", "scored"))
+        .select(*cols).collect()
+    )
+    assert c != a
