@@ -6167,3 +6167,97 @@ def q_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_removed"
         ),
     )
+
+
+# --- corpus cleaning: text-level PII redaction ------------------------
+
+#: deterministic PII injection from each doc's own fields (the
+#: q_clean_markup fixture-synthesis convention) — one parts table
+#: drives BOTH engines' construction
+_PII_PARTS: tuple[tuple[str, str], ...] = (
+    ("col", "text"),
+    ("lit", " contact "),
+    ("col", "source"),
+    ("id", "doc_id"),
+    ("lit", "@example.com or https://"),
+    ("col", "lang"),
+    ("lit", ".example.com/doc/"),
+    ("id", "doc_id"),
+    ("lit", " from 10.0."),
+    ("mod", "doc_id % 256"),
+    ("lit", "."),
+    ("mod", "(doc_id * 7) % 256"),
+    ("lit", " call +1 (555) 010-"),
+    ("pad", "doc_id % 10000"),
+)
+
+
+def _pii_sql() -> str:
+    from ..functions.pii import redact_pii_sql
+
+    parts = []
+    for kind, v in _PII_PARTS:
+        if kind == "lit":
+            parts.append("'" + v.replace("'", "''") + "'")
+        elif kind in ("id", "mod"):
+            parts.append(f"CAST({v} AS VARCHAR)")
+        elif kind == "pad":
+            parts.append(f"lpad(CAST({v} AS VARCHAR), 4, '0')")
+        else:  # col
+            parts.append(v)
+    dirty = " || ".join(parts)
+    red, counts = redact_pii_sql("dirty")
+    count_cols = ", ".join(f"{e} AS n_{cat}" for cat, e in counts.items())
+    return f"""
+    WITH m AS (
+      SELECT doc_id, ({dirty}) AS dirty FROM documents
+    )
+    SELECT doc_id, {red} AS redacted, {count_cols}
+    FROM m
+    """
+
+
+@query("q_pii_redact", category="llm-text", sql=_pii_sql())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-LEVEL PII REDACTION — the BigScience/ROOTS-style privacy
+    pass over the raw text column: emails, phone numbers, IPv4
+    addresses and URLs replaced with typed placeholders, with
+    per-category counts for the corpus privacy report. Complements
+    q_pii_scrub (structured-column masking) with the unstructured
+    case every web corpus actually has. Each document gets
+    deterministic PII synthesized from its OWN fields (the
+    q_clean_markup fixture convention), so redaction exercises every
+    category on every row; functions/pii.py PII_PATTERNS drives the
+    Spark chain AND the oracle SQL from one table — redaction ORDER
+    is load-bearing (URL before email before IPv4 before phone; see
+    the module docstring) and identical on both engines, as are the
+    counts, which are taken per category on the progressively
+    redacted text.
+
+    Scale shape: construction, counting and redaction are ONE
+    map-side regexp chain in whole-stage codegen — zero exchanges,
+    composable as a curation column step at any corpus size."""
+    from ..functions.pii import redact_pii
+
+    cols = []
+    for kind, v in _PII_PARTS:
+        if kind == "lit":
+            cols.append(F.lit(v))
+        elif kind == "col":
+            cols.append(F.col(v))
+        elif kind == "id":
+            cols.append(F.col(v).cast("string"))
+        elif kind == "mod":
+            cols.append(F.expr(v).cast("string"))
+        else:  # pad
+            cols.append(F.lpad(F.expr(v).cast("string"), 4, "0"))
+    dirty = F.concat(*cols)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", dirty.alias("dirty")
+    )
+    red, counts = redact_pii(F.col("dirty"))
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        *[c.alias(f"n_{cat}") for cat, c in counts.items()],
+    )
