@@ -39,13 +39,17 @@ class ScoreDocuments(SparkTask):
 
     ``clean_markup=True`` prepends the HTML→text strip
     (functions/markup.py, the q_clean_markup kernel) so a web-scraped
-    corpus and an API-clean one run the same downstream funnel — the
-    strip is one more regexp chain in the SAME map pass, and every
-    later stage (gates, dedup, report) consumes the CLEANED text."""
+    corpus and an API-clean one run the same downstream funnel;
+    ``redact_pii=True`` then applies the text-level PII pass
+    (functions/pii.py, the q_pii_redact kernel) — both are extra
+    regexp links in the SAME map pass (strip FIRST: tags/entities
+    would otherwise split PII spans), and every later stage (gates,
+    dedup, report) consumes the cleaned, redacted text."""
 
     data_root = Parameter()
     sf_dir = Parameter()
     clean_markup = Parameter(default=False)
+    redact_pii = Parameter(default=False)
 
     def output(self):
         return ParquetTarget(_stage_dir(self.data_root, "scored"))
@@ -58,6 +62,10 @@ class ScoreDocuments(SparkTask):
             from ..functions.markup import strip_markup
 
             d = d.withColumn("text", strip_markup(F.col("text")))
+        if self.redact_pii:
+            from ..functions.pii import redact_pii as _redact
+
+            d = d.withColumn("text", _redact(F.col("text"))[0])
         toks = tokens_expr(F.col("text"))
         n = F.size(toks)
         quality = F.least(n / F.lit(100.0), F.lit(1.0)) * (
@@ -102,12 +110,14 @@ class FilterQuality(SparkTask):
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
     clean_markup = Parameter(default=False)
+    redact_pii = Parameter(default=False)
 
     def requires(self):
         return ScoreDocuments(
             data_root=self.data_root,
             sf_dir=self.sf_dir,
             clean_markup=self.clean_markup,
+            redact_pii=self.redact_pii,
         )
 
     def output(self):
@@ -128,6 +138,7 @@ class DedupExact(SparkTask):
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
     clean_markup = Parameter(default=False)
+    redact_pii = Parameter(default=False)
 
     def requires(self):
         return FilterQuality(
@@ -135,6 +146,7 @@ class DedupExact(SparkTask):
             sf_dir=self.sf_dir,
             min_quality=self.min_quality,
             clean_markup=self.clean_markup,
+            redact_pii=self.redact_pii,
         )
 
     def output(self):
@@ -165,6 +177,7 @@ class DedupNear(SparkTask):
     min_quality = Parameter(default=0.1)
     jaccard_threshold = Parameter(default=0.5)
     clean_markup = Parameter(default=False)
+    redact_pii = Parameter(default=False)
 
     def requires(self):
         return DedupExact(
@@ -172,6 +185,7 @@ class DedupNear(SparkTask):
             sf_dir=self.sf_dir,
             min_quality=self.min_quality,
             clean_markup=self.clean_markup,
+            redact_pii=self.redact_pii,
         )
 
     def output(self):
@@ -202,6 +216,7 @@ class CurationReport(SparkTask):
     min_quality = Parameter(default=0.1)
     jaccard_threshold = Parameter(default=0.5)
     clean_markup = Parameter(default=False)
+    redact_pii = Parameter(default=False)
 
     def requires(self):
         return DedupNear(
@@ -210,6 +225,7 @@ class CurationReport(SparkTask):
             min_quality=self.min_quality,
             jaccard_threshold=self.jaccard_threshold,
             clean_markup=self.clean_markup,
+            redact_pii=self.redact_pii,
         )
 
     def output(self):
@@ -237,7 +253,8 @@ class CurationReport(SparkTask):
 
 def curation_dag(data_root: str, sf_dir: str, *, min_quality: float = 0.1,
                  jaccard_threshold: float = 0.5,
-                 clean_markup: bool = False) -> CurationReport:
+                 clean_markup: bool = False,
+                 redact_pii: bool = False) -> CurationReport:
     """The full curation DAG rooted at its report task."""
     return CurationReport(
         data_root=data_root,
@@ -245,4 +262,5 @@ def curation_dag(data_root: str, sf_dir: str, *, min_quality: float = 0.1,
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
         clean_markup=clean_markup,
+        redact_pii=redact_pii,
     )

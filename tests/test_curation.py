@@ -116,3 +116,46 @@ def test_curation_clean_markup_equals_clean_corpus(spark, sf_small, tmp_path):
         .select(*cols).collect()
     )
     assert c != a
+
+
+def test_curation_redact_pii_scrubs_before_scoring(spark, sf_small, tmp_path):
+    """redact_pii=True must remove every email/URL/IP/phone from the
+    scored text (downstream stages never see raw PII), composing
+    after the markup strip in the same map pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    dirty_dir = str(tmp_path / "dirty")
+    os.makedirs(dirty_dir)
+    load(spark, sf_small, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p> mail bob@leak.example.com see https://leak.example.com/x"),
+        ),
+    ).write.parquet(os.path.join(dirty_dir, "documents.parquet"))
+
+    root = str(tmp_path / "out")
+    build(
+        [
+            ScoreDocuments(
+                data_root=root, sf_dir=dirty_dir,
+                clean_markup=True, redact_pii=True,
+            )
+        ]
+    )
+    scored = spark.read.parquet(os.path.join(root, "curation", "scored"))
+    leaked = scored.filter(
+        F.col("text").contains("leak.example.com")
+    ).count()
+    assert leaked == 0
+    masked = scored.filter(
+        F.col("text").contains("<EMAIL>") & F.col("text").contains("<URL>")
+    ).count()
+    assert masked == scored.count()
+    # markup stripped too: no tags survive into the scored text
+    assert scored.filter(F.col("text").contains("<p>")).count() == 0
