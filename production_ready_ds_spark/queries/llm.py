@@ -6261,3 +6261,136 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         red.alias("redacted"),
         *[c.alias(f"n_{cat}") for cat, c in counts.items()],
     )
+
+
+# --- corpus cleaning: boilerplate line removal (CCNet-style) ----------
+
+#: pseudo-line construction: corpus-wide header/footer boilerplate
+#: around 16-token content lines (the fixture-synthesis convention —
+#: the synthetic docs have no line structure of their own)
+BOILER_HEADER = "share this article on social media"
+BOILER_FOOTER = "powered by example cms subscribe now"
+BOILER_LINE_TOKENS = 16
+#: a line is boilerplate when it appears in >= 1/10 of all documents
+#: (integer cross-multiply on both engines: 10*df >= N)
+BOILER_DF_NUM, BOILER_DF_DEN = 1, 10
+
+_BOILER_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, 0 AS idx, '{BOILER_HEADER}' AS line FROM t
+      UNION ALL
+      SELECT doc_id, i AS idx,
+             array_to_string(ts[(i-1)*{BOILER_LINE_TOKENS}+1 : i*{BOILER_LINE_TOKENS}], ' ') AS line
+      FROM t, UNNEST(range(1, CAST(ceil(len(ts) / {BOILER_LINE_TOKENS}.0) AS BIGINT) + 1)) AS u(i)
+      WHERE len(ts) >= 1
+      UNION ALL
+      SELECT doc_id, 1000000 AS idx, '{BOILER_FOOTER}' AS line FROM t
+    ),
+    df AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs_with FROM lines GROUP BY line
+    ),
+    n AS (SELECT COUNT(*) AS n_corpus FROM t),
+    marked AS (
+      SELECT l.doc_id, l.idx, l.line,
+             ({BOILER_DF_DEN} * d.n_docs_with >= {BOILER_DF_NUM} * n.n_corpus)
+               AS is_boiler
+      FROM lines l JOIN df d USING (line) CROSS JOIN n
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, ' ' ORDER BY idx)
+                    FILTER (WHERE NOT is_boiler), '') AS clean_text,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lines_dropped,
+           CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lines_kept
+    FROM marked GROUP BY doc_id
+    """
+
+
+@query("q_clean_boilerplate", category="llm-text", sql=_BOILER_SQL)
+def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE BOILERPLATE LINE REMOVAL — the CCNet paragraph-
+    dedup step: a line (pseudo-paragraph) appearing in ≥ 1/10 of all
+    documents is template chrome (headers, footers, cookie banners),
+    not content, and is cut from EVERY document; each doc's text is
+    rebuilt from its surviving lines in order. Distinct from the
+    pair-based dedup family (which doc shares with whom) and from
+    q_remove_dup_spans (canonical-keeps-span): boilerplate has no
+    canonical owner — it is dropped everywhere. Line structure is
+    synthesized deterministically (corpus-constant header/footer
+    around {BOILER_LINE_TOKENS}-token content lines — the fixture
+    convention), and the threshold is an exact integer
+    cross-multiply (10·df ≥ N) on both engines; the rebuilt text,
+    drop and keep counts are all hash-compared.
+
+    Scale shape: the ONLY corpus-wide shuffle is the line-frequency
+    aggregate, and it moves md5 LINE HASHES, never line text
+    (16-byte keys, map-side combined after a per-doc
+    array_distinct). The hot set is bounded by
+    total_lines/(N/{BOILER_DF_DEN}) ≈ {BOILER_DF_DEN}·avg lines per
+    doc — a ONE-ROW broadcast array at any corpus size (the
+    bloom_prefilter attribute convention) — so the clean itself is a
+    MAP pass over the resident lines array: HOF filter against the
+    broadcast set, join back to nothing, no sort (construction order
+    IS document order). At 100 TB this is exactly CCNet's shape: one
+    narrow shuffle, one broadcast verdict, one map pass
+    (plan-pinned: text never reaches an exchange)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    n_chunks = F.ceil(F.size("ts") / float(BOILER_LINE_TOKENS)).cast("int")
+    chunk_lines = F.when(
+        F.size("ts") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.array_join(
+                F.slice("ts", (i - 1) * BOILER_LINE_TOKENS + 1, BOILER_LINE_TOKENS),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # lines in document order BY CONSTRUCTION (header, chunks, footer)
+    # — the rebuild below never needs a sort
+    ldocs = toks.select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit(BOILER_HEADER)), chunk_lines, F.array(F.lit(BOILER_FOOTER))
+        ).alias("lines"),
+    )
+    # corpus-wide line frequency: explode 16-byte md5 HASHES only —
+    # line text never enters an exchange (array_distinct first, so the
+    # count is docs-containing, not occurrences)
+    hashes = ldocs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col("lines"), lambda l: F.md5(l.cast("binary")))
+            )
+        ).alias("lh"),
+    )
+    dfreq = hashes.groupBy("lh").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    n_corpus = d.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # the hot set is bounded by total_lines / (N/DEN) ≈ DEN · avg
+    # lines per doc — a one-row broadcast array at any corpus size
+    # (the bloom_prefilter convention: constants as an attribute, not
+    # a giant literal)
+    hot = (
+        dfreq.crossJoin(broadcast(n_corpus))
+        .filter(
+            F.lit(BOILER_DF_DEN) * F.col("n_docs_with")
+            >= F.lit(BOILER_DF_NUM) * F.col("n_corpus")
+        )
+        .agg(F.collect_list("lh").alias("hot"))
+    )
+    kept = F.filter(
+        F.col("lines"),
+        lambda l: ~F.array_contains(F.col("hot"), F.md5(l.cast("binary"))),
+    )
+    return ldocs.crossJoin(broadcast(hot)).select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("lines") - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+    )

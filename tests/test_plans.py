@@ -726,3 +726,15 @@ def test_phrase_highlight_decoration_is_k_row_broadcast(spark, sf_small, cat):
     assert has_broadcast_join(df), plan[:800]
     for cols in exchange_input_columns(df):
         assert "text" not in cols and "ts" not in cols and "snippet" not in cols, cols
+
+
+def test_boilerplate_clean_shuffles_hashes_only(spark, sf_small, cat):
+    """q_clean_boilerplate: the only corpus-wide shuffle is the
+    line-frequency aggregate over md5 hashes — line text never
+    reaches an exchange; the hot verdict arrives as a one-row
+    broadcast array and the rebuild is a map-side HOF filter."""
+    df = cat["q_clean_boilerplate"].fn(spark, sf_small)
+    plan = explain_str(df)
+    assert "BroadcastExchange" in plan, plan[:800]
+    for cols in exchange_input_columns(df):
+        assert "text" not in cols and "ts" not in cols and "lines" not in cols, cols
