@@ -31,22 +31,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: (pattern, replacement) regexp steps shared verbatim by the Spark
-#: builder and the DuckDB oracle (apply in order, replace-ALL)
+#: builder and the DuckDB oracle (apply in order, replace-ALL).
+#: Container patterns are case-INSENSITIVE with a whitespace-tolerant
+#: close (``</script >``): real HTML writes <SCRIPT>/<Script> and
+#: sloppy closers routinely, and a missed container leaks its payload
+#: — the exact naive-strip bug this module exists to prevent
 STRIP_STEPS: tuple[tuple[str, str], ...] = (
     # container elements whose CONTENT must go with them
-    (r"(?s)<script[^>]*>.*?</script>", " "),
-    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?is)<script[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style[^>]*>.*?</style\s*>", " "),
     # comments, then any remaining tag
     (r"(?s)<!--.*?-->", " "),
     (r"<[^>]*>", " "),
 )
 
-#: (entity, char) literal replacements, order significant (&amp; last)
+#: (entity, char) literal replacements, order significant (&amp;
+#: LAST, so double-escaped text never double-unescapes); covers the
+#: XML five plus the ubiquitous web typography entities whose leaked
+#: names ("nbsp", "mdash") would otherwise become high-frequency
+#: corpus tokens skewing every downstream quality signal
 ENTITY_STEPS: tuple[tuple[str, str], ...] = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&#x27;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
     ("&amp;", "&"),
 )
 
@@ -71,7 +86,11 @@ def strip_markup_sql(expr: str) -> str:
     regexp_replace is replace-all by default)."""
     out = expr
     for pat, rep in STRIP_STEPS:
-        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+        # escape quotes like redact_pii_sql — a future pattern with an
+        # apostrophe must not silently break the generated SQL
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     for ent, ch in ENTITY_STEPS:
         quoted = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{quoted}')"

@@ -28,6 +28,19 @@ from ..tables import load
 from ..workflow import LocalTarget, Parameter, ParquetTarget, SparkTask
 
 
+def _variant(clean_markup, redact_pii) -> str:
+    """Stage-identity suffix for the TEXT-MUTATING flags: a target
+    produced from raw text must never satisfy a cleaned run's
+    completeness check — without this, toggling clean_markup/
+    redact_pii against an existing data_root silently reuses stale
+    uncleaned output (a privacy bug: the "redacted" report would
+    ship raw PII). Numeric knobs (min_quality, jaccard_threshold)
+    deliberately stay OUT of the path — they tune the funnel rather
+    than change what the text IS; callers sweeping them use distinct
+    data_roots (documented contract)."""
+    return ("+markup" if clean_markup else "") + ("+pii" if redact_pii else "")
+
+
 def _stage_dir(root: str, stage: str) -> str:
     return os.path.join(root, "curation", stage)
 
@@ -52,7 +65,10 @@ class ScoreDocuments(SparkTask):
     redact_pii = Parameter(default=False)
 
     def output(self):
-        return ParquetTarget(_stage_dir(self.data_root, "scored"))
+        return ParquetTarget(_stage_dir(
+            self.data_root,
+            "scored" + _variant(self.clean_markup, self.redact_pii),
+        ))
 
     def main(self, spark):
         from ..queries.llm import _LANG_MARKERS
@@ -121,7 +137,10 @@ class FilterQuality(SparkTask):
         )
 
     def output(self):
-        return ParquetTarget(_stage_dir(self.data_root, "filtered"))
+        return ParquetTarget(_stage_dir(
+            self.data_root,
+            "filtered" + _variant(self.clean_markup, self.redact_pii),
+        ))
 
     def main(self, spark):
         scored = spark.read.parquet(self.requires().output().path)
@@ -150,7 +169,10 @@ class DedupExact(SparkTask):
         )
 
     def output(self):
-        return ParquetTarget(_stage_dir(self.data_root, "dedup_exact"))
+        return ParquetTarget(_stage_dir(
+            self.data_root,
+            "dedup_exact" + _variant(self.clean_markup, self.redact_pii),
+        ))
 
     def main(self, spark):
         docs = spark.read.parquet(self.requires().output().path)
@@ -189,7 +211,10 @@ class DedupNear(SparkTask):
         )
 
     def output(self):
-        return ParquetTarget(_stage_dir(self.data_root, "dedup_near"))
+        return ParquetTarget(_stage_dir(
+            self.data_root,
+            "dedup_near" + _variant(self.clean_markup, self.redact_pii),
+        ))
 
     def main(self, spark):
         from ..operators.dedup import connected_components, jaccard_pairs
@@ -229,7 +254,10 @@ class CurationReport(SparkTask):
         )
 
     def output(self):
-        return LocalTarget(os.path.join(self.data_root, "curation", "report.json"))
+        v = _variant(self.clean_markup, self.redact_pii)
+        return LocalTarget(
+            os.path.join(self.data_root, "curation", f"report{v}.json")
+        )
 
     def main(self, spark):
         final = spark.read.parquet(self.requires().output().path)

@@ -6114,11 +6114,13 @@ def _markup_sql() -> str:
     return f"""
     WITH m AS (
       SELECT doc_id, ({marked}) AS marked FROM documents
+    ),
+    c AS (
+      SELECT doc_id, marked, {strip_markup_sql("marked")} AS clean FROM m
     )
-    SELECT doc_id, {strip_markup_sql("marked")} AS clean,
-           CAST(length(marked) - length({strip_markup_sql("marked")}) AS BIGINT)
-             AS chars_removed
-    FROM m
+    SELECT doc_id, clean,
+           CAST(length(marked) - length(clean) AS BIGINT) AS chars_removed
+    FROM c
     """
 
 
@@ -6287,7 +6289,10 @@ _BOILER_SQL = f"""
       FROM t, UNNEST(range(1, CAST(ceil(len(ts) / {BOILER_LINE_TOKENS}.0) AS BIGINT) + 1)) AS u(i)
       WHERE len(ts) >= 1
       UNION ALL
-      SELECT doc_id, 1000000 AS idx, '{BOILER_FOOTER}' AS line FROM t
+      SELECT doc_id,
+             CAST(ceil(len(ts) / {BOILER_LINE_TOKENS}.0) AS BIGINT) + 1 AS idx,
+             '{BOILER_FOOTER}' AS line
+      FROM t
     ),
     df AS (
       SELECT line, COUNT(DISTINCT doc_id) AS n_docs_with FROM lines GROUP BY line

@@ -104,7 +104,7 @@ def test_curation_clean_markup_equals_clean_corpus(spark, sf_small, tmp_path):
         .select(*cols).collect()
     )
     b = sorted(
-        spark.read.parquet(os.path.join(wrapped_root, "curation", "scored"))
+        spark.read.parquet(os.path.join(wrapped_root, "curation", "scored+markup"))
         .select(*cols).collect()
     )
     assert a == b
@@ -148,7 +148,9 @@ def test_curation_redact_pii_scrubs_before_scoring(spark, sf_small, tmp_path):
             )
         ]
     )
-    scored = spark.read.parquet(os.path.join(root, "curation", "scored"))
+    scored = spark.read.parquet(
+        os.path.join(root, "curation", "scored+markup+pii")
+    )
     leaked = scored.filter(
         F.col("text").contains("leak.example.com")
     ).count()
@@ -159,3 +161,19 @@ def test_curation_redact_pii_scrubs_before_scoring(spark, sf_small, tmp_path):
     assert masked == scored.count()
     # markup stripped too: no tags survive into the scored text
     assert scored.filter(F.col("text").contains("<p>")).count() == 0
+
+
+def test_curation_flag_flip_recomputes_not_reuses(spark, sf_small, tmp_path):
+    """Toggling a text-mutating flag against an existing data_root
+    must RUN the stage again (flag is part of the target identity),
+    never reuse the raw-text output — the silent-stale privacy bug."""
+    root = str(tmp_path)
+    build([ScoreDocuments(data_root=root, sf_dir=sf_small)])
+    res = build(
+        [ScoreDocuments(data_root=root, sf_dir=sf_small, redact_pii=True)]
+    )
+    assert len(res["ran"]) == 1, res
+    import os
+
+    assert os.path.isdir(os.path.join(root, "curation", "scored"))
+    assert os.path.isdir(os.path.join(root, "curation", "scored+pii"))

@@ -25,12 +25,22 @@ CASES = [
     ("a<!-- hidden <b>note</b> -->b", "a b"),
     # multi-line containers ((?s) flag)
     ("<script>\nline1\nline2\n</script>ok", "ok"),
+    # case-insensitive containers and whitespace-tolerant closers —
+    # <SCRIPT> payloads must never leak into the corpus
+    ("<SCRIPT>var y = 2;</SCRIPT>kept", "kept"),
+    ('<Script defer src="x.js">payload</script >kept', "kept"),
+    ("<STYLE>body{}</Style>kept", "kept"),
     # entities decode AFTER tag removal, &amp; last (no double-unescape:
     # &amp;lt; must yield the literal string "&lt;", never "<")
     ("1 &lt; 2 &amp;&amp; 3 &gt; 2", "1 < 2 && 3 > 2"),
     ("&amp;lt;", "&lt;"),
     ("&quot;q&#39;", "\"q'"),
-    # unclosed tag at end drops; stray > survives
+    # web typography entities decode instead of leaking "nbsp"/"mdash"
+    # tokens into the quality signals
+    ("foo&nbsp;bar&mdash;baz&hellip;", "foo bar—baz…"),
+    ("it&#x27;s &#160; here", "it's here"),
+    # an unclosed trailing tag SURVIVES (no closing '>' to match the
+    # tag pattern), as does a stray '>' — pinned cross-engine
     ("text <br", "text <br"),
     ("a > b", "a > b"),
     # empty and tag-only inputs
@@ -65,40 +75,3 @@ def test_spark_equals_duckdb_on_all_cases(spark):
             f"SELECT {sql} FROM (SELECT ? AS m)", [m]
         ).fetchone()[0]
         assert got_spark[i] == got_duck, (m, got_spark[i], got_duck)
-
-
-def test_boilerplate_threshold_is_exact_integer_boundary(spark, tmp_path):
-    """Corpus-wide line removal on a constructed N=30 corpus, pinning
-    the exact integer threshold (10·df ≥ N): unique content lines
-    (df=1, 10 < 30) survive, a 3-doc repeated line (df=3, 30 ≥ 30)
-    sits exactly AT the boundary and drops, and the synthetic
-    header/footer (df=30) drop everywhere."""
-    import os
-
-    from production_ready_ds_spark.queries import catalog
-
-    docs = []
-    for i in range(30):
-        body = f"unique{i} " * 16  # one unique content line per doc
-        if i < 3:
-            body += " boundary line " + "repeat " * 14  # df=3 line
-        docs.append((i, body.strip()))
-    sf = str(tmp_path / "sf")
-    os.makedirs(sf)
-    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
-        os.path.join(sf, "documents.parquet")
-    )
-    rows = {
-        r.doc_id: r
-        for r in catalog()["q_clean_boilerplate"].fn(spark, sf).collect()
-    }
-    assert len(rows) == 30
-    for i, r in rows.items():
-        # header + footer always drop; the df=3 line sits exactly at
-        # the 10*3 >= 1*30 boundary and drops too
-        assert f"unique{i}" in r.clean_text
-        assert "share this article" not in r.clean_text
-        assert "powered by" not in r.clean_text
-        assert "boundary" not in r.clean_text
-        want_dropped = 3 if i < 3 else 2
-        assert r.n_lines_dropped == want_dropped, (i, r)
