@@ -6147,8 +6147,17 @@ def q_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
     composing as a column step in the curation pipeline at any corpus
     size (text never shuffles; the only output traffic is the cleaned
     column itself)."""
-    from ..functions.markup import strip_markup
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", marked_col().alias("marked")
+    )
+    return clean_markup_frame(d)
 
+
+def marked_col() -> Column:
+    """The deterministic markup-shell construction as one Column
+    expression over a documents row — shared by q_clean_markup and
+    the streaming twin so both wrap the identical fixture the oracle
+    builds in SQL (_marked_sql from the same _MARKUP_PARTS table)."""
     cols = []
     for kind, v in _MARKUP_PARTS:
         if kind == "lit":
@@ -6157,12 +6166,18 @@ def q_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cols.append(F.col(v).cast("string"))
         else:
             cols.append(F.col(v))
-    marked = F.concat(*cols)
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", marked.alias("marked")
-    )
+    return F.concat(*cols)
+
+
+def clean_markup_frame(marked_docs: DataFrame) -> DataFrame:
+    """(doc_id, marked) → (doc_id, clean, chars_removed): the strip
+    transformation shared by q_clean_markup and its streaming twin
+    q_stream_clean — map-only column expressions, so it accepts a
+    batch OR a streaming frame unchanged."""
+    from ..functions.markup import strip_markup
+
     clean = strip_markup(F.col("marked"))
-    return d.select(
+    return marked_docs.select(
         "doc_id",
         clean.alias("clean"),
         (F.length("marked") - F.length(clean)).cast("long").alias(

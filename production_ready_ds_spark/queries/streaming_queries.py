@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from .llm import _BM25_SQL, _PPL_SQL
+from .llm import _BM25_SQL, _PPL_SQL, _markup_sql
+
+_MARKUP_SQL_ORACLE = _markup_sql()
 from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
 
 
@@ -385,3 +387,40 @@ def q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             raise TimeoutError("q_stream_index ingest did not drain in 300s")
     return store.search(spark, BM25_QUERY, k=20)
+
+
+@query(
+    "q_stream_clean",
+    category="streaming",
+    sql=_MARKUP_SQL_ORACLE,  # the batch cleaner's oracle, verbatim
+)
+def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming markup cleaning: the q_clean_markup transformation
+    run as a Structured Streaming job over the documents stream and
+    hash-checked against the SAME exact DuckDB oracle — clean-at-
+    ingest is where the CCNet/C4 strip actually runs in production
+    (a corpus is cleaned as it arrives, not re-scanned later), and
+    this is the stream≡batch evidence form q_stream_quality /
+    q_stream_classifier established, now for the cleaning family.
+
+    Shape: construction + strip are per-row column expressions with
+    NO stateful operator at all — the query runs in append mode (the
+    purest streaming plan: every micro-batch emits its rows final),
+    so the result is trivially independent of micro-batch boundaries
+    and the oracle equality is exact by construction."""
+    import os
+
+    from ..streaming.events import _as_stream_dir
+    from .llm import clean_markup_frame, marked_col
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+    cleaned = clean_markup_frame(
+        stream.select("doc_id", marked_col().alias("marked"))
+    )
+    return _run_stream(spark, cleaned, "append")
