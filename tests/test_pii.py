@@ -76,3 +76,38 @@ def test_spark_equals_duckdb_on_all_cases(spark):
         ).fetchone()
         assert got[i].red == duck[0], (d, got[i].red, duck[0])
         assert tuple(got[i])[2:] == duck[1:], (d, tuple(got[i])[2:], duck[1:])
+
+
+def test_redaction_spark_equals_duckdb_on_random_pii_soup(spark):
+    """Seeded fuzz over 200 random strings mixing PII-shaped
+    fragments (addresses, digit runs, dotted quads, at-signs, URLs):
+    identical redacted text AND counts on both engines for every
+    case — the ordered-pattern cross-engine claim beyond the pinned
+    examples."""
+    import random
+
+    rng = random.Random(0x9EDAC7)
+    frags = [
+        "a@b.co", "x.y@mail.example.org", "@", ".", "10.0.0.1",
+        "256.1.2.3", "1.2.3", "https://a.io/x", "http://", "call",
+        "+1 (555) 010-1234", "555-010-9999", "12345", "v4.1.2",
+        "word", " ", "(", ")", "-", "end.", "a@b", "http://x.io,",
+    ]
+    cases = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(0, 10)))
+        for _ in range(200)
+    ]
+    red, counts = redact_pii(F.col("t"))
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(cases)], "i long, t string"
+    ).select("i", red.alias("red"), *[c.alias(k) for k, c in counts.items()])
+    got = {r.i: r for r in df.collect()}
+    out_sql, counts_sql = redact_pii_sql("t")
+    cols = ", ".join(f"{v} AS {k}" for k, v in counts_sql.items())
+    con = duckdb.connect()
+    for i, m in enumerate(cases):
+        duck = con.execute(
+            f"SELECT {out_sql} AS red, {cols} FROM (SELECT ? AS t)", [m]
+        ).fetchone()
+        assert got[i].red == duck[0], (m, got[i].red, duck[0])
+        assert tuple(got[i])[2:] == duck[1:], (m, tuple(got[i])[2:], duck[1:])
