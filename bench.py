@@ -75,6 +75,18 @@ _FLOOR_NOTES = {
         "fixed overhead at sf0.1, bought FLAT 0.68/0.59/0.55 s across "
         "the 16x stress corpus, SCALE.md) — intentional trade, not drift"
     ),
+    "bench_late_r6": (
+        "late-round-6 quiet-START runs (load_avg_start 0.09/0.13) read "
+        "1.16-1.24x over r4 on the 40 common queries after ~3 h of "
+        "sustained Spark load this session — an isolated min-of-5 "
+        "session showed the same floor (q_dedup_normalized 0.55 s vs "
+        "the 0.23 s r4 number on the UNTOUCHED plan), i.e. the machine "
+        "band the r5 verdict already adjudicated for these exact "
+        "queries (burst-credit/thermal state; 1-min load alone does "
+        "not capture it). No common-set plan changed this round "
+        "(test_plans.py pins all of them); the early-round re-anchor "
+        "above (1.023x at true cold start) is the comparable number"
+    ),
 }
 
 
