@@ -145,13 +145,31 @@ _CONTRACT_ORDER = (
 # q_dedup_semantic (the round-4 SemDeDup flagship).
 # ROUND-7 ROTATION (do at round start, after CORRECTNESS_r06 lands):
 # move q_pack_bestfit + q_dedup_substring_runs to the back; the front
-# becomes q_image_png + q_quality_perplexity, then the queue below.
+# becomes q_image_png + q_quality_perplexity, then the queue below —
+# the late-round-6 families (cleaning: q_clean_markup / q_pii_redact /
+# q_clean_boilerplate / q_stream_clean; search presentation:
+# q_search_highlight(+_indexed) / q_search_mlt(+_indexed) /
+# q_search_phrase_highlight) are queued right behind them so each
+# earns a driver-green row over rounds 8-12.
 _EXTENSION_PRIORITY = (
     # round-6 driver slots (rotation: 2 fresh names per round)
     "q_pack_bestfit",
     "q_dedup_substring_runs",
     "q_image_png",
     "q_quality_perplexity",
+    # late-round-6 families, freshest evidence need first
+    "q_clean_markup",
+    "q_search_mlt",
+    "q_pii_redact",
+    "q_search_highlight",
+    "q_clean_boilerplate",
+    "q_stream_clean",
+    "q_search_mlt_indexed",
+    "q_search_highlight_indexed",
+    "q_search_phrase_highlight",
+    "q_join_full",
+    "q_intersect_all",
+    "q_except_all",
     "q_sample_cluster_weighted",
     "q_mix_temperature",
     "q_stream_quality",
