@@ -163,6 +163,7 @@ _EXTENSION_PRIORITY = (
     "q_pii_redact",
     "q_search_highlight",
     "q_clean_boilerplate",
+    "q_clean_repetition",
     "q_stream_clean",
     "q_search_mlt_indexed",
     "q_search_highlight_indexed",

@@ -6414,3 +6414,120 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("lines") - F.size(kept)).cast("long").alias("n_lines_dropped"),
         F.size(kept).cast("long").alias("n_lines_kept"),
     )
+
+
+# --- corpus cleaning: within-document repetition trimming -------------
+
+#: trim at the REP_MAX_OCC-th occurrence of any 5-gram (the
+#: degenerate-loop cutoff: twice may be prose, three times is a loop)
+REP_MAX_OCC = 3
+REP_GRAM = 5
+#: deterministic loop injection: every 5th doc gets its own first 12
+#: tokens appended 3x (the q_clean_markup fixture-synthesis convention)
+REP_LOOP_MOD = 5
+REP_LOOP_LEN = 12
+
+_REP_TRIM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+    ),
+    dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {REP_LOOP_MOD} = 0 AND len(ts) >= {REP_LOOP_LEN}
+                  THEN ts || ts[1:{REP_LOOP_LEN}] || ts[1:{REP_LOOP_LEN}]
+                          || ts[1:{REP_LOOP_LEN}]
+                  ELSE ts END AS ts
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, i, array_to_string(ts[i:i+{REP_GRAM - 1}], ' ') AS gram
+      FROM dirty, UNNEST(range(1, len(ts) - {REP_GRAM - 2})) AS u(i)
+      WHERE len(ts) >= {REP_GRAM}
+    ),
+    r AS (
+      SELECT doc_id, i,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY i) AS rn
+      FROM g
+    ),
+    cut AS (
+      SELECT doc_id, MIN(i) AS cut_at FROM r WHERE rn = {REP_MAX_OCC}
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.ts) AS BIGINT) AS n_tokens_in,
+           CAST(COALESCE(c.cut_at - 1, len(d.ts)) AS BIGINT) AS n_tokens_kept,
+           array_to_string(d.ts[1:COALESCE(c.cut_at - 1, len(d.ts))], ' ')
+             AS clean_text
+    FROM dirty d LEFT JOIN cut c USING (doc_id)
+    """
+
+
+@query("q_clean_repetition", category="llm-text", sql=_REP_TRIM_SQL)
+def q_clean_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOCUMENT REPETITION TRIMMING — the rewrite twin of the
+    q_quality_dupgrams DETECTOR: a document is CUT at the first token
+    position whose {REP_GRAM}-gram has already appeared
+    {REP_MAX_OCC - 1} times (the degenerate-loop cutoff real
+    pipelines apply to generation spam and scraper echo), keeping the
+    prefix before the offending gram. Distinct from
+    q_remove_dup_spans (cross-doc spans keep a canonical owner) and
+    q_clean_boilerplate (corpus-wide lines): this trims each doc
+    against ITSELF. Looping tails are synthesized deterministically
+    on every {REP_LOOP_MOD}th doc (the fixture convention), so the
+    cut exercises both branches; outputs are the rebuilt text plus
+    exact integer token counts.
+
+    Scale shape: gram extraction is a map-side array expression; the
+    occurrence ranking is ONE window over (doc_id, gram) — a hash
+    shuffle partitioned per doc-gram, never a global sort — and the
+    cut positions come back as a per-doc MIN aggregate joined onto
+    the doc frame by doc_id. Work is O(tokens) rows through one
+    narrow exchange; the trim itself is a resident-array slice. At
+    100 TB the (doc_id, gram) key is near-unique, so the window
+    partitions are tiny and skew-free by construction."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    rep = F.slice("ts", 1, REP_LOOP_LEN)
+    dirty = toks.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % REP_LOOP_MOD == 0)
+            & (F.size("ts") >= REP_LOOP_LEN),
+            F.concat("ts", rep, rep, rep),
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
+    grams = dirty.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ts") >= REP_GRAM,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (REP_GRAM - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("i"),
+                        F.array_join(F.slice("ts", i, REP_GRAM), " ").alias(
+                            "gram"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:long,gram:string>>"))
+        ).alias("g"),
+    ).select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "gram").orderBy("i")
+    cut = (
+        grams.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == REP_MAX_OCC)
+        .groupBy("doc_id")
+        .agg(F.min("i").alias("cut_at"))
+    )
+    kept_n = F.coalesce(F.col("cut_at") - 1, F.size("ts"))
+    return dirty.join(cut, "doc_id", "left").select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens_in"),
+        kept_n.cast("long").alias("n_tokens_kept"),
+        F.array_join(F.slice("ts", 1, kept_n), " ").alias("clean_text"),
+    )
