@@ -6440,13 +6440,15 @@ _REP_TRIM_SQL = f"""
       FROM t
     ),
     g AS (
-      SELECT doc_id, i, array_to_string(ts[i:i+{REP_GRAM - 1}], ' ') AS gram
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(array_to_string(
+               ts[i:i+{REP_GRAM - 1}], ' ')), 1, 8)) AS BIGINT) AS gh
       FROM dirty, UNNEST(range(1, len(ts) - {REP_GRAM - 2})) AS u(i)
       WHERE len(ts) >= {REP_GRAM}
     ),
     r AS (
       SELECT doc_id, i,
-             ROW_NUMBER() OVER (PARTITION BY doc_id, gram ORDER BY i) AS rn
+             ROW_NUMBER() OVER (PARTITION BY doc_id, gh ORDER BY i) AS rn
       FROM g
     ),
     cut AS (
