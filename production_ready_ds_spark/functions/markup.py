@@ -92,6 +92,7 @@ def strip_markup_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     for ent, ch in ENTITY_STEPS:
+        e = ent.replace("'", "''")
         quoted = ch.replace("'", "''")
-        out = f"replace({out}, '{ent}', '{quoted}')"
+        out = f"replace({out}, '{e}', '{quoted}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

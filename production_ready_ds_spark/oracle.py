@@ -66,12 +66,42 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_class_mismatch(spark_s: pd.Series, oracle_s: pd.Series) -> bool:
+    """True when one engine yields an integer dtype and the other a float
+    dtype on a column with no NULLs on either side.
+
+    The driver hashes stringified values, so ``47`` (Spark long) vs
+    ``47.0`` (DuckDB HUGEINT -> pandas float64) is a driver FAIL even
+    though ``47 == 47.0`` — round 6 shipped exactly this
+    (q_pack_bestfit) because the local comparator was value-lenient.
+    NULLs force pandas to promote int to float64 on whichever side has
+    them; that promotion is a representation artifact, not a dtype-class
+    skew, so the strict check only applies to NULL-free columns.
+    """
+    a_int = pd.api.types.is_integer_dtype(spark_s)
+    b_int = pd.api.types.is_integer_dtype(oracle_s)
+    a_float = pd.api.types.is_float_dtype(spark_s)
+    b_float = pd.api.types.is_float_dtype(oracle_s)
+    if not ((a_int and b_float) or (a_float and b_int)):
+        return False
+    return not spark_s.isna().any() and not oracle_s.isna().any()
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return CompareResult(
             name, False, len(spark_pdf), len(oracle_pdf),
             f"columns differ: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}",
         )
+    for col in spark_pdf.columns:
+        if _dtype_class_mismatch(spark_pdf[col], oracle_pdf[col]):
+            return CompareResult(
+                name, False, len(spark_pdf), len(oracle_pdf),
+                f"dtype-class mismatch in {col!r}: spark={spark_pdf[col].dtype} "
+                f"oracle={oracle_pdf[col].dtype} (no NULLs on either side; the "
+                "driver's stringify-hash distinguishes 47 from 47.0 — cast the "
+                "oracle SQL to BIGINT or the Spark side to DOUBLE)",
+            )
     if len(spark_pdf) != len(oracle_pdf):
         return CompareResult(
             name, False, len(spark_pdf), len(oracle_pdf),

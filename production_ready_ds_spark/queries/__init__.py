@@ -143,19 +143,21 @@ _CONTRACT_ORDER = (
 # q_decontaminate + q_pack_sequences → back. Round-5 front:
 # q_mix_domains (last of the round-2 training-data trio) +
 # q_dedup_semantic (the round-4 SemDeDup flagship).
-# ROUND-7 ROTATION (do at round start, after CORRECTNESS_r06 lands):
-# move q_pack_bestfit + q_dedup_substring_runs to the back; the front
-# becomes q_image_png + q_quality_perplexity, then the queue below —
-# the late-round-6 families (cleaning: q_clean_markup / q_pii_redact /
-# q_clean_boilerplate / q_stream_clean; search presentation:
-# q_search_highlight(+_indexed) / q_search_mlt(+_indexed) /
-# q_search_phrase_highlight) are queued right behind them so each
-# earns a driver-green row over rounds 8-12.
+# ROUND-7 ROTATION (done): q_dedup_substring_runs earned its green r06
+# row → back. q_pack_bestfit STAYS in front slot 1 — its r06 row was red
+# (oracle HUGEINT dtype bug, fixed in traindata.py this round) and the
+# round-6 verdict requires it to re-prove with hash_match: true before
+# rotating out. Front slot 2 = q_image_png. Behind them:
+# q_quality_perplexity (round-8 slot), then the late-round-6 families
+# (cleaning: q_clean_markup / q_pii_redact / q_clean_boilerplate /
+# q_stream_clean; search presentation: q_search_highlight(+_indexed) /
+# q_search_mlt(+_indexed) / q_search_phrase_highlight) so each earns a
+# driver-green row over rounds 8-12.
 _EXTENSION_PRIORITY = (
-    # round-6 driver slots (rotation: 2 fresh names per round)
+    # round-7 driver slots (rotation: 2 names per round)
     "q_pack_bestfit",
-    "q_dedup_substring_runs",
     "q_image_png",
+    # round-8+ queue
     "q_quality_perplexity",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
@@ -275,7 +277,8 @@ _EXTENSION_PRIORITY = (
     "q_tpch_q11",
     "q_tpch_q16",
     "q_tpch_q20",
-    # verified in rounds 2-5 — rotated to the back
+    # verified in rounds 2-6 — rotated to the back
+    "q_dedup_substring_runs",
     "q_dedup_clusters",
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",

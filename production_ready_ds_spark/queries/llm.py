@@ -5763,12 +5763,12 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25 surface (same integers, same oracle CTE), so this row is
     pure decoration — no new ranking math, no new float surface:
     hit_pos is a NULL-ignoring integer min over per-term positions
-    (Spark array_position returns 0-for-absent, NULLIF-ed to NULL;
-    DuckDB list_position returns NULL for absent directly, making its
-    NULLIF a no-op — both sides land on NULL-for-absent before the
-    min, and every ranked doc has ≥ 1 hit by construction so the min
-    is never NULL), and the snippet is a deterministic slice+join of
-    the token array.
+    (Spark array_position AND DuckDB 1.0.0 list_position both return
+    0-for-absent, so the NULLIF(pos, 0) is LOAD-BEARING on both sides
+    — removing either would let LEAST pick 0 for a missing term; both
+    sides land on NULL-for-absent before the min, and every ranked doc
+    has ≥ 1 hit by construction so the min is never NULL), and the
+    snippet is a deterministic slice+join of the token array.
 
     Scale shape: the expensive retrieval is the already-audited BM25
     plan; decoration then touches exactly k=20 documents — the 20-row
@@ -6440,9 +6440,12 @@ _REP_TRIM_SQL = f"""
       FROM t
     ),
     g AS (
+      -- full md5 hex as the occurrence key: the Spark side partitions
+      -- its ROW_NUMBER window by the exact gram string, so a truncated
+      -- 32-bit key here could merge two distinct grams' occurrence
+      -- streams within a document and cut earlier than Spark
       SELECT doc_id, i,
-             CAST(('0x' || substr(md5(array_to_string(
-               ts[i:i+{REP_GRAM - 1}], ' ')), 1, 8)) AS BIGINT) AS gh
+             md5(array_to_string(ts[i:i+{REP_GRAM - 1}], ' ')) AS gh
       FROM dirty, UNNEST(range(1, len(ts) - {REP_GRAM - 2})) AS u(i)
       WHERE len(ts) >= {REP_GRAM}
     ),

@@ -118,7 +118,7 @@ def size_class_expr(n_col: str = "n"):
     SELECT lang, size_class, n_docs, class_tokens, n_bins,
            CAST(FLOOR(class_tokens * 1000.0 / (n_bins * {SEQ_BUDGET}) + 0.5)
                 AS BIGINT) AS fill_permille,
-           SUM(n_bins) OVER (PARTITION BY lang) AS lang_bins,
+           CAST(SUM(n_bins) OVER (PARTITION BY lang) AS BIGINT) AS lang_bins,
            CAST(CEIL(SUM(class_tokens) OVER (PARTITION BY lang)
                      * 1.0 / {SEQ_BUDGET}) AS BIGINT) AS concat_bins
     FROM grp
