@@ -112,16 +112,48 @@ def q_agg_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_distinct", category="aggregation", sql=None)
+@query(
+    "q_agg_approx_distinct",
+    category="aggregation",
+    sql="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_rel_error
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct — rows-only (sketch results are
-    engine-specific; DuckDB's approx_count_distinct uses a different
-    sketch). The 100 TB answer to COUNT(DISTINCT): constant memory,
-    partial-aggregatable, no key-pair shuffle."""
+    """HLL++ approximate distinct, verified the bounds-contract way
+    (the q_cms_token_freq / q_heavy_hitters convention): the raw
+    estimate is engine-specific (DuckDB's approx_count_distinct uses a
+    different sketch) so it cannot be hashed cross-engine, but the
+    sketch's GUARANTEE can — the output carries the exact
+    COUNT(DISTINCT) plus ``within_rel_error`` the oracle expects TRUE:
+    |estimate − exact| ≤ 0.10·exact, a 5σ bound for rsd=0.02 (measured
+    ≤ 1.03% at sf0.001/0.01/0.1; the slack is deliberate — the bound is
+    part of the ORACLE hash, so a legitimate sketch tail must not read
+    as a correctness failure). Given fixed data and Spark's fixed HLL
+    hashing the check is deterministic per SF.
+
+    The 100 TB answer to COUNT(DISTINCT): constant memory,
+    partial-aggregatable, no key-pair shuffle — the exact column here
+    is the sf-level verification baseline, the sketch is what moves at
+    scale (same split as q_sketch_theta's exact-vs-KMV columns)."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("within_rel_error"),
+        )
     )
 
 
