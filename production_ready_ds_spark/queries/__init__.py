@@ -40,6 +40,7 @@ _MODULES = (
     "analytics",
     "traindata",
     "bpe",
+    "unigram",
 )
 
 
@@ -159,6 +160,9 @@ _EXTENSION_PRIORITY = (
     "q_image_png",
     # round-8+ queue
     "q_quality_perplexity",
+    # round-7 additions (rows-only; replay-exact vs tests/test_unigram.py)
+    "q_unigram_train",
+    "q_unigram_apply",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

@@ -82,10 +82,10 @@ def register_udf_modules() -> None:
 
     from .functions import snowball, stemmer
     from .operators import multimodal, sketch
-    from .queries import udfs
+    from .queries import udfs, unigram
     from .sources import api_source
 
-    for mod in (stemmer, snowball, udfs, multimodal, api_source, sketch):
+    for mod in (stemmer, snowball, udfs, multimodal, api_source, sketch, unigram):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API
