@@ -70,7 +70,7 @@ BM25_B = 0.75
 #: bump when the postings schema, tokenizer convention, or scoring
 #: snap changes — cache keys (q_search_bm25_indexed's /tmp store)
 #: include it so stale indexes built by older code are never re-served
-STORE_VERSION = 3  # v3: per-segment doc-length sidecar (delete_ids)
+STORE_VERSION = 4  # v4: sidecar may carry doc-attribute facet columns
 
 #: driver-side cap on fuzzy dictionary matches (the collect_prune_keys
 #: bound applied to search_fuzzy's matched-term collect)
@@ -135,11 +135,20 @@ class TermStore:
         id_max: int | None = None,
         n_files: int = 4,
         skip_if_range_indexed: bool = False,
+        attrs: tuple[str, ...] = (),
     ) -> bool:
         """Tokenize a batch and register its postings as a
         term-clustered segment. Statistics count EVERY batch doc (a doc
         with no indexed term still contributes to N and Σdl — BM25's
         corpus stats are document-level, not posting-level).
+
+        ``attrs`` names document metadata columns (e.g. ``lang``,
+        ``source``) to persist into the per-segment doc sidecar — the
+        doc-attribute store :meth:`search_filtered` prunes candidates
+        from. Attributes ride the sidecar, never the postings: one
+        value per DOCUMENT, not per posting row, and every sidecar
+        rewrite (delete_ids / compact / compact_tiered) is
+        schema-preserving so they survive store maintenance.
 
         ``id_min``/``id_max`` declare the segment's covering id range
         (the skip_if_range_indexed / delete-pruning key). Omit BOTH to
@@ -165,7 +174,7 @@ class TermStore:
         ):
             return False
         toks = docs.select(
-            "doc_id", tokens_expr(F.col("text")).alias("ts")
+            "doc_id", *attrs, tokens_expr(F.col("text")).alias("ts")
         ).localCheckpoint(eager=True)  # consumed by stats AND postings
         stats_row = toks.agg(
             F.count(F.lit(1)).alias("n"),
@@ -216,11 +225,12 @@ class TermStore:
         write_range_clustered(
             postings, self._path(f"seg={seg['seg']}"), ["term"], n_files=n_files
         )
-        # per-segment doc-length sidecar (doc_id, dl) — ONE row per
+        # per-segment doc sidecar (doc_id, dl, *attrs) — ONE row per
         # batch doc incl. zero-token docs; what lets delete_ids
-        # decrement n_docs/sum_dl exactly. Tiny: n_docs rows, one file.
+        # decrement n_docs/sum_dl exactly, and what search_filtered
+        # prunes candidates from. Tiny: n_docs rows, one file.
         toks.select(
-            "doc_id", F.size("ts").cast("long").alias("dl")
+            "doc_id", F.size("ts").cast("long").alias("dl"), *attrs
         ).coalesce(1).write.mode("overwrite").parquet(
             self._path(f"docs_seg={seg['seg']}")
         )
@@ -416,6 +426,7 @@ class TermStore:
         self, spark: SparkSession, terms: tuple[str, ...], *, k: int = 20,
         k1: float = BM25_K1, b: float = BM25_B,
         exclude_ids: tuple[int, ...] = (),
+        eligible: DataFrame | None = None,
     ) -> DataFrame:
         """BM25 top-k from the index: (rank, doc_id, score_scaled,
         n_terms_hit), integer-equal to ``bm25_topk`` over the same
@@ -431,16 +442,26 @@ class TermStore:
         Corpus statistics stay those of the FULL index — exclusion
         removes candidates, it does not pretend the docs were never
         indexed (matching the scan path, whose df/N/Σdl also count
-        the excluded doc)."""
+        the excluded doc).
+
+        ``eligible`` (a doc_id frame) restricts candidates the same
+        way — a facet/metadata filter, the Lucene filter-query
+        semantics: corpus statistics (N, Σdl, per-term df) stay those
+        of the FULL index, and the semi join prunes posting rows
+        BEFORE the per-doc score aggregate, so no score is computed
+        for a filtered-out document (never post-filtered ranks)."""
         terms = tuple(dict.fromkeys(terms))
         post = self.read_postings(spark, list(terms))
         if post is None:
             raise ValueError(f"TermStore at {self.root} is empty or no terms given")
         n, sumdl = self.stats()
-        # per-term document frequency — exact, from the fetched lists;
-        # ≤ |terms| rows, broadcast back onto the postings
+        # per-term document frequency — exact, from the fetched lists
+        # BEFORE any candidate pruning (filters restrict candidates,
+        # never term statistics); ≤ |terms| rows, broadcast back
         dfs = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         scored = post.join(F.broadcast(dfs), "term")
+        if eligible is not None:
+            scored = scored.join(eligible, "doc_id", "left_semi")
         # identical expression shapes to bm25_topk: lit(n)/lit(sumdl)
         # divide to the same IEEE double the scan path's aggregate row
         # produces, and F.log is the same JVM ln on both paths
@@ -478,6 +499,41 @@ class TermStore:
             [F.desc("score_scaled"), F.asc("doc_id")],
             k=k,
         )
+
+    def search_filtered(
+        self, spark: SparkSession, terms: tuple[str, ...], *, attr: str,
+        values: tuple[str, ...], k: int = 20,
+        k1: float = BM25_K1, b: float = BM25_B,
+    ) -> DataFrame:
+        """Faceted BM25: top-k restricted to documents whose sidecar
+        ``attr`` is in ``values`` — the WHERE clause of every real
+        search API, served FROM THE INDEX. The attribute predicate is
+        pushed into the doc-sidecar parquet scan (plan-asserted), the
+        resulting doc_id set semi-join-prunes the postings BEFORE
+        scoring, and corpus statistics stay those of the full index
+        (the Lucene filter-query convention, shared with exclude_ids) —
+        so the surviving documents' integers equal the unfiltered
+        search's and the scan twin's exactly.
+
+        Scale shape: the sidecars total N rows of (doc_id, dl, attrs) —
+        tiny next to the postings — and the semi join bounds score work
+        at O(matched ∧ eligible postings). Post-filtering a top-k would
+        instead be WRONG, not just slow: docs k+1..∞ matching the facet
+        could never surface."""
+        segs = self.segments()
+        if not segs:
+            raise ValueError(f"TermStore at {self.root} is empty")
+        sidecars = spark.read.parquet(*[self._docmap_path(s) for s in segs])
+        if attr not in sidecars.columns:
+            raise ValueError(
+                f"TermStore at {self.root} has no {attr!r} doc attribute — "
+                f"sidecar columns are {sidecars.columns}; pass "
+                f"attrs=({attr!r},) at append time to enable this facet"
+            )
+        eligible = sidecars.filter(
+            F.col(attr).isin([str(v) for v in values])
+        ).select("doc_id")
+        return self.search(spark, terms, k=k, k1=k1, b=b, eligible=eligible)
 
     def read_postings_range(
         self, spark: SparkSession, lo: str, hi: str | None

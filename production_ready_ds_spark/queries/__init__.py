@@ -163,6 +163,9 @@ _EXTENSION_PRIORITY = (
     # round-7 additions (rows-only; replay-exact vs tests/test_unigram.py)
     "q_unigram_train",
     "q_unigram_apply",
+    # round-7 additions (faceted search; scan ≡ index integer-equal)
+    "q_search_faceted",
+    "q_search_faceted_indexed",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

@@ -4113,17 +4113,35 @@ BM25_QUERY = ("spark", "query", "vector")
 from ..operators.termstore import BM25_B, BM25_K1  # noqa: E402
 
 
-def _bm25_sql_for(terms: tuple[str, ...]) -> str:
+def _bm25_sql_for(
+    terms: tuple[str, ...],
+    facet_attr: str | None = None,
+    facet_values: tuple[str, ...] = (),
+) -> str:
     """The BM25 oracle text for an arbitrary fixed term tuple — ONE
     template so _BM25_SQL (the q_search_bm25 / _indexed / _RRF_SQL
-    constant) and q_rank_eval's ranking CTE can never drift from each
-    other's scoring math."""
+    constant), q_rank_eval's ranking CTE, and the faceted pair can
+    never drift from each other's scoring math. ``facet_attr``/
+    ``facet_values`` add the metadata restriction (q_search_faceted):
+    the attribute threads through the CTEs and filters in the final
+    WHERE — BEFORE ROW_NUMBER assigns ranks, and with corpus
+    statistics (n, sumdl, df) still aggregated over ALL documents
+    (the Lucene filter-query convention both engine paths follow)."""
+    fcol = f", {facet_attr}" if facet_attr else ""
+    fsel = f", d.{facet_attr}" if facet_attr else ""
+    fwhere = (
+        " AND {} IN ({})".format(
+            facet_attr, ", ".join(f"'{v}'" for v in facet_values)
+        )
+        if facet_attr
+        else ""
+    )
     return f"""
     WITH t AS (
-      SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents
+      SELECT doc_id{fcol}, {_DUCK_TOKENS} AS ts FROM documents
     ),
     d AS (
-      SELECT doc_id, len(ts) AS dl,
+      SELECT doc_id{fcol}, len(ts) AS dl,
              {", ".join(
                  f"len(list_filter(ts, w -> w = '{term}')) AS tf{i}"
                  for i, term in enumerate(terms)
@@ -4139,7 +4157,7 @@ def _bm25_sql_for(terms: tuple[str, ...]) -> str:
       FROM d
     ),
     s AS (
-      SELECT d.doc_id,
+      SELECT d.doc_id{fsel},
              {" + ".join(
                  f"(CASE WHEN tf{i} = 0 THEN 0 ELSE "
                  f"FLOOR(LN(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * 10000 + 0.5)"
@@ -4159,7 +4177,7 @@ def _bm25_sql_for(terms: tuple[str, ...]) -> str:
            doc_id, CAST(score_scaled AS BIGINT) AS score_scaled,
            CAST(n_terms_hit AS BIGINT) AS n_terms_hit
     FROM s
-    WHERE score_scaled > 0
+    WHERE score_scaled > 0{fwhere}
     ORDER BY rank LIMIT 20
     """
 
@@ -4167,6 +4185,17 @@ def _bm25_sql_for(terms: tuple[str, ...]) -> str:
 # shared by q_search_bm25 and its TermStore twin (one oracle text so the
 # scan and the inverted-index paths are held to the identical integers)
 _BM25_SQL = _bm25_sql_for(BM25_QUERY)
+
+#: the faceted-search restriction (q_search_faceted pair): documents
+#: whose metadata attribute is in the value set — a multi-value IN over
+#: ~27% of the corpus, selective enough that post-filtering a top-20
+#: would visibly lose results (which is the bug the design bans)
+FACET_ATTR = "lang"
+FACET_VALUES = ("de", "fr")
+
+# ONE oracle for the faceted scan + index twins, from the same template
+# as _BM25_SQL so the scoring math cannot drift
+_FACETED_SQL = _bm25_sql_for(BM25_QUERY, facet_attr=FACET_ATTR, facet_values=FACET_VALUES)
 
 
 @query(
@@ -4215,6 +4244,7 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     exclude_ids: tuple[int, ...] = (),
+    eligible: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over a documents frame for an ARBITRARY term tuple —
     the parameterized engine behind q_search_bm25 and the CLI
@@ -4227,7 +4257,10 @@ def bm25_topk(
     (term, doc). ``exclude_ids`` drops those documents BEFORE ranks
     are assigned (TermStore.search's contract: filtering after top-k
     would burn a slot and leave a rank gap); corpus statistics stay
-    those of the FULL frame — the more-like-this convention."""
+    those of the FULL frame — the more-like-this convention.
+    ``eligible`` (a doc_id frame) is the facet restriction, same
+    semantics: candidates semi-join-pruned before ranks, statistics
+    untouched (TermStore.search_filtered's scan twin)."""
     terms = tuple(dict.fromkeys(terms))
 
     def tf_expr(term: str):
@@ -4292,6 +4325,8 @@ def bm25_topk(
         final = final.filter(
             ~F.col("doc_id").isin([int(i) for i in exclude_ids])
         )
+    if eligible is not None:
+        final = final.join(eligible, "doc_id", "left_semi")
     return ranked_topk(
         final,
         [F.desc("score_scaled"), F.asc("doc_id")],
@@ -4319,6 +4354,48 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle and a clustered write; the query reads only matched
     row groups (plan-asserted in tests/test_termstore.py)."""
     return _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
+
+
+@query("q_search_faceted", category="llm-text", sql=_FACETED_SQL)
+def q_search_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted full-text search — BM25 top-20 restricted to documents
+    with {FACET_ATTR} IN {FACET_VALUES} (the WHERE clause of every real
+    search API: a language/source/date facet next to the query box).
+    Semantics follow the Lucene filter-query convention the
+    exclude_ids surfaces established: the facet restricts CANDIDATES
+    (semi join on doc_id before ranks are assigned — post-filtering a
+    top-k would silently lose every eligible doc ranked past k), while
+    corpus statistics (N, Σdl, per-term df) stay those of the FULL
+    corpus, so each surviving document scores the exact integers it
+    scores unfiltered. Scan path of the q_search_faceted_indexed twin;
+    both share this oracle."""
+    d = load(spark, sf_dir, "documents")
+    return bm25_topk(
+        d,
+        BM25_QUERY,
+        k=20,
+        eligible=d.filter(
+            F.col(FACET_ATTR).isin(list(FACET_VALUES))
+        ).select("doc_id"),
+    )
+
+
+@query("q_search_faceted_indexed", category="llm-text", sql=_FACETED_SQL)
+def q_search_faceted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_faceted served from the persistent inverted index: the
+    facet predicate is PUSHED into the doc-attribute sidecar's parquet
+    scan (plan-asserted in tests/test_termstore.py), the eligible
+    doc_id set semi-join-prunes the postings BEFORE the per-doc score
+    aggregate, and statistics come from the manifest — so the indexed
+    path never post-filters scores and never touches text. Held to the
+    IDENTICAL oracle as the scan twin (the q_search_bm25_indexed
+    evidence form). Scale shape: sidecars are N narrow rows read with
+    a pushed IN filter; score work is O(matched ∧ eligible postings);
+    at 100 TB this is the filtered-query path of a search service —
+    the facet never triggers a corpus scan."""
+    return _cached_corpus_index(spark, sf_dir).search_filtered(
+        spark, BM25_QUERY, attr=FACET_ATTR, values=FACET_VALUES, k=20
+    )
 
 
 def _cached_corpus_index(spark: SparkSession, sf_dir: str):
@@ -4349,6 +4426,9 @@ def _cached_corpus_index(spark: SparkSession, sf_dir: str):
             id_min=0,
             id_max=2**62,
             skip_if_range_indexed=True,
+            # persist the facet attribute into the doc sidecar so the
+            # one shared index also serves q_search_faceted_indexed
+            attrs=(FACET_ATTR,),
         )
     return store
 

@@ -480,3 +480,104 @@ def test_search_exclude_ids_reranks_without_gap(spark, sf_small, tmp_path):
     excl = _results(store.search(spark, terms, k=10, exclude_ids=(top,)))
     want = [(i + 1, *r[1:]) for i, r in enumerate(base[1:])]
     assert excl == want
+
+
+def test_faceted_search_equals_scan_and_pushes_attr(spark, sf_small, tmp_path):
+    """search_filtered (BM25 restricted by a doc-attribute facet) must
+    return the scan twin's exact integers, with the facet predicate
+    PUSHED into the sidecar parquet scan and candidates pruned by a
+    semi join BEFORE scoring (never a post-filter of ranked results —
+    eligible docs past the unfiltered top-k must surface)."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.plans.audit import explain_str, pushed_filters
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9, attrs=("lang", "source"))
+    for attr, values in (
+        ("lang", ("de", "fr")),
+        ("lang", ("en",)),
+        ("source", ("src3", "src7", "src11")),
+    ):
+        eligible = docs.filter(F.col(attr).isin(list(values))).select("doc_id")
+        scan = _results(bm25_topk(docs, ("spark", "query", "vector"), k=15, eligible=eligible))
+        indexed_df = store.search_filtered(
+            spark, ("spark", "query", "vector"), attr=attr, values=values, k=15
+        )
+        assert _results(indexed_df) == scan, (attr, values)
+        # ranks are gapless (pre-rank pruning), results all eligible
+        assert [r[0] for r in scan] == list(range(1, len(scan) + 1))
+        pushed = " ".join(pushed_filters(indexed_df))
+        assert attr in pushed, pushed  # facet pushed to the sidecar scan
+        assert "LeftSemi" in explain_str(indexed_df)  # pruned, not post-filtered
+    # the facet surfaces eligible docs the unfiltered top-k never ranked
+    base_ids = {r[1] for r in _results(store.search(spark, ("spark", "query", "vector"), k=15))}
+    facet_ids = {
+        r[1]
+        for r in _results(
+            store.search_filtered(
+                spark, ("spark", "query", "vector"), attr="lang", values=("de", "fr"), k=15
+            )
+        )
+    }
+    assert facet_ids - base_ids, "facet should promote docs past the unfiltered top-k"
+
+
+def test_faceted_search_statistics_stay_full_corpus(spark, sf_small, tmp_path):
+    """The facet restricts candidates, never term statistics: a
+    surviving doc's score_scaled must equal its score in the
+    UNFILTERED search (Lucene filter-query semantics)."""
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs, id_min=0, id_max=10**9, attrs=("lang",))
+    terms = ("spark", "vector")
+    unfiltered = {r[1]: r[2] for r in _results(store.search(spark, terms, k=500))}
+    faceted = _results(
+        store.search_filtered(spark, terms, attr="lang", values=("de",), k=50)
+    )
+    assert faceted, "facet must match some docs"
+    for _rank, doc_id, score, _hits in faceted:
+        assert unfiltered[doc_id] == score
+
+
+def test_faceted_search_validates_attr(spark, sf_small, tmp_path):
+    import pytest
+
+    docs = load(spark, sf_small, "documents")
+    plain = TermStore(str(tmp_path / "plain"))
+    assert plain.append(docs, id_min=0, id_max=10**9)  # no attrs
+    with pytest.raises(ValueError, match="no 'lang' doc attribute"):
+        plain.search_filtered(spark, ("spark",), attr="lang", values=("de",))
+    empty = TermStore(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="empty"):
+        empty.search_filtered(spark, ("spark",), attr="lang", values=("de",))
+
+
+def test_faceted_search_survives_delete_and_compact(spark, sf_small, tmp_path):
+    """Attribute columns ride every sidecar rewrite: after delete_ids
+    and compact, faceted search must equal a fresh build of the
+    surviving corpus with the same attrs."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    lo = docs.filter("doc_id < 250")
+    hi = docs.filter("doc_id >= 250")
+    assert store.append(lo, id_min=0, id_max=249, attrs=("lang",))
+    assert store.append(hi, id_min=250, id_max=10**9, attrs=("lang",))
+    gone = [r["doc_id"] for r in docs.filter(F.col("lang") == "fr").limit(20).collect()]
+    assert store.delete_ids(spark, gone) >= 1
+    assert store.compact(spark) == 1
+    survivors = docs.filter(~F.col("doc_id").isin(gone))
+    fresh = TermStore(str(tmp_path / "fresh"))
+    assert fresh.append(survivors, id_min=0, id_max=10**9, attrs=("lang",))
+    terms = ("spark", "query")
+    for attr_values in (("de", "fr"), ("en",)):
+        got = _results(
+            store.search_filtered(spark, terms, attr="lang", values=attr_values, k=15)
+        )
+        want = _results(
+            fresh.search_filtered(spark, terms, attr="lang", values=attr_values, k=15)
+        )
+        assert got == want, attr_values
