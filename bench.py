@@ -98,6 +98,16 @@ def main() -> None:
     # the 1-min load average at start and end — a reader comparing two
     # bench files should trust per-query deltas only when both ran at
     # low ambient load (tools/bench_compare.py prints the same caveat).
+    # quiet-window protocol (round-6 verdict item 4): the artifact the
+    # driver records should BE the load<1 run, not cite one — so when
+    # the box is still busy (often our own just-finished Spark session;
+    # 1-min load decays on a ~1 min constant), wait it out, bounded.
+    # SPARK_GRAFT_BENCH_QUIET_WAIT=0 disables; default 300 s budget.
+    quiet_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] >= 1.0 and waited < quiet_wait:
+        time.sleep(15)
+        waited += 15
     load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

@@ -4356,7 +4356,7 @@ def q_search_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_corpus_index(spark, sf_dir).search(spark, BM25_QUERY, k=20)
 
 
-@query("q_search_faceted", category="llm-text", sql=_FACETED_SQL)
+@query("q_search_faceted", category="llm-text", bench=True, sql=_FACETED_SQL)
 def q_search_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Faceted full-text search — BM25 top-20 restricted to documents
     with {FACET_ATTR} IN {FACET_VALUES} (the WHERE clause of every real

@@ -209,7 +209,7 @@ def train_unigram(word_counts: DataFrame) -> list[tuple]:
     ]
 
 
-@query("q_unigram_train", category="llm-text", sql=None)
+@query("q_unigram_train", category="llm-text", bench=True, sql=None)
 def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the unigram-LM tokenizer on the documents corpus and return
     the piece table (rank, piece, n, logp). See the module docstring for
