@@ -148,7 +148,12 @@ class TermStore:
         from. Attributes ride the sidecar, never the postings: one
         value per DOCUMENT, not per posting row, and every sidecar
         rewrite (delete_ids / compact / compact_tiered) is
-        schema-preserving so they survive store maintenance.
+        schema-preserving so they survive store maintenance. Every
+        append to a store must declare the SAME attrs as its existing
+        segments (validated against the first sidecar's schema):
+        multi-segment sidecar reads take one file's schema, so a
+        mixed store would silently drop or null the attr columns —
+        the store fails loudly here instead.
 
         ``id_min``/``id_max`` declare the segment's covering id range
         (the skip_if_range_indexed / delete-pruning key). Omit BOTH to
@@ -173,6 +178,23 @@ class TermStore:
             id_min, id_max
         ):
             return False
+        if segments:
+            sidecar = self._path(f"docs_seg={segments[0]['seg']}")
+            if os.path.isdir(sidecar):  # pre-v3 stores have none to check
+                existing = [
+                    c
+                    for c in docs.sparkSession.read.parquet(sidecar).columns
+                    if c not in ("doc_id", "dl")
+                ]
+                if sorted(existing) != sorted(attrs):
+                    raise ValueError(
+                        f"TermStore at {self.root} was built with "
+                        f"attrs={tuple(existing)} but this append declares "
+                        f"attrs={tuple(attrs)} — mixed sidecar schemas would "
+                        "silently drop attribute columns on multi-segment "
+                        "reads; declare the same attrs on every append (or "
+                        "rebuild the store)"
+                    )
         toks = docs.select(
             "doc_id", *attrs, tokens_expr(F.col("text")).alias("ts")
         ).localCheckpoint(eager=True)  # consumed by stats AND postings

@@ -10,6 +10,7 @@ LSH band / label bucket, and brute-force cosine is only on the
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -4127,11 +4128,16 @@ def _bm25_sql_for(
     WHERE — BEFORE ROW_NUMBER assigns ranks, and with corpus
     statistics (n, sumdl, df) still aggregated over ALL documents
     (the Lucene filter-query convention both engine paths follow)."""
+    if facet_attr and not re.fullmatch(r"[A-Za-z_]\w*", facet_attr):
+        raise ValueError(f"facet_attr must be a plain identifier: {facet_attr!r}")
     fcol = f", {facet_attr}" if facet_attr else ""
     fsel = f", d.{facet_attr}" if facet_attr else ""
     fwhere = (
+        # escape quotes (the markup.py convention): a future value with
+        # an apostrophe must not break the generated SQL
         " AND {} IN ({})".format(
-            facet_attr, ", ".join(f"'{v}'" for v in facet_values)
+            facet_attr,
+            ", ".join("'{}'".format(str(v).replace("'", "''")) for v in facet_values),
         )
         if facet_attr
         else ""

@@ -581,3 +581,27 @@ def test_faceted_search_survives_delete_and_compact(spark, sf_small, tmp_path):
             fresh.search_filtered(spark, terms, attr="lang", values=attr_values, k=15)
         )
         assert got == want, attr_values
+
+
+def test_append_rejects_mismatched_attr_schema(spark, sf_small, tmp_path):
+    """Mixed sidecar schemas silently drop attribute columns on
+    multi-segment reads (spark.read.parquet picks one file's schema),
+    so append must fail loudly when a batch declares different attrs
+    than the store's existing segments."""
+    import pytest
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / "ts"))
+    assert store.append(docs.filter("doc_id < 250"), id_min=0, id_max=249, attrs=("lang",))
+    with pytest.raises(ValueError, match="mixed sidecar schemas"):
+        store.append(docs.filter("doc_id >= 250"), id_min=250, id_max=10**9)
+    with pytest.raises(ValueError, match="mixed sidecar schemas"):
+        store.append(
+            docs.filter("doc_id >= 250"), id_min=250, id_max=10**9,
+            attrs=("lang", "source"),
+        )
+    # the matching declaration still appends fine
+    assert store.append(
+        docs.filter("doc_id >= 250"), id_min=250, id_max=10**9, attrs=("lang",)
+    )
+    assert len(store.segments()) == 2
