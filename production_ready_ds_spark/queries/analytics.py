@@ -751,19 +751,58 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "metric", F.round("raw", 2).alias("value"))
 
 
-@query("q_percentiles_approx", category="aggregation", sql=None)
+#: rank-error budget for the q_percentiles_approx contract booleans —
+#: 50× the GK sketch's 1e-4 accuracy, because at small group sizes
+#: (δ·n < 1) the slack must also absorb the ±1 rank-convention
+#: difference between quantile definitions; the sketch itself is
+#: orders of magnitude inside this at any n
+PCT_RANK_DELTA = 0.005
+
+
+@query(
+    "q_percentiles_approx",
+    category="aggregation",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS p50_within_rank_bound,
+           TRUE AS p95_within_rank_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: ``approx_percentile`` (Greenwald-
     Khanna sketch, accuracy 1/10000) — partial-aggregatable, so each
     partition contributes a small sketch and the merge costs bytes, not
-    rows (exact percentile must materialize every group value). Declared
-    rows-only (sketch internals are engine-specific); the estimate is
-    held to the GK error bound against the exact percentile in
-    tests/test_llm_ops.py."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50"),
-        F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 2).alias("p95"),
+    rows (exact percentile must materialize every group value).
+
+    Verified the bounds-contract way (q_agg_approx_distinct /
+    q_cms_token_freq): the estimate value is sketch-internal and
+    cannot hash cross-engine, but GK's RANK guarantee can — for each
+    group the output carries the exact count plus booleans the oracle
+    expects TRUE: the estimate's rank interval [#(< est), #(≤ est)]
+    must intersect (p ± {PCT_RANK_DELTA})·n. The rank audit is one
+    broadcast join of the 3-row estimate frame back onto orders plus
+    one aggregate — the exact-side verification baseline, same split
+    as the theta sketch's exact columns; the estimate quality itself
+    is additionally held within 1% of exact in tests/test_llm_ops.py."""
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    est = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+    )
+    joined = o.join(F.broadcast(est), "o_orderstatus")
+
+    def within(p: float, col: str):
+        lt = F.sum((F.col("o_totalprice") < F.col(col)).cast("long"))
+        le = F.sum((F.col("o_totalprice") <= F.col(col)).cast("long"))
+        n = F.count(F.lit(1))
+        return (lt <= (p + PCT_RANK_DELTA) * n) & (le >= (p - PCT_RANK_DELTA) * n)
+
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        within(0.5, "p50").alias("p50_within_rank_bound"),
+        within(0.95, "p95").alias("p95_within_rank_bound"),
     )
 
 

@@ -204,33 +204,63 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sketch_hll", category="events", bench=True, sql=None)
+@query(
+    "q_sketch_hll",
+    category="events",
+    bench=True,
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_rel_error
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_rel_error
+    FROM events
+    """,
+)
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (Apache DataSketches, built into
     Spark 3.5+): per-event_type user-count sketch via hll_sketch_agg,
     then a re-aggregable union across types via hll_union_agg — the
     100 TB cardinality pattern (sketches are small, associative, and
     partial-aggregate map-side; the union tier costs bytes-per-sketch,
-    not rows). Rows-only: sketch binaries/estimates are engine-specific,
-    so no cross-engine oracle; the estimate-vs-exact error is asserted
-    in tests/test_oracle.py instead."""
+    not rows; the '__all__' row's estimate comes from MERGED sketches,
+    never a second scan).
+
+    Verified the bounds-contract way (the q_agg_approx_distinct /
+    q_cms_token_freq convention): the raw estimate is engine-specific
+    so it cannot hash cross-engine, but the sketch guarantee can — the
+    output carries the exact COUNT(DISTINCT) (per type AND global for
+    the merged row) plus ``within_rel_error`` the oracle expects TRUE:
+    |estimate − exact| ≤ 0.10·exact, generous headroom over the ~1.6%
+    rsd of the default lgConfigK=12 sketch (tests/test_oracle.py still
+    holds the estimates to 5%). Deterministic given fixed data."""
     e = load(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    return per_type.select(
+    merged = (
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .join(F.broadcast(e.agg(F.count_distinct("user_id").alias("exact_users"))))
+        .select(F.lit("__all__").alias("event_type"), "approx_users", "exact_users")
+    )
+    both = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
-    ).unionByName(
-        per_type.agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
-        ).select(
-            F.lit("__all__").alias("event_type"),
-            "approx_users",
-            F.lit(None).cast("long").alias("exact_users"),
-        )
+    ).unionByName(merged)
+    return both.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.10 * F.col("exact_users")
+        ).alias("within_rel_error"),
     )
 
 

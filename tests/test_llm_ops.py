@@ -92,12 +92,30 @@ def test_stratified_sample_rates(spark, sf_small, cat):
 
 
 def test_approx_percentile_tracks_exact(spark, sf_small, cat):
-    """q_percentiles_approx is rows-only for the driver; here the GK
-    estimate is held within 1% of the exact per-group percentile."""
+    """q_percentiles_approx now carries GK's rank guarantee as oracle
+    booleans; here the raw estimates (recomputed with the same
+    expressions) are additionally held within 1% of the exact
+    per-group percentile, and every contract boolean must be TRUE."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    contract = cat["q_percentiles_approx"].fn(spark, sf_small).collect()
+    assert contract and all(
+        r.p50_within_rank_bound and r.p95_within_rank_bound for r in contract
+    )
     exact = {r.o_orderstatus: (r.p50, r.p95)
              for r in cat["q_percentiles"].fn(spark, sf_small).collect()}
-    approx = {r.o_orderstatus: (r.p50, r.p95)
-              for r in cat["q_percentiles_approx"].fn(spark, sf_small).collect()}
+    approx = {
+        r.o_orderstatus: (r.p50, r.p95)
+        for r in load(spark, sf_small, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("p50"),
+            F.round(F.percentile_approx("o_totalprice", 0.95, 10000), 2).alias("p95"),
+        )
+        .collect()
+    }
     assert set(exact) == set(approx)
     for k in exact:
         for e, a in zip(exact[k], approx[k]):

@@ -69,11 +69,26 @@ def test_compare_frames_rejects_int_vs_float_dtype():
 
 
 def test_hll_sketch_estimate_close_to_exact(spark, sf_small):
-    """q_sketch_hll is rows-only for the driver; here the HLL estimate
-    is held to its error bound against the exact distinct count."""
+    """q_sketch_hll now carries its 10% guarantee as an oracle boolean;
+    here the raw estimates (recomputed with the same expressions) are
+    held to a tighter 5% against the exact distinct counts, and every
+    contract boolean must be TRUE."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
     rows = catalog()["q_sketch_hll"].fn(spark, sf_small).collect()
-    assert rows
-    for row in rows:
-        if row.exact_users is not None:
-            tol = max(3.0, 0.05 * row.exact_users)
-            assert abs(row.approx_users - row.exact_users) <= tol, row
+    assert rows and all(r.within_rel_error for r in rows)
+    e = load(spark, sf_small, "events")
+    per_type = {
+        r.event_type: (r.approx, r.exact)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    }
+    for name, (approx, exact) in per_type.items():
+        tol = max(3.0, 0.05 * exact)
+        assert abs(approx - exact) <= tol, (name, approx, exact)
