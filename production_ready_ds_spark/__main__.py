@@ -15,8 +15,10 @@ Commands:
   search <term> [term ...]     — BM25 (--index postings / --phrase /
                                  --hybrid / --rrf / --prefix / --fuzzy /
                                  --must-not T... / --near SLOP /
-                                 --like DOC_ID / --snippets)
+                                 --like DOC_ID / --snippets /
+                                 --filter ATTR=V1,V2)
   index  --root DIR            — build the BM25 inverted index
+         [--attrs COLs] — persist facet columns for search --filter
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
          [--probe IDs --k N --nprobe N | --recall | --delete IDs |
@@ -136,6 +138,17 @@ def _parser() -> argparse.ArgumentParser:
         "around the first hit); BM25 and --phrase modes, composes "
         "with --index",
     )
+    search.add_argument(
+        "--filter",
+        dest="facet",
+        default=None,
+        metavar="ATTR=V1[,V2...]",
+        help="faceted search: restrict results to docs whose metadata "
+        "attribute is one of the values — candidates pruned BEFORE "
+        "ranking, corpus statistics stay full-corpus. Plain BM25 mode "
+        "only (composes with --index when the store was built with "
+        "`index --attrs ATTR`, and with --snippets)",
+    )
     common(search)
     index = sub.add_parser(
         "index", help="build/refresh/maintain the BM25 inverted index (TermStore)"
@@ -143,6 +156,14 @@ def _parser() -> argparse.ArgumentParser:
     index.add_argument("--root", required=True, help="TermStore directory")
     index.add_argument("--sf", default="/root/testdata/sf0.01")
     index.add_argument("--cpus", type=int, default=8)
+    index.add_argument(
+        "--attrs",
+        default=None,
+        metavar="COL[,COL...]",
+        help="persist these document metadata columns into the doc "
+        "sidecar at build time (enables `search --filter COL=...`); "
+        "every append to a store must declare the same attrs",
+    )
     index.add_argument(
         "--delete",
         default=None,
@@ -268,6 +289,26 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        facet_attr, facet_values = None, ()
+        if args.facet:
+            if sum(modes) > 0:
+                # the other modes' serving paths carry no facet hook —
+                # reject rather than silently ignore the restriction
+                print(
+                    "--filter composes with plain BM25 (optionally "
+                    "--index / --snippets) only",
+                    file=sys.stderr,
+                )
+                return 2
+            attr, eq, vals = args.facet.partition("=")
+            facet_attr = attr.strip()
+            facet_values = tuple(v.strip() for v in vals.split(",") if v.strip())
+            if not eq or not facet_attr or not facet_values:
+                print(
+                    "--filter takes ATTR=V1[,V2...] (e.g. lang=de,fr)",
+                    file=sys.stderr,
+                )
+                return 2
         if args.snippets and sum(modes) > 0 and not args.phrase:
             # BM25 locates the window from the query terms, phrase from
             # its own first_pos column; the other modes' result shapes
@@ -500,12 +541,40 @@ def main(argv: list[str] | None = None) -> int:
             if args.index:
                 from .operators.termstore import TermStore
 
-                ranked = TermStore(args.index).search(spark, terms, k=args.k)
+                store = TermStore(args.index)
+                try:
+                    ranked = (
+                        store.search_filtered(
+                            spark, terms, attr=facet_attr,
+                            values=facet_values, k=args.k,
+                        )
+                        if facet_attr
+                        else store.search(spark, terms, k=args.k)
+                    )
+                except ValueError as exc:
+                    # e.g. the store was built without this attribute —
+                    # same loud diagnosis as the --like branch
+                    print(exc, file=sys.stderr)
+                    return 2
             else:
+                from pyspark.sql import functions as F
+
                 from .queries.llm import bm25_topk
 
                 docs = load(spark, args.sf, "documents")
-                ranked = bm25_topk(docs, terms, k=args.k)
+                eligible = None
+                if facet_attr:
+                    if facet_attr not in docs.columns:
+                        print(
+                            f"documents has no {facet_attr!r} column — "
+                            f"available: {docs.columns}",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    eligible = docs.filter(
+                        F.col(facet_attr).isin(list(facet_values))
+                    ).select("doc_id")
+                ranked = bm25_topk(docs, terms, k=args.k, eligible=eligible)
             if args.snippets:
                 # decoration is a k-row broadcast join against the doc
                 # table regardless of which path retrieved the ids
@@ -537,9 +606,25 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted to {n_segs} segment(s) at {args.root}")
         else:
             docs = load(spark, args.sf, "documents")
-            wrote = store.append(
-                docs, id_min=0, id_max=2**62, skip_if_range_indexed=True
+            attrs = tuple(
+                c.strip() for c in (args.attrs or "").split(",") if c.strip()
             )
+            missing = [c for c in attrs if c not in docs.columns]
+            if missing:
+                print(
+                    f"--attrs columns not in documents: {missing} — "
+                    f"available: {docs.columns}",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                wrote = store.append(
+                    docs, id_min=0, id_max=2**62,
+                    skip_if_range_indexed=True, attrs=attrs,
+                )
+            except ValueError as exc:  # mixed-attr append on an existing store
+                print(exc, file=sys.stderr)
+                return 2
             n, sumdl = store.stats()
             print(
                 f"{'indexed' if wrote else 'already indexed'}: "

@@ -168,16 +168,9 @@ class TermStore:
             raise ValueError("pass both id_min and id_max, or neither")
 
         segments = self.segments()
-
-        def range_indexed(lo: int, hi: int) -> bool:
-            return any(
-                s["id_min"] <= hi and s["id_max"] >= lo for s in segments
-            )
-
-        if skip_if_range_indexed and id_min is not None and range_indexed(
-            id_min, id_max
-        ):
-            return False
+        # attr-schema check BEFORE the idempotent-skip early return: a
+        # re-append with different attrs must fail loudly, not silently
+        # skip and leave the caller believing the facet is available
         if segments:
             sidecar = self._path(f"docs_seg={segments[0]['seg']}")
             if os.path.isdir(sidecar):  # pre-v3 stores have none to check
@@ -195,6 +188,16 @@ class TermStore:
                         "reads; declare the same attrs on every append (or "
                         "rebuild the store)"
                     )
+
+        def range_indexed(lo: int, hi: int) -> bool:
+            return any(
+                s["id_min"] <= hi and s["id_max"] >= lo for s in segments
+            )
+
+        if skip_if_range_indexed and id_min is not None and range_indexed(
+            id_min, id_max
+        ):
+            return False
         toks = docs.select(
             "doc_id", *attrs, tokens_expr(F.col("text")).alias("ts")
         ).localCheckpoint(eager=True)  # consumed by stats AND postings

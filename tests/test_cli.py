@@ -360,3 +360,72 @@ def test_index_only_search_never_touches_the_lake(
     )
     assert rc == 0
     assert "first_pos" in capsys.readouterr().out
+
+
+def test_search_filter_command_scan_and_index(spark, sf_small, tmp_path, capsys):
+    """`search --filter lang=de,fr` must restrict results to the facet
+    on BOTH serving paths, with identical integers (scan twin vs the
+    sidecar-pruned store built via `index --attrs lang`)."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.__main__ import main
+    from production_ready_ds_spark.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    eligible = {
+        r.doc_id for r in docs.filter(F.col("lang").isin("de", "fr")).collect()
+    }
+    rc = main(["search", "spark", "vector", "--filter", "lang=de,fr",
+               "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    scan_out = capsys.readouterr().out
+    root = str(tmp_path / "facet_idx")
+    assert main(["index", "--root", root, "--sf", sf_small,
+                 "--attrs", "lang"]) == 0
+    capsys.readouterr()
+    rc = main(["search", "spark", "vector", "--filter", "lang=de,fr",
+               "--index", root, "--k", "3", "--sf", sf_small])
+    assert rc == 0
+    idx_out = capsys.readouterr().out
+    # identical result tables (same ranks/ids/scores, both restricted)
+    assert [l for l in idx_out.splitlines() if "|" in l] == [
+        l for l in scan_out.splitlines() if "|" in l
+    ]
+    from production_ready_ds_spark.queries.llm import bm25_topk
+
+    want = bm25_topk(
+        docs, ("spark", "vector"), k=3,
+        eligible=docs.filter(F.col("lang").isin("de", "fr")).select("doc_id"),
+    ).collect()
+    assert want
+    for r in want:
+        assert r.doc_id in eligible
+        assert f"|{r.doc_id} " in idx_out or f"|{r.doc_id}|" in idx_out.replace(" ", "|")
+
+
+def test_search_filter_validation(capsys, sf_small, tmp_path):
+    from production_ready_ds_spark.__main__ import main
+
+    # malformed spec
+    assert main(["search", "spark", "--filter", "langdefr",
+                 "--sf", sf_small]) == 2
+    assert "ATTR=V1" in capsys.readouterr().err
+    # mode conflict
+    assert main(["search", "table", "hash", "--phrase",
+                 "--filter", "lang=de", "--sf", sf_small]) == 2
+    assert "plain BM25" in capsys.readouterr().err
+    # unknown column on the scan path
+    assert main(["search", "spark", "--filter", "nope=x",
+                 "--sf", sf_small]) == 2
+    assert "no 'nope' column" in capsys.readouterr().err
+    # store built WITHOUT attrs must fail loudly on the index path
+    root = str(tmp_path / "plain_idx")
+    assert main(["index", "--root", root, "--sf", sf_small]) == 0
+    capsys.readouterr()
+    assert main(["search", "spark", "--filter", "lang=de",
+                 "--index", root, "--sf", sf_small]) == 2
+    assert "no 'lang' doc attribute" in capsys.readouterr().err
+    # mixed-attr re-append must fail loudly too
+    assert main(["index", "--root", root, "--sf", sf_small,
+                 "--attrs", "lang"]) == 2
+    assert "mixed sidecar schemas" in capsys.readouterr().err
