@@ -168,6 +168,7 @@ _EXTENSION_PRIORITY = (
     "q_search_faceted_indexed",
     # round-7 additions (bounds-contract sketch serving)
     "q_sketch_cube",
+    "q_stream_faceted",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from .llm import _BM25_SQL, _PPL_SQL, _markup_sql
+from .llm import _BM25_SQL, _FACETED_SQL, _PPL_SQL, _markup_sql
 
 _MARKUP_SQL_ORACLE = _markup_sql()
 from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
@@ -352,22 +352,37 @@ def q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-writer contract; a production deployment instead keys the
     root by stream checkpoint and appends forever
     (pipelines/ingest_termstore.py shape)."""
+    from .llm import BM25_QUERY
+
+    store = _stream_built_termstore(spark, sf_dir, "prds_stream_index")
+    return store.search(spark, BM25_QUERY, k=20)
+
+
+def _stream_built_termstore(spark: SparkSession, sf_dir: str, prefix: str):
+    """Wipe-and-rebuild a TermStore from the documents STREAM (one
+    segment per micro-batch, availableNow run to completion) in a
+    corpus-keyed /tmp staging dir — the shared engine of q_stream_index
+    and q_stream_faceted. Attributes match the batch
+    _cached_corpus_index build (attrs=(FACET_ATTR,)), so stream-built
+    and batch-built stores are structurally identical: same postings,
+    same stats, same facet sidecar columns accumulating batch by
+    batch."""
     import os
     import shutil
 
     from ..operators.termstore import STORE_VERSION, TermStore
     from ..streaming.events import _as_stream_dir
-    from .llm import BM25_QUERY, _build_lock, _corpus_cache_dir
+    from .llm import FACET_ATTR, _build_lock, _corpus_cache_dir
 
-    root = _corpus_cache_dir(
-        "prds_stream_index", sf_dir, "documents", STORE_VERSION
-    )
+    root = _corpus_cache_dir(prefix, sf_dir, "documents", STORE_VERSION)
     with _build_lock(root):
         shutil.rmtree(root, ignore_errors=True)
         store = TermStore(root)
 
         def ingest(batch_df, batch_id):
-            store.append(batch_df)  # bounds derived from the batch
+            # bounds derived from the batch; the facet attr rides the
+            # per-batch doc sidecar
+            store.append(batch_df, attrs=(FACET_ATTR,))
 
         stream = (
             spark.readStream.schema(
@@ -385,8 +400,32 @@ def q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError("q_stream_index ingest did not drain in 300s")
-    return store.search(spark, BM25_QUERY, k=20)
+            raise TimeoutError(f"{prefix} ingest did not drain in 300s")
+    return store
+
+
+@query("q_stream_faceted", category="streaming", sql=_FACETED_SQL)
+def q_stream_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACETED search served from a STREAM-BUILT index, held to the
+    identical oracle as the batch q_search_faceted pair (one
+    _FACETED_SQL constant): the documents stream foreachBatch-ingests
+    into a TermStore whose per-micro-batch doc sidecars carry the
+    facet attribute, and the metadata-filtered BM25 query is then
+    answered from the accumulated segments — pushed facet IN predicate
+    over every batch's sidecar, semi-join-pruned postings, manifest
+    stats. A green row proves the facet column survives per-batch
+    sidecar accumulation end to end, completing the online path for
+    the filtered-query shape every search service actually serves.
+
+    Shape: identical ingest cost to q_stream_index (+one sidecar
+    column per batch); the query reads O(query terms) postings plus N
+    narrow sidecar rows."""
+    from .llm import BM25_QUERY, FACET_ATTR, FACET_VALUES
+
+    store = _stream_built_termstore(spark, sf_dir, "prds_stream_facet")
+    return store.search_filtered(
+        spark, BM25_QUERY, attr=FACET_ATTR, values=FACET_VALUES, k=20
+    )
 
 
 @query(
