@@ -150,3 +150,34 @@ def test_spread_widens_narrow_scans_only(spark):
     assert spread(df).rdd.getNumPartitions() == max(
         2, spark.sparkContext.defaultParallelism // 4
     )
+
+
+def test_zorder_rank_scale_prunes_skewed_dimension(spark, tmp_path):
+    """Linear min/max scaling concentrates a skewed dimension into a
+    handful of z-buckets, so a predicate INSIDE the dense region reads
+    almost every file; rank_scale buckets by approxQuantile rank
+    (equal row mass per bucket) and must prune that same predicate
+    substantially, without hurting the uniform dimension. Data must
+    survive byte-for-byte."""
+    from production_ready_ds_spark.operators.layout import write_zorder_clustered
+
+    df = spark.range(20000).select(
+        (F.pow(F.col("id") / 20000.0, 8) * 1e6).alias("skewed"),
+        (F.col("id") % 1000).alias("uni"),
+    )
+    q10, q30 = df.approxQuantile("skewed", [0.1, 0.3], 0.001)
+    lin, rank = str(tmp_path / "lin"), str(tmp_path / "rank")
+    write_zorder_clustered(df, lin, ["skewed", "uni"], n_files=16)
+    write_zorder_clustered(df, rank, ["skewed", "uni"], n_files=16, rank_scale=True)
+
+    before = sorted(map(tuple, df.collect()))
+    assert sorted(map(tuple, spark.read.parquet(rank).collect())) == before
+
+    lin_dense = _file_prune_fraction(lin, "skewed", q10, q30)
+    rank_dense = _file_prune_fraction(rank, "skewed", q10, q30)
+    assert lin_dense >= 0.85, lin_dense  # linear cannot see inside the dense region
+    assert rank_dense <= 0.70, rank_dense  # rank scaling spreads it
+    assert rank_dense < lin_dense - 0.2, (lin_dense, rank_dense)
+    # the uniform dimension still prunes on both layouts
+    assert _file_prune_fraction(rank, "uni", 0, 62) <= 0.5
+    assert _file_prune_fraction(lin, "uni", 0, 62) <= 0.5
