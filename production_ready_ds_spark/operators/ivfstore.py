@@ -369,11 +369,19 @@ class IVFStore:
         nprobe: int = DEFAULT_NPROBE,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        eligible: DataFrame | None = None,
     ) -> DataFrame:
         """Cosine top-k neighbors from the store for each probe row:
         rank centroids per probe, fetch ONLY the probed lists,
         bucket-equi-join, per-probe top-k. Returns (probe_id,
         neighbor_id, cos_sim); a probe never matches its own id.
+
+        ``eligible`` (a frame carrying ``id_col``) is the FILTERED
+        vector search every production ANN service exposes: candidates
+        are semi-join-pruned to the eligible id set BEFORE any
+        similarity is computed (post-filtering a top-k would lose
+        every eligible neighbor ranked past k), mirroring
+        TermStore.search_filtered's facet semantics on the text side.
 
         The probe → list ranking is the assign() matmul kernel (top
         nprobe instead of argmin): the per-(probe, centroid) JVM fold
@@ -423,6 +431,8 @@ class IVFStore:
         cand = self.read_lists(spark, wanted)
         if cand is None:
             raise ValueError(f"IVFStore at {self.root} is empty")
+        if eligible is not None:
+            cand = cand.join(eligible.select(id_col), id_col, "left_semi")
         sims = (
             cand.join(
                 F.broadcast(probe_lists.withColumn("pnrm", norm(F.col("pe")))),

@@ -169,6 +169,7 @@ _EXTENSION_PRIORITY = (
     # round-7 additions (bounds-contract sketch serving)
     "q_sketch_cube",
     "q_stream_faceted",
+    "q_sim_topk_filtered",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

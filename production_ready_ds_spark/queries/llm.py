@@ -41,6 +41,14 @@ from ..operators.dedup import (
 from ..tables import load
 from . import query
 
+#: the faceted-search restriction (q_search_faceted pair and the
+#: vector twin q_sim_topk_filtered): documents whose metadata
+#: attribute is in the value set — a multi-value IN over ~27% of the
+#: corpus, selective enough that post-filtering a top-k would visibly
+#: lose results (which is the bug the facet design bans)
+FACET_ATTR = "lang"
+FACET_VALUES = ("de", "fr")
+
 # --- thresholds (tuned on sf0.01 so every declared query returns rows) ---
 JACCARD_THRESHOLD = 0.5
 EMBED_COS_THRESHOLD = 0.25
@@ -609,6 +617,83 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims = (
         e.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+@query(
+    "q_sim_topk_filtered",
+    category="llm-similarity",
+    sql=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    elig AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ne
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+      WHERE d.{FACET_ATTR} IN ({", ".join(f"'{v}'" for v in FACET_VALUES)})
+    ),
+    sims AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, e.ne) AS cos_sim
+      FROM probes p CROSS JOIN elig e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — q_sim_cosine_topk restricted to
+    neighbors whose document metadata matches a facet ({FACET_ATTR}
+    IN {FACET_VALUES}), the capability every production ANN service
+    exposes next to the query vector (and the vector-side twin of
+    q_search_faceted). Semantics mirror the text facet: the filter
+    restricts CANDIDATES via a semi join BEFORE any similarity is
+    computed — post-filtering a top-k would silently lose every
+    eligible neighbor ranked past k (with a ~27% facet, an unfiltered
+    top-5 usually contains ≤ 2 eligible rows; the driver hash proves
+    the pre-filter ordering). Probes stay unrestricted.
+
+    Scale shape: the metadata predicate is pushed into the documents
+    parquet scan (plan-asserted), the doc_id set semi-join-prunes the
+    embedding stream before the broadcast-probe similarity map, so
+    flops scale with |eligible|, not |corpus|; the same ``eligible``
+    frame drives IVFStore.search for the index-served path
+    (exactness-at-full-probe pinned in tests/test_ivfstore.py)."""
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    d = load(spark, sf_dir, "documents")
+    eligible = d.filter(F.col(FACET_ATTR).isin(list(FACET_VALUES))).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sims = (
+        e.join(eligible, "vec_id", "left_semi")
+        .crossJoin(broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
@@ -4192,15 +4277,10 @@ def _bm25_sql_for(
 # scan and the inverted-index paths are held to the identical integers)
 _BM25_SQL = _bm25_sql_for(BM25_QUERY)
 
-#: the faceted-search restriction (q_search_faceted pair): documents
-#: whose metadata attribute is in the value set — a multi-value IN over
-#: ~27% of the corpus, selective enough that post-filtering a top-20
-#: would visibly lose results (which is the bug the design bans)
-FACET_ATTR = "lang"
-FACET_VALUES = ("de", "fr")
-
 # ONE oracle for the faceted scan + index twins, from the same template
-# as _BM25_SQL so the scoring math cannot drift
+# as _BM25_SQL so the scoring math cannot drift (FACET_ATTR/FACET_VALUES
+# are defined near the top of the module — the similarity facet twin
+# q_sim_topk_filtered shares them)
 _FACETED_SQL = _bm25_sql_for(BM25_QUERY, facet_attr=FACET_ATTR, facet_values=FACET_VALUES)
 
 

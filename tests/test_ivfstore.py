@@ -264,3 +264,58 @@ def test_compact_tiered_preserves_search(spark, tmp_path, embs):
         store.compact_tiered(spark, fanout=4)
     assert len(store.segments()) < 9
     assert _results(store.search(probes)) == _results(one.search(probes))
+
+
+def test_filtered_search_exact_at_full_probe(spark, tmp_path, embs, sf_small):
+    """Filtered ANN (the eligible frame): with EVERY list probed the
+    IVF search is exhaustive, so its facet-filtered top-k must equal
+    the brute-force filtered top-k exactly — and every neighbor must
+    satisfy the facet. At reduced nprobe the results must still be a
+    subset of the eligible ids."""
+    from pyspark.sql import Window
+
+    from production_ready_ds_spark.functions.vectors import cosine_prenormed, norm
+
+    docs = load(spark, sf_small, "documents")
+    eligible = docs.filter(F.col("lang").isin("de", "fr")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    elig_ids = {r.vec_id for r in eligible.collect()}
+    store = IVFStore(str(tmp_path / "f"))
+    n_lists = store.train(embs)
+    store.append(embs, id_min=0, id_max=10**9)
+    probes = embs.filter(F.col("vec_id") < 10)
+
+    got = _results(
+        store.search(probes, top_k=3, nprobe=n_lists, eligible=eligible)
+    )
+    assert got and all(nid in elig_ids for _, nid, _ in got)
+
+    e = embs.join(eligible, "vec_id", "left_semi").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    p = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        norm(F.col("embedding")).alias("pnrm"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    want = _results(
+        sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+    assert got == want
+
+    partial = _results(store.search(probes, top_k=3, eligible=eligible))
+    assert all(nid in elig_ids for _, nid, _ in partial)
