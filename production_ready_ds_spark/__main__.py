@@ -21,7 +21,8 @@ Commands:
          [--attrs COLs] — persist facet columns for search --filter
          [--delete IDs | --compact | --compact-tiered] — maintenance
   vindex --root DIR            — build the IVF vector index; plus
-         [--probe IDs --k N --nprobe N | --recall | --delete IDs |
+         [--probe IDs --k N --nprobe N [--filter ATTR=V1,V2] |
+          --recall | --delete IDs |
           --compact | --compact-tiered]
   corpus                       — run the full corpus-build DAG
   Any data command takes --explain to print the formatted plan.
@@ -197,6 +198,15 @@ def _parser() -> argparse.ArgumentParser:
     )
     vindex.add_argument("--k", type=int, default=5, help="neighbors per probe")
     vindex.add_argument("--nprobe", type=int, default=4, help="lists probed")
+    vindex.add_argument(
+        "--filter",
+        dest="facet",
+        default=None,
+        metavar="ATTR=V1[,V2...]",
+        help="filtered ANN (with --probe): restrict neighbors to "
+        "vec_ids whose documents row matches the facet — candidates "
+        "pruned BEFORE similarity, like search --filter",
+    )
     vindex.add_argument(
         "--recall",
         action="store_true",
@@ -637,6 +647,9 @@ def main(argv: list[str] | None = None) -> int:
         from .tables import load
 
         store = IVFStore(args.root)
+        if args.facet and not args.probe:
+            print("--filter requires --probe", file=sys.stderr)
+            return 2
         if args.delete:
             ids = [int(x) for x in args.delete.split(",") if x.strip()]
             n_rw = store.delete_ids(spark, ids)
@@ -664,8 +677,30 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            eligible = None
+            if args.facet:
+                attr, eq, vals = args.facet.partition("=")
+                attr = attr.strip()
+                values = tuple(v.strip() for v in vals.split(",") if v.strip())
+                if not eq or not attr or not values:
+                    print(
+                        "--filter takes ATTR=V1[,V2...] (e.g. lang=de,fr)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                docs = load(spark, args.sf, "documents")
+                if attr not in docs.columns:
+                    print(
+                        f"documents has no {attr!r} column — "
+                        f"available: {docs.columns}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                eligible = docs.filter(F.col(attr).isin(list(values))).select(
+                    F.col("doc_id").alias("vec_id")
+                )
             store.search(
-                probes_df, top_k=args.k, nprobe=args.nprobe
+                probes_df, top_k=args.k, nprobe=args.nprobe, eligible=eligible
             ).orderBy("probe_id", F.desc("cos_sim"), "neighbor_id").show(
                 args.limit, truncate=False
             )

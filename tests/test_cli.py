@@ -429,3 +429,37 @@ def test_search_filter_validation(capsys, sf_small, tmp_path):
     assert main(["index", "--root", root, "--sf", sf_small,
                  "--attrs", "lang"]) == 2
     assert "mixed sidecar schemas" in capsys.readouterr().err
+
+
+def test_vindex_probe_filter(spark, sf_small, tmp_path, capsys):
+    """`vindex --probe ... --filter lang=de,fr` must return only
+    eligible neighbors; --filter without --probe fails loudly."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.__main__ import main
+    from production_ready_ds_spark.tables import load
+
+    root = str(tmp_path / "vidx")
+    assert main(["vindex", "--root", root, "--sf", sf_small]) == 0
+    capsys.readouterr()
+    rc = main(["vindex", "--root", root, "--sf", sf_small,
+               "--probe", "1,2", "--k", "3", "--filter", "lang=de,fr"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    eligible = {
+        r.doc_id
+        for r in load(spark, sf_small, "documents")
+        .filter(F.col("lang").isin("de", "fr"))
+        .collect()
+    }
+    import re
+
+    # neighbor_id is the 2nd pipe-delimited column of each data row
+    rows = [l for l in out.splitlines() if re.match(r"\|\d+\s*\|", l.replace(" ", ""))]
+    assert rows
+    for l in rows:
+        neighbor = int(l.split("|")[2].strip())
+        assert neighbor in eligible, (neighbor, l)
+    assert main(["vindex", "--root", root, "--sf", sf_small,
+                 "--filter", "lang=de"]) == 2
+    assert "--filter requires --probe" in capsys.readouterr().err
