@@ -231,6 +231,18 @@ def _parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_facet(spec: str) -> tuple[str, tuple[str, ...]] | None:
+    """Parse a ``--filter ATTR=V1[,V2...]`` spec; None when malformed —
+    the ONE parser both the search and vindex commands share, run
+    BEFORE any Spark work so a malformed spec never costs a job."""
+    attr, eq, vals = spec.partition("=")
+    attr = attr.strip()
+    values = tuple(v.strip() for v in vals.split(",") if v.strip())
+    if not eq or not attr or not values:
+        return None
+    return attr, values
+
+
 def _emit(df, args) -> None:
     if getattr(args, "explain", False):
         # the plan a reader audits for pushdown/broadcast/shuffle shape
@@ -310,15 +322,14 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            attr, eq, vals = args.facet.partition("=")
-            facet_attr = attr.strip()
-            facet_values = tuple(v.strip() for v in vals.split(",") if v.strip())
-            if not eq or not facet_attr or not facet_values:
+            parsed = _parse_facet(args.facet)
+            if parsed is None:
                 print(
                     "--filter takes ATTR=V1[,V2...] (e.g. lang=de,fr)",
                     file=sys.stderr,
                 )
                 return 2
+            facet_attr, facet_values = parsed
         if args.snippets and sum(modes) > 0 and not args.phrase:
             # BM25 locates the window from the query terms, phrase from
             # its own first_pos column; the other modes' result shapes
@@ -616,8 +627,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted to {n_segs} segment(s) at {args.root}")
         else:
             docs = load(spark, args.sf, "documents")
+            # dedupe (dict.fromkeys, the search-terms rule): a repeated
+            # column would pass the membership check and then crash the
+            # sidecar write with a duplicate-column AnalysisException
             attrs = tuple(
-                c.strip() for c in (args.attrs or "").split(",") if c.strip()
+                dict.fromkeys(
+                    c.strip() for c in (args.attrs or "").split(",") if c.strip()
+                )
             )
             missing = [c for c in attrs if c not in docs.columns]
             if missing:
@@ -647,9 +663,18 @@ def main(argv: list[str] | None = None) -> int:
         from .tables import load
 
         store = IVFStore(args.root)
-        if args.facet and not args.probe:
-            print("--filter requires --probe", file=sys.stderr)
-            return 2
+        vfacet = None
+        if args.facet:
+            if not args.probe:
+                print("--filter requires --probe", file=sys.stderr)
+                return 2
+            vfacet = _parse_facet(args.facet)
+            if vfacet is None:
+                print(
+                    "--filter takes ATTR=V1[,V2...] (e.g. lang=de,fr)",
+                    file=sys.stderr,
+                )
+                return 2
         if args.delete:
             ids = [int(x) for x in args.delete.split(",") if x.strip()]
             n_rw = store.delete_ids(spark, ids)
@@ -678,16 +703,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             eligible = None
-            if args.facet:
-                attr, eq, vals = args.facet.partition("=")
-                attr = attr.strip()
-                values = tuple(v.strip() for v in vals.split(",") if v.strip())
-                if not eq or not attr or not values:
-                    print(
-                        "--filter takes ATTR=V1[,V2...] (e.g. lang=de,fr)",
-                        file=sys.stderr,
-                    )
-                    return 2
+            if vfacet is not None:
+                attr, values = vfacet
                 docs = load(spark, args.sf, "documents")
                 if attr not in docs.columns:
                     print(

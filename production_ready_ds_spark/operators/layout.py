@@ -165,12 +165,17 @@ def write_zorder_clustered(
         from pyspark.ml.feature import Bucketizer
 
         probs = [i / (1 << bits) for i in range(1, 1 << bits)]
-        work = df
-        tmp_cols = []
-        for c in cluster_cols:
-            dcol = f"_rsd_{c}"
-            work = work.withColumn(dcol, F.col(c).cast("double"))
-            qs = work.approxQuantile(dcol, probs, 1.0 / (4 << bits))
+        dcols = [f"_rsd_{c}" for c in cluster_cols]
+        work = df.select(
+            "*", *[F.col(c).cast("double").alias(d) for c, d in zip(cluster_cols, dcols)]
+        )
+        # ONE multi-column approxQuantile action collects every
+        # dimension's boundaries in a single pass over df; the
+        # Bucketizer transforms below are lazy, so the whole write is
+        # two jobs (quantiles + write) regardless of dimension count
+        all_qs = work.approxQuantile(dcols, probs, 1.0 / (4 << bits))
+        tmp_cols = list(dcols)
+        for c, dcol, qs in zip(cluster_cols, dcols, all_qs):
             # strictly-increasing splits: heavy repeated values collapse
             # duplicate quantiles into one (wider) bucket
             splits = [float("-inf")]
@@ -183,7 +188,7 @@ def write_zorder_clustered(
                 splits=splits, inputCol=dcol, outputCol=out,
                 handleInvalid="keep",
             ).transform(work)
-            tmp_cols.extend([dcol, out])
+            tmp_cols.append(out)
         scaled = [
             F.least(F.lit(top), F.col(f"_rs_{c}").cast("long"))
             for c in cluster_cols

@@ -609,14 +609,32 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-local top-k (the window input is already only
     |probes|·|corpus| similarity rows reduced map-side); for large probe
     sets switch to q_sim_topk_bucketed."""
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk(e, k=5)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    *,
+    k: int = 5,
+    eligible: DataFrame | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k of every vec_id < 10 probe against the
+    embedding frame — the ONE builder behind q_sim_cosine_topk and its
+    facet twin q_sim_topk_filtered (the bm25_topk factoring: a shared
+    engine with an ``eligible`` knob, so tie-breaks / rounding / probe
+    selection can never drift between the two oracles). ``eligible``
+    (a vec_id frame) semi-join-prunes NEIGHBOR candidates before any
+    similarity is computed; probes stay unrestricted."""
+    e = emb.withColumn("nrm", norm(F.col("embedding")))
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
         F.col("nrm").alias("pnrm"),
     )
+    cand = e if eligible is None else e.join(eligible, "vec_id", "left_semi")
     sims = (
-        e.crossJoin(broadcast(probes))
+        cand.crossJoin(broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
@@ -631,7 +649,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
     )
 
@@ -680,36 +698,14 @@ def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding stream before the broadcast-probe similarity map, so
     flops scale with |eligible|, not |corpus|; the same ``eligible``
     frame drives IVFStore.search for the index-served path
-    (exactness-at-full-probe pinned in tests/test_ivfstore.py)."""
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    (exactness-at-full-probe pinned in tests/test_ivfstore.py;
+    pushdown + semi-join plan pinned in tests/test_plans.py)."""
     d = load(spark, sf_dir, "documents")
     eligible = d.filter(F.col(FACET_ATTR).isin(list(FACET_VALUES))).select(
         F.col("doc_id").alias("vec_id")
     )
-    probes = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("nrm").alias("pnrm"),
-    )
-    sims = (
-        e.join(eligible, "vec_id", "left_semi")
-        .crossJoin(broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_prenormed(
-                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
-            ).alias("cos_sim"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    return cosine_topk(
+        load(spark, sf_dir, "embeddings"), k=5, eligible=eligible
     )
 
 

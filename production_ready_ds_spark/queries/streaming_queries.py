@@ -354,28 +354,40 @@ def q_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pipelines/ingest_termstore.py shape)."""
     from .llm import BM25_QUERY
 
-    store = _stream_built_termstore(spark, sf_dir, "prds_stream_index")
+    store = _stream_built_termstore(spark, sf_dir)
     return store.search(spark, BM25_QUERY, k=20)
 
 
-def _stream_built_termstore(spark: SparkSession, sf_dir: str, prefix: str):
-    """Wipe-and-rebuild a TermStore from the documents STREAM (one
-    segment per micro-batch, availableNow run to completion) in a
-    corpus-keyed /tmp staging dir — the shared engine of q_stream_index
-    and q_stream_faceted. Attributes match the batch
-    _cached_corpus_index build (attrs=(FACET_ATTR,)), so stream-built
-    and batch-built stores are structurally identical: same postings,
-    same stats, same facet sidecar columns accumulating batch by
-    batch."""
+def _stream_built_termstore(spark: SparkSession, sf_dir: str):
+    """Build a TermStore from the documents STREAM (one segment per
+    micro-batch, availableNow run to completion) in a corpus-keyed
+    /tmp staging dir — the ONE shared store of q_stream_index and
+    q_stream_faceted (a second stream ingest of the identical corpus
+    would only double cost; the root is keyed by corpus signature +
+    STORE_VERSION so staleness is impossible). A COMPLETE prior build
+    (manifest doc count == corpus count) is re-served; anything else —
+    absent, partial from a crash mid-stream — is wiped and rebuilt.
+    Attributes match the batch _cached_corpus_index build
+    (attrs=(FACET_ATTR,)), so stream-built and batch-built stores are
+    structurally identical: same postings, same stats, same facet
+    sidecar columns accumulating batch by batch."""
     import os
     import shutil
 
     from ..operators.termstore import STORE_VERSION, TermStore
     from ..streaming.events import _as_stream_dir
+    from ..tables import load
     from .llm import FACET_ATTR, _build_lock, _corpus_cache_dir
 
-    root = _corpus_cache_dir(prefix, sf_dir, "documents", STORE_VERSION)
+    root = _corpus_cache_dir("prds_stream_index", sf_dir, "documents", STORE_VERSION)
+    expected = load(spark, sf_dir, "documents").count()
     with _build_lock(root):
+        done = TermStore(root)
+        try:
+            if done.segments() and done.stats()[0] == expected:
+                return done
+        except Exception:
+            pass  # unreadable manifest/sidecar: rebuild below
         shutil.rmtree(root, ignore_errors=True)
         store = TermStore(root)
 
@@ -400,7 +412,7 @@ def _stream_built_termstore(spark: SparkSession, sf_dir: str, prefix: str):
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise TimeoutError(f"{prefix} ingest did not drain in 300s")
+            raise TimeoutError("stream index ingest did not drain in 300s")
     return store
 
 
@@ -417,12 +429,13 @@ def q_stream_faceted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidecar accumulation end to end, completing the online path for
     the filtered-query shape every search service actually serves.
 
-    Shape: identical ingest cost to q_stream_index (+one sidecar
-    column per batch); the query reads O(query terms) postings plus N
-    narrow sidecar rows."""
+    Shape: SHARES q_stream_index's stream-built store (one ingest per
+    corpus, complete builds re-served — a second identical ingest
+    would only double cost); the query reads O(query terms) postings
+    plus N narrow sidecar rows."""
     from .llm import BM25_QUERY, FACET_ATTR, FACET_VALUES
 
-    store = _stream_built_termstore(spark, sf_dir, "prds_stream_facet")
+    store = _stream_built_termstore(spark, sf_dir)
     return store.search_filtered(
         spark, BM25_QUERY, attr=FACET_ATTR, values=FACET_VALUES, k=20
     )

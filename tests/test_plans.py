@@ -738,3 +738,26 @@ def test_boilerplate_clean_shuffles_hashes_only(spark, sf_small, cat):
     assert "BroadcastExchange" in plan, plan[:800]
     for cols in exchange_input_columns(df):
         assert "text" not in cols and "ts" not in cols and "lines" not in cols, cols
+
+
+def test_sim_topk_filtered_prunes_before_similarity(spark, sf_small, cat):
+    """The vector facet must be PUSHED into the documents scan and the
+    eligible set applied as a semi join (pre-similarity candidate
+    pruning) — never a post-filter of ranked rows."""
+    from production_ready_ds_spark.plans.audit import explain_str
+
+    df = cat["q_sim_topk_filtered"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "lang" in pushed and "In(" in pushed, pushed
+    assert "LeftSemi" in explain_str(df)
+
+
+def test_search_faceted_prunes_before_scoring(spark, sf_small, cat):
+    """The text facet's scan twin: lang pushed to the documents scan,
+    eligible ids semi-joined before the rank window."""
+    from production_ready_ds_spark.plans.audit import explain_str
+
+    df = cat["q_search_faceted"].fn(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "lang" in pushed and "In(" in pushed, pushed
+    assert "LeftSemi" in explain_str(df)
