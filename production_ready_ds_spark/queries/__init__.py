@@ -148,28 +148,29 @@ _CONTRACT_ORDER = (
 # row → back. q_pack_bestfit STAYS in front slot 1 — its r06 row was red
 # (oracle HUGEINT dtype bug, fixed in traindata.py this round) and the
 # round-6 verdict requires it to re-prove with hash_match: true before
-# rotating out. Front slot 2 = q_image_png. Behind them:
-# q_quality_perplexity (round-8 slot), then the late-round-6 families
-# (cleaning: q_clean_markup / q_pii_redact / q_clean_boilerplate /
-# q_stream_clean; search presentation: q_search_highlight(+_indexed) /
-# q_search_mlt(+_indexed) / q_search_phrase_highlight) so each earns a
-# driver-green row over rounds 8-12.
+# rotating out. Front slot 2 = q_image_png.
+# ROUND-8 ROTATION (do at round start, after CORRECTNESS_r07 lands):
+# if q_pack_bestfit + q_image_png are green, move both to the back;
+# the front becomes q_quality_perplexity + q_search_faceted, then the
+# queue below — round-7's hash-gated additions (faceted pair, sketch
+# cube, filtered ANN, stream-faceted) lead it, the rows-only unigram
+# pair follows, then the late-round-6 families (cleaning, search
+# presentation) so each earns a driver-green row over rounds 9-13.
 _EXTENSION_PRIORITY = (
     # round-7 driver slots (rotation: 2 names per round)
     "q_pack_bestfit",
     "q_image_png",
-    # round-8+ queue
+    # round-8+ queue: hash-gated round-7 additions first (a driver slot
+    # buys a full value-hash row there; rows-only entries only get the
+    # weaker rows>0 check, so the unigram pair queues after them)
     "q_quality_perplexity",
-    # round-7 additions (rows-only; replay-exact vs tests/test_unigram.py)
-    "q_unigram_train",
-    "q_unigram_apply",
-    # round-7 additions (faceted search; scan ≡ index integer-equal)
     "q_search_faceted",
     "q_search_faceted_indexed",
-    # round-7 additions (bounds-contract sketch serving)
     "q_sketch_cube",
-    "q_stream_faceted",
     "q_sim_topk_filtered",
+    "q_stream_faceted",
+    "q_unigram_train",
+    "q_unigram_apply",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",
