@@ -665,7 +665,8 @@ def cosine_topk(
     elig AS (
       SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ne
       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-      WHERE d.{FACET_ATTR} IN ({", ".join(f"'{v}'" for v in FACET_VALUES)})
+      WHERE d.{FACET_ATTR} IN (
+        {", ".join("'{}'".format(v.replace("'", "''")) for v in FACET_VALUES)})
     ),
     sims AS (
       SELECT p.probe_id, e.vec_id AS neighbor_id,
