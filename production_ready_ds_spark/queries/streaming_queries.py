@@ -379,13 +379,24 @@ def _stream_built_termstore(spark: SparkSession, sf_dir: str):
     from ..tables import load
     from .llm import FACET_ATTR, _build_lock, _corpus_cache_dir
 
-    root = _corpus_cache_dir("prds_stream_index", sf_dir, "documents", STORE_VERSION)
+    # the cache key carries the ingest RECIPE (attrs), not just the
+    # store layout version: a store built by an older recipe at the
+    # same STORE_VERSION must never be re-served (a doc-count-complete
+    # but attr-less store would fail search_filtered)
+    root = _corpus_cache_dir(
+        "prds_stream_index", sf_dir, "documents", (STORE_VERSION, FACET_ATTR)
+    )
     expected = load(spark, sf_dir, "documents").count()
     with _build_lock(root):
         done = TermStore(root)
         try:
-            if done.segments() and done.stats()[0] == expected:
-                return done
+            segs = done.segments()
+            if segs and done.stats()[0] == expected:
+                sidecar_cols = spark.read.parquet(
+                    done._docmap_path(segs[0])  # noqa: SLF001 - same module family
+                ).columns
+                if FACET_ATTR in sidecar_cols:  # complete AND current recipe
+                    return done
         except Exception:
             pass  # unreadable manifest/sidecar: rebuild below
         shutil.rmtree(root, ignore_errors=True)
