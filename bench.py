@@ -75,6 +75,17 @@ _FLOOR_NOTES = {
         "fixed overhead at sf0.1, bought FLAT 0.68/0.59/0.55 s across "
         "the 16x stress corpus, SCALE.md) — intentional trade, not drift"
     ),
+    "bench_r7": (
+        "r7 quiet-start run (load_avg_start 0.78) measured the r6 "
+        "common set at 48.3 s vs the r6 artifact's 52.98 s (-9%); four "
+        "sub-second queries that read 66-118% 'regressed' under "
+        "concurrent suite/sweep load (q_embed_quantize, q_event_funnel, "
+        "q_event_rollup, q_search_bm25) all re-measured AT or BELOW "
+        "their r6 numbers min-of-5 on a quiet box (0.385/0.59/0.247/"
+        "0.798 s) — per-query swings without a plan change are load, "
+        "and bench.py now waits for load<1 before starting so the "
+        "recorded artifact is the protocol run"
+    ),
     "bench_late_r6": (
         "late-round-6 quiet-START runs (load_avg_start 0.09/0.13) read "
         "1.16-1.24x over r4 on the 40 common queries after ~3 h of "
