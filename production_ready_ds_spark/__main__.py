@@ -46,7 +46,7 @@ def _parser() -> argparse.ArgumentParser:
         sp.add_argument("--limit", type=int, default=20)
         sp.add_argument("--out", default=None)
         sp.add_argument(
-            "--format", choices=["parquet", "jsonl", "orc"], default="parquet"
+            "--format", choices=["parquet", "jsonl", "orc", "xml"], default="parquet"
         )
         sp.add_argument(
             "--explain",
@@ -260,6 +260,10 @@ def _emit(df, args) -> None:
             from .sources.orc import write_orc
 
             write_orc(df, args.out)
+        elif args.format == "xml":
+            from .sources.xml import write_xml
+
+            write_xml(df, args.out)
         else:
             df.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out}")

@@ -147,3 +147,55 @@ def test_orc_roundtrip_and_pushdown(spark, sf_small, tmp_path):
     a = ev.agg({"ts": "min"}).first()[0], ev.agg({"ts": "max"}).first()[0], ev.count()
     b = back3.agg({"ts": "min"}).first()[0], back3.agg({"ts": "max"}).first()[0], back3.count()
     assert a == b
+
+
+def test_xml_roundtrip_documents(spark, sf_small, tmp_path):
+    """XML (Spark 4 native source) round-trips the documents table
+    byte-for-byte with an explicit schema, plain and gzipped."""
+    from production_ready_ds_spark.sources.jsonl import DOCUMENTS_SCHEMA
+    from production_ready_ds_spark.sources.xml import read_xml, write_xml
+    from production_ready_ds_spark.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    before = sorted(map(tuple, docs.collect()))
+    for compress, sub in ((False, "plain"), (True, "gz")):
+        out = str(tmp_path / sub)
+        write_xml(docs, out, compress=compress)
+        back = read_xml(spark, out, DOCUMENTS_SCHEMA)
+        assert sorted(map(tuple, back.select(*docs.columns).collect())) == before
+
+
+def test_xml_corrupt_elements_are_quarantined_not_fatal(spark, tmp_path):
+    """A type-malformed element must not kill the read: keep_corrupt
+    yields the clean rows plus a quarantine frame; the DROPMALFORMED
+    default silently drops it from materialized reads (count() over a
+    fully-pruned scan tallies unparsed tags — the documented caveat)."""
+    import os
+
+    from production_ready_ds_spark.sources.xml import (
+        read_xml,
+        split_corrupt_xml,
+        write_xml,
+    )
+
+    raw = str(tmp_path / "raw")
+    os.makedirs(raw)
+    with open(raw + "/part.xml", "w") as f:
+        f.write(
+            "<docs>\n"
+            "<doc><doc_id>1</doc_id><text>hello</text></doc>\n"
+            "<doc><doc_id>oops</doc_id><text>bad type</text></doc>\n"
+            "<doc><doc_id>3</doc_id><text>world</text></doc>\n"
+            "</docs>"
+        )
+    kept = read_xml(spark, raw, "doc_id long, text string", keep_corrupt=True)
+    clean, bad = split_corrupt_xml(kept)
+    assert sorted(map(tuple, clean.collect())) == [(1, "hello"), (3, "world")]
+    assert bad.count() == 1
+    dropped = read_xml(spark, raw, "doc_id long, text string")
+    assert sorted(map(tuple, dropped.collect())) == [(1, "hello"), (3, "world")]
+    # row_tag is honored on write: a custom tag reads back under it
+    out = str(tmp_path / "tagged")
+    write_xml(clean, out, row_tag="record", root_tag="records")
+    again = read_xml(spark, out, "doc_id long, text string", row_tag="record")
+    assert again.count() == 2
