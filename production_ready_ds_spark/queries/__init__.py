@@ -41,6 +41,7 @@ _MODULES = (
     "traindata",
     "bpe",
     "unigram",
+    "formats",
 )
 
 
@@ -171,6 +172,9 @@ _EXTENSION_PRIORITY = (
     "q_stream_faceted",
     "q_unigram_train",
     "q_unigram_apply",
+    "q_xml_roundtrip",
+    "q_jsonl_roundtrip",
+    "q_orc_roundtrip",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

@@ -1,0 +1,113 @@
+"""Interchange-format round-trip queries: write the documents table to
+a format, read it back, and aggregate a content checksum — so format
+FIDELITY itself sits under the driver's value-hash gate, not just under
+unit tests.
+
+Why this is a real query family: a corpus lake ingests and re-exports
+between formats constantly (JSONL crawl dumps → parquet → XML/ORC
+hand-offs), and the failure mode is silent — an encoding or escaping
+bug (XML entity escaping, JSON unicode surrogates, ORC type coercion)
+drops or mangles characters while row counts stay right. Each query
+here writes the CURRENT corpus through the format under test and
+re-aggregates (count, char totals, md5-prefix text checksum) per lang;
+the shared oracle computes the identical aggregate over the ORIGINAL
+parquet, so any loss anywhere in write→encode→read hashes red.
+
+Scale shape: one write + one read + one map-side-combinable aggregate —
+all linear, no shuffles beyond the |langs|-row agg. The staging
+directory is corpus-keyed under /tmp (bounded footprint, the
+q_stream_index convention) and REWRITTEN on every run (mode=overwrite
+under an flock): rewriting is trivially cheap at gate scale and leaves
+no stale-recipe reuse class at all.
+
+Reference grounding: the reference's only interchange surface is the
+daily CSV export (`01_classification_pipeline.py:203-207`); these
+queries are the same contract held over every format this engine
+serves, verified end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+
+#: one oracle for every format twin — the aggregate is over the
+#: ORIGINAL parquet, so each format's write→read path must reproduce
+#: the corpus exactly to hash green
+_ROUNDTRIP_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT) AS text_checksum
+FROM documents GROUP BY lang
+"""
+
+_DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """The shared post-read aggregate: per-lang count, char total, and
+    a sum-of-md5-prefix text checksum (the cross-engine md5 convention
+    — conv(substr(md5,1,8),16,10) ≡ DuckDB CAST('0x'||substr AS
+    BIGINT)). Summing the per-doc hash makes the checksum
+    order-independent while any single mangled character moves it."""
+    h = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum(h).cast("long").alias("text_checksum"),
+    )
+
+
+def _staging_dir(sf_dir: str, fmt: str) -> str:
+    from .llm import _corpus_cache_dir
+
+    return _corpus_cache_dir(f"prds_fmt_{fmt}", sf_dir, "documents", 1)
+
+
+@query("q_xml_roundtrip", category="sources", sql=_ROUNDTRIP_SQL)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → XML (Spark 4 native source, entity escaping and all)
+    → read back → checksum aggregate, hashed against the original
+    corpus. XML is the round-trip most worth gating: &, <, > in text
+    must survive escape/unescape exactly."""
+    from ..sources.xml import read_xml, write_xml
+    from .llm import _build_lock
+
+    out = _staging_dir(sf_dir, "xml")
+    with _build_lock(out):
+        write_xml(load(spark, sf_dir, "documents"), out)
+    return _roundtrip_agg(read_xml(spark, out, _DOCS_SCHEMA))
+
+
+@query("q_jsonl_roundtrip", category="sources", sql=_ROUNDTRIP_SQL)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → gzipped JSONL (the crawl-dump shape) → read back →
+    checksum aggregate; unicode escapes and gzip framing under the
+    hash gate."""
+    from ..sources.jsonl import read_jsonl, write_jsonl
+    from .llm import _build_lock
+
+    out = _staging_dir(sf_dir, "jsonl")
+    with _build_lock(out):
+        write_jsonl(load(spark, sf_dir, "documents"), out, compress=True)
+    return _roundtrip_agg(read_jsonl(spark, out, _DOCS_SCHEMA))
+
+
+@query("q_orc_roundtrip", category="sources", sql=_ROUNDTRIP_SQL)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → ORC (native vectorized reader) → read back →
+    checksum aggregate; type mapping fidelity under the hash gate."""
+    from ..sources.orc import read_orc, write_orc
+    from .llm import _build_lock
+
+    out = _staging_dir(sf_dir, "orc")
+    with _build_lock(out):
+        write_orc(load(spark, sf_dir, "documents"), out)
+    return _roundtrip_agg(read_orc(spark, out))
