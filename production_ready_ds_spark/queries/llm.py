@@ -4500,8 +4500,13 @@ def _cached_corpus_index(spark: SparkSession, sf_dir: str):
     skip_if_range_indexed makes the loser's append a no-op."""
     from ..operators.termstore import STORE_VERSION, TermStore
 
+    # key on the BUILD RECIPE (version + attrs), not the layout version
+    # alone: an attrs change at the same STORE_VERSION must never
+    # re-serve an attr-less store (the round-7 q_stream_faceted lesson)
     store = TermStore(
-        _corpus_cache_dir("prds_termstore", sf_dir, "documents", STORE_VERSION)
+        _corpus_cache_dir(
+            "prds_termstore", sf_dir, "documents", (STORE_VERSION, FACET_ATTR)
+        )
     )
     with _build_lock(store.root):
         store.append(
