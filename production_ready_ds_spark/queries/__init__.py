@@ -175,6 +175,11 @@ _EXTENSION_PRIORITY = (
     "q_xml_roundtrip",
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
+    # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
+    # stratified sample, zlib bounds contract)
+    "q_dedup_simhash",
+    "q_sample_stratified",
+    "q_quality_compress",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

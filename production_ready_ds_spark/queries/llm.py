@@ -549,17 +549,50 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash", category="llm-dedup", sql=None)
+@query(
+    "q_dedup_simhash",
+    category="llm-dedup",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM t
+    ),
+    v AS (
+      SELECT doc_id, u.i,
+             SUM(CASE WHEN ((h >> u.i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, UNNEST(range(0, 32)) AS u(i)
+      GROUP BY doc_id, u.i
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM v GROUP BY doc_id
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document — rows-only (engine hash).
+    """32-bit SimHash fingerprint per document (Charikar 2002), under
+    the FULL cross-engine hash gate: the per-token hash is the repo's
+    md5-prefix integer (first 8 hex chars of md5 over the UTF-8 token
+    bytes — the q_sketch_theta / CDC / winnowing convention), so
+    DuckDB reproduces every fingerprint bit-for-bit: explode tokens →
+    per-(doc, bit) signed contribution via bit tests on the 32-bit
+    hash → per-doc bit-majority vote (strictly-positive sets the bit;
+    duplicate tokens vote once per occurrence, i.e. frequency-weighted
+    like the original algorithm) → fingerprint int. One explode + one
+    hash-agg with map-side partial aggregation (the shuffle carries 32
+    ints per doc, never tokens); linear at scale. ``spread`` fans the
+    md5-heavy map work across cores on low-partition local scans (the
+    q_sketch_theta rule). Near-dup = fingerprints within small Hamming
+    distance (separation property tested in tests/test_llm_ops.py)."""
+    from ..tables import spread
 
-    explode tokens → per-(doc, bit) signed contribution via xxhash64 bit
-    tests → per-doc bit-majority vote → fingerprint int. One explode +
-    one hash-agg; linear at scale. Near-dup = fingerprints within small
-    Hamming distance (tested in tests/test_llm_ops.py)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -2034,41 +2067,84 @@ def readability_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("q_quality_compress", category="llm-text", sql=None)
+def compression_signal(d: DataFrame) -> DataFrame:
+    """Per-document zlib compression signal — the builder behind
+    q_quality_compress and its tests: ``comp_bytes`` (zlib level 6 of
+    the UTF-8 text, exact integer — no rounding seam), ``n_bytes``
+    (raw UTF-8 length via octet_length), and the derived
+    ``comp_ratio``. ONE Arrow-batched pandas_udf over the text column —
+    embarrassingly parallel, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _comp_bytes(texts):
+        import zlib
+
+        def nbytes(t):
+            if not t:
+                return None
+            return len(zlib.compress(t.encode("utf-8"), 6))
+
+        return texts.map(nbytes)
+
+    comp_bytes = pandas_udf(_comp_bytes, "long")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_txt"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        comp_bytes(F.col("text")).alias("comp_bytes"),
+    ).withColumn(
+        "comp_ratio",
+        F.round(F.col("comp_bytes") / F.col("n_bytes"), 4),
+    )
+
+
+@query(
+    "q_quality_compress",
+    category="llm-text",
+    sql="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_txt,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS ratio_ok
+    FROM documents
+    """,
+)
 def q_quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal: deflated_bytes / raw_bytes per
     document (zlib level 6) — the classic corpus-curation proxy the
     Gopher/FineWeb pipelines use: highly repetitive or boilerplate text
     compresses far below ~0.4, encrypted/garbage text sits near 1.0,
-    natural prose lands in between. zlib is byte-deterministic for a
-    fixed level, but no SQL engine exposes it → rows-only driver check;
-    the discriminative power is asserted on constructed docs instead
-    (repetitive ≪ random, tests/test_llm_ops.py).
+    natural prose lands in between. Verified the bounds-contract way
+    (the q_agg_approx_distinct convention): zlib is byte-deterministic
+    for a fixed level but no SQL engine exposes it, so the raw ratio
+    cannot be hashed cross-engine — but the deflate format's GUARANTEE
+    can: stored-block framing bounds output at input + 5 bytes per
+    64 KiB block + 11 bytes of header/checksum, so ``ratio_ok`` asserts
+    0 < comp_bytes ≤ n_bytes + 5·ceil(n_bytes/65535) + 11 per document
+    (vacuously TRUE for empty text), next to the EXACT char/byte
+    lengths both engines compute (length / octet_length — the UTF-8
+    multibyte seam is part of the hash). The ratio itself stays
+    available via ``compression_signal`` (its discriminative power —
+    repetitive ≪ random — is pinned in tests/test_llm_ops.py).
 
     Plan shape: ONE Arrow-batched pandas_udf over the text column —
     embarrassingly parallel, no shuffle; the spread fan-out keeps a
     one-row-group scan from serializing the Python work on one core."""
-    from pyspark.sql.functions import pandas_udf
-
     from ..tables import spread
 
-    def _ratios(texts):
-        import zlib
-
-        def ratio(t):
-            if not t:
-                return None
-            raw = t.encode("utf-8")
-            return round(len(zlib.compress(raw, 6)) / len(raw), 4)
-
-        return texts.map(ratio)
-
-    comp_ratio = pandas_udf(_ratios, "double")
-    d = spread(load(spark, sf_dir, "documents"))
-    return d.select(
+    sig = compression_signal(spread(load(spark, sf_dir, "documents")))
+    bound = (
+        F.col("n_bytes")
+        + F.lit(5) * F.ceil(F.col("n_bytes") / F.lit(65535))
+        + F.lit(11)
+    )
+    return sig.select(
         "doc_id",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        comp_ratio(F.col("text")).alias("comp_ratio"),
+        "n_chars_txt",
+        "n_bytes",
+        F.when(F.col("comp_bytes").isNull(), F.lit(True))
+        .otherwise((F.col("comp_bytes") > 0) & (F.col("comp_bytes") <= bound))
+        .alias("ratio_ok"),
     )
 
 
@@ -2147,19 +2223,72 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sample_stratified", category="llm-text", sql=None)
+#: Per-stratum keep-thresholds on the 32-bit hash draw: en keeps 1/2,
+#: de/es/fr keep 1/4. Integer thresholds (frac · 2^32) so the gate is
+#: an exact integer compare in BOTH engines — no float rounding seam.
+_STRAT_THRESHOLDS = {
+    "en": 1 << 31,
+    "de": 1 << 30,
+    "es": 1 << 30,
+    "fr": 1 << 30,
+}
+
+
+@query(
+    "q_sample_stratified",
+    category="llm-text",
+    sql=f"""
+    WITH s AS (
+      SELECT lang,
+             CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS h
+      FROM documents
+      WHERE lang IN ('en', 'de', 'es', 'fr')
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM s
+    WHERE h < CASE lang WHEN 'en' THEN {1 << 31} ELSE {1 << 30} END
+    GROUP BY lang
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy`` with per-stratum fractions,
-    fixed seed) — the corpus-mixing primitive of a training-data
-    pipeline (e.g. downsample dominant languages). Rows-only: the
-    sample is seed- and partitioning-dependent, so no cross-engine
-    oracle; the realized per-language rates are pinned to their
-    fractions in tests/test_llm_ops.py. At 100 TB this is a map-only
-    scan — each row draws against its stratum's threshold, no shuffle
-    (the plan stays a single stage; verified in tests/test_plans.py)."""
+    """Stratified sampling with per-stratum fractions — the
+    corpus-mixing primitive of a training-data pipeline (e.g.
+    downsample dominant languages) — done DETERMINISTICALLY: each row
+    draws u = md5-prefix-int('strat:' || doc_id) and survives iff
+    u < frac · 2³². Unlike ``sampleBy`` (whose draw depends on seed AND
+    partitioning, so a repartitioned rerun samples a different set),
+    the hash gate is a pure function of the ROW — reproducible across
+    reruns, engines, partitionings, and cluster sizes, which is what a
+    training-data pipeline actually needs (the same property
+    q_split_leakage_safe builds on), and what lets DuckDB verify the
+    realized sample under the full hash gate. The 'strat:' salt
+    decorrelates this draw from every other doc_id-derived hash in the
+    repo (split buckets, shard keys). Thresholds are exact integers
+    (frac · 2³²) so both engines compare in integer space — no float
+    seam. At 100 TB: map-only filter, no shuffle for the sample itself
+    (plan pinned in tests/test_plans.py); realized rates track the
+    fractions within binomial noise (tests/test_llm_ops.py)."""
     d = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25}
-    sample = d.sampleBy("lang", fractions=fractions, seed=42)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("strat:"), F.col("doc_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = F.when(F.col("lang") == "en", F.lit(_STRAT_THRESHOLDS["en"])).otherwise(
+        F.lit(1 << 30)
+    )
+    sample = d.filter(
+        F.col("lang").isin(*_STRAT_THRESHOLDS) & (h < thr)
+    )
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
@@ -5957,9 +6086,11 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _min_hit_pos(terms: tuple[str, ...]) -> Column:
     """Earliest 1-based offset of any query term in the resident
     token array ``ts`` — NULL-ignoring min over per-term
-    array_position values (Spark's 0-for-absent NULLIF-ed away — the
-    DuckDB twin's list_position is NULL-for-absent natively; F.least
-    requires ≥ 2 columns, so the single-term query short-circuits)."""
+    array_position values. Spark's array_position AND DuckDB 1.0.0's
+    list_position both return 0 for an absent element, so BOTH sides
+    need (and have) a load-bearing NULLIF(pos, 0) before the min;
+    F.least requires ≥ 2 columns, so the single-term query
+    short-circuits."""
     hits = [
         F.nullif(F.array_position("ts", F.lit(term)), F.lit(0)) for term in terms
     ]

@@ -718,12 +718,14 @@ def test_remove_dup_spans_keeps_canonical_and_cuts_copy(spark, tmp_path):
 
 def test_compression_ratio_separates_repetitive_from_random(spark, tmp_path):
     """The zlib quality signal must order constructed docs correctly:
-    highly repetitive text compresses far below random text, and the
-    ratio is deterministic across runs."""
+    highly repetitive text compresses far below random text, the ratio
+    is deterministic across runs, and the catalog entry's deflate
+    bounds contract holds on the same docs."""
     import os
     import random
 
     from production_ready_ds_spark.queries import catalog
+    from production_ready_ds_spark.queries.llm import compression_signal
 
     rng = random.Random(5)
     rep = "spam ham " * 300
@@ -735,11 +737,18 @@ def test_compression_ratio_separates_repetitive_from_random(spark, tmp_path):
     sf_dir = str(tmp_path / "comp_sf")
     os.makedirs(sf_dir, exist_ok=True)
     df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
-    fn = catalog()["q_quality_compress"].fn
-    got = {r.doc_id: r.comp_ratio for r in fn(spark, sf_dir).collect()}
+
+    def ratios():
+        from production_ready_ds_spark.tables import load
+
+        sig = compression_signal(load(spark, sf_dir, "documents"))
+        return {r.doc_id: r.comp_ratio for r in sig.collect()}
+
+    got = ratios()
     assert got[1] < 0.1 < 0.4 < got[2], got
-    again = {r.doc_id: r.comp_ratio for r in fn(spark, sf_dir).collect()}
-    assert got == again
+    assert got == ratios()
+    contract = catalog()["q_quality_compress"].fn(spark, sf_dir).collect()
+    assert len(contract) == 2 and all(r.ratio_ok for r in contract), contract
 
 
 def test_star_cc_selfloop_nodes_get_singleton_labels(spark):
