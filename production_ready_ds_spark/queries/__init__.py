@@ -176,10 +176,11 @@ _EXTENSION_PRIORITY = (
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
     # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
-    # stratified sample, zlib bounds contract)
+    # stratified sample, zlib bounds contract, IVF full-probe anchor)
     "q_dedup_simhash",
     "q_sample_stratified",
     "q_quality_compress",
+    "q_ann_recall_ivf",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",
@@ -222,7 +223,6 @@ _EXTENSION_PRIORITY = (
     "q_quality_readability",
     "q_stream_index",
     "q_search_rrf_indexed",
-    "q_ann_recall_ivf",
     # round-3 additions, queued for future driver slots in this order
     "q_dedup_segments",
     "q_join_fuzzy",

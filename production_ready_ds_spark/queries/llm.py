@@ -5144,18 +5144,67 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_recall_ivf", category="llm-similarity", sql=None)
+@query(
+    "q_ann_recall_ivf",
+    category="llm-similarity",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 10),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, c.de) DESC, c.vec_id
+               ) AS rn
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+      ) WHERE rn <= 3
+    ),
+    k AS (
+      SELECT GREATEST(16, LEAST(4096, (COUNT(*) + 63) // 64)) AS kk FROM e
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    budgets AS (
+      SELECT UNNEST([1, 2, 4, 8]) AS nprobe
+      UNION ALL
+      SELECT kk FROM k
+    )
+    SELECT CAST(b.nprobe AS BIGINT) AS nprobe,
+           t.n_truth,
+           CAST(CASE WHEN b.nprobe = k.kk THEN t.n_truth END AS BIGINT)
+             AS n_hits_full,
+           TRUE AS in_bounds,
+           TRUE AS monotone
+    FROM budgets b, t, k
+    """,
+)
 def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_ann_recall for the TRAINED quantizer: recall@3 of
-    IVFStore.search vs brute force per nprobe ∈ {1,2,4,8}, at the
-    corpus-scaled list count (scaled_ivf_k). Declared ROWS-ONLY:
-    KMeans centroids are learned state a SQL oracle cannot re-derive
-    (same declaration class as q_train_pipeline); determinism within
-    an engine is covered by the seeded trainer and the store's
-    brute-force-equality property tests (tests/test_ivfstore.py).
-    Output shape and semantics match q_ann_recall exactly, so the two
-    reports read side by side: sign-grid vs trained lists at equal
-    probe budgets."""
+    IVFStore.search vs brute force per nprobe ∈ {1,2,4,8} PLUS a
+    full-probe row at nprobe = K (the corpus-scaled list count,
+    scaled_ivf_k), under a bounds-contract oracle. KMeans centroids
+    are learned state a SQL oracle cannot re-derive, so the PARTIAL
+    budgets' hit counts cannot be hashed cross-engine — but three
+    theorems about them can, and the full-probe row can be hashed
+    EXACTLY: the K inverted lists partition the corpus, so probing all
+    of them makes search() brute force by construction (same cosine
+    kernel, same (desc sim, asc id) tie-break as the truth ranking) —
+    ``n_hits_full`` must equal the SQL-computed n_truth, and any
+    assignment/read/rank bug in the store breaks the driver hash. For
+    partial rows: ``in_bounds`` (0 ≤ hits ≤ truth) and ``monotone``
+    (hits non-decreasing in nprobe — probed-list sets are NESTED
+    prefixes of one stable centroid ranking, and any candidate that
+    displaces a global-top-3 neighbor from a superset's top-3 must
+    itself be global-top-3). n_truth is computed, not a literal:
+    DuckDB runs the same brute-force ranking. The raw per-budget
+    recall integers stay visible via ivf_recall_report (the CLI
+    ``vindex --recall`` surface) and SCALE.md's recall-economics
+    notes; determinism within the engine is covered by the seeded
+    trainer and tests/test_ivfstore.py's brute-force-equality
+    properties."""
+    from pyspark.sql import Window
+
     from ..operators.ivfstore import IVFStore
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -5170,7 +5219,22 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         if store.centroids() is None or not store.segments():
             store.train(e)
             store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
-    return ivf_recall_report(store, e)
+    k_lists = len(store.centroids())
+    report = ivf_recall_report(store, e, budgets=(1, 2, 4, 8, k_lists))
+    w = Window.orderBy("nprobe")
+    return report.select(
+        "nprobe",
+        "n_truth",
+        F.when(F.col("nprobe") == k_lists, F.col("n_hits"))
+        .cast("long")
+        .alias("n_hits_full"),
+        ((F.col("n_hits") >= 0) & (F.col("n_hits") <= F.col("n_truth"))).alias(
+            "in_bounds"
+        ),
+        F.coalesce(
+            F.col("n_hits") >= F.lag("n_hits").over(w), F.lit(True)
+        ).alias("monotone"),
+    )
 
 
 @query("q_sim_topk_pq", category="llm-similarity", sql=None)
@@ -5182,7 +5246,10 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d-dim dot products, and the top-3 neighbors per probe (vec_id <
     10) come out of code arithmetic alone. Declared ROWS-ONLY: the
     codebooks are trained KMeans state no SQL oracle can re-derive
-    (the q_ann_recall_ivf declaration class); encode-argmin
+    (the q_ann_recall_pq declaration class — and unlike
+    q_ann_recall_ivf there is no full-probe brute-force anchor to
+    hash, because ADC distances differ from exact distances at EVERY
+    budget by construction); encode-argmin
     correctness, family recall, and ADC ≡ reconstruction-distance
     equality are property-tested in tests/test_pq.py.
 
