@@ -639,6 +639,31 @@ def _labels_schema(edges: DataFrame) -> StructType:
 N_MINHASH = 16
 BAND_SIZE = 4
 MINHASH_EST_THRESHOLD = 0.5
+#: Cross-engine MinHash family (round 7): base hash = the repo's
+#: md5-prefix 32-bit integer of the shingle string, re-hashed per
+#: signature slot by the textbook universal family h_i(x) =
+#: (a_i·x + b_i) mod P with P = 4294967311, the smallest prime ABOVE
+#: the 2^32 hash domain — the modulus must sit just above the domain
+#: so the map wraps ~a_i/2 times and the slots decorrelate (a huge
+#: modulus like 2^61−1 would make h_i MONOTONE in x, collapsing every
+#: slot's argmin onto the same shingle and voiding the estimator).
+#: Every step is exact BIGINT arithmetic both engines implement
+#: identically (a_i < 2^31 and x < 2^32 keep a_i·x + b_i < 2^63 − 1,
+#: no 64-bit overflow), which is what lets the DuckDB oracle replicate
+#: whole signatures — the reason this replaced the earlier
+#: engine-private xxhash64 family. Constants come from a fixed-seed
+#: PRNG so the Spark builders and the oracle SQL interpolate the SAME
+#: values from one definition.
+MINHASH_P = 4294967311
+_mh_rng = __import__("random").Random(0x9E3779B9)
+#: 64 slots pre-generated (> N_MINHASH) so a caller widening the
+#: signature never silently reuses slot constants.
+MINHASH_A = tuple(_mh_rng.randrange(1, (1 << 31) - 1) for _ in range(64))
+MINHASH_B = tuple(_mh_rng.randrange(1 << 32) for _ in range(64))
+#: Manifest tag for on-disk signature stores: a store built under one
+#: family must never serve reads for another (the ingest-recipe
+#: staleness rule the TermStore/IVF caches already follow).
+MINHASH_FAMILY = "md5affine32-v1"
 #: Per-(band, key) bucket membership cap on the candidate join's RIGHT
 #: side: a pathological bucket (thousands of byte-identical docs share
 #: every band) otherwise does bucket² pair work. Capping ONE side keeps
@@ -662,16 +687,32 @@ def minhash_bands(
     """Banded MinHash signatures: one row per (doc, band) carrying the
     full signature (``mh0..mhN``) plus the band's bucket ``key``.
 
-    Each shingle string is hashed ONCE to a long; the N signature
-    hashes re-hash that long with a seed literal (N long-hashes per
-    row instead of N string-hashes — same uniform family, ~2× cheaper).
-    The frame is ~(N+2)·8 B per doc per band — small enough to persist
-    as the corpus's dedup index (see incremental_minhash_dedup)."""
-    sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
-        id_col, F.xxhash64("sg").alias("sgh")
+    Each shingle string is hashed ONCE to the 32-bit md5-prefix
+    integer (the cross-engine convention); the N signature hashes
+    re-hash that int with the fixed affine family MINHASH_A/B mod
+    MINHASH_P (N BIGINT mults per row instead of N string-hashes) —
+    every value reproducible in DuckDB, so q_dedup_minhash sits under
+    the full driver hash gate. ``spread`` fans the md5-heavy map
+    across cores on one-row-group local scans (the q_sketch_theta
+    rule — md5 is ~20× heavier than the xxhash64 it replaced). The
+    frame is ~(N+2)·8 B per doc per band — small enough to persist as
+    the corpus's dedup index (see incremental_minhash_dedup)."""
+    from ..tables import spread
+
+    sh = shingled_docs(spread(docs), id_col=id_col, text_col=text_col).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("sg").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("sgh"),
     )
     sig = sh.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sgh"))).alias(f"mh{i}") for i in range(n_hashes)]
+        *[
+            F.min(
+                (F.col("sgh") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
     )
     n_bands = n_hashes // band_size
     bands = sig.select(

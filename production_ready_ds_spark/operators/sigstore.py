@@ -45,6 +45,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .dedup import MINHASH_FAMILY
 from .layout import write_range_clustered
 
 MANIFEST = "_MANIFEST.json"
@@ -85,15 +86,27 @@ class SignatureStore:
     def segments(self) -> list[dict]:
         try:
             with open(self._manifest_path()) as fh:
-                return json.load(fh)["segments"]
+                data = json.load(fh)
         except FileNotFoundError:
             return []
+        fam = data.get("family")
+        if data["segments"] and fam != MINHASH_FAMILY:
+            # The ingest-recipe staleness rule (same as the TermStore /
+            # IVF caches): signatures from a different hash family are
+            # incomparable integers — serving them would silently void
+            # every candidate join against this engine's signatures.
+            raise ValueError(
+                f"SignatureStore at {self.root} was built with MinHash "
+                f"family {fam!r}; this engine uses {MINHASH_FAMILY!r}. "
+                "Rebuild the store (delete the directory and re-ingest)."
+            )
+        return data["segments"]
 
     def _write_manifest(self, segments: list[dict]) -> None:
         os.makedirs(self.root, exist_ok=True)
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"segments": segments}, fh, indent=1)
+            json.dump({"segments": segments, "family": MINHASH_FAMILY}, fh, indent=1)
         os.replace(tmp, self._manifest_path())
 
     def _seg_path(self, seg: dict) -> str:

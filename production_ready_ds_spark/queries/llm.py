@@ -33,6 +33,9 @@ from ..functions.vectors import (
 )
 from ..operators.dedup import (
     DEFAULT_DF_CAP,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     connected_components,
     connected_components_star,
     jaccard_pairs,
@@ -524,14 +527,69 @@ _N_MINHASH = 16
 _BAND_SIZE = 4
 
 
-@query("q_dedup_minhash", category="llm-dedup", bench=True, sql=None)
+# DuckDB replay of the full MinHash pipeline (possible since round 7's
+# md5+affine family — every step is exact BIGINT arithmetic both
+# engines share). Bands bucket on the exact 4-tuple where Spark buckets
+# on xxhash64 of it: identical semantics up to a ~2^-64 key collision.
+_MH_MINS = ",\n             ".join(
+    f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+    for i in range(16)
+)
+_MH_AGREE = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+_MH_BAND_KEY = (
+    "CASE b.band "
+    + " ".join(
+        f"WHEN {bi} THEN [mh{bi * 4}, mh{bi * 4 + 1}, mh{bi * 4 + 2}, mh{bi * 4 + 3}]"
+        for bi in range(4)
+    )
+    + " END"
+)
+_MINHASH_SQL = f"""
+    WITH shl AS (
+      SELECT doc_id, CAST('0x' || substr(md5(sg), 1, 8) AS BIGINT) AS h
+      FROM ({_DUCK_SHINGLES})
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM shl GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b.band, {_MH_BAND_KEY} AS key
+      FROM sig, UNNEST(range(0, 4)) AS b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2
+        ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+    ),
+    score AS (
+      SELECT c.doc_a, c.doc_b, ({_MH_AGREE}) / 16.0 AS ej
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(ej, 4) AS est_jaccard
+    FROM score WHERE ej >= 0.5
+"""
+
+
+@query("q_dedup_minhash", category="llm-dedup", bench=True, sql=_MINHASH_SQL)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates — rows-only (xxhash64 seeds are
-    engine-specific, so no cross-engine oracle; the estimator itself is
-    validated against exact Jaccard in tests/test_llm_ops.py).
+    """MinHash + LSH near-dup candidates, under the FULL cross-engine
+    hash gate since round 7: the hash family is md5-prefix-int per
+    shingle re-hashed by a fixed affine map mod 2^61−1 (exact BIGINT
+    arithmetic in both engines), so DuckDB replays the entire
+    shingle → signature → band → bucket-join → agreement pipeline and
+    every emitted (pair, est_jaccard) is value-hashed. est_jaccard is
+    always k/16 — exactly representable in binary AND four decimals,
+    so ROUND is tie-free. The estimator quality itself is still
+    validated against exact Jaccard in tests/test_llm_ops.py.
 
     Spark-native implementation (no MLlib vectors needed):
-    shingle → 16 per-shingle xxhash64 values (seeded by prefix literal)
+    shingle → md5-prefix int (ONE string hash) → 16 affine re-hashes
     → per-doc column-wise MIN (one hash-agg) → 4 bands of 4 → candidate
     pairs = docs sharing any band key → estimated Jaccard = fraction of
     agreeing signature components. At 100 TB: cost is linear in corpus
@@ -2386,9 +2444,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_minhash_dedup", category="llm-dedup", sql=None)
+@query("q_minhash_dedup", category="llm-dedup", sql=_MINHASH_SQL)
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2b name-for-name alias of :func:`q_dedup_minhash`."""
+    """SURVEY §2b name-for-name alias of :func:`q_dedup_minhash`
+    (same full-hash oracle since the round-7 md5+affine family)."""
     return q_dedup_minhash(spark, sf_dir)
 
 

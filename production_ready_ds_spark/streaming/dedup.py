@@ -11,9 +11,9 @@ Operator shape (mirrors operators/dedup.py minhash_bands +
 minhash_candidates, incremental form):
 
 1. **Map-only signatures.** Per-doc MinHash signatures are computed as
-   ARRAY EXPRESSIONS (array_min over per-seed rehashes of the doc's own
+   ARRAY EXPRESSIONS (array_min over per-slot rehashes of the doc's own
    shingle array) — bit-identical to the batch explode+groupBy chain
-   (same xxhash64(seed, xxhash64(shingle)) composition, and min is
+   (same (a_i·md5prefix(shingle)+b_i) mod P composition, and min is
    insensitive to the batch path's distinct), but with ZERO shuffle
    before the stateful stage, which Structured Streaming's
    one-stateful-op-per-query rule effectively requires.
@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     BAND_SIZE,
+    MINHASH_A,
+    MINHASH_B,
     MINHASH_EST_THRESHOLD,
+    MINHASH_P,
     N_MINHASH,
     OVERSIZED_BUCKET_CAP,
     shingles,
@@ -57,13 +60,26 @@ STATE_SCHEMA = "blob binary"
 
 def signature_columns(text_col, *, n_hashes: int = N_MINHASH) -> list:
     """Per-doc MinHash signature as pure column expressions: mh_i =
-    array_min(xxhash64(i, xxhash64(shingle))) over the doc's shingle
-    array. Same hash chain as operators/dedup.py minhash_bands; NULL
-    when the doc has no shingles (callers drop those rows, matching the
-    batch path where such docs never survive the explode)."""
-    sgh = F.transform(shingles(tokens_expr(text_col)), lambda s: F.xxhash64(s))
+    array_min((a_i·md5prefix(shingle) + b_i) mod P) over the doc's
+    shingle array. Same md5+affine chain as operators/dedup.py
+    minhash_bands (the shingle array is already distinct, so the min
+    matches the batch path's distinct-explode exactly); NULL when the
+    doc has no shingles (callers drop those rows, matching the batch
+    path where such docs never survive the explode)."""
+    sgh = F.transform(
+        shingles(tokens_expr(text_col)),
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
     return [
-        F.array_min(F.transform(sgh, lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
+        F.array_min(
+            F.transform(
+                sgh,
+                lambda h: (h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P),
+            )
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
 

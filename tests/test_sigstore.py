@@ -229,3 +229,25 @@ def test_delete_ids_rewrites_only_intersecting_segments(spark, tmp_path):
     assert store.known_ids(spark, id_min=0, id_max=39).count() == 38
     # deleting ids no segment can contain is a metadata no-op
     assert store.delete_ids(spark, [10**12]) == 0
+
+
+def test_foreign_hash_family_manifest_is_refused(spark, tmp_path):
+    """A store built under a different MinHash family must refuse reads
+    instead of silently joining incomparable signature integers (the
+    ingest-recipe staleness rule). An EMPTY legacy manifest is harmless
+    and keeps working."""
+    import json
+
+    import pytest
+
+    store = SignatureStore(str(tmp_path / "fam"))
+    store.append(_bands_for(spark, 0, 10), id_min=0, id_max=9)
+    man = json.load(open(store._manifest_path()))
+    assert man["family"]  # stamped on every write
+    man["family"] = "xxhash64-legacy"
+    json.dump(man, open(store._manifest_path(), "w"))
+    with pytest.raises(ValueError, match="MinHash"):
+        store.segments()
+    # empty store from an older layout: nothing to mis-join, allowed
+    json.dump({"segments": []}, open(store._manifest_path(), "w"))
+    assert store.segments() == []
