@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from .llm import _BM25_SQL, _FACETED_SQL, _PPL_SQL, _markup_sql
+from .llm import _BM25_SQL, _FACETED_SQL, _MINHASH_SQL, _PPL_SQL, _markup_sql
 
 _MARKUP_SQL_ORACLE = _markup_sql()
 from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
@@ -164,7 +164,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type").distinct()
 
 
-@query("q_stream_dedup_pairs", category="streaming", sql=None)
+@query("q_stream_dedup_pairs", category="streaming", sql=_MINHASH_SQL)
 def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup candidate pairs over the documents table —
     the ingest-dedup keep-rule as ONE stateful operator
@@ -172,9 +172,14 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression signatures, per-(band, key) applyInPandasWithState
     holding the bucket's cap lowest-id member signatures). Run to
     completion and collapsed to distinct pairs (the documented
-    cross-band dedup). Rows-only for the driver (minhash signatures
-    are engine-hash-specific, same as q_dedup_minhash); the strong
-    check is the streaming≡batch pair-set equivalence in
+    cross-band dedup). Under the FULL hash gate since round 7's
+    md5+affine family: the oracle is the SAME _MINHASH_SQL as the
+    batch names — at corpus scale-factor bucket sizes (every bucket ≤
+    the cap) the stateful cap rule is arrival-order-insensitive and
+    the stream's distinct pair set equals batch minhash_candidates
+    exactly, so DuckDB value-hashes the streaming operator's output
+    end-to-end; the stream≡batch equivalence across micro-batches,
+    re-delivery, and oversized families stays pinned in
     tests/test_streaming_dedup.py."""
     import os
 
