@@ -6961,3 +6961,56 @@ def q_clean_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept_n.cast("long").alias("n_tokens_kept"),
         F.array_join(F.slice("ts", 1, kept_n), " ").alias("clean_text"),
     )
+
+
+def _unicode_sql() -> str:
+    from ..functions.unicode_norm import dirty_unicode_sql, normalize_unicode_sql
+
+    return f"""
+    WITH dirty AS (
+      SELECT doc_id, {dirty_unicode_sql("text", "doc_id")} AS dirty
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, dirty, {normalize_unicode_sql("dirty")} AS clean
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(dirty) AS BIGINT) AS n_chars_in,
+           CAST(length(clean) AS BIGINT) AS n_chars_out,
+           md5(clean) AS cleaned_md5
+    FROM clean
+    """
+
+
+@query("q_clean_unicode", category="llm-text", sql=_unicode_sql())
+def q_clean_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NORMALIZATION — NFC composition plus invisible-junk
+    removal (space variants → ASCII space, zero-width/BOM/soft-hyphen
+    and control characters deleted, space runs collapsed), the
+    cleaning step every multilingual corpus pipeline runs before
+    tokenization: a decomposed accent ("e" + U+0301) and its composed
+    twin ("é") are different bytes to EVERY downstream hash — exact
+    dedup, minhash shingles, BM25 terms — so skipping this silently
+    splits duplicate families and vocabulary entries. The shipped
+    corpus is pure ASCII, so every DIRT_MOD-th document is first
+    dirtied DETERMINISTICALLY in both engines (decomposed accent,
+    NBSP, zero-width space, BEL, thin/ideographic spaces, soft
+    hyphen, CRLF — the q_clean_repetition fixture-synthesis
+    convention; functions/unicode_norm.py sql_text_literal embeds the
+    invisible characters into the oracle as chr() calls), then both
+    engines clean it: Spark = one Arrow pandas_udf for NFC + the
+    shared UNICODE_STEPS regexp chain in codegen, DuckDB =
+    nfc_normalize + the same chain — and the md5 of every cleaned
+    document is value-hashed. Exact-semantics and cross-engine fuzz
+    tests in tests/test_unicode_norm.py.
+
+    Scale shape: map-only (one Arrow batch pass + codegen regex), no
+    shuffle; composes as a column step in the curation DAG at any
+    corpus size. The report ships lengths + cleaned-text md5 — the
+    cleaned column itself stays distributed."""
+    from ..functions.unicode_norm import clean_unicode_frame
+    from ..tables import spread
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    return clean_unicode_frame(d)
