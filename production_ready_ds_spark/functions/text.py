@@ -67,6 +67,21 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\W+"), lambda t: t != "")
 
 
+def md5_prefix_int(col: Column) -> Column:
+    """THE cross-engine 32-bit string hash: first 8 hex chars of md5
+    over the UTF-8 bytes, as a long — ONE definition (the
+    gram_hash_at rule: a one-character drift in any inline copy
+    silently breaks exactly that query's oracle parity). DuckDB twin:
+    :func:`md5_prefix_int_sql`."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def md5_prefix_int_sql(expr: str) -> str:
+    """DuckDB twin of :func:`md5_prefix_int` — computes the identical
+    integer from the identical bytes."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
 def tokens_expr_unicode(text: Column) -> Column:
     """Unicode-aware variant of :func:`tokens_expr` for reference
     replay: the reference tokenizes with a Python ``\\w+`` regex, which

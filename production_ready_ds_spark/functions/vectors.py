@@ -72,12 +72,19 @@ def scaled_sign_planes(
     return p
 
 
+#: Clamp bounds for the trained list count — module constants so SQL
+#: oracles that must re-derive the formula (q_ann_recall_ivf's
+#: full-probe row) interpolate THESE instead of copying literals.
+IVF_MIN_K = 16
+IVF_MAX_K = 4096
+
+
 def scaled_ivf_k(
     n_rows: int,
     *,
     target_list_rows: int = SIGN_TARGET_BUCKET_ROWS,
-    min_k: int = 16,
-    max_k: int = 4096,
+    min_k: int = IVF_MIN_K,
+    max_k: int = IVF_MAX_K,
 ) -> int:
     """Trained-quantizer twin of :func:`scaled_sign_planes`: the KMeans
     list count that brings the mean inverted list to ≤ target_list_rows

@@ -699,11 +699,10 @@ def minhash_bands(
     the corpus's dedup index (see incremental_minhash_dedup)."""
     from ..tables import spread
 
+    from ..functions.text import md5_prefix_int
+
     sh = shingled_docs(spread(docs), id_col=id_col, text_col=text_col).select(
-        id_col,
-        F.conv(F.substring(F.md5(F.col("sg").cast("binary")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("sgh"),
+        id_col, md5_prefix_int(F.col("sg")).alias("sgh")
     )
     sig = sh.groupBy(id_col).agg(
         *[

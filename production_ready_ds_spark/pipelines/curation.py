@@ -28,17 +28,22 @@ from ..tables import load
 from ..workflow import LocalTarget, Parameter, ParquetTarget, SparkTask
 
 
-def _variant(clean_markup, redact_pii) -> str:
+def _variant(clean_markup, normalize_unicode, redact_pii) -> str:
     """Stage-identity suffix for the TEXT-MUTATING flags: a target
     produced from raw text must never satisfy a cleaned run's
     completeness check — without this, toggling clean_markup/
-    redact_pii against an existing data_root silently reuses stale
-    uncleaned output (a privacy bug: the "redacted" report would
-    ship raw PII). Numeric knobs (min_quality, jaccard_threshold)
-    deliberately stay OUT of the path — they tune the funnel rather
-    than change what the text IS; callers sweeping them use distinct
-    data_roots (documented contract)."""
-    return ("+markup" if clean_markup else "") + ("+pii" if redact_pii else "")
+    normalize_unicode/redact_pii against an existing data_root
+    silently reuses stale uncleaned output (a privacy bug: the
+    "redacted" report would ship raw PII). Numeric knobs
+    (min_quality, jaccard_threshold) deliberately stay OUT of the
+    path — they tune the funnel rather than change what the text IS;
+    callers sweeping them use distinct data_roots (documented
+    contract)."""
+    return (
+        ("+markup" if clean_markup else "")
+        + ("+uni" if normalize_unicode else "")
+        + ("+pii" if redact_pii else "")
+    )
 
 
 def _stage_dir(root: str, stage: str) -> str:
@@ -62,12 +67,13 @@ class ScoreDocuments(SparkTask):
     data_root = Parameter()
     sf_dir = Parameter()
     clean_markup = Parameter(default=False)
+    normalize_unicode = Parameter(default=False)
     redact_pii = Parameter(default=False)
 
     def output(self):
         return ParquetTarget(_stage_dir(
             self.data_root,
-            "scored" + _variant(self.clean_markup, self.redact_pii),
+            "scored" + _variant(self.clean_markup, self.normalize_unicode, self.redact_pii),
         ))
 
     def main(self, spark):
@@ -78,6 +84,14 @@ class ScoreDocuments(SparkTask):
             from ..functions.markup import strip_markup
 
             d = d.withColumn("text", strip_markup(F.col("text")))
+        if self.normalize_unicode:
+            from ..functions.unicode_norm import normalize_unicode as _norm
+
+            # AFTER markup (entity decode can emit NBSP — &nbsp; must
+            # already be a character before the space-variant pass),
+            # BEFORE PII (composed text matches the PII patterns the
+            # way decomposed text does not)
+            d = d.withColumn("text", _norm(F.col("text")))
         if self.redact_pii:
             from ..functions.pii import redact_pii as _redact
 
@@ -126,6 +140,7 @@ class FilterQuality(SparkTask):
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
     clean_markup = Parameter(default=False)
+    normalize_unicode = Parameter(default=False)
     redact_pii = Parameter(default=False)
 
     def requires(self):
@@ -133,13 +148,14 @@ class FilterQuality(SparkTask):
             data_root=self.data_root,
             sf_dir=self.sf_dir,
             clean_markup=self.clean_markup,
+            normalize_unicode=self.normalize_unicode,
             redact_pii=self.redact_pii,
         )
 
     def output(self):
         return ParquetTarget(_stage_dir(
             self.data_root,
-            "filtered" + _variant(self.clean_markup, self.redact_pii),
+            "filtered" + _variant(self.clean_markup, self.normalize_unicode, self.redact_pii),
         ))
 
     def main(self, spark):
@@ -157,6 +173,7 @@ class DedupExact(SparkTask):
     sf_dir = Parameter()
     min_quality = Parameter(default=0.1)
     clean_markup = Parameter(default=False)
+    normalize_unicode = Parameter(default=False)
     redact_pii = Parameter(default=False)
 
     def requires(self):
@@ -165,13 +182,14 @@ class DedupExact(SparkTask):
             sf_dir=self.sf_dir,
             min_quality=self.min_quality,
             clean_markup=self.clean_markup,
+            normalize_unicode=self.normalize_unicode,
             redact_pii=self.redact_pii,
         )
 
     def output(self):
         return ParquetTarget(_stage_dir(
             self.data_root,
-            "dedup_exact" + _variant(self.clean_markup, self.redact_pii),
+            "dedup_exact" + _variant(self.clean_markup, self.normalize_unicode, self.redact_pii),
         ))
 
     def main(self, spark):
@@ -199,6 +217,7 @@ class DedupNear(SparkTask):
     min_quality = Parameter(default=0.1)
     jaccard_threshold = Parameter(default=0.5)
     clean_markup = Parameter(default=False)
+    normalize_unicode = Parameter(default=False)
     redact_pii = Parameter(default=False)
 
     def requires(self):
@@ -207,13 +226,14 @@ class DedupNear(SparkTask):
             sf_dir=self.sf_dir,
             min_quality=self.min_quality,
             clean_markup=self.clean_markup,
+            normalize_unicode=self.normalize_unicode,
             redact_pii=self.redact_pii,
         )
 
     def output(self):
         return ParquetTarget(_stage_dir(
             self.data_root,
-            "dedup_near" + _variant(self.clean_markup, self.redact_pii),
+            "dedup_near" + _variant(self.clean_markup, self.normalize_unicode, self.redact_pii),
         ))
 
     def main(self, spark):
@@ -241,6 +261,7 @@ class CurationReport(SparkTask):
     min_quality = Parameter(default=0.1)
     jaccard_threshold = Parameter(default=0.5)
     clean_markup = Parameter(default=False)
+    normalize_unicode = Parameter(default=False)
     redact_pii = Parameter(default=False)
 
     def requires(self):
@@ -250,11 +271,12 @@ class CurationReport(SparkTask):
             min_quality=self.min_quality,
             jaccard_threshold=self.jaccard_threshold,
             clean_markup=self.clean_markup,
+            normalize_unicode=self.normalize_unicode,
             redact_pii=self.redact_pii,
         )
 
     def output(self):
-        v = _variant(self.clean_markup, self.redact_pii)
+        v = _variant(self.clean_markup, self.normalize_unicode, self.redact_pii)
         return LocalTarget(
             os.path.join(self.data_root, "curation", f"report{v}.json")
         )
@@ -282,6 +304,7 @@ class CurationReport(SparkTask):
 def curation_dag(data_root: str, sf_dir: str, *, min_quality: float = 0.1,
                  jaccard_threshold: float = 0.5,
                  clean_markup: bool = False,
+                 normalize_unicode: bool = False,
                  redact_pii: bool = False) -> CurationReport:
     """The full curation DAG rooted at its report task."""
     return CurationReport(
@@ -290,5 +313,6 @@ def curation_dag(data_root: str, sf_dir: str, *, min_quality: float = 0.1,
         min_quality=min_quality,
         jaccard_threshold=jaccard_threshold,
         clean_markup=clean_markup,
+        normalize_unicode=normalize_unicode,
         redact_pii=redact_pii,
     )

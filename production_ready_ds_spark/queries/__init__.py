@@ -238,7 +238,6 @@ _EXTENSION_PRIORITY = (
     "q_embed_quantize",
     "q_dedup_cdc",
     "q_remove_dup_spans",
-    "q_quality_compress",
     "q_dup_impact",
     "q_curation_funnel",
     "q_split_leakage_safe",
@@ -252,7 +251,6 @@ _EXTENSION_PRIORITY = (
     "q_source_token_budget",
     "q_dup_source_matrix",
     "q_dedup_embedding_multiprobe",
-    "q_dedup_simhash",
     "q_dedup_minhash",
     "q_event_funnel",
     "q_event_retention",

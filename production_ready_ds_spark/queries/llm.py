@@ -18,8 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..functions.ranking import ranked_topk
-from ..functions.text import STOPWORDS, stopword_ratio, tokens_expr
+from ..functions.text import (
+    STOPWORDS,
+    md5_prefix_int,
+    md5_prefix_int_sql,
+    stopword_ratio,
+    tokens_expr,
+)
 from ..functions.vectors import (
+    IVF_MAX_K,
+    IVF_MIN_K,
     SIGN_MAX_PLANES,
     SIGN_MIN_PLANES,
     SIGN_TARGET_BUCKET_ROWS,
@@ -529,26 +537,34 @@ _BAND_SIZE = 4
 
 # DuckDB replay of the full MinHash pipeline (possible since round 7's
 # md5+affine family — every step is exact BIGINT arithmetic both
-# engines share). Bands bucket on the exact 4-tuple where Spark buckets
+# engines share). Every fragment is GENERATED from the same
+# _N_MINHASH/_BAND_SIZE/threshold constants the Spark path uses, so
+# retuning the signature width cannot leave the oracle computing the
+# old family. Bands bucket on the exact band tuple where Spark buckets
 # on xxhash64 of it: identical semantics up to a ~2^-64 key collision.
 _MH_MINS = ",\n             ".join(
     f"MIN((h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
-    for i in range(16)
+    for i in range(_N_MINHASH)
 )
 _MH_AGREE = " + ".join(
-    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(_N_MINHASH)
 )
 _MH_BAND_KEY = (
     "CASE b.band "
     + " ".join(
-        f"WHEN {bi} THEN [mh{bi * 4}, mh{bi * 4 + 1}, mh{bi * 4 + 2}, mh{bi * 4 + 3}]"
-        for bi in range(4)
+        "WHEN {b} THEN [{cols}]".format(
+            b=bi,
+            cols=", ".join(
+                f"mh{bi * _BAND_SIZE + j}" for j in range(_BAND_SIZE)
+            ),
+        )
+        for bi in range(_N_MINHASH // _BAND_SIZE)
     )
     + " END"
 )
 _MINHASH_SQL = f"""
     WITH shl AS (
-      SELECT doc_id, CAST('0x' || substr(md5(sg), 1, 8) AS BIGINT) AS h
+      SELECT doc_id, {md5_prefix_int_sql("sg")} AS h
       FROM ({_DUCK_SHINGLES})
     ),
     sig AS (
@@ -558,7 +574,7 @@ _MINHASH_SQL = f"""
     ),
     bands AS (
       SELECT doc_id, b.band, {_MH_BAND_KEY} AS key
-      FROM sig, UNNEST(range(0, 4)) AS b(band)
+      FROM sig, UNNEST(range(0, {_N_MINHASH // _BAND_SIZE})) AS b(band)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
@@ -566,13 +582,13 @@ _MINHASH_SQL = f"""
         ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
     ),
     score AS (
-      SELECT c.doc_a, c.doc_b, ({_MH_AGREE}) / 16.0 AS ej
+      SELECT c.doc_a, c.doc_b, ({_MH_AGREE}) / {float(_N_MINHASH)} AS ej
       FROM cand c
       JOIN sig sa ON sa.doc_id = c.doc_a
       JOIN sig sb ON sb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, ROUND(ej, 4) AS est_jaccard
-    FROM score WHERE ej >= 0.5
+    FROM score WHERE ej >= {MINHASH_EST_THRESHOLD}
 """
 
 
@@ -580,8 +596,11 @@ _MINHASH_SQL = f"""
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates, under the FULL cross-engine
     hash gate since round 7: the hash family is md5-prefix-int per
-    shingle re-hashed by a fixed affine map mod 2^61−1 (exact BIGINT
-    arithmetic in both engines), so DuckDB replays the entire
+    shingle re-hashed by the fixed affine family mod MINHASH_P =
+    4294967311 — the smallest prime ABOVE the 2^32 hash domain, NOT a
+    large prime: see the operators/dedup.py constants comment for why
+    a big modulus makes the map monotone and collapses the estimator
+    (exact BIGINT arithmetic in both engines), so DuckDB replays the entire
     shingle → signature → band → bucket-join → agreement pipeline and
     every emitted (pair, est_jaccard) is value-hashed. est_jaccard is
     always k/16 — exactly representable in binary AND four decimals,
@@ -648,9 +667,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(load(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    h = md5_prefix_int(F.col("tok"))
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -2175,15 +2192,20 @@ def q_quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural prose lands in between. Verified the bounds-contract way
     (the q_agg_approx_distinct convention): zlib is byte-deterministic
     for a fixed level but no SQL engine exposes it, so the raw ratio
-    cannot be hashed cross-engine — but the deflate format's GUARANTEE
-    can: stored-block framing bounds output at input + 5 bytes per
-    64 KiB block + 11 bytes of header/checksum, so ``ratio_ok`` asserts
-    0 < comp_bytes ≤ n_bytes + 5·ceil(n_bytes/65535) + 11 per document
-    (vacuously TRUE for empty text), next to the EXACT char/byte
-    lengths both engines compute (length / octet_length — the UTF-8
-    multibyte seam is part of the hash). The ratio itself stays
-    available via ``compression_signal`` (its discriminative power —
-    repetitive ≪ random — is pinned in tests/test_llm_ops.py).
+    cannot be hashed cross-engine — but the library's PUBLISHED
+    worst-case can: ``ratio_ok`` asserts 0 < comp_bytes ≤
+    compressBound(n_bytes) = n_bytes + (n_bytes>>12) + (n_bytes>>14)
+    + (n_bytes>>25) + 13 per document (zlib.h's documented bound for
+    one-shot compress at ANY level and ANY input — including
+    max-entropy bytes, where the naive 5-per-64KiB stored-block
+    arithmetic is NOT valid because deflate emits stored blocks at its
+    ~16 KiB symbol-buffer granularity; vacuously TRUE for empty
+    text), next to the EXACT char/byte lengths both engines compute
+    (length / octet_length — the UTF-8 multibyte seam is part of the
+    hash). The ratio itself stays available via
+    ``compression_signal`` (its discriminative power — repetitive ≪
+    random — is pinned in tests/test_llm_ops.py, and the bound is
+    exercised on incompressible input there too).
 
     Plan shape: ONE Arrow-batched pandas_udf over the text column —
     embarrassingly parallel, no shuffle; the spread fan-out keeps a
@@ -2191,10 +2213,13 @@ def q_quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread
 
     sig = compression_signal(spread(load(spark, sf_dir, "documents")))
+    nb = F.col("n_bytes")
     bound = (
-        F.col("n_bytes")
-        + F.lit(5) * F.ceil(F.col("n_bytes") / F.lit(65535))
-        + F.lit(11)
+        nb
+        + F.shiftright(nb, 12)
+        + F.shiftright(nb, 14)
+        + F.shiftright(nb, 25)
+        + F.lit(13)
     )
     return sig.select(
         "doc_id",
@@ -2284,12 +2309,30 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Per-stratum keep-thresholds on the 32-bit hash draw: en keeps 1/2,
 #: de/es/fr keep 1/4. Integer thresholds (frac · 2^32) so the gate is
 #: an exact integer compare in BOTH engines — no float rounding seam.
+#: THE single source of truth: the Spark CASE, the SQL CASE, and the
+#: stratum membership list are all generated from this dict below, so
+#: adding/retuning a stratum cannot desync the engines or fall into a
+#: hidden ELSE branch.
 _STRAT_THRESHOLDS = {
     "en": 1 << 31,
     "de": 1 << 30,
     "es": 1 << 30,
     "fr": 1 << 30,
 }
+_STRAT_LANGS_SQL = ", ".join(f"'{lang}'" for lang in _STRAT_THRESHOLDS)
+_STRAT_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {thr}" for lang, thr in _STRAT_THRESHOLDS.items())
+    + " END"
+)
+
+
+def _strat_threshold_col() -> Column:
+    out = None
+    for lang, thr in _STRAT_THRESHOLDS.items():
+        cond = F.col("lang") == lang
+        out = F.when(cond, F.lit(thr)) if out is None else out.when(cond, F.lit(thr))
+    return out
 
 
 @query(
@@ -2298,14 +2341,13 @@ _STRAT_THRESHOLDS = {
     sql=f"""
     WITH s AS (
       SELECT lang,
-             CAST('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)
-                  AS BIGINT) AS h
+             {md5_prefix_int_sql("'strat:' || CAST(doc_id AS VARCHAR)")} AS h
       FROM documents
-      WHERE lang IN ('en', 'de', 'es', 'fr')
+      WHERE lang IN ({_STRAT_LANGS_SQL})
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
     FROM s
-    WHERE h < CASE lang WHEN 'en' THEN {1 << 31} ELSE {1 << 30} END
+    WHERE h < {_STRAT_CASE_SQL}
     GROUP BY lang
     """,
 )
@@ -2328,24 +2370,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan pinned in tests/test_plans.py); realized rates track the
     fractions within binomial noise (tests/test_llm_ops.py)."""
     d = load(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(F.lit("strat:"), F.col("doc_id").cast("string")).cast(
-                    "binary"
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
-    thr = F.when(F.col("lang") == "en", F.lit(_STRAT_THRESHOLDS["en"])).otherwise(
-        F.lit(1 << 30)
-    )
+    h = md5_prefix_int(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
     sample = d.filter(
-        F.col("lang").isin(*_STRAT_THRESHOLDS) & (h < thr)
+        F.col("lang").isin(*_STRAT_THRESHOLDS) & (h < _strat_threshold_col())
     )
     return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
@@ -5206,7 +5233,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_recall_ivf",
     category="llm-similarity",
-    sql="""
+    sql=f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
     ),
@@ -5221,7 +5248,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= 3
     ),
     k AS (
-      SELECT GREATEST(16, LEAST(4096, (COUNT(*) + 63) // 64)) AS kk FROM e
+      -- scaled_ivf_k re-derived from ITS OWN constants (not copied
+      -- literals): clamp(ceil(N / target_list_rows), min_k, max_k)
+      SELECT GREATEST({IVF_MIN_K}, LEAST({IVF_MAX_K},
+               (COUNT(*) + {SIGN_TARGET_BUCKET_ROWS - 1}) // {SIGN_TARGET_BUCKET_ROWS}))
+             AS kk
+      FROM e
     ),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
     budgets AS (
@@ -5279,6 +5311,20 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.train(e)
             store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
     k_lists = len(store.centroids())
+    from ..functions.vectors import scaled_ivf_k
+    from ..operators.ivfstore import DEFAULT_K
+
+    expected_k = scaled_ivf_k(e.count(), min_k=DEFAULT_K)
+    if k_lists != expected_k:
+        # The oracle re-derives K from scaled_ivf_k's constants; a
+        # store trained under different knobs (or a KMeans run that
+        # returned fewer than k centers on degenerate data) would make
+        # the full-probe row silently un-comparable — fail loudly.
+        raise ValueError(
+            f"IVF store has {k_lists} lists but scaled_ivf_k expects "
+            f"{expected_k}; the q_ann_recall_ivf oracle cannot verify "
+            "a store trained under different sizing knobs"
+        )
     report = ivf_recall_report(store, e, budgets=(1, 2, 4, 8, k_lists))
     w = Window.orderBy("nprobe")
     return report.select(

@@ -52,7 +52,7 @@ from ..operators.dedup import (
     OVERSIZED_BUCKET_CAP,
     shingles,
 )
-from ..functions.text import tokens_expr
+from ..functions.text import md5_prefix_int, tokens_expr
 
 OUTPUT_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
 STATE_SCHEMA = "blob binary"
@@ -66,12 +66,7 @@ def signature_columns(text_col, *, n_hashes: int = N_MINHASH) -> list:
     matches the batch path's distinct-explode exactly); NULL when the
     doc has no shingles (callers drop those rows, matching the batch
     path where such docs never survive the explode)."""
-    sgh = F.transform(
-        shingles(tokens_expr(text_col)),
-        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-    )
+    sgh = F.transform(shingles(tokens_expr(text_col)), md5_prefix_int)
     return [
         F.array_min(
             F.transform(

@@ -177,3 +177,49 @@ def test_curation_flag_flip_recomputes_not_reuses(spark, sf_small, tmp_path):
 
     assert os.path.isdir(os.path.join(root, "curation", "scored"))
     assert os.path.isdir(os.path.join(root, "curation", "scored+pii"))
+
+
+def test_curation_normalize_unicode_composes_between_markup_and_pii(
+    spark, sf_small, tmp_path
+):
+    """normalize_unicode=True must compose AFTER the markup strip
+    (&nbsp; decodes to the NBSP character, which the space pass then
+    folds) and BEFORE PII (the decomposed accent around the email must
+    not block redaction context), with its own target-identity
+    suffix."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.tables import load
+
+    dirty_dir = str(tmp_path / "dirty")
+    os.makedirs(dirty_dir)
+    load(spark, sf_small, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("<p>Café&nbsp;menu</p> mail bob@leak.example.com "),
+            F.col("text"),
+        ),
+    ).write.parquet(os.path.join(dirty_dir, "documents.parquet"))
+
+    root = str(tmp_path / "out")
+    build(
+        [
+            ScoreDocuments(
+                data_root=root, sf_dir=dirty_dir,
+                clean_markup=True, normalize_unicode=True, redact_pii=True,
+            )
+        ]
+    )
+    scored = spark.read.parquet(
+        os.path.join(root, "curation", "scored+markup+uni+pii")
+    )
+    n = scored.count()
+    # NFC composed the accent; the entity-decoded NBSP folded to a
+    # plain space; PII still redacted after both
+    assert scored.filter(F.col("text").contains("Café menu")).count() == n
+    assert scored.filter(F.col("text").contains("Café")).count() == 0
+    assert scored.filter(F.col("text").contains(" ")).count() == 0
+    assert scored.filter(F.col("text").contains("leak.example.com")).count() == 0
+    assert scored.filter(F.col("text").contains("<EMAIL>")).count() == n

@@ -751,6 +751,50 @@ def test_compression_ratio_separates_repetitive_from_random(spark, tmp_path):
     assert len(contract) == 2 and all(r.ratio_ok for r in contract), contract
 
 
+def test_compress_bound_holds_on_incompressible_text(spark, tmp_path):
+    """The ratio_ok contract uses zlib.h's compressBound, which must
+    hold even for maximum-entropy input where deflate expands (the
+    naive 5-bytes-per-64KiB stored-block arithmetic does NOT hold
+    there — zlib emits stored blocks at ~16 KiB granularity). Feed
+    high-entropy unicode soup well past one stored block and a doc at
+    the exact 65535 boundary."""
+    import os
+    import random
+    import zlib
+
+    from production_ready_ds_spark.queries import catalog
+
+    rng = random.Random(11)
+
+    def compress_bound(n: int) -> int:
+        return n + (n >> 12) + (n >> 14) + (n >> 25) + 13
+
+    # The bound itself, against zlib directly on RAW random bytes —
+    # the true worst case, where deflate genuinely EXPANDS (valid
+    # UTF-8 text never reaches 8 bits/byte, so the Spark path cannot
+    # construct this input; the contract must still be sound for it).
+    for n in (0, 1, 100, 16384, 65535, 65536, 200001):
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        out = len(zlib.compress(blob, 6))
+        assert out <= compress_bound(n), (n, out, compress_bound(n))
+        if n >= 65535:
+            assert out > n, "expected expansion on random bytes"
+
+    # dense codepoint soup: ~2-3 UTF-8 bytes/char, near-max text
+    # entropy — the hardest input the Spark path can actually see
+    soup = "".join(chr(rng.randrange(0x21, 0x2FA0)) for _ in range(40000))
+    edge = "".join(chr(rng.randrange(0x21, 0x7F)) for _ in range(65535))
+    df = spark.createDataFrame(
+        [(1, soup, "en", "a", len(soup)), (2, edge, "en", "b", len(edge))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "comp_hard")
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+    contract = catalog()["q_quality_compress"].fn(spark, sf_dir).collect()
+    assert len(contract) == 2 and all(r.ratio_ok for r in contract), contract
+
+
 def test_star_cc_selfloop_nodes_get_singleton_labels(spark):
     """Contract parity with connected_components: nodes appearing only
     in reflexive pairs still receive a (node, node) label."""
