@@ -63,15 +63,9 @@ def gram_hash_at(ts, k: int):
     longer silently break exactly that query's oracle parity."""
 
     def at(i):
-        return F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(ts, i, F.lit(k)), " ").cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        from ..functions.text import md5_prefix_int
+
+        return md5_prefix_int(F.array_join(F.slice(ts, i, F.lit(k)), " "))
 
     return at
 

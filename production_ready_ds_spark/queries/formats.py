@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_prefix_int
 from ..tables import load
 from . import query
 
@@ -51,13 +52,11 @@ _DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars lo
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     """The shared post-read aggregate: per-lang count, char total, and
-    a sum-of-md5-prefix text checksum (the cross-engine md5 convention
-    — conv(substr(md5,1,8),16,10) ≡ DuckDB CAST('0x'||substr AS
-    BIGINT)). Summing the per-doc hash makes the checksum
-    order-independent while any single mangled character moves it."""
-    h = F.conv(
-        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
-    ).cast("long")
+    a sum-of-md5-prefix text checksum (functions/text.py
+    md5_prefix_int, the ONE cross-engine hash definition). Summing the
+    per-doc hash makes the checksum order-independent while any single
+    mangled character moves it."""
+    h = md5_prefix_int(F.col("text"))
     return df.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),

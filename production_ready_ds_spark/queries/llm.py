@@ -457,9 +457,7 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     toks = tokens_expr(F.col("text"))
     sh = d.select("source", F.explode(shingles(toks)).alias("sg"))
-    h = F.conv(F.substring(F.md5(F.col("sg").cast("binary")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    h = md5_prefix_int(F.col("sg"))
     s = sh.select("source", h.alias("h")).distinct().localCheckpoint(eager=True)
     from pyspark.sql import Window
 
@@ -4118,14 +4116,7 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     alld = d.join(labels, "doc_id", "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col("doc_id"))
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("cluster_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 10
-    )
+    bucket = md5_prefix_int(F.col("cluster_id").cast("string")) % 10
     return alld.select(
         "doc_id",
         "cluster_id",
