@@ -183,6 +183,7 @@ _EXTENSION_PRIORITY = (
     "q_ann_recall_ivf",
     # round-7 new cleaning operator (NFC + invisible-junk removal)
     "q_clean_unicode",
+    "q_stream_unicode",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",

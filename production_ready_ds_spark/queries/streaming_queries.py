@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import query
-from .llm import _BM25_SQL, _FACETED_SQL, _MINHASH_SQL, _PPL_SQL, _markup_sql
+from .llm import (
+    _BM25_SQL,
+    _FACETED_SQL,
+    _MINHASH_SQL,
+    _PPL_SQL,
+    _markup_sql,
+    _unicode_sql,
+)
 
 _MARKUP_SQL_ORACLE = _markup_sql()
 from .traindata import _DECON_SQL, PROBE_MOD, contamination_scores
@@ -492,3 +499,34 @@ def q_stream_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("doc_id", marked_col().alias("marked"))
     )
     return _run_stream(spark, cleaned, "append")
+
+
+@query(
+    "q_stream_unicode",
+    category="streaming",
+    sql=_unicode_sql(),  # the batch normalizer's oracle, verbatim
+)
+def q_stream_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Unicode normalization: the q_clean_unicode
+    transformation (deterministic dirt → NFC pandas_udf + shared
+    regexp chain) run as a Structured Streaming job and hash-checked
+    against the SAME DuckDB oracle — normalize-at-ingest is where the
+    NFC pass runs in production, and the q_stream_clean evidence form
+    extends to it directly: per-row expressions + one Arrow map, NO
+    stateful operator, append mode, so the result is micro-batch-
+    boundary independent by construction."""
+    import os
+
+    from ..functions.unicode_norm import clean_unicode_frame
+    from ..streaming.events import _as_stream_dir
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+    )
+    return _run_stream(
+        spark, clean_unicode_frame(stream.select("doc_id", "text")), "append"
+    )
