@@ -41,6 +41,7 @@ _MODULES = (
     "traindata",
     "bpe",
     "unigram",
+    "wordpiece",
     "formats",
 )
 
@@ -184,6 +185,9 @@ _EXTENSION_PRIORITY = (
     # round-7 new cleaning operator (NFC + invisible-junk removal)
     "q_clean_unicode",
     "q_stream_unicode",
+    # round-7 tokenizer-family completion (greedy WordPiece under a
+    # recursive-CTE oracle)
+    "q_wordpiece_apply",
     # late-round-6 families, freshest evidence need first
     "q_clean_markup",
     "q_search_mlt",
