@@ -25,6 +25,7 @@ Commands:
           --recall | --delete IDs |
           --compact | --compact-tiered]
   corpus                       — run the full corpus-build DAG
+  tokenize TEXT...             — WordPiece-segment text driver-side
   Any data command takes --explain to print the formatted plan.
   Common flags: --sf DIR (default /root/testdata/sf0.01),
   --cpus N, --limit N, --out PATH [--format parquet|jsonl|orc]
@@ -228,6 +229,13 @@ def _parser() -> argparse.ArgumentParser:
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
     corpus.add_argument("--cpus", type=int, default=8)
     corpus.add_argument("--root", required=True, help="output root for DAG stages")
+    tok = sub.add_parser(
+        "tokenize",
+        help="WordPiece-segment the given text driver-side (no Spark "
+        "session — the fixed demo vocabulary; corpus-scale reports "
+        "are `run q_wordpiece_apply` / the BPE and unigram queries)",
+    )
+    tok.add_argument("text", nargs="+", help="text to segment")
     return p
 
 
@@ -279,6 +287,29 @@ def main(argv: list[str] | None = None) -> int:
         for name, q in catalog().items():
             kind = "oracle" if q.sql else "rows-only"
             print(f"{name:32s} {q.category:18s} {kind}")
+        return 0
+    if args.cmd == "tokenize":
+        # pure driver-side: the greedy matcher is a plain function and
+        # the demo vocab is a module constant — no Spark session needed
+        import re
+
+        from .queries.wordpiece import (
+            WORDPIECE_VOCAB,
+            wordpiece_segment,
+        )
+
+        vocab = frozenset(WORDPIECE_VOCAB)
+        max_len = max(
+            len(p) - 2 if p.startswith("##") else len(p)
+            for p in WORDPIECE_VOCAB
+        )
+        text = " ".join(args.text)
+        # ASCII \W to match the engine's tokens_expr / _DUCK_TOKENS
+        # semantics exactly (Java and RE2 \W are ASCII-only)
+        words = [w for w in re.split(r"\W+", text.lower(), flags=re.ASCII) if w]
+        for w in words:
+            pieces = wordpiece_segment(w, vocab, max_len)
+            print(f"{w}\t{' '.join(pieces)}")
         return 0
 
     from .session import get_spark

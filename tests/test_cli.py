@@ -463,3 +463,15 @@ def test_vindex_probe_filter(spark, sf_small, tmp_path, capsys):
     assert main(["vindex", "--root", root, "--sf", sf_small,
                  "--filter", "lang=de"]) == 2
     assert "--filter requires --probe" in capsys.readouterr().err
+
+
+def test_tokenize_command_is_sparkless(capsys):
+    """`tokenize` segments driver-side with the fixed vocab — ASCII
+    tokenization matching the engine's tokens_expr, greedy pieces per
+    word, UNK for out-of-alphabet words."""
+    assert main(["tokenize", "Unaffable workers!", "snake_case"]) == 0
+    out = capsys.readouterr().out
+    lines = dict(line.split("\t") for line in out.strip().splitlines())
+    assert lines["workers"] == "work ##er ##s"
+    assert lines["snake_case"] == "[UNK]"
+    assert lines["unaffable"].startswith("un ")
