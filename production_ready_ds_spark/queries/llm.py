@@ -7020,7 +7020,7 @@ def _unicode_sql() -> str:
     """
 
 
-@query("q_clean_unicode", category="llm-text", sql=_unicode_sql())
+@query("q_clean_unicode", category="llm-text", bench=True, sql=_unicode_sql())
 def q_clean_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNICODE NORMALIZATION — NFC composition plus invisible-junk
     removal (space variants → ASCII space, zero-width/BOM/soft-hyphen

@@ -144,7 +144,7 @@ _WORDPIECE_SQL = f"""
 """
 
 
-@query("q_wordpiece_apply", category="llm-text", sql=_WORDPIECE_SQL)
+@query("q_wordpiece_apply", category="llm-text", bench=True, sql=_WORDPIECE_SQL)
 def q_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenization report per document over the fixed demo
     vocabulary: word/piece/UNK counts, fertility (pieces per word,
