@@ -202,3 +202,39 @@ def test_kwic_snippet_invariants(spark, toks, context):
     lo = max(0, row.hit_pos - 1 - context)
     hi = min(len(toks), row.hit_pos + context)
     assert got == toks[lo:hi]
+
+
+_wp_words = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789_", min_size=1, max_size=24)
+
+
+@given(_wp_words)
+@settings(max_examples=300, deadline=None)
+def test_wordpiece_reconstruction_and_greedy_maximality(w):
+    """Segmentation invariants: pieces re-concatenate to the word
+    (continuation ## stripped) unless the word is [UNK]; the first
+    piece is the LONGEST vocab prefix (greedy maximality); every
+    pure-[a-z0-9] word segments without UNK (alphabet coverage)."""
+    from production_ready_ds_spark.queries.wordpiece import (
+        UNK,
+        WORDPIECE_VOCAB,
+        wordpiece_segment,
+    )
+
+    vocab = frozenset(WORDPIECE_VOCAB)
+    max_len = max(
+        len(p) - 2 if p.startswith("##") else len(p) for p in WORDPIECE_VOCAB
+    )
+    pieces = wordpiece_segment(w, vocab, max_len)
+    assert pieces == wordpiece_segment(w, vocab, max_len)  # deterministic
+    if "_" in w:
+        assert pieces == [UNK]
+        return
+    assert UNK not in pieces, (w, pieces)
+    rebuilt = pieces[0] + "".join(p[2:] for p in pieces[1:])
+    assert rebuilt == w, (w, pieces)
+    assert all(p.startswith("##") for p in pieces[1:])
+    longest_prefix = max(
+        (p for p in vocab if not p.startswith("##") and w.startswith(p)),
+        key=len,
+    )
+    assert len(pieces[0]) == len(longest_prefix), (w, pieces, longest_prefix)
