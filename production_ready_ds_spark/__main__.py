@@ -294,15 +294,12 @@ def main(argv: list[str] | None = None) -> int:
         import re
 
         from .queries.wordpiece import (
-            WORDPIECE_VOCAB,
+            WORDPIECE_MAX_LEN,
+            WORDPIECE_VOCAB_SET,
             wordpiece_segment,
         )
 
-        vocab = frozenset(WORDPIECE_VOCAB)
-        max_len = max(
-            len(p) - 2 if p.startswith("##") else len(p)
-            for p in WORDPIECE_VOCAB
-        )
+        vocab, max_len = WORDPIECE_VOCAB_SET, WORDPIECE_MAX_LEN
         text = " ".join(args.text)
         # ASCII \W to match the engine's tokens_expr / _DUCK_TOKENS
         # semantics exactly (Java and RE2 \W are ASCII-only)

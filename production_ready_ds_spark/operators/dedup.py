@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ..functions.text import tokens_expr
+from ..functions.text import md5_prefix_int, tokens_expr
 
 #: Per-shingle occurrence cap (rank cap): each shingle is kept only in
 #: its df_cap lowest-id documents. Motivation is join cost — pair-join
@@ -63,8 +63,6 @@ def gram_hash_at(ts, k: int):
     longer silently break exactly that query's oracle parity."""
 
     def at(i):
-        from ..functions.text import md5_prefix_int
-
         return md5_prefix_int(F.array_join(F.slice(ts, i, F.lit(k)), " "))
 
     return at
@@ -692,8 +690,6 @@ def minhash_bands(
     frame is ~(N+2)·8 B per doc per band — small enough to persist as
     the corpus's dedup index (see incremental_minhash_dedup)."""
     from ..tables import spread
-
-    from ..functions.text import md5_prefix_int
 
     sh = shingled_docs(spread(docs), id_col=id_col, text_col=text_col).select(
         id_col, md5_prefix_int(F.col("sg")).alias("sgh")

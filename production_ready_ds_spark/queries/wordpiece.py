@@ -67,6 +67,14 @@ WORDPIECE_VOCAB: tuple[str, ...] = tuple(
 
 UNK = "[UNK]"
 
+#: Derived once here — the CLI, the Spark kernel, and the tests all
+#: consume THESE instead of re-deriving the set/max-length rule (the
+#: md5_prefix_int one-definition discipline).
+WORDPIECE_VOCAB_SET: frozenset[str] = frozenset(WORDPIECE_VOCAB)
+WORDPIECE_MAX_LEN: int = max(
+    len(p) - 2 if p.startswith("##") else len(p) for p in WORDPIECE_VOCAB
+)
+
 
 def wordpiece_segment(word: str, vocab: frozenset[str], max_len: int) -> list[str]:
     """Greedy longest-match-first — the ONE reference implementation
@@ -157,17 +165,24 @@ def q_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate)."""
     from pyspark.sql.functions import pandas_udf
 
-    vocab = frozenset(WORDPIECE_VOCAB)
-    max_len = max(
-        len(p) - 2 if p.startswith("##") else len(p) for p in WORDPIECE_VOCAB
-    )
+    vocab = WORDPIECE_VOCAB_SET
+    max_len = WORDPIECE_MAX_LEN
 
     def _seg(words):
         import pandas as pd
 
+        # per-batch memo: natural text is Zipfian, so most exploded
+        # occurrences repeat a few hundred word types — segment each
+        # DISTINCT word once per Arrow batch
+        cache: dict[str, tuple[str, int]] = {}
+
         def one(w):
-            pieces = wordpiece_segment(w, vocab, max_len)
-            return " ".join(pieces), len(pieces)
+            got = cache.get(w)
+            if got is None:
+                pieces = wordpiece_segment(w, vocab, max_len)
+                got = (" ".join(pieces), len(pieces))
+                cache[w] = got
+            return got
 
         out = [one(w) for w in words]
         return pd.DataFrame(

@@ -216,14 +216,12 @@ def test_wordpiece_reconstruction_and_greedy_maximality(w):
     pure-[a-z0-9] word segments without UNK (alphabet coverage)."""
     from production_ready_ds_spark.queries.wordpiece import (
         UNK,
-        WORDPIECE_VOCAB,
+        WORDPIECE_MAX_LEN,
+        WORDPIECE_VOCAB_SET,
         wordpiece_segment,
     )
 
-    vocab = frozenset(WORDPIECE_VOCAB)
-    max_len = max(
-        len(p) - 2 if p.startswith("##") else len(p) for p in WORDPIECE_VOCAB
-    )
+    vocab, max_len = WORDPIECE_VOCAB_SET, WORDPIECE_MAX_LEN
     pieces = wordpiece_segment(w, vocab, max_len)
     assert pieces == wordpiece_segment(w, vocab, max_len)  # deterministic
     if "_" in w:
