@@ -928,83 +928,45 @@ _IVF_NPROBE = 4
 
 @query("q_sim_topk_ivf", category="llm-similarity", sql=None)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-3 via a TRAINED coarse quantizer (real IVF): KMeans
-    centroids define the inverted lists (k CORPUS-SCALED via
-    scaled_ivf_k — mean list ≤ 64 rows, the round-5 knob), every
-    corpus vector is assigned to its nearest centroid, and each probe
-    searches its ``_IVF_NPROBE`` nearest lists (multi-probe,
-    Euclidean — the same metric KMeans assigns by). Rows-only:
-    centroids depend on the trainer, so no cross-engine oracle; recall
-    against brute force is asserted in tests/test_llm_ops.py.
+    """ANN top-3 via a TRAINED coarse quantizer (real IVF), SERVED
+    FROM THE PERSISTENT INDEX: KMeans centroids define the inverted
+    lists (k CORPUS-SCALED via scaled_ivf_k — mean list ≤ 64 rows, the
+    round-5 knob), every corpus vector is assigned to its nearest
+    centroid, and each probe searches its ``_IVF_NPROBE`` nearest
+    lists (multi-probe; candidate ranking is cosine with the same
+    tie-break as brute force). The store is the SAME corpus-keyed
+    cached IVFStore q_ann_recall_ivf builds (one flock-serialized
+    train+append per corpus, the TermStore convention), because
+    round 7's 64× stress run caught the previous inline form
+    RETRAINING the full-corpus KMeans on EVERY call — 170 s at
+    k = 2 000 on 1.28 M vectors, the exact learned-state-per-query
+    anti-pattern the index stores exist to kill (same recipe → same
+    centroids → identical results; serving is now rank-lists matmul +
+    pushed In(list_id) reads, independent of corpus size beyond the
+    probed lists). Rows-only: centroids depend on the trainer, so no
+    cross-engine oracle; recall against brute force is asserted in
+    tests/test_llm_ops.py, and store.search ≡ brute-force-equality
+    properties live in tests/test_ivfstore.py.
 
     This is the scale path past the seedless sign-bucket quantizer
-    (q_sim_topk_bucketed): trained centroids adapt the partition to the
-    data distribution, and nprobe trades recall for candidate count at
-    query time without replanning. At 100 TB: fit on a sample (KMeans
-    cost is per-sample, not per-corpus), assignment is one map pass, the
-    probe→list fan-out is |probes|·nprobe rows joined against
-    list-partitioned candidates — the same equi-join shape as every
-    other blocked similarity query here."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
+    (q_sim_topk_bucketed): trained centroids adapt the partition to
+    the data distribution, and nprobe trades recall for candidate
+    count at query time without replanning. At 100 TB: fit on a
+    sample (KMeans cost is per-training-row), assignment is one
+    matmul map pass at ingest, and every query pays only
+    |probes| · nprobe list reads."""
+    from ..operators.ivfstore import IVFStore
 
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
-    k = scaled_ivf_k(e.count())
-    fe = e.select(
-        "vec_id",
-        "embedding",
-        "nrm",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = IVFStore(
+        _corpus_cache_dir("prds_ivf_recall", sf_dir, "embeddings", 1)
     )
-    km = KMeans(
-        k=k, seed=7, maxIter=5, featuresCol="features", predictionCol="list_id"
-    )
-    model = km.fit(fe)
-    assigned = model.transform(fe).select("vec_id", "embedding", "nrm", "list_id")
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "list_id int, centroid array<double>",
-    )
-    probes = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("nrm").alias("pnrm"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("pe"),
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_lists = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("list_id"))
-    probe_lists = (
-        probes.crossJoin(broadcast(centroids))  # |probes| x k rows, tiny
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w_lists))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("probe_id", "pe", "pnrm", "list_id")
-    )
-    sims = (
-        assigned.join(broadcast(probe_lists), "list_id")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_prenormed(
-                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    with _build_lock(store.root):
+        if store.centroids() is None or not store.segments():
+            store.train(e)
+            store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
+    probes = e.filter(F.col("vec_id") < 10)
+    return store.search(probes, top_k=3, nprobe=_IVF_NPROBE)
 
 
 @query(
