@@ -1287,24 +1287,25 @@ def q_dedup_semantic_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY the cluster-id column changes (trained centroid argmin
     instead of sign pattern), which is the point: the swap the
     sign-bucket docstring promises is one assignment expression, not a
-    rewrite. Rows-only for the driver (centroids depend on the
-    trainer); the within-cluster decisions are replayed exactly by a
-    NumPy brute force in tests/test_llm_ops.py, the
-    q_dedup_semantic evidence form."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    rewrite. The centroids come from the SAME corpus-keyed cached
+    IVFStore as q_ann_recall_ivf / q_sim_topk_ivf (round 7's
+    learned-state-per-query rule: a per-call full-corpus KMeans fit is
+    ~1 s at sf0.1 but minutes at 64× — the store trains once per
+    corpus and assignment is the BLAS matmul map pass). Rows-only for
+    the driver (centroids depend on the trainer); the within-cluster
+    decisions are replayed exactly by a NumPy brute force in
+    tests/test_llm_ops.py, the q_dedup_semantic evidence form."""
+    from ..operators.ivfstore import IVFStore
 
-    e = load(spark, sf_dir, "embeddings")
-    k = scaled_ivf_k(e.count())
-    fe = e.select(
-        "vec_id",
-        "embedding",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = IVFStore(
+        _corpus_cache_dir("prds_ivf_recall", sf_dir, "embeddings", 1)
     )
-    km = KMeans(
-        k=k, seed=7, maxIter=5, featuresCol="features", predictionCol="bucket"
-    )
-    assigned = km.fit(fe).transform(fe).select("vec_id", "embedding", "bucket")
+    with _build_lock(store.root):
+        if store.centroids() is None or not store.segments():
+            store.train(e)
+            store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
+    assigned = store.assign(e).withColumnRenamed("list_id", "bucket")
     return _semantic_decisions(assigned)
 
 
