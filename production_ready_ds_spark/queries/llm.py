@@ -441,12 +441,16 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix to 63 bits per element if that ever matters.
 
     Scale shape: one distinct on (source, hash) — the only corpus-wide
-    stage, map-side-combinable; the per-source k-min is a window over
-    that distinct table TODAY and a two-level partial top-k at scale
-    (KMV sketches merge: union-then-keep-k-smallest, the same
-    mergeability contract tests pin for HLL/GK/MG/Bloom/CMS); sketch
-    frames are k·|sources| rows, so every pairwise stage is
-    broadcast-sized regardless of corpus size."""
+    stage, map-side-combinable; the per-source k-min is the TWO-LEVEL
+    partial top-k (KMV sketches merge: union-then-keep-k-smallest, the
+    same mergeability contract tests pin for HLL/GK/MG/Bloom/CMS):
+    a salted first stage keeps each (source, salt)'s k smallest — 64
+    parallel bounded sorts instead of one whole-source sort, which the
+    round-7 64× stress run measured as THE wall (a single window
+    partition per source sorted tens of millions of rows
+    single-threaded) — then the final window ranks only 64·k rows per
+    source. Sketch frames are k·|sources| rows, so every pairwise
+    stage is broadcast-sized regardless of corpus size."""
     from ..operators.dedup import shingles
     from ..tables import spread
 
@@ -455,15 +459,34 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run it all on one core (measured 14.4 → 2.4 s for the distinct
     # stage at sf0.1; no-op on real lakes) — the q_image_resize rule.
     d = spread(load(spark, sf_dir, "documents"))
-    toks = tokens_expr(F.col("text"))
-    sh = d.select("source", F.explode(shingles(toks)).alias("sg"))
+    # two-step projection (the shingled_docs rule): materialize the
+    # token array in its OWN Project before the explode — Catalyst
+    # does not collapse a Project through Generate, so the tokenizer
+    # runs once per row; the fused form re-inlined
+    # filter(split(lower(text))) into every element_at lambda →
+    # O(tokens²) per document (the round-7 64× probe measured this as
+    # theta's real wall: ~288 s, vs ~34 s after the split)
+    tok = d.select("source", tokens_expr(F.col("text")).alias("ts"))
+    sh = tok.select("source", F.explode(shingles(F.col("ts"))).alias("sg"))
     h = md5_prefix_int(F.col("sg"))
     s = sh.select("source", h.alias("h")).distinct().localCheckpoint(eager=True)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("source").orderBy("h")
+    # two-level k-smallest: the salt bounds every sort partition at
+    # ~|source-rows|/64, and the final rank sees ≤ 64·k rows per
+    # source — identical result (the global k smallest are always
+    # within the union of per-salt k smallest)
+    salt = F.pmod(F.xxhash64("h"), F.lit(64))
+    w1 = Window.partitionBy("source", "_salt").orderBy("h")
+    w2 = Window.partitionBy("source").orderBy("h")
+    pre = (
+        s.withColumn("_salt", salt)
+        .withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= THETA_K)
+        .drop("_salt", "rk")
+    )
     sk = (
-        s.withColumn("rk", F.row_number().over(w))
+        pre.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= THETA_K)
         .drop("rk")
         .localCheckpoint(eager=True)

@@ -58,19 +58,26 @@ OUTPUT_SCHEMA = "doc_a long, doc_b long, est_jaccard double"
 STATE_SCHEMA = "blob binary"
 
 
-def signature_columns(text_col, *, n_hashes: int = N_MINHASH) -> list:
-    """Per-doc MinHash signature as pure column expressions: mh_i =
-    array_min((a_i·md5prefix(shingle) + b_i) mod P) over the doc's
-    shingle array. Same md5+affine chain as operators/dedup.py
-    minhash_bands (the shingle array is already distinct, so the min
-    matches the batch path's distinct-explode exactly); NULL when the
-    doc has no shingles (callers drop those rows, matching the batch
-    path where such docs never survive the explode)."""
-    sgh = F.transform(shingles(tokens_expr(text_col)), md5_prefix_int)
+def signature_columns(sgh_col, *, n_hashes: int = N_MINHASH) -> list:
+    """Per-doc MinHash signature over a RESIDENT shingle-hash array
+    column: mh_i = array_min((a_i·sgh + b_i) mod P). Same md5+affine
+    chain as operators/dedup.py minhash_bands (the shingle array is
+    already distinct, so the min matches the batch path's
+    distinct-explode exactly); NULL when the doc has no shingles
+    (callers drop those rows, matching the batch path where such docs
+    never survive the explode).
+
+    The argument must be an ATTRIBUTE (a materialized column), not an
+    inline expression: each of the N columns references it, and an
+    inline tokenize→shingle→md5 chain would be re-inlined into every
+    one of them — see :func:`banded_signatures` for the Generate
+    barrier that guarantees single evaluation."""
     return [
         F.array_min(
             F.transform(
-                sgh,
+                sgh_col,
+                # safe late-binding: pyspark calls the lambda eagerly
+                # while this comprehension iteration is still current
                 lambda h: (h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
                 % F.lit(MINHASH_P),
             )
@@ -87,10 +94,34 @@ def banded_signatures(
     n_hashes: int = N_MINHASH,
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
-    """(doc, band, key, mh0..mhN) rows via map-only expressions — the
-    streaming-safe twin of minhash_bands (no aggregation, so it can
-    precede the query's single stateful operator)."""
-    sig = docs.select(F.col(id_col).alias("doc_id"), *signature_columns(F.col(text_col), n_hashes=n_hashes))
+    """(doc, band, key, mh0..mhN) rows via stateless per-row
+    expressions — the streaming-safe twin of minhash_bands (no
+    aggregation, so it can precede the query's single stateful
+    operator).
+
+    GENERATE BARRIER (round-7 16× stress finding): the token array and
+    the shingle-hash array are each materialized through an
+    ``explode(array(...))`` of a ONE-element array. A plain aliased
+    Project is NOT enough — CollapseProject re-inlines the alias into
+    all N signature columns (and SimplifyExtractValueOps undoes the
+    struct-bind trick), re-running tokenize→shingle→md5 per column and
+    per element: measured 164 s for the fused form vs 7.6 s with the
+    barrier on the 16× corpus, bit-identical output. Catalyst does not
+    collapse a Project through Generate (the shingled_docs rule), and
+    a 1:1 explode stays legal before a streaming stateful operator."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(tokens_expr(F.col(text_col)))).alias("ts"),
+    )
+    shg = tok.select(
+        "doc_id",
+        F.explode(
+            F.array(F.transform(shingles(F.col("ts")), md5_prefix_int))
+        ).alias("sgh"),
+    )
+    sig = shg.select(
+        "doc_id", *signature_columns(F.col("sgh"), n_hashes=n_hashes)
+    )
     sig = sig.filter(F.col("mh0").isNotNull())
     n_bands = n_hashes // band_size
     return sig.select(
