@@ -146,27 +146,20 @@ _CONTRACT_ORDER = (
 # q_decontaminate + q_pack_sequences → back. Round-5 front:
 # q_mix_domains (last of the round-2 training-data trio) +
 # q_dedup_semantic (the round-4 SemDeDup flagship).
-# ROUND-7 ROTATION (done): q_dedup_substring_runs earned its green r06
-# row → back. q_pack_bestfit STAYS in front slot 1 — its r06 row was red
-# (oracle HUGEINT dtype bug, fixed in traindata.py this round) and the
-# round-6 verdict requires it to re-prove with hash_match: true before
-# rotating out. Front slot 2 = q_image_png.
-# ROUND-8 ROTATION (do at round start, after CORRECTNESS_r07 lands):
-# if q_pack_bestfit + q_image_png are green, move both to the back;
-# the front becomes q_quality_perplexity + q_search_faceted, then the
-# queue below — round-7's hash-gated additions (faceted pair, sketch
-# cube, filtered ANN, stream-faceted) lead it, the rows-only unigram
-# pair follows, then the late-round-6 families (cleaning, search
-# presentation) so each earns a driver-green row over rounds 9-13.
+# ROUND-8 ROTATION (done): CORRECTNESS_r07 shows q_pack_bestfit and
+# q_image_png both hash-green → rotated to the back. Front slots are now
+# q_quality_perplexity + q_search_faceted per the committed queue, then
+# round-7's hash-gated additions (faceted pair, sketch cube, filtered
+# ANN, stream-faceted), the rows-only unigram pair, and the
+# late-round-6 families (cleaning, search presentation) so each earns a
+# driver-green row over rounds 9-13.
 _EXTENSION_PRIORITY = (
-    # round-7 driver slots (rotation: 2 names per round)
-    "q_pack_bestfit",
-    "q_image_png",
+    # round-8 driver slots (rotation: 2 names per round)
+    "q_quality_perplexity",
+    "q_search_faceted",
     # round-8+ queue: hash-gated round-7 additions first (a driver slot
     # buys a full value-hash row there; rows-only entries only get the
     # weaker rows>0 check, so the unigram pair queues after them)
-    "q_quality_perplexity",
-    "q_search_faceted",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",
@@ -313,6 +306,8 @@ _EXTENSION_PRIORITY = (
     "q_pack_sequences",
     "q_mix_domains",
     "q_dedup_semantic",
+    "q_pack_bestfit",
+    "q_image_png",
 )
 
 
