@@ -830,6 +830,134 @@ def minhash_candidates(
     )
 
 
+SUPERBAND_DOC_THRESHOLD = 100_000
+
+
+def hamming_candidates(
+    fp: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    radius: int = 7,
+    bucket_cap: int | None = OVERSIZED_BUCKET_CAP,
+    superband_threshold: int = SUPERBAND_DOC_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs from banded bit-fingerprints (``b0..b{n-1}``
+    columns, e.g. the 128-bit dHash shipped as 8 × 16-bit bands):
+    candidates = docs sharing ANY exact band value (the multi-index
+    Hamming scheme — pigeonhole guarantees every pair within Hamming
+    distance ``bands - 1`` shares a band), scored by exact Hamming
+    distance ``Σ bit_count(xor(band_a, band_b))`` and kept at
+    ``<= radius``. All JVM-side: one explode, one equi-join on
+    (band, value), two fingerprint re-joins for the distance — the
+    q_dedup_minhash shape on a bit-sig instead of a minhash sig.
+
+    CORPUS-SCALED SUPER-BANDS (the scaled_sign_planes convention): a
+    16-bit comparison band carries only ~14.4 bits of entropy (adjacent
+    dHash bits share a pixel, so neighboring comparisons anti-
+    correlate — inherent to difference hashes, not a synthesis
+    artifact), so past ~100 k docs the mean bucket outgrows the
+    oversized cap EVERYWHERE (64× stress: median bucket 8, p90 31,
+    31 M candidate pairs — the blocking stops blocking). Above
+    ``superband_threshold`` docs the blocking key becomes PAIRS of
+    adjacent bands (4 × 32-bit keys, ~2^28.8 effective states): the
+    pigeonhole guarantee narrows from Hamming 7 to 3, but any pair
+    whose flips touch <= 2 base bands — e.g. the constructed 1-pixel
+    image perturbations — still shares >= 2 of the 4 super-bands. One
+    driver-side count() on the checkpointed fingerprints picks the
+    tier; an oracle replays it from the same corpus count.
+
+    Scale: pair work is Σ_bucket |bucket|², bounded by the same
+    oversized-bucket guard as minhash_candidates — buckets heavier than
+    ``bucket_cap`` pair the full side against only their cap lowest-id
+    members (n·cap, not n²; families still collapse via the shared
+    low-id members), and a driver-side take(1) peek plans the guard
+    stages only when a bucket actually needs them. Unlike the minhash
+    shape, the self-join sides carry ONLY (id, band, key) — 3 longs per
+    row, never the fingerprint: carrying b0..b7 through the banded
+    self-join 8×-duplicates every fingerprint into the join's
+    per-partition hash maps (measured SparkOutOfMemoryError at the 64×
+    stress point); the distance instead comes from two re-joins of the
+    DISTINCT candidate pairs against the 1×-sized fingerprint frame."""
+    band_cols = [f"b{k}" for k in range(n_bands)]
+    # decode/fingerprint pipeline runs once for the band explode and
+    # both scoring re-joins (the minhash_bands checkpoint rule). The
+    # count() that picks the super-band tier reads the same checkpoint.
+    fp = fp.select(id_col, *band_cols).localCheckpoint(eager=True)
+    sb = 1 if fp.count() <= superband_threshold else 2
+    keys = [
+        F.col(f"b{sb * k}")
+        if sb == 1
+        else (F.col(f"b{sb * k}") + F.col(f"b{sb * k + 1}") * F.lit(65536))
+        for k in range(n_bands // sb)
+    ]
+    bands = fp.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), key.cast("long").alias("key"))
+                    for k, key in enumerate(keys)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a = bands.alias("a")
+    on_bucket = (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+    if bucket_cap is not None:
+        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        hot = sizes.filter(F.col("_n") > bucket_cap).drop("_n")
+        if not hot.take(1):
+            bucket_cap = None
+    if bucket_cap is not None:
+        b_cold = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+        w1 = Window.partitionBy("band", "key", "_salt").orderBy(id_col)
+        w2 = Window.partitionBy("band", "key").orderBy(id_col)
+        b_hot = (
+            bands.join(F.broadcast(hot), ["band", "key"], "left_semi")
+            .withColumn("_salt", salt)
+            .withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") <= bucket_cap)
+            .withColumn("_rk", F.row_number().over(w2))
+            .filter(F.col("_rk") <= bucket_cap)
+            .drop("_salt", "_rk")
+        )
+    else:
+        b_cold, b_hot = bands, None
+    cand = a.join(
+        b_cold.alias("b"), on_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+    )
+    if b_hot is not None:
+        hot_cand = a.join(
+            b_hot.alias("b"),
+            on_bucket & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        cand = cand.unionByName(hot_cand)
+    fa = fp.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"_a{c}") for c in band_cols]
+    )
+    fb = fp.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"_b{c}") for c in band_cols]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}"))) for c in band_cols
+    )
+    return (
+        cand.distinct()
+        .join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     store_path: str,

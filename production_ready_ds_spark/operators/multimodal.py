@@ -783,6 +783,79 @@ def resize_rgb(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
+# --- perceptual fingerprint (dHash) -----------------------------------
+#
+# 128-bit difference hash: resize to a DHASH_W × DHASH_H grid, integer
+# grayscale, then one bit per horizontal neighbor comparison. 9 columns
+# give 8 comparisons per row; 16 rows give 128 bits, shipped as
+# DHASH_BANDS (8) little-endian 16-bit band integers (rows 2k and 2k+1)
+# so Hamming-radius blocking can equi-join on band values directly —
+# the multi-index Hamming scheme: any pair within Hamming distance
+# DHASH_BANDS-1 shares at least one exact band (pigeonhole).
+DHASH_W = 9
+DHASH_H = 16
+DHASH_BANDS = 8
+DHASH_SCHEMA = "doc_id long, " + ", ".join(f"b{k} long" for k in range(DHASH_BANDS))
+
+
+def dhash_bands_batches():
+    """mapInPandas kernel: DHASH_W×DHASH_H RawRGB payload → 128-bit
+    dHash as 8 × 16-bit band integers. Grayscale is the exact integer
+    luma ``(299·R + 587·G + 114·B) // 1000`` (no float, so the DuckDB
+    oracle replays every bit); bit (y, x) is set iff
+    ``gray[y, x+1] > gray[y, x]``; band k packs rows 2k (low byte) and
+    2k+1 (high byte), bit x at position x within its byte. Payloads
+    that are malformed or not the dHash grid yield all-NULL bands
+    (decode errors at 100 TB are data, not exceptions)."""
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(DHASH_W - 1, dtype=np.int64)
+        for pdf in it:
+            out = {f"b{k}": [] for k in range(DHASH_BANDS)}
+            for buf in pdf["payload"]:
+                parsed = RawRGBDecoder.parse(buf)
+                if parsed is None or parsed[0] != DHASH_W or parsed[1] != DHASH_H:
+                    for k in range(DHASH_BANDS):
+                        out[f"b{k}"].append(None)
+                    continue
+                _, _, body = parsed
+                px = (
+                    np.frombuffer(body, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(DHASH_H, DHASH_W, 3)
+                )
+                gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                rows = (bits << shifts).sum(axis=1)  # one byte per grid row
+                for k in range(DHASH_BANDS):
+                    out[f"b{k}"].append(int(rows[2 * k] | (rows[2 * k + 1] << 8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return run
+
+
+def dhash_fingerprints(df: DataFrame) -> DataFrame:
+    """payload table (any RawRGB dims) → per-doc dHash band table
+    ``doc_id, b0..b7``. The resize and band kernels COMPOSE as Python
+    iterator stages inside ONE mapInPandas pass, so each payload
+    crosses the JVM↔Python boundary exactly once and the intermediate
+    resized payloads never materialize as JVM Arrow buffers — chaining
+    them as separate mapInPandas stages queues payload batches in the
+    JVM between every stage and OOMs a default-heap driver at the 64×
+    stress point (320 k × ~1 KB payloads × 32 concurrent tasks).
+    Map-side, zero shuffles."""
+    resize = resize_rgb_batches(DHASH_W, DHASH_H)
+    bands = dhash_bands_batches()
+
+    def run(it):
+        yield from bands(resize(it))
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=DHASH_SCHEMA)
+
+
 class PCMAudioDecoder(Decoder):
     """REAL audio decode for a fixed raw layout: ``b"PCM1" + u32
     sample_rate (big-endian) + little-endian int16 mono samples``.

@@ -160,6 +160,7 @@ _EXTENSION_PRIORITY = (
     # round-8+ queue: hash-gated round-7 additions first (a driver slot
     # buys a full value-hash row there; rows-only entries only get the
     # weaker rows>0 check, so the unigram pair queues after them)
+    "q_dedup_image",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_payload, extract_features, sample_frames
+from ..operators.multimodal import (
+    RawRGBDecoder,
+    attach_payload,
+    extract_features,
+    sample_frames,
+)
 from ..tables import load
 from . import query
 
@@ -390,6 +395,191 @@ def q_image_png_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("decoded"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# --- perceptual image near-dup dedup (dHash + Hamming-bucket blocking) -
+#
+# Synthesis with NEAR-DUP STRUCTURE, all pure functions of doc_id so the
+# oracle re-derives every bit: documents form groups of 4 (g = id//4,
+# variant v = id%4) sharing one deterministic pseudo-random base image:
+# byte j = (x² mod 2147483647) mod 256 with x = (g·2654435761 +
+# j·48271) mod 2147483647. The SQUARE is load-bearing: an affine-in-j
+# byte keeps adjacent-pixel gray deltas nearly constant, so band values
+# collapse onto a few hundred patterns per image width and LSH buckets
+# grow past the oversized cap (measured max bucket 60 at sf0.1);
+# squaring wraps the modulus ~10⁹ times, the bytes become effectively
+# random (max bucket 12 at sf0.1), and x < 2³¹ keeps x² exact in both
+# numpy int64 and DuckDB BIGINT. Variants
+# v >= 1 overwrite ONE pixel (index (g·13 + v·29) % (w·h)) with the
+# solid gray (v·83) % 256. Dims (w = 16 + g%7 >= DHASH_W, h = 16 + g%5
+# >= DHASH_H) make the NN resize map injective per source pixel, so a
+# 1-pixel perturbation flips <= 2 dHash bits in ONE band — every
+# within-group pair is GUARANTEED both candidate-blocked (>= 6 of 8
+# bands equal) and within the Hamming radius (<= 4 of 7).
+_DHASH_RADIUS = 7  # max radius the 8-band pigeonhole blocking covers
+_G_X = "((g * 2654435761 + ({j}) * 48271) % 2147483647)"
+_G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
+
+_DHASH_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+             16 + ((doc_id // 4) % 7) AS w, 16 + ((doc_id // 4) % 5) AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT d.doc_id, d.g, d.v,
+             CASE WHEN d.v >= 1 THEN (d.g * 13 + d.v * 29) % (d.w * d.h)
+                  ELSE -1 END AS pv,
+             gx.range AS ox, gy.range AS oy,
+             ((gy.range * d.h) // 16) * d.w + ((gx.range * d.w) // 9) AS pj
+      FROM d, range(9) gx, range(16) gy
+    ),
+    gray AS (
+      SELECT doc_id, ox, oy,
+             CASE WHEN pj = pv THEN (v * 83) % 256
+                  ELSE (299 * ({_G_BYTE.format(j="3 * pj")})
+                      + 587 * ({_G_BYTE.format(j="3 * pj + 1")})
+                      + 114 * ({_G_BYTE.format(j="3 * pj + 2")})) // 1000
+             END AS gval
+      FROM cells
+    ),
+    bits AS (
+      SELECT a.doc_id, a.oy, a.ox AS x,
+             CASE WHEN b.gval > a.gval THEN 1 ELSE 0 END AS bit
+      FROM gray a JOIN gray b
+        ON b.doc_id = a.doc_id AND b.oy = a.oy AND b.ox = a.ox + 1
+      WHERE a.ox < 8
+    ),
+    bandvals AS (
+      SELECT doc_id, oy // 2 AS band,
+             CAST(SUM(bit * (1 << CAST((oy % 2) * 8 + x AS INT))) AS BIGINT) AS key
+      FROM bits GROUP BY doc_id, oy // 2
+    ),
+    fp AS (
+      SELECT doc_id,
+             {", ".join(f"MAX(CASE WHEN band = {k} THEN key END) AS b{k}" for k in range(8))}
+      FROM bandvals GROUP BY doc_id
+    ),
+    params AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM documents) <= 100000
+                  THEN 1 ELSE 2 END AS sb
+    ),
+    sbands AS (
+      SELECT doc_id, band // sb AS band,
+             CAST(SUM(key * CASE WHEN band % sb = 0 THEN 1 ELSE 65536 END)
+                  AS BIGINT) AS key
+      FROM bandvals, params GROUP BY doc_id, band // sb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             {" + ".join(f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(8))}
+               AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.doc_a
+      JOIN fp fb ON fb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    """
+
+
+def _synth_dhash_corpus(it):
+    """mapInPandas kernel: doc_id → deterministic grouped RawRGB payload
+    (the closed form in the module comment — base image per group of 4,
+    one perturbed pixel per variant). RawRGBDecoder is captured from
+    module scope, NOT imported here: a worker-side relative import
+    needs the package installed on workers, while the module-scope
+    global rides along with the by-value pickle (session.py registers
+    this module)."""
+    import numpy as np
+    import pandas as pd
+
+    # yield in ~2 MB slices: these payloads (~1.1 KB) are 3× the other
+    # synth corpora's, and a full 10k-row Arrow batch per in-flight task
+    # queues past a default-size heap at the 64× stress point.
+    chunk = 2048
+    for pdf in it:
+        for start in range(0, len(pdf), chunk):
+            ids = pdf["doc_id"].iloc[start : start + chunk]
+            payloads = []
+            for doc_id in ids:
+                g, v = int(doc_id) // 4, int(doc_id) % 4
+                w, h = 16 + (g % 7), 16 + (g % 5)
+                j = np.arange(w * h * 3, dtype=np.int64)
+                x = (g * 2654435761 + j * 48271) % 2147483647
+                body = ((x * x % 2147483647) % 256).astype(np.uint8)
+                if v >= 1:
+                    pv = (g * 13 + v * 29) % (w * h)
+                    body[3 * pv : 3 * pv + 3] = (v * 83) % 256
+                payloads.append(RawRGBDecoder.encode(w, h, body.tobytes()))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+@query("q_dedup_image", category="llm-dedup", bench=True, sql=_DHASH_SQL)
+def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs under the FULL hash gate — the
+    first CONTENT dedup for the image modality (the text side has seven
+    detectors; multimodal training corpora reach for exactly this
+    first): synthesize the deterministic grouped corpus, encode through
+    the real RawRGB layout, nearest-neighbor-resize to the 9×16 dHash
+    grid via the UNCHANGED resize operator, compute the 128-bit
+    difference hash from the DECODED resized bytes (integer luma →
+    neighbor comparisons → 8 × 16-bit bands), then block candidate
+    pairs by exact band equality (multi-index Hamming: pigeonhole
+    guarantees every pair within Hamming distance 7 shares a band) and
+    keep pairs at Hamming <= 7. The DuckDB oracle replays synth → NN
+    index map → luma → bit packing → band join → bit_count(xor) closed
+    form, so a value mismatch anywhere in encode → resize → decode →
+    hash → blocking fails the driver hash.
+
+    Scale shape: fingerprinting is ONE fused map-side Arrow stage
+    (zero shuffles; real images replace the synth stage with stored
+    payload bytes); pair generation is the LSH discipline — equi-join
+    on (band, value) with the minhash oversized-bucket guard (n·cap,
+    never n², inside a hot bucket), never all-pairs — and the blocking
+    key is CORPUS-SCALED: past 100 k docs the join key becomes pairs
+    of adjacent bands (4 × 32-bit super-bands, the scaled_sign_planes
+    convention; the oracle replays the tier from the same COUNT(*)),
+    because a 16-bit comparison band carries only ~14.4 bits of
+    entropy and stops blocking at that size. Hamming scoring is
+    JVM-side bit_count/xor on 8 longs per pair."""
+    from ..operators.dedup import hamming_candidates
+    from ..operators.multimodal import (
+        DHASH_H,
+        DHASH_SCHEMA,
+        DHASH_W,
+        dhash_bands_batches,
+        resize_rgb_batches,
+    )
+    from ..tables import spread
+
+    # spread: synth + resize + hash are per-row Python CPU before any
+    # shuffle (the q_image_resize rule).
+    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    # Compose synth → resize → dHash as PYTHON iterator stages inside
+    # ONE mapInPandas: only doc_id goes in and 8 longs come out — no
+    # payload byte ever crosses the JVM↔Python boundary (chaining the
+    # stages as separate mapInPandas passes queues ~350 MB of payload
+    # Arrow batches in the JVM at the 64× stress point and OOMs a
+    # default-size heap). The REAL operator kernels still run byte
+    # level: encode → header parse → NN resize → re-encode → parse →
+    # luma → bit pack. A stored-payload corpus runs the same two
+    # kernels via dhash_fingerprints, where the scan is the only
+    # boundary crossing.
+    resize = resize_rgb_batches(DHASH_W, DHASH_H)
+    bands = dhash_bands_batches()
+
+    def fused(it):
+        yield from bands(resize(_synth_dhash_corpus(it)))
+
+    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    return hamming_candidates(fp, radius=_DHASH_RADIUS)
 
 
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------

@@ -83,9 +83,19 @@ def register_udf_modules() -> None:
     from .functions import snowball, stemmer
     from .operators import multimodal, sketch
     from .queries import udfs, unigram
+    from .queries import multimodal as multimodal_queries
     from .sources import api_source
 
-    for mod in (stemmer, snowball, udfs, multimodal, api_source, sketch, unigram):
+    for mod in (
+        stemmer,
+        snowball,
+        udfs,
+        multimodal,
+        multimodal_queries,
+        api_source,
+        sketch,
+        unigram,
+    ):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API

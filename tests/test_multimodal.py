@@ -9,7 +9,13 @@ import hashlib
 import pytest
 
 from production_ready_ds_spark.operators import multimodal as mm
+from production_ready_ds_spark.queries import catalog
 from production_ready_ds_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
 
 
 def test_attach_payload_schema_and_hash(spark, sf_small):
@@ -568,3 +574,171 @@ def test_png_huge_header_tiny_body_is_corrupt_not_memoryerror():
         + mm.PNGDecoder._chunk(b"IEND", b"")
     )
     assert mm.PNGDecoder.parse_fmt(bomb) == ("corrupt", None)
+
+
+# --- dHash perceptual fingerprint + Hamming-blocked image dedup --------
+
+
+def _ref_dhash_bands(gray):
+    """Independent pure-Python dHash reference (no numpy, no shared
+    code with the kernel): bit (y, x) set iff gray[y][x+1] > gray[y][x],
+    band k packs rows 2k (low byte) and 2k+1 (high byte)."""
+    bands = [0] * mm.DHASH_BANDS
+    for y in range(mm.DHASH_H):
+        for x in range(mm.DHASH_W - 1):
+            if gray[y][x + 1] > gray[y][x]:
+                bands[y // 2] |= 1 << ((y % 2) * 8 + x)
+    return bands
+
+
+def test_dhash_bands_match_independent_reference(spark):
+    import numpy as np
+
+    w, h = mm.DHASH_W, mm.DHASH_H
+    rgb = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = (x * 37 + y * 91) % 256
+            rgb[y, x] = (v, (v + 3) % 256, (v + 7) % 256)
+    payload = mm.RawRGBDecoder.encode(w, h, rgb.tobytes())
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = df.mapInPandas(mm.dhash_bands_batches(), schema=mm.DHASH_SCHEMA).first()
+    gray = [
+        [
+            (299 * int(rgb[y, x, 0]) + 587 * int(rgb[y, x, 1]) + 114 * int(rgb[y, x, 2]))
+            // 1000
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+    assert [row[f"b{k}"] for k in range(mm.DHASH_BANDS)] == _ref_dhash_bands(gray)
+
+
+def test_dhash_malformed_or_wrong_dims_is_null(spark):
+    good = mm.RawRGBDecoder.encode(mm.DHASH_W, mm.DHASH_H, bytes(mm.DHASH_W * mm.DHASH_H * 3))
+    wrong_dims = mm.RawRGBDecoder.encode(8, 8, bytes(8 * 8 * 3))
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(wrong_dims)), (2, bytearray(b"junk")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.mapInPandas(mm.dhash_bands_batches(), schema=mm.DHASH_SCHEMA).collect()
+    }
+    assert all(rows[0][f"b{k}"] is not None for k in range(mm.DHASH_BANDS))
+    for bad in (1, 2, 3):
+        assert all(rows[bad][f"b{k}"] is None for k in range(mm.DHASH_BANDS))
+
+
+def test_dhash_invariant_to_2x_resolution(spark):
+    """The perceptual property: the SAME pattern rendered at 2x the
+    resolution (each pixel duplicated 2x2) fingerprints IDENTICALLY —
+    the NN grid samples the same relative positions
+    (floor(floor(2a)/2) = floor(a))."""
+    import numpy as np
+
+    rng_vals = (np.arange(20 * 24 * 3, dtype=np.int64) * 7919 % 251).astype(np.uint8)
+    base = rng_vals.reshape(24, 20, 3)
+    big = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(mm.RawRGBDecoder.encode(20, 24, base.tobytes()))),
+            (1, bytearray(mm.RawRGBDecoder.encode(40, 48, big.tobytes()))),
+        ],
+        "doc_id long, payload binary",
+    )
+    fps = {r.doc_id: r for r in mm.dhash_fingerprints(df).collect()}
+    for k in range(mm.DHASH_BANDS):
+        assert fps[0][f"b{k}"] == fps[1][f"b{k}"]
+
+
+def test_dedup_image_recall_all_group_pairs(spark, sf_small, cat):
+    """Constructed near-dup recall: every group of 4 variants must
+    produce all 6 within-group pairs (the synthesis guarantees a
+    1-pixel perturbation flips <= 2 dHash bits in one band, so blocking
+    AND the radius both hold), base↔variant pairs within Hamming 2,
+    variant↔variant within 4."""
+    rows = cat["q_dedup_image"].fn(spark, sf_small).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    n_groups = 500 // 4
+    for g in range(n_groups):
+        ids = [4 * g + i for i in range(4)]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                key = (ids[i], ids[j])
+                assert key in got, f"missing within-group pair {key}"
+                limit = 2 if i == 0 else 4
+                assert got[key] <= limit, (key, got[key])
+    assert all(h <= 7 for h in got.values())
+
+
+def test_hamming_candidates_pigeonhole_boundary(spark):
+    """A pair with 7 flips concentrated in one band shares 7 bands ->
+    found at hamming 7; a pair with one flip in EVERY band shares no
+    band -> correctly absent (the documented blocking boundary at
+    hamming 8 = n_bands)."""
+    from production_ready_ds_spark.operators.dedup import hamming_candidates
+
+    base = [10, 20, 30, 40, 50, 60, 70, 80]
+    seven_one_band = [base[0] ^ 0b1111111] + base[1:]
+    one_per_band = [b ^ 1 for b in base]
+    df = spark.createDataFrame(
+        [(0, *base), (1, *seven_one_band), (2, *one_per_band)],
+        "doc_id long, " + ", ".join(f"b{k} long" for k in range(8)),
+    )
+    rows = hamming_candidates(df, radius=7).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got.get((0, 1)) == 7
+    assert (0, 2) not in got
+    # docs 1 and 2 differ by 7+8 flips minus overlaps -> whatever the
+    # distance, it exceeds the radius or shares no band; either way the
+    # only emitted pair is (0, 1)
+    assert set(got) == {(0, 1)}
+
+
+def test_hamming_candidates_oversized_bucket_guard(spark):
+    """30 identical fingerprints (> OVERSIZED_BUCKET_CAP = 20) must pair
+    at n*cap, not n^2: every member keeps an edge to the bucket's
+    lowest ids so connected components still collapses the family."""
+    from production_ready_ds_spark.operators.dedup import (
+        OVERSIZED_BUCKET_CAP,
+        hamming_candidates,
+    )
+
+    n = 30
+    fp = [11, 22, 33, 44, 55, 66, 77, 88]
+    df = spark.createDataFrame(
+        [(i, *fp) for i in range(n)],
+        "doc_id long, " + ", ".join(f"b{k} long" for k in range(8)),
+    )
+    rows = hamming_candidates(df, radius=7).collect()
+    assert len(rows) <= n * OVERSIZED_BUCKET_CAP
+    seen = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+    assert seen == set(range(n)), "every family member needs at least one edge"
+    assert all(r.doc_a < OVERSIZED_BUCKET_CAP for r in rows)
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_hamming_candidates_superband_tier(spark):
+    """Past the corpus threshold the blocking key becomes pairs of
+    adjacent bands: flips confined to ONE super-band still block (3 of
+    4 shared), while one flip in every OTHER base band touches all 4
+    super-bands and is correctly absent even under the radius."""
+    from production_ready_ds_spark.operators.dedup import hamming_candidates
+
+    base = [10, 20, 30, 40, 50, 60, 70, 80]
+    two_bands_one_super = [base[0] ^ 3, base[1] ^ 3] + base[2:]  # bands 0+1
+    one_per_super = [b ^ (1 - (k % 2)) if k % 2 == 0 else b for k, b in enumerate(base)]
+    df = spark.createDataFrame(
+        [(0, *base), (1, *two_bands_one_super), (2, *one_per_super)],
+        "doc_id long, " + ", ".join(f"b{k} long" for k in range(8)),
+    )
+    rows = hamming_candidates(df, radius=7, superband_threshold=1).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    assert got.get((0, 1)) == 4
+    assert (0, 2) not in got, "flips in all 4 super-bands must not block"
+    # same frame under the small-corpus tier: doc 2 DOES share 4 of 8
+    # base bands with doc 0 and surfaces at hamming 4
+    rows1 = hamming_candidates(df, radius=7).collect()
+    got1 = {(r.doc_a, r.doc_b): r.hamming for r in rows1}
+    assert got1.get((0, 2)) == 4
