@@ -161,6 +161,8 @@ _EXTENSION_PRIORITY = (
     # buys a full value-hash row there; rows-only entries only get the
     # weaker rows>0 check, so the unigram pair queues after them)
     "q_dedup_image",
+    "q_video_frames",
+    "q_video_report",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",

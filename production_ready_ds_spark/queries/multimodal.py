@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     RawRGBDecoder,
+    Y4MVideoDecoder,
     attach_payload,
     extract_features,
     sample_frames,
@@ -580,6 +581,220 @@ def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
     return hamming_candidates(fp, radius=_DHASH_RADIUS)
+
+
+# --- video: synthesized Y4M containers with a closed-form oracle -------
+#
+# Synthesis parameters, all pure functions of doc_id so the oracle can
+# re-derive every output arithmetically: an n-frame C420 Y4M whose
+# frame-f Y-plane byte j equals (doc_id*31 + f*97 + j) % 256; dims even
+# (C420 requirement).
+_VID_W = "8 + 2 * (doc_id % 5)"  # 8..16 even
+_VID_H = "8 + 2 * (doc_id % 4)"  # 8..14 even
+_VID_NF = "2 + doc_id % 4"  # 2..5 frames
+_VID_STRIDE = 2
+_VID_OUT = 8
+
+
+def _synth_y4m_corpus(it):
+    """mapInPandas kernel: doc_id → deterministic C420 Y4M container
+    (the closed form above; neutral 128 chroma planes). Y4MVideoDecoder
+    is captured from module scope (the by-value pickle rule)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in it:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + 2 * (d % 5), 8 + 2 * (d % 4)
+            nf = 2 + d % 4
+            frames = [
+                ((d * 31 + f * 97 + np.arange(w * h)) % 256).astype(np.uint8).tobytes()
+                for f in range(nf)
+            ]
+            payloads.append(Y4MVideoDecoder.encode(w, h, frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+@query(
+    "q_video_frames",
+    category="llm-multimodal",
+    bench=True,
+    sql=f"""
+    WITH p AS (
+      SELECT doc_id, {_VID_W} AS w, {_VID_H} AS h, {_VID_NF} AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT p.*, f.range AS f
+      FROM p, range(0, 5, {_VID_STRIDE}) f
+      WHERE f.range < p.nf
+    ),
+    cells AS (
+      SELECT fr.doc_id, fr.f, fr.nf, fr.w, fr.h,
+             ((gy.range * fr.h) // {_VID_OUT}) * fr.w
+               + ((gx.range * fr.w) // {_VID_OUT}) AS pj
+      FROM fr, range({_VID_OUT}) gx, range({_VID_OUT}) gy
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(MAX(nf) AS BIGINT) AS n_frames,
+           CAST(MAX(w) AS INT) AS w_in,
+           CAST(MAX(h) AS INT) AS h_in,
+           ROUND(SUM((doc_id * 31 + f * 97 + pj) % 256)
+                 / {_VID_OUT * _VID_OUT}.0, 4) AS mean_y
+    FROM cells GROUP BY doc_id, f
+    """,
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container decode, hash-verified — the video leg of
+    the modality triple (PNG did images in round 4, WAV did audio in
+    round 5): each document synthesizes a deterministic multi-frame
+    C420 YUV4MPEG2 stream (dims / frame count / every Y byte closed
+    form in doc_id), Y4MVideoDecoder walks the actual container
+    (header token parse → FRAME delimiter walk → plane-size
+    arithmetic → Y extraction), every {_VID_STRIDE}nd frame is
+    gray-expanded into the RawRGB layout and flows through the
+    UNCHANGED NN resize, and RawRGBDecoder extracts the luma mean of
+    each sampled frame from the RESIZED payload — while the DuckDB
+    oracle re-derives frame sampling, the NN index map and every mean
+    in closed form. A mismatch anywhere in synth → container encode →
+    header/FRAME walk → plane offsets → gray expansion → resize →
+    decode → mean fails the hash; a wrong CHROMA plane size corrupts
+    every subsequent frame's Y bytes, so the plane arithmetic is
+    load-bearing, not decorative. Python round-half-even inside the
+    decoder agrees with DuckDB's rint on the exact dyadic SUM/64 grid
+    (the q_image_resize precedent).
+
+    Scale shape: synth → container walk → frame explode → resize →
+    featurize is ONE fused mapInPandas pass of composed Python
+    iterator kernels — zero shuffles, no payload byte crosses the
+    JVM↔Python boundary (the round-8 rule from SCALE.md); real videos
+    arrive as stored payload bytes and only the synth stage is
+    replaced."""
+    from ..operators.multimodal import (
+        RawRGBDecoder,
+        resize_rgb_batches,
+        y4m_frames_batches,
+    )
+    from ..tables import spread
+
+    # full-width spread, not the /4 default: this is the heaviest
+    # per-row Python map in the catalog (container walk + per-frame
+    # resize + decode, ~5 rows out per doc) and nothing payload-sized
+    # crosses the JVM boundary, so extra tasks cost only scheduler
+    # overhead (64× stress: 12.3 s at 9 natural partitions → 2.5 s at
+    # 32).
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    frames = y4m_frames_batches(stride=_VID_STRIDE)
+    resize = resize_rgb_batches(_VID_OUT, _VID_OUT, carry=("frame_idx", "n_frames"))
+    dec = RawRGBDecoder()
+
+    def feats(it):
+        import pandas as pd
+
+        for pdf in it:
+            means = [dec.decode(buf)["mean_r"] for buf in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": list(pdf["doc_id"]),
+                    "frame_idx": list(pdf["frame_idx"]),
+                    "n_frames": list(pdf["n_frames"]),
+                    "w_in": list(pdf["w_in"]),
+                    "h_in": list(pdf["h_in"]),
+                    "mean_y": means,
+                }
+            )
+
+    def fused(it):
+        yield from feats(resize(frames(_synth_y4m_corpus(it))))
+
+    out = ids.mapInPandas(
+        fused,
+        schema=(
+            "doc_id long, frame_idx int, n_frames long, w_in int, h_in int, "
+            "mean_y double"
+        ),
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames", "w_in", "h_in",
+        F.round("mean_y", 4).alias("mean_y"),
+    )
+
+
+@query(
+    "q_video_report",
+    category="llm-multimodal",
+    sql="""
+    SELECT CASE doc_id % 6
+             WHEN 0 THEN '420' WHEN 1 THEN 'mono'
+             WHEN 2 THEN 'corrupt' WHEN 3 THEN 'unsupported'
+             WHEN 4 THEN 'not-y4m' ELSE 'corrupt' END AS outcome,
+           CASE WHEN doc_id % 6 <= 1 THEN TRUE ELSE FALSE END AS decoded,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format decode/reject counts over a mixed video corpus — the
+    quarantine-rate surface in the q_image_png_report convention:
+    outcome labels come from the REAL ``Y4MVideoDecoder.parse_fmt``
+    attempt on each payload, not from bookkeeping. The corpus
+    synthesizes by ``doc_id % 6`` a valid C420 stream, a valid Cmono
+    stream, a mid-frame-truncated stream (corrupt), a valid-grammar
+    C444 header (declared-unsupported), plain junk (not-y4m), and an
+    odd-width C420 header (corrupt) — so the hash gate verifies the
+    decoder CLASSIFIES every payload exactly as constructed.
+
+    Scale shape: one fused map pass + a ≤6-group hash aggregate on a
+    tiny string key; nothing corpus-sized shuffles."""
+    from ..operators.multimodal import Y4MVideoDecoder
+    from ..tables import spread
+
+    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth_and_classify(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            outcomes = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + 2 * (d % 5), 8 + 2 * (d % 4)
+                y = ((d * 31 + np.arange(w * h)) % 256).astype(np.uint8).tobytes()
+                mode = d % 6
+                if mode == 0:
+                    buf = Y4MVideoDecoder.encode(w, h, [y, y])
+                elif mode == 1:
+                    buf = Y4MVideoDecoder.encode(w, h, [y], colorspace="mono")
+                elif mode == 2:
+                    buf = Y4MVideoDecoder.encode(w, h, [y, y])[:-10]
+                elif mode == 3:
+                    buf = (
+                        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()
+                        + b"FRAME\n" + y * 3
+                    )
+                elif mode == 4:
+                    buf = b"not a video at all " + bytes([d % 256])
+                else:
+                    buf = (
+                        f"YUV4MPEG2 W{w + 1} H{h} F25:1 Ip C420jpeg\n".encode()
+                        + b"FRAME\n" + y
+                    )
+                outcomes.append(Y4MVideoDecoder.parse_fmt(buf)[0])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "outcome": outcomes})
+
+    out = ids.mapInPandas(synth_and_classify, schema="doc_id long, outcome string")
+    return out.groupBy("outcome").agg(
+        F.max(F.col("outcome").isin("420", "mono")).alias("decoded"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
 
 
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------

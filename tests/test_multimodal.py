@@ -742,3 +742,86 @@ def test_hamming_candidates_superband_tier(spark):
     rows1 = hamming_candidates(df, radius=7).collect()
     got1 = {(r.doc_a, r.doc_b): r.hamming for r in rows1}
     assert got1.get((0, 2)) == 4
+
+
+# --- Y4M video container ------------------------------------------------
+
+
+def test_y4m_roundtrip_exact_planes():
+    import numpy as np
+
+    w, h = 10, 8
+    f0 = (np.arange(w * h) % 256).astype(np.uint8).tobytes()
+    f1 = ((np.arange(w * h) * 7) % 256).astype(np.uint8).tobytes()
+    buf = mm.Y4MVideoDecoder.encode(w, h, [f0, f1])
+    outcome, parsed = mm.Y4MVideoDecoder.parse_fmt(buf)
+    assert outcome == "420"
+    pw, ph, frames = parsed
+    assert (pw, ph) == (w, h)
+    assert frames == [f0, f1]
+    # mono variant: no chroma planes, same Y round-trip
+    buf_m = mm.Y4MVideoDecoder.encode(w, h, [f0], colorspace="mono")
+    outcome, parsed = mm.Y4MVideoDecoder.parse_fmt(buf_m)
+    assert outcome == "mono" and parsed[2] == [f0]
+    assert len(buf_m) < len(buf), "mono must not carry chroma bytes"
+
+
+def test_y4m_rejects_malformed_and_out_of_subset():
+    import numpy as np
+
+    w, h = 8, 8
+    y = bytes(w * h)
+    good = mm.Y4MVideoDecoder.encode(w, h, [y, y])
+    # truncation at EVERY boundary class: header, frame marker, plane
+    for cut in (5, len(good) - 1, len(good) - w * h // 2):
+        assert mm.Y4MVideoDecoder.parse_fmt(good[:cut])[0] in ("corrupt", "not-y4m")
+    assert mm.Y4MVideoDecoder.parse_fmt(b"")[0] == "not-y4m"
+    assert mm.Y4MVideoDecoder.parse_fmt(b"RIFF junk")[0] == "not-y4m"
+    # valid grammar, undeclared colorspaces
+    for cs in ("444", "422", "411"):
+        hdr = f"YUV4MPEG2 W8 H8 F25:1 Ip C{cs}\n".encode()
+        assert mm.Y4MVideoDecoder.parse_fmt(hdr)[0] == "unsupported", cs
+    # interlaced streams are out of subset
+    hdr = b"YUV4MPEG2 W8 H8 F25:1 It C420jpeg\n"
+    assert mm.Y4MVideoDecoder.parse_fmt(hdr)[0] == "unsupported"
+    # odd dims under C420, zero dims, and a declared-size bomb
+    assert mm.Y4MVideoDecoder.parse_fmt(b"YUV4MPEG2 W9 H8 C420\n")[0] == "corrupt"
+    assert mm.Y4MVideoDecoder.parse_fmt(b"YUV4MPEG2 W0 H8 C420\n")[0] == "corrupt"
+    assert (
+        mm.Y4MVideoDecoder.parse_fmt(b"YUV4MPEG2 W100000 H100000 C420\n")[0]
+        == "corrupt"
+    )
+    # garbage between frames
+    bad = good[: len(good) - (w * h + 2 * 16) - 6] + b"JUNK!\n" + good[-(w * h + 2 * 16) :]
+    assert mm.Y4MVideoDecoder.parse_fmt(bad)[0] == "corrupt"
+    # encode guards its own contract
+    with pytest.raises(ValueError):
+        mm.Y4MVideoDecoder.encode(9, 8, [bytes(72)])
+    with pytest.raises(ValueError):
+        mm.Y4MVideoDecoder.encode(8, 8, [bytes(3)])
+
+
+def test_y4m_frames_kernel_samples_and_gray_expands(spark):
+    import numpy as np
+
+    w, h = 8, 8
+    planes = [
+        ((np.arange(w * h) + 10 * f) % 256).astype(np.uint8).tobytes() for f in range(5)
+    ]
+    buf = mm.Y4MVideoDecoder.encode(w, h, planes)
+    df = spark.createDataFrame(
+        [(7, bytearray(buf)), (8, bytearray(b"junk"))], "doc_id long, payload binary"
+    )
+    rows = df.mapInPandas(
+        mm.y4m_frames_batches(stride=2),
+        schema="doc_id long, frame_idx int, n_frames long, payload binary",
+    ).collect()
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    assert {k for k in got if k[0] == 7} == {(7, 0), (7, 2), (7, 4)}
+    assert all(r.n_frames == 5 for r in rows if r.doc_id == 7)
+    parsed = mm.RawRGBDecoder.parse(got[(7, 2)].payload)
+    assert parsed[:2] == (w, h)
+    expect = bytes(b for yb in planes[2] for b in (yb, yb, yb))
+    assert parsed[2] == expect, "gray expansion must triple each Y byte"
+    # undecodable payload -> one all-NULL row, doc still visible
+    assert got[(8, None)].payload is None and got[(8, None)].n_frames is None
