@@ -162,7 +162,19 @@ def q_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for the greedy algorithm, the recursive-CTE oracle, and
     the scale shape (Spark side: explode → Arrow greedy matcher →
     one hash-agg; linear, no recursion, no shuffle beyond the final
-    per-doc aggregate)."""
+    per-doc aggregate).
+
+    Shape note (round 8, measured): the BPE/unigram-style GLOBAL
+    distinct-word memoization was built and A/B-measured against this
+    per-occurrence-with-per-batch-memo plan — and LOST at every probe
+    point (16× stress: 2.5 s vs 5.4 s pre-agg / 6.1 s broadcast-join;
+    64×: 4.2 s vs 10.1 s both): the per-batch memo already reduces
+    Arrow-kernel work to ~distinct-words-per-batch on Zipfian text, so
+    the global variants only add shuffles (the (doc, word) pre-agg or
+    the join back to occurrences) without removing measurable UDF
+    time. SCALE.md "Round 8: WordPiece" has the numbers; revisit only
+    if a profile shows the segmentation kernel (not the shuffle)
+    dominating."""
     from pyspark.sql.functions import pandas_udf
 
     vocab = WORDPIECE_VOCAB_SET
