@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 PAYLOAD_COLUMNS = ("payload", "modality", "n_bytes", "content_md5")
 
 FEATURE_SCHEMA = (
-    "doc_id long, n_bytes long, mean_byte double, byte_entropy double, "
+    "doc_id long, n_bytes long, mean_byte_x1e4 long, entropy_x1e4 long, "
     "head_bytes array<int>"
 )
 
@@ -94,26 +94,43 @@ class Decoder:
 class ByteStatsDecoder(Decoder):
     """Deterministic byte statistics — the codec-free stand-in (this
     environment has no PIL/opencv; the output shape matches what a real
-    decoder+featurizer produces: one fixed-width row per payload)."""
+    decoder+featurizer produces: one fixed-width row per payload).
+
+    Round 8: both statistics moved onto the EXACT integer grid so the
+    q_multimodal_features oracle can replay them value-for-value —
+    ``mean_byte_x1e4`` is pure integer arithmetic
+    (``(20000·Σb + n) // (2n)`` = the half-up-rounded mean ×10⁴), and
+    ``entropy_x1e4`` snaps each distinct byte value's Shannon term
+    ``(c/n)·log2(n/c)`` to ``floor(x·10⁴ + 0.5)`` BEFORE summing — one
+    libm call per VALUE, then order-independent integer sums (the
+    q_quality_perplexity convention)."""
 
     feature_schema = (
-        "n_bytes long, mean_byte double, byte_entropy double, head_bytes array<int>"
+        "n_bytes long, mean_byte_x1e4 long, entropy_x1e4 long, head_bytes array<int>"
     )
 
     def decode(self, buf: bytes | None) -> dict:
         import math
 
         if not buf:
-            return {"n_bytes": 0, "mean_byte": 0.0, "byte_entropy": 0.0, "head_bytes": []}
+            return {
+                "n_bytes": 0,
+                "mean_byte_x1e4": 0,
+                "entropy_x1e4": 0,
+                "head_bytes": [],
+            }
         counts: dict[int, int] = {}
         for b in buf:
             counts[b] = counts.get(b, 0) + 1
         n = len(buf)
-        entropy = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        entropy_x1e4 = sum(
+            math.floor((c / n) * math.log2(n / c) * 10000 + 0.5)
+            for c in counts.values()
+        )
         return {
             "n_bytes": n,
-            "mean_byte": round(sum(buf) / n, 4),
-            "byte_entropy": round(entropy, 4),
+            "mean_byte_x1e4": (20000 * sum(buf) + n) // (2 * n),
+            "entropy_x1e4": entropy_x1e4,
             "head_bytes": [int(b) for b in buf[:4]],
         }
 

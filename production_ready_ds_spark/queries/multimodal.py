@@ -23,15 +23,57 @@ from ..tables import load
 from . import query
 
 
-@query("q_multimodal_features", category="llm-multimodal", sql=None)
+@query(
+    "q_multimodal_features",
+    category="llm-multimodal",
+    sql="""
+    WITH hx AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hs
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n,
+             CAST('0x' || substr(hs, 2 * u.i - 1, 2) AS INT) AS byte
+      FROM hx, UNNEST(range(1, n + 1)) AS u(i)
+      WHERE n > 0
+    ),
+    hist AS (
+      SELECT doc_id, MAX(n) AS n, byte, COUNT(*) AS c
+      FROM b GROUP BY doc_id, byte
+    ),
+    agg AS (
+      SELECT doc_id, MAX(n) AS n,
+             CAST(SUM(c * byte) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR((c * 1.0 / n) * log2(n * 1.0 / c) * 10000
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS ent
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           (20000 * s + n) // (2 * n) AS mean_byte_x1e4,
+           ent AS entropy_x1e4
+    FROM agg
+    UNION ALL
+    SELECT doc_id, 0, 0, 0 FROM hx WHERE n = 0
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Payload → feature extraction via the stubbed decoder kernel
-    (deterministic byte statistics standing in for image/audio decode —
-    codecs are unavailable here; the mapInPandas plumbing is real)."""
+    """Payload → feature extraction via the codec-free decoder kernel
+    (deterministic byte statistics standing in for image/audio decode;
+    the mapInPandas plumbing is real) — under the FULL hash gate since
+    round 8: the decoder's statistics moved onto the exact integer
+    grid (pure-integer half-up mean ×10⁴; Shannon entropy as a sum of
+    per-byte-value terms each snapped floor(x·10⁴+0.5) BEFORE
+    aggregation — one libm log2 per VALUE then order-independent
+    integer sums, the q_quality_perplexity convention), so the DuckDB
+    oracle replays every value from the payload's hex dump (byte
+    histogram → same snapped terms). The former rows-only entry was
+    the last one that wasn't a trained/iterative surface.
+
+    Scale shape: one map-side Arrow pass, zero shuffles; the oracle's
+    per-byte explode exists only in DuckDB."""
     d = attach_payload(load(spark, sf_dir, "documents"))
     return extract_features(d).select(
-        "doc_id", "n_bytes", F.round("mean_byte", 4).alias("mean_byte"),
-        F.round("byte_entropy", 4).alias("byte_entropy"),
+        "doc_id", "n_bytes", "mean_byte_x1e4", "entropy_x1e4"
     )
 
 

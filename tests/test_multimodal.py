@@ -35,12 +35,22 @@ def test_extract_features_deterministic(spark, sf_small):
 
 
 def test_extract_features_values(spark, sf_small):
+    import math
+
     d = mm.attach_payload(load(spark, sf_small, "documents"))
     row = mm.extract_features(d).filter("doc_id = 0").first()
     text_row = load(spark, sf_small, "documents").filter("doc_id = 0").first()
     buf = text_row.text.encode()
-    assert row.n_bytes == len(buf)
-    assert row.mean_byte == pytest.approx(sum(buf) / len(buf), abs=1e-3)
+    n = len(buf)
+    assert row.n_bytes == n
+    assert row.mean_byte_x1e4 == (20000 * sum(buf) + n) // (2 * n)
+    counts = {}
+    for b in buf:
+        counts[b] = counts.get(b, 0) + 1
+    expect_ent = sum(
+        math.floor((c / n) * math.log2(n / c) * 10000 + 0.5) for c in counts.values()
+    )
+    assert row.entropy_x1e4 == expect_ent
     assert row.head_bytes == [int(b) for b in buf[:4]]
 
 
