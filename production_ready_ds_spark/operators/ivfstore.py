@@ -84,12 +84,31 @@ class IVFStore:
         except FileNotFoundError:
             return []
 
+    def attr_names(self) -> list[str]:
+        """Metadata columns persisted in every segment (the attrs
+        sidecar — empty for a plain vector store)."""
+        try:
+            with open(self._path(MANIFEST)) as fh:
+                return json.load(fh).get("attrs", [])
+        except FileNotFoundError:
+            return []
+
     def _write_json(self, name: str, payload: dict) -> None:
         os.makedirs(self.root, exist_ok=True)
         tmp = self._path(name) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
         os.replace(tmp, self._path(name))
+
+    def _write_manifest(self, segments: list[dict], attrs: list[str] | None = None) -> None:
+        """Replace the segment list, PRESERVING the attrs declaration —
+        every manifest writer (append / delete / compact) goes through
+        here so a rewrite can never silently drop the sidecar schema."""
+        payload: dict = {"segments": segments}
+        names = self.attr_names() if attrs is None else list(attrs)
+        if names:
+            payload["attrs"] = names
+        self._write_json(MANIFEST, payload)
 
     def centroids(self) -> list[list[float]] | None:
         try:
@@ -205,6 +224,7 @@ class IVFStore:
         n_files: int = 4,
         skip_if_range_indexed: bool = False,
         assigned: DataFrame | None = None,
+        attrs: DataFrame | None = None,
     ) -> bool:
         """Assign a batch and register it as a list-clustered segment.
         Returns False (no write) when ``skip_if_range_indexed`` and a
@@ -218,12 +238,30 @@ class IVFStore:
         (id_col, vec_col, list_id) rows under this store's centroids,
         and should be MATERIALIZED (localCheckpoint) — append consumes
         it twice (bounds agg + write) and does not re-checkpoint a
-        caller-provided frame."""
+        caller-provided frame.
+
+        ``attrs`` (a frame of ``id_col`` + metadata columns, e.g. the
+        facet column filtered search prunes on) rides INTO the segment
+        rows — the TermStore-attrs convention on the vector side — so
+        ``read_lists``/``search`` can push an In(attr) predicate to the
+        same parquet row groups as the list read. Left-joined: a
+        vector with no attrs row keeps NULL metadata (never matches an
+        IN filter) rather than vanishing from unfiltered search. Every
+        append after the first must ship the same attr column set (the
+        manifest records it; a union of mismatched segment schemas
+        would poison later reads)."""
         segments = self.segments()
         if skip_if_range_indexed and any(
             s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
         ):
             return False
+        attr_cols = [] if attrs is None else [c for c in attrs.columns if c != id_col]
+        declared = self.attr_names()
+        if segments and sorted(attr_cols) != sorted(declared):
+            raise ValueError(
+                f"attrs columns {sorted(attr_cols)} must match the store's "
+                f"declared sidecar {sorted(declared)} on every append"
+            )
         if assigned is None:
             # checkpoint so the assign matmul isn't paid twice (once by
             # the bounds agg below, once by the write). A CALLER-provided
@@ -261,12 +299,16 @@ class IVFStore:
             "id_min": id_min,
             "id_max": id_max,
         }
+        if attrs is not None:
+            assigned = assigned.join(
+                attrs.select(id_col, *attr_cols), id_col, "left"
+            )
         from .layout import write_range_clustered
 
         write_range_clustered(
             assigned, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
         )
-        self._write_json(MANIFEST, {"segments": [*segments, seg]})
+        self._write_manifest([*segments, seg], attrs=attr_cols)
         return True
 
     def delete_ids(
@@ -288,9 +330,7 @@ class IVFStore:
             write_segment=lambda df, seg: write_range_clustered(
                 df, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
             ),
-            write_manifest=lambda segs: self._write_json(
-                MANIFEST, {"segments": segs}
-            ),
+            write_manifest=lambda segs: self._write_manifest(segs),
         )
 
     def compact_tiered(
@@ -312,9 +352,7 @@ class IVFStore:
             write_segment=lambda df, seg: write_range_clustered(
                 df, self._path(f"seg={seg['seg']}"), ["list_id"], n_files=n_files
             ),
-            write_manifest=lambda segs: self._write_json(
-                MANIFEST, {"segments": segs}
-            ),
+            write_manifest=lambda segs: self._write_manifest(segs),
         )
 
     def compact(self, spark: SparkSession, *, n_files: int = 8) -> int:
@@ -334,7 +372,7 @@ class IVFStore:
         write_range_clustered(
             df, self._path(f"seg={merged['seg']}"), ["list_id"], n_files=n_files
         )
-        self._write_json(MANIFEST, {"segments": [merged]})
+        self._write_manifest([merged])
         import shutil
 
         for s in segments:
@@ -342,11 +380,23 @@ class IVFStore:
         return 1
 
     # -- reads ---------------------------------------------------------
-    def read_lists(self, spark: SparkSession, list_ids: list[int]) -> DataFrame | None:
+    def read_lists(
+        self,
+        spark: SparkSession,
+        list_ids: list[int],
+        *,
+        attr_filter: tuple[str, tuple] | None = None,
+    ) -> DataFrame | None:
         """Stored rows of the given inverted lists — all segments, with
         the In(list_id) predicate pushed to parquet row-group stats
         (threshold raised past the list count; on list-clustered
-        segments this reads only the probed lists' row groups)."""
+        segments this reads only the probed lists' row groups).
+
+        ``attr_filter=(col, values)`` additionally pushes an In(col)
+        predicate on a persisted sidecar column INTO THE SAME SCAN —
+        facet pruning happens at the parquet reader next to the list
+        pruning, never as a post-fetch join (the TermStore-attrs
+        convention; plan-asserted in tests/test_ivfstore.py)."""
         segs = self.segments()
         if not segs or not list_ids:
             return None
@@ -359,7 +409,16 @@ class IVFStore:
         current = int(spark.conf.get(conf_key, "10"))
         spark.conf.set(conf_key, str(max(current, len(list_ids) + 1)))
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
-        return df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
+        df = df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
+        if attr_filter is not None:
+            col, values = attr_filter
+            if col not in self.attr_names():
+                raise ValueError(
+                    f"attr filter on {col!r} but store sidecar is "
+                    f"{self.attr_names()} — append with attrs= first"
+                )
+            df = df.filter(F.col(col).isin(list(values)))
+        return df
 
     def search(
         self,
@@ -370,6 +429,7 @@ class IVFStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         eligible: DataFrame | None = None,
+        attr_filter: tuple[str, tuple] | None = None,
     ) -> DataFrame:
         """Cosine top-k neighbors from the store for each probe row:
         rank centroids per probe, fetch ONLY the probed lists,
@@ -382,6 +442,12 @@ class IVFStore:
         similarity is computed (post-filtering a top-k would lose
         every eligible neighbor ranked past k), mirroring
         TermStore.search_filtered's facet semantics on the text side.
+        ``attr_filter=(col, values)`` is the STRONGER form when the
+        metadata lives in the store's attrs sidecar: the facet
+        predicate rides the probed-list parquet read itself
+        (read_lists pushes In(col) next to In(list_id)), so ineligible
+        rows are pruned at the scan instead of surviving to a join —
+        same output, one fewer corpus-sized input.
 
         The probe → list ranking is the assign() matmul kernel (top
         nprobe instead of argmin): the per-(probe, centroid) JVM fold
@@ -428,7 +494,7 @@ class IVFStore:
         wanted = sorted(
             {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}
         )  # bounded by |probes| * nprobe <= k — a sketch-sized collect
-        cand = self.read_lists(spark, wanted)
+        cand = self.read_lists(spark, wanted, attr_filter=attr_filter)
         if cand is None:
             raise ValueError(f"IVFStore at {self.root} is empty")
         if eligible is not None:

@@ -783,10 +783,11 @@ def cosine_topk(
     )
 
 
-@query(
-    "q_sim_topk_filtered",
-    category="llm-similarity",
-    sql=f"""
+# ONE oracle text for the filtered-ANN pair (brute pre-filter AND the
+# attrs-sidecar IVF twin at the full-probe anchor) — the shared-oracle
+# convention: both engines' paths are held to the identical exact
+# answer, so the index path's hash row proves scan ≡ index.
+_FILTERED_TOPK_SQL = f"""
     WITH probes AS (
       SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
       FROM embeddings WHERE vec_id < 10
@@ -809,7 +810,13 @@ def cosine_topk(
                                    ORDER BY cos_sim DESC, neighbor_id) AS rn
       FROM sims
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@query(
+    "q_sim_topk_filtered",
+    category="llm-similarity",
+    sql=_FILTERED_TOPK_SQL,
 )
 def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search — q_sim_cosine_topk restricted to
@@ -836,6 +843,65 @@ def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cosine_topk(
         load(spark, sf_dir, "embeddings"), k=5, eligible=eligible
+    )
+
+
+@query(
+    "q_sim_topk_filtered_ivf",
+    category="llm-similarity",
+    sql=_FILTERED_TOPK_SQL,
+)
+def q_sim_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN SERVED FROM THE ATTRS-SIDECAR IVF STORE, under the
+    FULL hash gate via the shared oracle: the facet column ({FACET_ATTR})
+    is PERSISTED in the IVFStore segments at append time (the
+    TermStore-attrs convention on the vector side, round-7 verdict
+    item 7), so the facet IN-predicate rides the probed-list parquet
+    read itself — In({FACET_ATTR}) pushed next to In(list_id) at the
+    scan (plan-asserted in tests/test_ivfstore.py), instead of
+    fetching lists then joining eligibility as q_sim_topk_filtered's
+    scan path does. Served at the FULL-PROBE anchor (nprobe = k ≡
+    brute force over eligible rows — the q_ann_recall_ivf anchor
+    convention), which is what lets the index path share
+    q_sim_topk_filtered's exact oracle: a value difference anywhere in
+    append-with-attrs → segment layout → pushed dual-predicate read →
+    rank → round fails the driver hash. Production sets nprobe < k
+    for the recall/cost trade (partial-probe subset property pinned in
+    tests/test_ivfstore.py).
+
+    Scale shape: the store is corpus-keyed and built once per corpus
+    (flock-serialized; the cache key also hashes the DOCUMENTS table
+    signature because the sidecar derives from it); a query pays
+    |probes|·nprobe pushed list reads where the facet prunes rows at
+    the parquet reader — ineligible vectors never reach the similarity
+    kernel OR the join stage."""
+    from ..operators.ivfstore import IVFStore
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    attrs = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vec_id"), FACET_ATTR)
+    )
+    store = IVFStore(
+        _corpus_cache_dir(
+            "prds_ivf_facet",
+            sf_dir,
+            "embeddings",
+            ("v1", _corpus_cache_dir("prds_ivf_facet_docs", sf_dir, "documents", 1)),
+        )
+    )
+    with _build_lock(store.root):
+        if store.centroids() is None or not store.segments():
+            store.train(e)
+            store.append(
+                e, id_min=0, id_max=2**62, skip_if_range_indexed=True, attrs=attrs
+            )
+    probes = e.filter(F.col("vec_id") < 10)
+    return store.search(
+        probes,
+        top_k=5,
+        nprobe=len(store.centroids()),
+        attr_filter=(FACET_ATTR, FACET_VALUES),
     )
 
 

@@ -319,3 +319,90 @@ def test_filtered_search_exact_at_full_probe(spark, tmp_path, embs, sf_small):
 
     partial = _results(store.search(probes, top_k=3, eligible=eligible))
     assert all(nid in elig_ids for _, nid, _ in partial)
+
+
+def test_attrs_sidecar_pushes_facet_into_probed_read(spark, tmp_path, embs, sf_small):
+    """Round 8 (round-7 verdict item 7): metadata persisted IN the
+    segments — the facet predicate must appear in the probed-list
+    scan's PushedFilters next to the list predicate (pruned at the
+    parquet reader, not post-fetch), attr-filtered search must equal
+    eligible-join search at every probe width, and the manifest must
+    carry the sidecar schema through compaction."""
+    from production_ready_ds_spark.plans.audit import explain_str
+
+    docs = load(spark, sf_small, "documents")
+    attrs = docs.select(F.col("doc_id").alias("vec_id"), "lang")
+    eligible = docs.filter(F.col("lang").isin("de", "fr")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    store = IVFStore(str(tmp_path / "a"))
+    n_lists = store.train(embs)
+    store.append(embs, id_min=0, id_max=10**9, attrs=attrs)
+    assert store.attr_names() == ["lang"]
+    probes = embs.filter(F.col("vec_id") < 10)
+
+    # the sidecar predicate rides the SAME scan as the list predicate
+    # (the pushed_filters helper truncates at the first ']' inside an
+    # In-list, so match the raw plan text)
+    cand = store.read_lists(spark, [0, 1, 2], attr_filter=("lang", ("de", "fr")))
+    plan = explain_str(cand)
+    assert "In(list_id" in plan and "In(lang" in plan, plan
+
+    # attr-pushed search ≡ eligible-join search, full AND partial probe
+    for nprobe in (n_lists, 2):
+        via_attr = _results(
+            store.search(probes, top_k=3, nprobe=nprobe,
+                         attr_filter=("lang", ("de", "fr")))
+        )
+        via_join = _results(
+            store.search(probes, top_k=3, nprobe=nprobe, eligible=eligible)
+        )
+        assert via_attr == via_join and via_attr
+
+    # manifest schema survives compaction and keeps filtering
+    before = _results(
+        store.search(probes, top_k=3, nprobe=n_lists,
+                     attr_filter=("lang", ("de", "fr")))
+    )
+    store.append(
+        embs.limit(0), id_min=10**9 + 1, id_max=10**9 + 2, attrs=attrs
+    )  # refused empty batch must not clobber attrs either
+    assert store.attr_names() == ["lang"]
+    assert store.compact(spark) == 1
+    assert store.attr_names() == ["lang"]
+    assert _results(
+        store.search(probes, top_k=3, nprobe=n_lists,
+                     attr_filter=("lang", ("de", "fr")))
+    ) == before
+
+
+def test_attrs_sidecar_contract_errors(spark, tmp_path, embs, sf_small):
+    """Mismatched attr columns on a later append and filtering on an
+    undeclared column both fail loudly — a silent schema drift would
+    poison every later multi-segment read."""
+    docs = load(spark, sf_small, "documents")
+    attrs = docs.select(F.col("doc_id").alias("vec_id"), "lang")
+    store = IVFStore(str(tmp_path / "b"))
+    store.train(embs)
+    half = embs.filter(F.col("vec_id") < 250)
+    rest = embs.filter(F.col("vec_id") >= 250)
+    store.append(half, id_min=0, id_max=249, attrs=attrs)
+    with pytest.raises(ValueError, match="sidecar"):
+        store.append(rest, id_min=250, id_max=10**9)  # dropped attrs
+    with pytest.raises(ValueError, match="sidecar"):
+        store.append(
+            rest, id_min=250, id_max=10**9,
+            attrs=docs.select(F.col("doc_id").alias("vec_id"), "source"),
+        )
+    with pytest.raises(ValueError, match="attr filter"):
+        store.read_lists(spark, [0], attr_filter=("source", ("web",)))
+    # a vector with NO attrs row keeps NULL metadata: present in
+    # unfiltered search, absent from every facet
+    store2 = IVFStore(str(tmp_path / "c"))
+    store2.train(embs)
+    store2.append(embs, id_min=0, id_max=10**9, attrs=attrs.filter("vec_id < 100"))
+    probes = embs.filter(F.col("vec_id") < 3)
+    n_lists = len(store2.centroids())
+    flt = _results(store2.search(probes, top_k=50, nprobe=n_lists,
+                                 attr_filter=("lang", ("de", "fr"))))
+    assert flt and all(nid < 100 for _, nid, _ in flt)
