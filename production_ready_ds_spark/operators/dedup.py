@@ -729,6 +729,43 @@ def minhash_bands(
     return bands
 
 
+def _split_hot_buckets(
+    bands: DataFrame, *, id_col: str, bucket_cap: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Cold/hot split of a banded (…, band, key) frame under the
+    oversized-bucket guard — the ONE implementation both LSH candidate
+    generators (minhash_candidates, hamming_candidates) consume, so cap
+    semantics can never drift between them. Returns (cold, hot) where
+    hot is None when no bucket exceeds the cap: a driver-side take(1)
+    peek decides, because a healthy corpus has NO oversized buckets and
+    the split plan costs ~6 extra fixed-overhead stages (measured
+    +0.5 s at sf0.1 on local[32]) — the guard stages are planned only
+    when a bucket actually needs them. The hot side keeps each bucket's
+    ``bucket_cap`` lowest ids via a salted two-stage rank (no
+    single-partition sort)."""
+    if bucket_cap is not None:
+        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
+        hot = sizes.filter(F.col("_n") > bucket_cap).drop("_n")
+        if not hot.take(1):
+            bucket_cap = None
+    if bucket_cap is None:
+        return bands, None
+    b_cold = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
+    w1 = Window.partitionBy("band", "key", "_salt").orderBy(id_col)
+    w2 = Window.partitionBy("band", "key").orderBy(id_col)
+    b_hot = (
+        bands.join(F.broadcast(hot), ["band", "key"], "left_semi")
+        .withColumn("_salt", salt)
+        .withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= bucket_cap)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= bucket_cap)
+        .drop("_salt", "_rk")
+    )
+    return b_cold, b_hot
+
+
 def minhash_candidates(
     bands_a: DataFrame,
     bands_b: DataFrame | None = None,
@@ -776,32 +813,7 @@ def minhash_candidates(
         F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
         est,
     ]
-    if bucket_cap is not None:
-        sizes = b_src.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-        hot = sizes.filter(F.col("_n") > bucket_cap).drop("_n")
-        # Driver-side peek: a healthy corpus has NO oversized buckets,
-        # and the split plan costs ~6 extra fixed-overhead stages
-        # (measured +0.5 s at sf0.1 on local[32]). One tiny aggregate
-        # job decides; the guard stages are planned only when a bucket
-        # actually needs them.
-        if not hot.take(1):
-            bucket_cap = None
-    if bucket_cap is not None:
-        b_cold = b_src.join(F.broadcast(hot), ["band", "key"], "left_anti")
-        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
-        w1 = Window.partitionBy("band", "key", "_salt").orderBy(id_col)
-        w2 = Window.partitionBy("band", "key").orderBy(id_col)
-        b_hot = (
-            b_src.join(F.broadcast(hot), ["band", "key"], "left_semi")
-            .withColumn("_salt", salt)
-            .withColumn("_rk", F.row_number().over(w1))
-            .filter(F.col("_rk") <= bucket_cap)
-            .withColumn("_rk", F.row_number().over(w2))
-            .filter(F.col("_rk") <= bucket_cap)
-            .drop("_salt", "_rk")
-        )
-    else:
-        b_cold, b_hot = b_src, None
+    b_cold, b_hot = _split_hot_buckets(b_src, id_col=id_col, bucket_cap=bucket_cap)
     if two_frame:
         cold_pred = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
         cold_out = norm
@@ -904,27 +916,7 @@ def hamming_candidates(
     ).select(id_col, "bk.band", "bk.key")
     a = bands.alias("a")
     on_bucket = (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-    if bucket_cap is not None:
-        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
-        hot = sizes.filter(F.col("_n") > bucket_cap).drop("_n")
-        if not hot.take(1):
-            bucket_cap = None
-    if bucket_cap is not None:
-        b_cold = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
-        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(32))
-        w1 = Window.partitionBy("band", "key", "_salt").orderBy(id_col)
-        w2 = Window.partitionBy("band", "key").orderBy(id_col)
-        b_hot = (
-            bands.join(F.broadcast(hot), ["band", "key"], "left_semi")
-            .withColumn("_salt", salt)
-            .withColumn("_rk", F.row_number().over(w1))
-            .filter(F.col("_rk") <= bucket_cap)
-            .withColumn("_rk", F.row_number().over(w2))
-            .filter(F.col("_rk") <= bucket_cap)
-            .drop("_salt", "_rk")
-        )
-    else:
-        b_cold, b_hot = bands, None
+    b_cold, b_hot = _split_hot_buckets(bands, id_col=id_col, bucket_cap=bucket_cap)
     cand = a.join(
         b_cold.alias("b"), on_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     ).select(

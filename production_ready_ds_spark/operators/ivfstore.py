@@ -256,6 +256,14 @@ class IVFStore:
         ):
             return False
         attr_cols = [] if attrs is None else [c for c in attrs.columns if c != id_col]
+        reserved = {id_col, vec_col, "list_id"}
+        clash = sorted(set(attr_cols) & reserved)
+        if clash:
+            # an attrs column named list_id/vec_col would left-join into a
+            # duplicate-named column and write a segment every later read
+            # dies on (ambiguous reference) — the deferred-poisoning class
+            # the empty-batch guard below exists for, applied to names
+            raise ValueError(f"attrs columns {clash} collide with segment columns")
         declared = self.attr_names()
         if segments and sorted(attr_cols) != sorted(declared):
             raise ValueError(

@@ -1117,10 +1117,12 @@ def y4m_frames_batches(stride: int = 2):
             out = {"doc_id": [], "frame_idx": [], "n_frames": [], "payload": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 outcome, parsed = Y4MVideoDecoder.parse_fmt(buf)
-                if parsed is None:
+                # a decodable-but-FRAMELESS stream (header only) must
+                # also keep its doc visible — n_frames = 0, NULL frame
+                if parsed is None or not parsed[2]:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(None)
-                    out["n_frames"].append(None)
+                    out["n_frames"].append(None if parsed is None else 0)
                     out["payload"].append(None)
                     continue
                 w, h, frames = parsed

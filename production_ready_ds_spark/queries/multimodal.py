@@ -601,9 +601,15 @@ def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..tables import spread
 
-    # spread: synth + resize + hash are per-row Python CPU before any
-    # shuffle (the q_image_resize rule).
-    ids = spread(load(spark, sf_dir, "documents").select("doc_id"))
+    # full-width spread (the q_video_frames rule): the fused kernel
+    # below ships only doc_id in and 8 longs out — no payload Arrow
+    # batches to queue — and its per-row Python (synth + resize + hash)
+    # dominates the wall, so extra tasks cost only scheduler overhead
+    # (64× stress: 13.3 s at the /4 default → 4.3 s at 32).
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
 
     # Compose synth → resize → dHash as PYTHON iterator stages inside
     # ONE mapInPandas: only doc_id goes in and 8 longs come out — no

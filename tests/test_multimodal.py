@@ -835,3 +835,20 @@ def test_y4m_frames_kernel_samples_and_gray_expands(spark):
     assert parsed[2] == expect, "gray expansion must triple each Y byte"
     # undecodable payload -> one all-NULL row, doc still visible
     assert got[(8, None)].payload is None and got[(8, None)].n_frames is None
+
+
+def test_y4m_frames_kernel_header_only_stream_keeps_doc(spark):
+    """A valid but FRAMELESS Y4M (header only) must still emit one row
+    (n_frames = 0, NULL frame) — a decodable doc silently vanishing
+    from corpus joins is the contract violation the all-NULL row
+    exists to prevent."""
+    buf = b"YUV4MPEG2 W8 H8 F25:1 Ip C420jpeg\n"
+    assert mm.Y4MVideoDecoder.parse_fmt(buf)[0] == "420"
+    df = spark.createDataFrame([(5, bytearray(buf))], "doc_id long, payload binary")
+    rows = df.mapInPandas(
+        mm.y4m_frames_batches(stride=2),
+        schema="doc_id long, frame_idx int, n_frames long, payload binary",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_frames == 0 and rows[0].frame_idx is None
+    assert rows[0].payload is None
