@@ -940,9 +940,26 @@ def hamming_candidates(
     hamming = sum(
         F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}"))) for c in band_cols
     )
+    # Eagerly materialize the deduped pair list BEFORE the scoring
+    # joins, and materialize it DISK_ONLY: one query tree holding the
+    # banded self-join, the distinct hash-agg AND two fingerprint joins
+    # concurrently peaks executor memory at the SUM of the stages, and
+    # the default deserialized MEMORY_AND_DISK checkpoint level makes
+    # it worse — 32 tasks UNROLLING multi-million-row partitions into
+    # storage memory while the distinct is still spilling is exactly
+    # the measured heap death (MemoryStore.putIteratorAsValues in the
+    # OOM stack; the temporal-dHash 64× stress corpus, whose majority
+    # fold amplifies per-position bit bias into hot band keys, is the
+    # trigger at ~10 M candidates). DISK_ONLY costs one write+read of
+    # 16-byte pair rows and caps the stage's storage footprint at the
+    # unroll buffer.
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.distinct().localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     return (
-        cand.distinct()
-        .join(fa, "doc_a")
+        cand.join(fa, "doc_a")
         .join(fb, "doc_b")
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= radius)

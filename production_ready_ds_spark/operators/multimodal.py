@@ -878,6 +878,62 @@ def dhash_fingerprints(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, schema=DHASH_SCHEMA)
 
 
+def video_dhash_batches(stride: int = 2):
+    """Composed mapInPandas kernel: Y4M payload → ONE 128-bit temporal
+    dHash per video, as the usual 8 × 16-bit bands. Per video: sample
+    every ``stride``-th frame (y4m_frames_batches), gray-expand into
+    RawRGB, NN-resize to the dHash grid, per-frame difference hash
+    (the EXISTING kernels, composed Python-side so no frame payload
+    ever reaches the JVM), then fold the sampled frames with a per-bit
+    MAJORITY vote — ties (even sample counts) break to the FIRST
+    sampled frame's bit. The tie rule is load-bearing for scale, not
+    cosmetics: a strict majority over an even count sets a bit only
+    when ALL of 2 frames agree, biasing every bit to p = 0.25 and
+    collapsing band entropy — measured as an LSH candidate explosion
+    (heap death) at the 16× stress point; the first-frame tie-break
+    keeps every bit unbiased while staying deterministic and
+    DuckDB-replayable, and a perturbation confined to one NON-first
+    frame still flips a bit only where that frame was the majority's
+    swing vote. Videos with no decodable sampled frame yield all-NULL
+    bands (the doc stays visible; NULL keys never block).
+
+    Correctness of the in-kernel fold relies on a composition
+    invariant the chain guarantees by construction: every yielded pdf
+    from y4m_frames_batches holds ALL sampled frames of its docs IN
+    FRAME ORDER (frames of one payload row never split across Arrow
+    batches and each stage preserves row order), so the per-doc
+    groupby below is complete and its first row is the first sampled
+    frame — the tie-break source."""
+    frames = y4m_frames_batches(stride=stride)
+    resize = resize_rgb_batches(DHASH_W, DHASH_H, carry=("frame_idx",))
+    bands = dhash_bands_batches()
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(16, dtype=np.int64)
+        for pdf in bands(resize(frames(it))):
+            out = {"doc_id": [], **{f"b{k}": [] for k in range(DHASH_BANDS)}}
+            for doc_id, grp in pdf.groupby("doc_id", sort=False):
+                out["doc_id"].append(doc_id)
+                grp = grp.dropna()
+                if len(grp) == 0:
+                    for k in range(DHASH_BANDS):
+                        out[f"b{k}"].append(None)
+                    continue
+                n = len(grp)
+                for k in range(DHASH_BANDS):
+                    vals = grp[f"b{k}"].to_numpy(dtype=np.int64)
+                    bits = (vals[:, None] >> shifts) & 1
+                    cnt = bits.sum(axis=0)
+                    maj = (2 * cnt > n) | ((2 * cnt == n) & (bits[0] == 1))
+                    out[f"b{k}"].append(int((maj.astype(np.int64) << shifts).sum()))
+            yield pd.DataFrame(out)
+
+    return run
+
+
 class PCMAudioDecoder(Decoder):
     """REAL audio decode for a fixed raw layout: ``b"PCM1" + u32
     sample_rate (big-endian) + little-endian int16 mono samples``.

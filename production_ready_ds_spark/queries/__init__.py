@@ -164,6 +164,7 @@ _EXTENSION_PRIORITY = (
     "q_video_frames",
     "q_video_report",
     "q_sim_topk_filtered_ivf",
+    "q_dedup_video",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",

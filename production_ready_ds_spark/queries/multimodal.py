@@ -463,6 +463,44 @@ _DHASH_RADIUS = 7  # max radius the 8-band pigeonhole blocking covers
 _G_X = "((g * 2654435761 + ({j}) * 48271) % 2147483647)"
 _G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
 
+# The Hamming-blocking tail shared by every banded-bit-fingerprint
+# oracle (q_dedup_image, q_dedup_video): expects a ``bandvals`` CTE of
+# (doc_id, band 0..7, key 0..65535) and replays hamming_candidates —
+# fingerprint pivot, the corpus-scaled super-band tier from COUNT(*),
+# band-equality candidates, bit_count(xor) scoring, radius filter.
+_HAMMING_TAIL_SQL = f"""
+    fp AS (
+      SELECT doc_id,
+             {", ".join(f"MAX(CASE WHEN band = {k} THEN key END) AS b{k}" for k in range(8))}
+      FROM bandvals GROUP BY doc_id
+    ),
+    params AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM documents) <= 100000
+                  THEN 1 ELSE 2 END AS sb
+    ),
+    sbands AS (
+      SELECT doc_id, band // sb AS band,
+             CAST(SUM(key * CASE WHEN band % sb = 0 THEN 1 ELSE 65536 END)
+                  AS BIGINT) AS key
+      FROM bandvals, params GROUP BY doc_id, band // sb
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             {" + ".join(f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(8))}
+               AS hamming
+      FROM cand c
+      JOIN fp fa ON fa.doc_id = c.doc_a
+      JOIN fp fb ON fb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    """
+
 _DHASH_SQL = f"""
     WITH d AS (
       SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
@@ -498,37 +536,7 @@ _DHASH_SQL = f"""
              CAST(SUM(bit * (1 << CAST((oy % 2) * 8 + x AS INT))) AS BIGINT) AS key
       FROM bits GROUP BY doc_id, oy // 2
     ),
-    fp AS (
-      SELECT doc_id,
-             {", ".join(f"MAX(CASE WHEN band = {k} THEN key END) AS b{k}" for k in range(8))}
-      FROM bandvals GROUP BY doc_id
-    ),
-    params AS (
-      SELECT CASE WHEN (SELECT COUNT(*) FROM documents) <= 100000
-                  THEN 1 ELSE 2 END AS sb
-    ),
-    sbands AS (
-      SELECT doc_id, band // sb AS band,
-             CAST(SUM(key * CASE WHEN band % sb = 0 THEN 1 ELSE 65536 END)
-                  AS BIGINT) AS key
-      FROM bandvals, params GROUP BY doc_id, band // sb
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sbands a JOIN sbands b
-        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ),
-    scored AS (
-      SELECT c.doc_a, c.doc_b,
-             {" + ".join(f"bit_count(xor(fa.b{k}, fb.b{k}))" for k in range(8))}
-               AS hamming
-      FROM cand c
-      JOIN fp fa ON fa.doc_id = c.doc_a
-      JOIN fp fb ON fb.doc_id = c.doc_b
-    )
-    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-    FROM scored WHERE hamming <= {_DHASH_RADIUS}
-    """
+    {_HAMMING_TAIL_SQL}"""
 
 
 def _synth_dhash_corpus(it):
@@ -843,6 +851,157 @@ def q_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("outcome").isin("420", "mono")).alias("decoded"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+# --- video near-dup dedup (temporal dHash + Hamming blocking) ----------
+#
+# The composition capstone of the multimodal stack: Y4M container walk
+# → strided frame sampling → per-frame dHash (the EXISTING kernels) →
+# per-bit temporal MAJORITY vote → the SAME corpus-scaled Hamming
+# blocking as q_dedup_image. Synthesis mirrors the image corpus' group
+# structure (g = id//4, v = id%4): videos in a group share nf
+# deterministic frames (Y byte = (x² mod p) mod 256 with x mixing g,
+# frame and pixel); variants v >= 1 overwrite ONE pixel of ONE frame
+# ((v % nf) — sometimes an UNSAMPLED frame, leaving the fingerprint
+# identical: exactly the single-frame-edit robustness the majority
+# vote exists for). Ties (even sample counts) break to frame 0's bit —
+# unbiased bits; see video_dhash_batches for why the strict-majority
+# alternative collapses band entropy and dies at 16×. A sampled
+# 1-pixel edit flips <= 2 majority bits in one band, so every
+# within-group pair is guaranteed blocked and within the radius, as in
+# the image family.
+# TWO squaring rounds, not the image corpus' one: the majority fold
+# AMPLIFIES any per-position bit bias of the frame generator (a fair
+# aggregate of biased bits is 1.5× as biased), and one round's
+# quadratic-residue structure left enough bias that same-width videos
+# collided on band keys ~50× above uniform at the 64× stress point
+# (Σ bucket² 433 k vs 229 k floor on a 40 k-doc sample) — enough LSH
+# candidate volume to exhaust a default-size heap. The second
+# multiply-and-square round measures collision-free beyond the
+# constructed groups (max bucket = one group). Every step stays exact
+# in int64/BIGINT: x, y, z < 2³¹ so each square < 2⁶².
+_V_X = "((g * 2654435761 + f * 1099511 + ({j}) * 48271) % 2147483647)"
+_V_Y = f"({_V_X} * {_V_X} % 2147483647)"
+_V_Z = f"(({_V_Y} * 2654435761 + 40503) % 2147483647)"
+_V_BYTE = f"({_V_Z} * {_V_Z} % 2147483647) % 256"
+
+_VIDEO_DEDUP_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+             16 + 2 * ((doc_id // 4) % 4) AS w,
+             16 + 2 * ((doc_id // 4) % 3) AS h,
+             3 + (doc_id // 4) % 3 AS nf
+      FROM documents
+    ),
+    cells AS (
+      SELECT d.doc_id, d.g, d.v, fz.range AS f,
+             CASE WHEN d.v >= 1 AND fz.range = d.v % d.nf
+                  THEN (d.g * 13 + d.v * 29) % (d.w * d.h)
+                  ELSE -1 END AS pv,
+             gx.range AS ox, gy.range AS oy,
+             ((gy.range * d.h) // 16) * d.w + ((gx.range * d.w) // 9) AS pj
+      FROM d, range(0, 5, {_VID_STRIDE}) fz, range(9) gx, range(16) gy
+      WHERE fz.range < d.nf
+    ),
+    gray AS (
+      SELECT doc_id, f, ox, oy,
+             CASE WHEN pj = pv THEN (v * 83) % 256
+                  ELSE {_V_BYTE.format(j="pj")} END AS gval
+      FROM cells
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f, a.oy, a.ox AS x,
+             CASE WHEN b.gval > a.gval THEN 1 ELSE 0 END AS bit
+      FROM gray a JOIN gray b
+        ON b.doc_id = a.doc_id AND b.f = a.f AND b.oy = a.oy
+           AND b.ox = a.ox + 1
+      WHERE a.ox < 8
+    ),
+    maj AS (
+      SELECT doc_id, oy, x,
+             CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1
+                  WHEN 2 * SUM(bit) < COUNT(*) THEN 0
+                  ELSE MAX(CASE WHEN f = 0 THEN bit END) END AS bit
+      FROM bits GROUP BY doc_id, oy, x
+    ),
+    bandvals AS (
+      SELECT doc_id, oy // 2 AS band,
+             CAST(SUM(bit * (1 << CAST((oy % 2) * 8 + x AS INT))) AS BIGINT) AS key
+      FROM maj GROUP BY doc_id, oy // 2
+    ),
+    {_HAMMING_TAIL_SQL}"""
+
+
+def _synth_y4m_grouped(it):
+    """mapInPandas kernel: doc_id → deterministic GROUPED C420 Y4M
+    container (the closed form in the section comment — shared base
+    frames per group of 4, one perturbed pixel in one frame per
+    variant). Yields in ~2 MB slices (the q_dedup_image rule) even
+    though these payloads stay Python-side in the fused chain."""
+    import numpy as np
+    import pandas as pd
+
+    chunk = 1024
+    for pdf in it:
+        for start in range(0, len(pdf), chunk):
+            ids = pdf["doc_id"].iloc[start : start + chunk]
+            payloads = []
+            for doc_id in ids:
+                g, v = int(doc_id) // 4, int(doc_id) % 4
+                w, h = 16 + 2 * (g % 4), 16 + 2 * (g % 3)
+                nf = 3 + g % 3
+                j = np.arange(w * h, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    x = (g * 2654435761 + f * 1099511 + j * 48271) % 2147483647
+                    y2 = x * x % 2147483647
+                    z = (y2 * 2654435761 + 40503) % 2147483647
+                    y = ((z * z % 2147483647) % 256).astype(np.uint8)
+                    if v >= 1 and f == v % nf:
+                        y[(g * 13 + v * 29) % (w * h)] = (v * 83) % 256
+                    frames.append(y.tobytes())
+                payloads.append(Y4MVideoDecoder.encode(w, h, frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+
+@query("q_dedup_video", category="llm-dedup", bench=True, sql=_VIDEO_DEDUP_SQL)
+def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup pairs under the FULL hash gate — the
+    composition capstone of the multimodal stack, and the dedup a
+    video training corpus reaches for first: real Y4M container walk →
+    strided frame sampling → gray expansion → NN resize → per-frame
+    128-bit dHash (every stage the EXISTING kernels, composed
+    Python-side) → per-bit temporal MAJORITY vote into one video
+    fingerprint (robust to single-frame edits — a variant whose
+    perturbed frame is unsampled or outvoted fingerprints identically)
+    → the corpus-scaled super-band Hamming blocking shared with
+    q_dedup_image (one operator, two modalities). The DuckDB oracle
+    replays container synthesis → frame sampling → NN grid → neighbor
+    bits → majority fold → band packing → blocking → bit_count(xor)
+    end to end; gray of a gray-expanded Y byte is exactly y
+    ((299+587+114)·y // 1000), so the luma stage drops out of the SQL
+    without weakening the Spark-side path, which still runs it.
+
+    Scale shape: fingerprinting is ONE fused map pass (doc_id in, 8
+    longs out — no frame bytes cross the JVM boundary; full-width
+    spread by the q_video_frames rule); pair generation is
+    hamming_candidates — banded equi-join, oversized-bucket guard,
+    super-band tier from one count()."""
+    from ..operators.dedup import hamming_candidates
+    from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    vd = video_dhash_batches(stride=_VID_STRIDE)
+
+    def fused(it):
+        yield from vd(_synth_y4m_grouped(it))
+
+    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    return hamming_candidates(fp, radius=_DHASH_RADIUS)
 
 
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------

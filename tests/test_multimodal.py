@@ -852,3 +852,69 @@ def test_y4m_frames_kernel_header_only_stream_keeps_doc(spark):
     assert len(rows) == 1
     assert rows[0].n_frames == 0 and rows[0].frame_idx is None
     assert rows[0].payload is None
+
+
+def test_video_dhash_majority_outvotes_single_frame_edit(spark):
+    """The temporal majority fold: with 3 sampled identical frames, a
+    1-pixel edit in ONE sampled frame is outvoted 2:1 — the edited
+    video fingerprints IDENTICALLY to the clean one; corrupt payloads
+    yield all-NULL bands but keep their doc visible."""
+    import numpy as np
+
+    w, h = 16, 16
+    y = ((np.arange(w * h, dtype=np.int64) * 7919) % 251).astype(np.uint8)
+    y_edit = y.copy()
+    # pixel 40 = grid cell (oy=2, ox=5); y[39]=111 < y[40]=249, so
+    # zeroing it provably flips the (2, x=4) comparison bit
+    assert y[39] < y[40] and y[40] > 0
+    y_edit[40] = 0
+    # stride=2 over 5 frames samples indices 0, 2, 4
+    clean = mm.Y4MVideoDecoder.encode(w, h, [y.tobytes()] * 5)
+    edited = mm.Y4MVideoDecoder.encode(
+        w, h, [y.tobytes(), y.tobytes(), y_edit.tobytes(), y.tobytes(), y.tobytes()]
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(clean)), (1, bytearray(edited)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    fps = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            mm.video_dhash_batches(stride=2), schema=mm.DHASH_SCHEMA
+        ).collect()
+    }
+    for k in range(mm.DHASH_BANDS):
+        assert fps[0][f"b{k}"] == fps[1][f"b{k}"], "majority must outvote the edit"
+        assert fps[2][f"b{k}"] is None
+    # single-frame video: the edit IS the majority -> fingerprints differ
+    one_clean = mm.Y4MVideoDecoder.encode(w, h, [y.tobytes()])
+    one_edit = mm.Y4MVideoDecoder.encode(w, h, [y_edit.tobytes()])
+    df1 = spark.createDataFrame(
+        [(0, bytearray(one_clean)), (1, bytearray(one_edit))],
+        "doc_id long, payload binary",
+    )
+    fps1 = {
+        r.doc_id: r
+        for r in df1.mapInPandas(
+            mm.video_dhash_batches(stride=2), schema=mm.DHASH_SCHEMA
+        ).collect()
+    }
+    assert any(fps1[0][f"b{k}"] != fps1[1][f"b{k}"] for k in range(mm.DHASH_BANDS))
+
+
+def test_dedup_video_recall_all_group_pairs(spark, sf_small, cat):
+    """Constructed near-dup recall for the video corpus: all 6
+    within-group pairs per group of 4 found (a sampled 1-pixel/1-frame
+    perturbation flips <= 2 majority bits; an unsampled one flips 0),
+    base↔variant within Hamming 2, variant↔variant within 4."""
+    rows = cat["q_dedup_video"].fn(spark, sf_small).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    for g in range(500 // 4):
+        ids = [4 * g + i for i in range(4)]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                key = (ids[i], ids[j])
+                assert key in got, f"missing within-group pair {key}"
+                limit = 2 if i == 0 else 4
+                assert got[key] <= limit, (key, got[key])
+    assert all(h <= 7 for h in got.values())
