@@ -165,6 +165,8 @@ _EXTENSION_PRIORITY = (
     "q_video_report",
     "q_sim_topk_filtered_ivf",
     "q_dedup_video",
+    "q_dedup_image_clusters",
+    "q_dedup_video_clusters",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",

@@ -464,11 +464,14 @@ _G_X = "((g * 2654435761 + ({j}) * 48271) % 2147483647)"
 _G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
 
 # The Hamming-blocking tail shared by every banded-bit-fingerprint
-# oracle (q_dedup_image, q_dedup_video): expects a ``bandvals`` CTE of
-# (doc_id, band 0..7, key 0..65535) and replays hamming_candidates —
-# fingerprint pivot, the corpus-scaled super-band tier from COUNT(*),
-# band-equality candidates, bit_count(xor) scoring, radius filter.
-_HAMMING_TAIL_SQL = f"""
+# oracle (q_dedup_image, q_dedup_video, and their cluster queries):
+# expects a ``bandvals`` CTE of (doc_id, band 0..7, key 0..65535) and
+# replays hamming_candidates — fingerprint pivot, the corpus-scaled
+# super-band tier from COUNT(*), band-equality candidates,
+# bit_count(xor) scoring, radius filter. Split as CTES + final SELECT
+# so cluster oracles can chain a recursive components CTE onto
+# ``scored`` instead of re-stating the whole pipeline.
+_HAMMING_TAIL_CTES = f"""
     fp AS (
       SELECT doc_id,
              {", ".join(f"MAX(CASE WHEN band = {k} THEN key END) AS b{k}" for k in range(8))}
@@ -496,13 +499,31 @@ _HAMMING_TAIL_SQL = f"""
       FROM cand c
       JOIN fp fa ON fa.doc_id = c.doc_a
       JOIN fp fb ON fb.doc_id = c.doc_b
+    )"""
+
+# Recursive-CTE connected components over the radius-filtered pairs —
+# chained onto ``scored`` by the cluster twins (the q_dedup_clusters
+# oracle shape, applied to perceptual pairs).
+_HAMMING_CLUSTERS_SQL_TAIL = f""",
+    pairs AS (
+      SELECT doc_a, doc_b FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
     )
-    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-    FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
     """
 
-_DHASH_SQL = f"""
-    WITH d AS (
+_DHASH_CTES = f"""
+    d AS (
       SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
              16 + ((doc_id // 4) % 7) AS w, 16 + ((doc_id // 4) % 5) AS h
       FROM documents
@@ -536,7 +557,13 @@ _DHASH_SQL = f"""
              CAST(SUM(bit * (1 << CAST((oy % 2) * 8 + x AS INT))) AS BIGINT) AS key
       FROM bits GROUP BY doc_id, oy // 2
     ),
-    {_HAMMING_TAIL_SQL}"""
+    {_HAMMING_TAIL_CTES}"""
+
+_DHASH_SQL = f"""
+    WITH {_DHASH_CTES}
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    """
 
 
 def _synth_dhash_corpus(it):
@@ -853,6 +880,53 @@ def q_video_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_image_clusters",
+    category="llm-dedup",
+    sql=f"""
+    WITH RECURSIVE {_DHASH_CTES}{_HAMMING_CLUSTERS_SQL_TAIL}""",
+)
+def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive PERCEPTUAL image duplicate clusters — the
+    keep-decision on top of q_dedup_image, exactly the
+    q_dedup_clusters contract on visual pairs: Hamming-radius pairs
+    fed to connected components (hash-min label propagation), one row
+    per clustered image with cluster_id = min doc_id of its component,
+    so chains A~B~C (A close to B, B close to C, A NOT within radius
+    of C — perceptual distance is not transitive) still collapse to
+    ONE keep decision. Oracle = the full dHash pipeline's recursive
+    reachability minima in DuckDB.
+
+    Scale shape: pair generation is q_dedup_image's (fused
+    fingerprints, guarded banded join); components is the
+    threshold-gated hybrid — driver union-find below the edge cap,
+    distributed hash-min label propagation above it."""
+    from ..operators.dedup import connected_components, hamming_candidates
+    from ..operators.multimodal import (
+        DHASH_H,
+        DHASH_SCHEMA,
+        DHASH_W,
+        dhash_bands_batches,
+        resize_rgb_batches,
+    )
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    resize = resize_rgb_batches(DHASH_W, DHASH_H)
+    bands = dhash_bands_batches()
+
+    def fused(it):
+        yield from bands(resize(_synth_dhash_corpus(it)))
+
+    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    pairs = hamming_candidates(fp, radius=_DHASH_RADIUS)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
 # --- video near-dup dedup (temporal dHash + Hamming blocking) ----------
 #
 # The composition capstone of the multimodal stack: Y4M container walk
@@ -885,8 +959,8 @@ _V_Y = f"({_V_X} * {_V_X} % 2147483647)"
 _V_Z = f"(({_V_Y} * 2654435761 + 40503) % 2147483647)"
 _V_BYTE = f"({_V_Z} * {_V_Z} % 2147483647) % 256"
 
-_VIDEO_DEDUP_SQL = f"""
-    WITH d AS (
+_VIDEO_CTES = f"""
+    d AS (
       SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
              16 + 2 * ((doc_id // 4) % 4) AS w,
              16 + 2 * ((doc_id // 4) % 3) AS h,
@@ -929,7 +1003,13 @@ _VIDEO_DEDUP_SQL = f"""
              CAST(SUM(bit * (1 << CAST((oy % 2) * 8 + x AS INT))) AS BIGINT) AS key
       FROM maj GROUP BY doc_id, oy // 2
     ),
-    {_HAMMING_TAIL_SQL}"""
+    {_HAMMING_TAIL_CTES}"""
+
+_VIDEO_DEDUP_SQL = f"""
+    WITH {_VIDEO_CTES}
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    """
 
 
 def _synth_y4m_grouped(it):
@@ -1002,6 +1082,37 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
     return hamming_candidates(fp, radius=_DHASH_RADIUS)
+
+
+@query(
+    "q_dedup_video_clusters",
+    category="llm-dedup",
+    sql=f"""
+    WITH RECURSIVE {_VIDEO_CTES}{_HAMMING_CLUSTERS_SQL_TAIL}""",
+)
+def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive perceptual VIDEO duplicate clusters — the
+    keep-decision on top of q_dedup_video (the q_dedup_clusters
+    contract on temporal-dHash pairs; see q_dedup_image_clusters for
+    why components, not per-pair keep-lowest). Oracle = the full video
+    fingerprint pipeline's recursive reachability minima in DuckDB."""
+    from ..operators.dedup import connected_components, hamming_candidates
+    from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    vd = video_dhash_batches(stride=_VID_STRIDE)
+
+    def fused(it):
+        yield from vd(_synth_y4m_grouped(it))
+
+    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    pairs = hamming_candidates(fp, radius=_DHASH_RADIUS)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------

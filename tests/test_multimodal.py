@@ -918,3 +918,16 @@ def test_dedup_video_recall_all_group_pairs(spark, sf_small, cat):
                 limit = 2 if i == 0 else 4
                 assert got[key] <= limit, (key, got[key])
     assert all(h <= 7 for h in got.values())
+
+
+def test_perceptual_cluster_queries_collapse_groups(spark, sf_small, cat):
+    """Both perceptual cluster queries must collapse every constructed
+    group of 4 variants into ONE cluster rooted at the group's lowest
+    doc_id (the keep-decision contract: chains resolve transitively)."""
+    for name in ("q_dedup_image_clusters", "q_dedup_video_clusters"):
+        rows = cat[name].fn(spark, sf_small).collect()
+        got = {r.doc_id: r.cluster_id for r in rows}
+        assert len(got) == 500, name
+        for g in range(500 // 4):
+            for i in range(4):
+                assert got[4 * g + i] == 4 * g, (name, g, i)
