@@ -13,6 +13,7 @@ that are operators in their own right rather than query shapes:
 from .asof import asof_join
 from .dedup import (
     connected_components,
+    incremental_hamming_dedup,
     incremental_minhash_dedup,
     jaccard_pairs,
     minhash_bands,
@@ -27,6 +28,7 @@ __all__ = [
     "compact_parquet",
     "write_range_clustered",
     "connected_components",
+    "incremental_hamming_dedup",
     "incremental_minhash_dedup",
     "jaccard_pairs",
     "minhash_bands",

@@ -967,6 +967,134 @@ def hamming_candidates(
     )
 
 
+DHASH_FAMILY = "dhash-128/luma-999/8x16le-v1"
+
+
+def incremental_hamming_dedup(
+    new_fp: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    radius: int = 7,
+    bucket_cap: int | None = OVERSIZED_BUCKET_CAP,
+) -> DataFrame:
+    """Incremental PERCEPTUAL near-dup detection against a persistent
+    fingerprint store — incremental_minhash_dedup's contract applied to
+    banded bit-fingerprints (the dHash image/video family): per batch
+    of (id, b0..b{n-1}) fingerprints, (1) drop already-indexed ids
+    (idempotent re-delivery is a no-op), (2) candidates = new×corpus ∪
+    new×new via one raw-band bucket join of the small new side against
+    store ∪ new, (3) append the new banded rows to the store. Returns
+    (doc_a < doc_b, hamming <= radius) pairs.
+
+    The store is the SAME manifest-backed SignatureStore layout under
+    the dHash family tag: one row per (doc, band) carrying the full
+    fingerprint, segments range-clustered on (band, key), so the
+    corpus side of the candidate join is pruned to the batch's bucket
+    keys via a pushed In(key, ...) parquet filter — per-batch store IO
+    ~O(batch), never O(corpus). Blocking here is RAW 16-bit bands (the
+    stored key layout), not the batch-mode super-band tier: the join is
+    batch×pruned-corpus, so candidate volume is bounded by the batch
+    and the oversized-bucket guard, and pigeonhole keeps its full
+    radius-7 guarantee on the incremental path."""
+    from .sigstore import SignatureStore, collect_prune_keys
+
+    spark = new_fp.sparkSession
+    band_cols = [f"b{k}" for k in range(n_bands)]
+    store = SignatureStore(store_path, family=DHASH_FAMILY)
+    bounds = new_fp.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    fresh_fp = new_fp.select(id_col, *band_cols)
+    if bounds.lo is not None:
+        known = store.known_ids(spark, id_min=bounds.lo, id_max=bounds.hi, id_col=id_col)
+        if known is not None:
+            fresh_fp = fresh_fp.join(known, id_col, "left_anti")
+    # fingerprints materialize ONCE for the explode, the scoring joins
+    # and the append (the hamming_candidates checkpoint rule)
+    fresh_fp = fresh_fp.localCheckpoint(eager=True)
+    fresh = fresh_fp.select(
+        id_col,
+        *band_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"b{k}").cast("long").alias("key")
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, *band_cols, "bk.band", "bk.key")
+    keys = collect_prune_keys(fresh)
+    empty_pairs = (
+        fresh.limit(0)
+        .select(
+            F.col(id_col).alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    if keys == []:
+        return empty_pairs
+    corpus = store.read_signatures(spark, keys=keys, id_col=id_col)
+    right = fresh if corpus is None else fresh.unionByName(corpus)
+    # slim join sides (id, band, key) — the fingerprints re-join for
+    # scoring; carrying b0..b7 through the banded join is the measured
+    # 64× OOM shape (see hamming_candidates)
+    a = fresh.select(id_col, "band", "key").alias("a")
+    b_cold, b_hot = _split_hot_buckets(
+        right.select(id_col, "band", "key"), id_col=id_col, bucket_cap=bucket_cap
+    )
+    on_bucket = (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+    norm = [
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+    ]
+    cand = a.join(
+        b_cold.alias("b"), on_bucket & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    ).select(*norm)
+    if b_hot is not None:
+        cand = cand.unionByName(
+            a.join(
+                b_hot.alias("b"),
+                on_bucket & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+            ).select(*norm)
+        )
+    from pyspark.storagelevel import StorageLevel
+
+    cand = cand.distinct().localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    # every stored row carries the full fingerprint, so the pruned
+    # corpus read already holds the b-columns scoring needs
+    fp_all = fresh_fp
+    if corpus is not None:
+        fp_all = fp_all.unionByName(
+            corpus.select(id_col, *band_cols)
+        ).dropDuplicates([id_col])
+    fa = fp_all.select(
+        F.col(id_col).alias("doc_a"), *[F.col(c).alias(f"_a{c}") for c in band_cols]
+    )
+    fb = fp_all.select(
+        F.col(id_col).alias("doc_b"), *[F.col(c).alias(f"_b{c}") for c in band_cols]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{c}").bitwiseXOR(F.col(f"_b{c}"))) for c in band_cols
+    )
+    pairs = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= radius)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    span = fresh_fp.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    if span.lo is not None:
+        store.append(fresh, id_min=span.lo, id_max=span.hi)
+    return pairs
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     store_path: str,

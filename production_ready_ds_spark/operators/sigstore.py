@@ -73,11 +73,17 @@ def collect_prune_keys(df, col: str = "key") -> list | None:
 
 class SignatureStore:
     """Persistent banded-signature store (one row per (doc, band),
-    columns ``doc_id, mh0..mhN, band, key``) with manifest-tracked
-    segments. See module docstring for the scale rationale."""
+    a ``band``/``key`` blocking pair plus whatever signature columns
+    the family carries — ``mh0..mhN`` for MinHash, ``b0..b7`` for the
+    perceptual dHash family) with manifest-tracked segments. See module
+    docstring for the scale rationale. ``family`` tags the manifest so
+    a store can never silently serve signatures from a different hash
+    recipe (incomparable integers would void every candidate join);
+    the default is this engine's MinHash family."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, family: str | None = None) -> None:
         self.root = root
+        self.family = MINHASH_FAMILY if family is None else family
 
     # -- manifest -----------------------------------------------------
     def _manifest_path(self) -> str:
@@ -90,14 +96,14 @@ class SignatureStore:
         except FileNotFoundError:
             return []
         fam = data.get("family")
-        if data["segments"] and fam != MINHASH_FAMILY:
+        if data["segments"] and fam != self.family:
             # The ingest-recipe staleness rule (same as the TermStore /
             # IVF caches): signatures from a different hash family are
             # incomparable integers — serving them would silently void
             # every candidate join against this engine's signatures.
             raise ValueError(
-                f"SignatureStore at {self.root} was built with MinHash "
-                f"family {fam!r}; this engine uses {MINHASH_FAMILY!r}. "
+                f"SignatureStore at {self.root} was built with signature "
+                f"family {fam!r}; this reader expects {self.family!r}. "
                 "Rebuild the store (delete the directory and re-ingest)."
             )
         return data["segments"]
@@ -106,7 +112,7 @@ class SignatureStore:
         os.makedirs(self.root, exist_ok=True)
         tmp = self._manifest_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"segments": segments, "family": MINHASH_FAMILY}, fh, indent=1)
+            json.dump({"segments": segments, "family": self.family}, fh, indent=1)
         os.replace(tmp, self._manifest_path())
 
     def _seg_path(self, seg: dict) -> str:

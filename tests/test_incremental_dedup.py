@@ -87,3 +87,97 @@ def test_incremental_matches_batch_result(spark, tmp_path):
             for r in incremental_minhash_dedup(part, store).collect()
         }
     assert inc == batch_pairs
+
+
+# --- incremental PERCEPTUAL dedup (banded bit-fingerprints) -------------
+
+
+def _fp_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"b{k} long" for k in range(8))
+    )
+
+
+def _group_fp(g, flip=()):
+    """Deterministic 8x16-bit fingerprint for group g; `flip` lists
+    (band, bit) positions to perturb."""
+    fp = [((g * 2654435761 + k * 40503) % 2147483647) % 65536 for k in range(8)]
+    for band, bit in flip:
+        fp[band] ^= 1 << bit
+    return fp
+
+
+def test_incremental_hamming_matches_batch_and_is_idempotent(spark, tmp_path):
+    from production_ready_ds_spark.operators.dedup import (
+        hamming_candidates,
+        incremental_hamming_dedup,
+    )
+
+    rows = []
+    for g in range(30):
+        rows.append((4 * g, *_group_fp(g)))
+        rows.append((4 * g + 1, *_group_fp(g, flip=[(0, 3)])))
+        rows.append((4 * g + 2, *_group_fp(g, flip=[(5, 7), (5, 9)])))
+        rows.append((4 * g + 3, *_group_fp(g, flip=[(2, 1)])))
+    full = _fp_rows(spark, rows)
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_candidates(full, radius=7).collect()
+    }
+    assert len(want) == 30 * 6, "every group of 4 must fully pair"
+
+    store = str(tmp_path / "fp")
+    b1 = _fp_rows(spark, [r for r in rows if r[0] < 60])
+    b2 = _fp_rows(spark, [r for r in rows if r[0] >= 60])
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in incremental_hamming_dedup(b1, store).collect()
+    }
+    got |= {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in incremental_hamming_dedup(b2, store).collect()
+    }
+    assert got == want, "2-batch incremental must equal the one-shot batch pairs"
+
+    # idempotent re-delivery: no new pairs, no new segment
+    from production_ready_ds_spark.operators.sigstore import SignatureStore
+    from production_ready_ds_spark.operators.dedup import DHASH_FAMILY
+
+    n_segs = len(SignatureStore(store, family=DHASH_FAMILY).segments())
+    again = incremental_hamming_dedup(b1, store).collect()
+    assert again == []
+    assert len(SignatureStore(store, family=DHASH_FAMILY).segments()) == n_segs
+
+
+def test_incremental_hamming_prunes_store_reads(spark, tmp_path):
+    """The corpus side of the candidate join must carry the batch's
+    bucket keys as a pushed In(key) predicate — per-batch store IO is
+    O(batch), not O(corpus)."""
+    from production_ready_ds_spark.operators.dedup import incremental_hamming_dedup
+
+    store = str(tmp_path / "fp")
+    b1 = _fp_rows(spark, [(i, *_group_fp(i)) for i in range(40)])
+    incremental_hamming_dedup(b1, store)
+    # a second batch with one near-dup of group 7
+    b2 = _fp_rows(spark, [(100, *_group_fp(7, flip=[(1, 2)]))])
+    pairs = incremental_hamming_dedup(b2, store)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got == {(7, 100): 1}
+
+
+def test_fingerprint_store_family_guard(spark, tmp_path):
+    """A dHash store must refuse to serve a MinHash-family manifest and
+    vice versa — incomparable signature integers."""
+    import pytest as _pytest
+
+    from production_ready_ds_spark.operators.dedup import (
+        DHASH_FAMILY,
+        incremental_hamming_dedup,
+    )
+    from production_ready_ds_spark.operators.sigstore import SignatureStore
+
+    store = str(tmp_path / "fp")
+    incremental_hamming_dedup(_fp_rows(spark, [(1, *_group_fp(1))]), store)
+    assert SignatureStore(store, family=DHASH_FAMILY).segments()
+    with _pytest.raises(ValueError, match="family"):
+        SignatureStore(store).segments()  # default = MinHash family
