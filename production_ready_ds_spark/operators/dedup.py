@@ -1010,8 +1010,13 @@ def incremental_hamming_dedup(
         if known is not None:
             fresh_fp = fresh_fp.join(known, id_col, "left_anti")
     # fingerprints materialize ONCE for the explode, the scoring joins
-    # and the append (the hamming_candidates checkpoint rule)
-    fresh_fp = fresh_fp.localCheckpoint(eager=True)
+    # and the append (the hamming_candidates checkpoint rule).
+    # dropDuplicates: at-least-once delivery can duplicate an id WITHIN
+    # one batch too — without this, every pair involving it is emitted
+    # per copy and the store gains duplicate rows forever (the minhash
+    # twin is immune by construction: minhash_bands' groupBy collapses
+    # per id).
+    fresh_fp = fresh_fp.dropDuplicates([id_col]).localCheckpoint(eager=True)
     fresh = fresh_fp.select(
         id_col,
         *band_cols,

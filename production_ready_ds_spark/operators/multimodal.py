@@ -905,7 +905,9 @@ def video_dhash_batches(stride: int = 2):
     groupby below is complete and its first row is the first sampled
     frame — the tie-break source."""
     frames = y4m_frames_batches(stride=stride)
-    resize = resize_rgb_batches(DHASH_W, DHASH_H, carry=("frame_idx",))
+    # no carry: the tie-break relies on the chain's row-order invariant
+    # (documented below), and dhash_bands_batches drops extra columns
+    resize = resize_rgb_batches(DHASH_W, DHASH_H)
     bands = dhash_bands_batches()
 
     def run(it):

@@ -598,6 +598,43 @@ def _synth_dhash_corpus(it):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE image fingerprint pipeline both q_dedup_image and its
+    cluster twin consume (a stride/spread tweak must change both or
+    they silently diverge): full-width spread (the q_video_frames
+    rule — only doc_id in, 8 longs out, heavy per-row Python; 64×
+    stress: 13.3 s at the /4 default → 4.3 s at 32), then synth →
+    resize → dHash composed as Python iterator stages inside ONE
+    mapInPandas — no payload byte ever crosses the JVM↔Python boundary
+    (chaining the stages as separate mapInPandas passes queues ~350 MB
+    of payload Arrow batches in the JVM at the 64× stress point and
+    OOMs a default-size heap). The REAL operator kernels still run
+    byte level: encode → header parse → NN resize → re-encode → parse
+    → luma → bit pack. A stored-payload corpus runs the same two
+    kernels via dhash_fingerprints, where the scan is the only
+    boundary crossing."""
+    from ..operators.multimodal import (
+        DHASH_H,
+        DHASH_SCHEMA,
+        DHASH_W,
+        dhash_bands_batches,
+        resize_rgb_batches,
+    )
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    resize = resize_rgb_batches(DHASH_W, DHASH_H)
+    bands = dhash_bands_batches()
+
+    def fused(it):
+        yield from bands(resize(_synth_dhash_corpus(it)))
+
+    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+
+
 @query("q_dedup_image", category="llm-dedup", bench=True, sql=_DHASH_SQL)
 def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup pairs under the FULL hash gate — the
@@ -627,43 +664,10 @@ def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy and stops blocking at that size. Hamming scoring is
     JVM-side bit_count/xor on 8 longs per pair."""
     from ..operators.dedup import hamming_candidates
-    from ..operators.multimodal import (
-        DHASH_H,
-        DHASH_SCHEMA,
-        DHASH_W,
-        dhash_bands_batches,
-        resize_rgb_batches,
+
+    return hamming_candidates(
+        _image_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
     )
-    from ..tables import spread
-
-    # full-width spread (the q_video_frames rule): the fused kernel
-    # below ships only doc_id in and 8 longs out — no payload Arrow
-    # batches to queue — and its per-row Python (synth + resize + hash)
-    # dominates the wall, so extra tasks cost only scheduler overhead
-    # (64× stress: 13.3 s at the /4 default → 4.3 s at 32).
-    ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
-    )
-
-    # Compose synth → resize → dHash as PYTHON iterator stages inside
-    # ONE mapInPandas: only doc_id goes in and 8 longs come out — no
-    # payload byte ever crosses the JVM↔Python boundary (chaining the
-    # stages as separate mapInPandas passes queues ~350 MB of payload
-    # Arrow batches in the JVM at the 64× stress point and OOMs a
-    # default-size heap). The REAL operator kernels still run byte
-    # level: encode → header parse → NN resize → re-encode → parse →
-    # luma → bit pack. A stored-payload corpus runs the same two
-    # kernels via dhash_fingerprints, where the scan is the only
-    # boundary crossing.
-    resize = resize_rgb_batches(DHASH_W, DHASH_H)
-    bands = dhash_bands_batches()
-
-    def fused(it):
-        yield from bands(resize(_synth_dhash_corpus(it)))
-
-    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
-    return hamming_candidates(fp, radius=_DHASH_RADIUS)
 
 
 # --- video: synthesized Y4M containers with a closed-form oracle -------
@@ -902,27 +906,8 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold-gated hybrid — driver union-find below the edge cap,
     distributed hash-min label propagation above it."""
     from ..operators.dedup import connected_components, hamming_candidates
-    from ..operators.multimodal import (
-        DHASH_H,
-        DHASH_SCHEMA,
-        DHASH_W,
-        dhash_bands_batches,
-        resize_rgb_batches,
-    )
-    from ..tables import spread
 
-    ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
-    )
-    resize = resize_rgb_batches(DHASH_W, DHASH_H)
-    bands = dhash_bands_batches()
-
-    def fused(it):
-        yield from bands(resize(_synth_dhash_corpus(it)))
-
-    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
-    pairs = hamming_candidates(fp, radius=_DHASH_RADIUS)
+    pairs = hamming_candidates(_image_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS)
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -1044,6 +1029,27 @@ def _synth_y4m_grouped(it):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
+def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE video fingerprint pipeline both q_dedup_video and its
+    cluster twin consume: full-width spread, then synth → container
+    walk → frame sampling → per-frame dHash → temporal majority fold
+    composed inside ONE mapInPandas (only doc_id in, 8 longs out — no
+    frame bytes cross the JVM boundary)."""
+    from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    vd = video_dhash_batches(stride=_VID_STRIDE)
+
+    def fused(it):
+        yield from vd(_synth_y4m_grouped(it))
+
+    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+
+
 @query("q_dedup_video", category="llm-dedup", bench=True, sql=_VIDEO_DEDUP_SQL)
 def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual VIDEO near-dup pairs under the FULL hash gate — the
@@ -1068,20 +1074,10 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming_candidates — banded equi-join, oversized-bucket guard,
     super-band tier from one count()."""
     from ..operators.dedup import hamming_candidates
-    from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
-    from ..tables import spread
 
-    ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
+    return hamming_candidates(
+        _video_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
     )
-    vd = video_dhash_batches(stride=_VID_STRIDE)
-
-    def fused(it):
-        yield from vd(_synth_y4m_grouped(it))
-
-    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
-    return hamming_candidates(fp, radius=_DHASH_RADIUS)
 
 
 @query(
@@ -1097,20 +1093,8 @@ def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     why components, not per-pair keep-lowest). Oracle = the full video
     fingerprint pipeline's recursive reachability minima in DuckDB."""
     from ..operators.dedup import connected_components, hamming_candidates
-    from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
-    from ..tables import spread
 
-    ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
-    )
-    vd = video_dhash_batches(stride=_VID_STRIDE)
-
-    def fused(it):
-        yield from vd(_synth_y4m_grouped(it))
-
-    fp = ids.mapInPandas(fused, schema=DHASH_SCHEMA)
-    pairs = hamming_candidates(fp, radius=_DHASH_RADIUS)
+    pairs = hamming_candidates(_video_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS)
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 

@@ -181,3 +181,22 @@ def test_fingerprint_store_family_guard(spark, tmp_path):
     assert SignatureStore(store, family=DHASH_FAMILY).segments()
     with _pytest.raises(ValueError, match="family"):
         SignatureStore(store).segments()  # default = MinHash family
+
+
+def test_incremental_hamming_dedupes_within_batch(spark, tmp_path):
+    """At-least-once delivery can duplicate an id WITHIN one batch: the
+    duplicate must collapse before pairing and appending — no repeated
+    pair rows, and the store holds exactly 8 band rows per doc."""
+    from production_ready_ds_spark.operators.dedup import (
+        DHASH_FAMILY,
+        incremental_hamming_dedup,
+    )
+    from production_ready_ds_spark.operators.sigstore import SignatureStore
+
+    store = str(tmp_path / "fp")
+    rows = [(0, *_group_fp(3)), (1, *_group_fp(3, flip=[(0, 2)]))]
+    batch = _fp_rows(spark, rows + rows)  # every row delivered twice
+    pairs = incremental_hamming_dedup(batch, store).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 1)]
+    stored = spark.read.parquet(store)
+    assert stored.count() == 2 * 8
