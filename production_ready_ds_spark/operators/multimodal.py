@@ -936,6 +936,62 @@ def video_dhash_batches(stride: int = 2):
     return run
 
 
+#: envelope dHash grid: 129 equal windows → 128 adjacent-energy
+#: comparisons → the same 8 × 16-bit band layout the image/video
+#: fingerprints ship, so audio rides the identical Hamming blocking.
+ENVELOPE_WINDOWS = 129
+
+
+def audio_envelope_dhash_batches():
+    """mapInPandas kernel: WAV payload → 128-bit ENVELOPE difference
+    hash as 8 × 16-bit bands — the audio member of the perceptual
+    fingerprint family (images/videos hash luma gradients; audio
+    hashes the loudness envelope, the chromaprint idea reduced to its
+    integer core): parse the real RIFF container (WAVAudioDecoder —
+    the one place the WAV rules live), split the samples into
+    ENVELOPE_WINDOWS equal windows (integer step = n // 129, tail
+    truncated), sum |sample| per window in exact int64, and set bit k
+    iff window k+1 is louder than window k. All integer, so a DuckDB
+    oracle replays every bit; robust to gain-invariant edits that
+    preserve the loudness ORDER of adjacent windows. Payloads that are
+    malformed or too short for one sample per window yield all-NULL
+    bands (decode errors at 100 TB are data, not exceptions)."""
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        shifts16 = np.arange(16, dtype=np.int64)
+        for pdf in it:
+            out = {f"b{k}": [] for k in range(DHASH_BANDS)}
+            for buf in pdf["payload"]:
+                parsed = WAVAudioDecoder.parse(buf)
+                if parsed is None:
+                    for k in range(DHASH_BANDS):
+                        out[f"b{k}"].append(None)
+                    continue
+                _sr, body = parsed
+                x = np.frombuffer(body, dtype="<i2").astype(np.int64)
+                step = len(x) // ENVELOPE_WINDOWS
+                if step == 0:
+                    for k in range(DHASH_BANDS):
+                        out[f"b{k}"].append(None)
+                    continue
+                w = (
+                    np.abs(x[: ENVELOPE_WINDOWS * step])
+                    .reshape(ENVELOPE_WINDOWS, step)
+                    .sum(axis=1)
+                )
+                bits = (w[1:] > w[:-1]).astype(np.int64).reshape(
+                    DHASH_BANDS, 16
+                )
+                for k in range(DHASH_BANDS):
+                    out[f"b{k}"].append(int((bits[k] << shifts16).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **out})
+
+    return run
+
+
 class PCMAudioDecoder(Decoder):
     """REAL audio decode for a fixed raw layout: ``b"PCM1" + u32
     sample_rate (big-endian) + little-endian int16 mono samples``.

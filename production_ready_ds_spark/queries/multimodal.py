@@ -1099,6 +1099,134 @@ def q_dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+# --- audio near-dup dedup (envelope dHash + Hamming blocking) ----------
+#
+# Dedup now covers ALL THREE media modalities through one blocking
+# stack: images hash luma gradients, videos add a temporal majority,
+# audio hashes the LOUDNESS ENVELOPE — 129 equal windows, bit k set
+# iff window k+1 is louder (exact int64 |sample| sums through the real
+# RIFF container walk). Synthesis mirrors the image/video group
+# structure: groups of 4 share per-window amplitudes — TWO squaring
+# rounds, like the video synth, but for a different reason: adjacent
+# windows differ by a CONSTANT pre-square (x_{k+1} = x_k + 48271), so
+# one round's deltas (2δx + δ²) grow linearly in k and the mod-1024
+# sawtooth gives structured louder-than runs — measured Σ bucket²
+# 3.2 M vs the 216 k group floor on a 40 k-doc sample (heap death at
+# 64×); the second multiply-and-square decorrelates consecutive
+# windows (max bucket = one group). Samples alternate ±w_k inside
+# window k; variants
+# v >= 1 overwrite ONE window's amplitude with (v·511) mod 1024,
+# flipping <= 2 ADJACENT envelope bits — guaranteed blocked and
+# within the radius like the other two modalities.
+_A_X = "((d.g * 2654435761 + kz.range * 48271) % 2147483647)"
+_A_Y = f"({_A_X} * {_A_X} % 2147483647)"
+_A_Z = f"(({_A_Y} * 2654435761 + 40503) % 2147483647)"
+_A_W = f"({_A_Z} * {_A_Z} % 2147483647) % 1024"
+
+_AUDIO_DEDUP_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
+    ),
+    wk AS (
+      SELECT d.doc_id, kz.range AS k,
+             CASE WHEN d.v >= 1 AND kz.range = (d.g * 13 + d.v * 29) % 129
+                  THEN (d.v * 511) % 1024
+                  ELSE {_A_W}
+             END AS w
+      FROM d, range(129) kz
+    ),
+    bits AS (
+      SELECT a.doc_id, a.k AS kk,
+             CASE WHEN b.w > a.w THEN 1 ELSE 0 END AS bit
+      FROM wk a JOIN wk b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+      WHERE a.k < 128
+    ),
+    bandvals AS (
+      SELECT doc_id, kk // 16 AS band,
+             CAST(SUM(bit * (1 << CAST(kk % 16 AS INT))) AS BIGINT) AS key
+      FROM bits GROUP BY doc_id, kk // 16
+    ),
+    {_HAMMING_TAIL_CTES}
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    """
+
+
+def _synth_wav_grouped(it):
+    """mapInPandas kernel: doc_id → deterministic GROUPED WAV container
+    (the closed form in the section comment — shared per-window
+    amplitudes per group of 4, one overwritten window per variant;
+    samples alternate ±w_k so the signal is zero-mean audio, not DC)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import ENVELOPE_WINDOWS, WAVAudioDecoder
+
+    for pdf in it:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            g, v = int(doc_id) // 4, int(doc_id) % 4
+            step = 8 + g % 5
+            k = np.arange(ENVELOPE_WINDOWS, dtype=np.int64)
+            x = (g * 2654435761 + k * 48271) % 2147483647
+            y2 = x * x % 2147483647
+            z = (y2 * 2654435761 + 40503) % 2147483647
+            w = (z * z % 2147483647) % 1024
+            if v >= 1:
+                w[(g * 13 + v * 29) % ENVELOPE_WINDOWS] = (v * 511) % 1024
+            amp = np.repeat(w, step)
+            sign = np.where(np.arange(len(amp)) % 2 == 0, 1, -1)
+            payloads.append(
+                WAVAudioDecoder.encode(8000, (amp * sign).astype("<i2"))
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE audio fingerprint pipeline (the _image_fingerprints
+    convention): full-width spread, synth → RIFF walk → windowed
+    envelope → bit pack fused inside ONE mapInPandas."""
+    from ..operators.multimodal import DHASH_SCHEMA, audio_envelope_dhash_batches
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+    env = audio_envelope_dhash_batches()
+
+    def fused(it):
+        yield from env(_synth_wav_grouped(it))
+
+    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+
+
+@query("q_dedup_audio", category="llm-dedup", bench=True, sql=_AUDIO_DEDUP_SQL)
+def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup pairs under the FULL hash gate —
+    closing dedup across the modality triple (image round 8, video
+    round 8, audio here) through ONE blocking stack: each document
+    synthesizes a deterministic grouped zero-mean waveform shipped as
+    a real RIFF/WAVE container, audio_envelope_dhash_batches walks the
+    container and hashes the loudness envelope (129 windows → 128
+    louder-than bits, exact int64 |sample| sums — the chromaprint idea
+    reduced to its integer core), and hamming_candidates blocks and
+    scores pairs exactly as for images and videos. The DuckDB oracle
+    replays amplitudes → envelope ordering → bit packing → blocking →
+    bit_count(xor) in closed form (window sum = step·w_k exactly, so
+    the container/window stages drop out of the SQL without weakening
+    the Spark path, which still runs them).
+
+    Scale shape: identical to the image family — one fused map pass
+    (doc_id in, 8 longs out), guarded banded join, super-band tier
+    from one count()."""
+    from ..operators.dedup import hamming_candidates
+
+    return hamming_candidates(
+        _audio_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
+    )
+
+
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------
 #
 # Square-wave synthesis parameters, all pure functions of doc_id so the

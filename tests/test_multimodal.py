@@ -931,3 +931,57 @@ def test_perceptual_cluster_queries_collapse_groups(spark, sf_small, cat):
         for g in range(500 // 4):
             for i in range(4):
                 assert got[4 * g + i] == 4 * g, (name, g, i)
+
+
+def test_audio_envelope_dhash_kernel(spark):
+    """Envelope hash through the REAL WAV container: known per-window
+    amplitudes produce exactly the louder-than bits; gain scaling
+    preserves the fingerprint (order-invariance); malformed and
+    too-short payloads yield all-NULL bands."""
+    import numpy as np
+
+    step, W = 4, mm.ENVELOPE_WINDOWS
+    w = ((np.arange(W, dtype=np.int64) * 7919) % 251) + 1
+    amp = np.repeat(w, step)
+    sign = np.where(np.arange(len(amp)) % 2 == 0, 1, -1)
+    buf = mm.WAVAudioDecoder.encode(8000, (amp * sign).astype("<i2"))
+    buf2x = mm.WAVAudioDecoder.encode(8000, (2 * amp * sign).astype("<i2"))
+    short = mm.WAVAudioDecoder.encode(8000, np.ones(W - 1, dtype="<i2"))
+    df = spark.createDataFrame(
+        [(0, bytearray(buf)), (1, bytearray(buf2x)), (2, bytearray(b"junk")),
+         (3, bytearray(short))],
+        "doc_id long, payload binary",
+    )
+    fps = {
+        r.doc_id: r
+        for r in df.mapInPandas(
+            mm.audio_envelope_dhash_batches(), schema=mm.DHASH_SCHEMA
+        ).collect()
+    }
+    bits = (w[1:] > w[:-1]).astype(int)
+    expect = [
+        int(sum(b << p for p, b in enumerate(bits[16 * k : 16 * k + 16])))
+        for k in range(8)
+    ]
+    assert [fps[0][f"b{k}"] for k in range(8)] == expect
+    for k in range(8):
+        assert fps[1][f"b{k}"] == fps[0][f"b{k}"], "2x gain must not move bits"
+        assert fps[2][f"b{k}"] is None and fps[3][f"b{k}"] is None
+
+
+def test_dedup_audio_recall_all_group_pairs(spark, sf_small, cat):
+    """Constructed near-dup recall for the audio corpus: all 6
+    within-group pairs found (a 1-window amplitude overwrite flips <= 2
+    adjacent envelope bits), base↔variant within Hamming 2,
+    variant↔variant within 4."""
+    rows = cat["q_dedup_audio"].fn(spark, sf_small).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    for g in range(500 // 4):
+        ids = [4 * g + i for i in range(4)]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                key = (ids[i], ids[j])
+                assert key in got, f"missing within-group pair {key}"
+                limit = 2 if i == 0 else 4
+                assert got[key] <= limit, (key, got[key])
+    assert all(h <= 7 for h in got.values())
