@@ -20,13 +20,40 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     )
 
 
+def _split_top_level(entry: str) -> list[str]:
+    """Split a PushedFilters payload on commas OUTSIDE (), [] — an
+    In-list filter like ``In(lang, [de,fr])`` is ONE entry, and its
+    closing ``]`` must not terminate the whole list."""
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(entry):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(entry[start:i].strip())
+            start = i + 1
+    tail = entry[start:].strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across the plan's parquet scans."""
+    """All PushedFilters entries across the plan's parquet scans.
+
+    The payload is matched to the LAST ``]`` on the line (greedy), not
+    the first — ``In(col, [v1,v2])`` carries a ``]`` inside the list —
+    and split on top-level commas only, so every pushed filter of a
+    multi-predicate scan is reported, not just the first.
+    """
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", explain_str(df)):
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", explain_str(df)):
         entry = m.group(1).strip()
         if entry:
-            out.extend(p.strip() for p in entry.split(","))
+            out.extend(_split_top_level(entry))
     return out
 
 

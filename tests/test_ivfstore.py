@@ -328,7 +328,7 @@ def test_attrs_sidecar_pushes_facet_into_probed_read(spark, tmp_path, embs, sf_s
     parquet reader, not post-fetch), attr-filtered search must equal
     eligible-join search at every probe width, and the manifest must
     carry the sidecar schema through compaction."""
-    from production_ready_ds_spark.plans.audit import explain_str
+    from production_ready_ds_spark.plans.audit import pushed_filters
 
     docs = load(spark, sf_small, "documents")
     attrs = docs.select(F.col("doc_id").alias("vec_id"), "lang")
@@ -342,11 +342,10 @@ def test_attrs_sidecar_pushes_facet_into_probed_read(spark, tmp_path, embs, sf_s
     probes = embs.filter(F.col("vec_id") < 10)
 
     # the sidecar predicate rides the SAME scan as the list predicate
-    # (the pushed_filters helper truncates at the first ']' inside an
-    # In-list, so match the raw plan text)
     cand = store.read_lists(spark, [0, 1, 2], attr_filter=("lang", ("de", "fr")))
-    plan = explain_str(cand)
-    assert "In(list_id" in plan and "In(lang" in plan, plan
+    pushed = pushed_filters(cand)
+    assert any(p.startswith("In(list_id") for p in pushed), pushed
+    assert any(p.startswith("In(lang") for p in pushed), pushed
 
     # attr-pushed search ≡ eligible-join search, full AND partial probe
     for nprobe in (n_lists, 2):

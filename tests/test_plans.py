@@ -28,6 +28,21 @@ def cat():
     return catalog()
 
 
+def test_pushed_filters_splits_in_lists_at_top_level():
+    """An In-list's closing ']' must neither end the payload nor split
+    the entry — a dual-predicate scan reports BOTH filters."""
+    from production_ready_ds_spark.plans.audit import _split_top_level
+
+    entry = "In(list_id, [1,2,3]), IsNotNull(lang), In(lang, [de,fr])"
+    assert _split_top_level(entry) == [
+        "In(list_id, [1,2,3])",
+        "IsNotNull(lang)",
+        "In(lang, [de,fr])",
+    ]
+    assert _split_top_level("") == []
+    assert _split_top_level("IsNotNull(x)") == ["IsNotNull(x)"]
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_small, cat):
     df = cat["q_filter_range"].fn(spark, sf_small)
     pushed = " ".join(pushed_filters(df))
