@@ -842,7 +842,7 @@ def minhash_candidates(
     )
 
 
-SUPERBAND_DOC_THRESHOLD = 100_000
+SUPERBAND_MEAN_BUCKET = 8
 
 
 def hamming_candidates(
@@ -852,7 +852,7 @@ def hamming_candidates(
     n_bands: int = 8,
     radius: int = 7,
     bucket_cap: int | None = OVERSIZED_BUCKET_CAP,
-    superband_threshold: int = SUPERBAND_DOC_THRESHOLD,
+    mean_bucket_limit: int = SUPERBAND_MEAN_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs from banded bit-fingerprints (``b0..b{n-1}``
     columns, e.g. the 128-bit dHash shipped as 8 × 16-bit bands):
@@ -864,20 +864,32 @@ def hamming_candidates(
     (band, value), two fingerprint re-joins for the distance — the
     q_dedup_minhash shape on a bit-sig instead of a minhash sig.
 
-    CORPUS-SCALED SUPER-BANDS (the scaled_sign_planes convention): a
+    ENTROPY-SCALED SUPER-BANDS (the scaled_sign_planes convention): a
     16-bit comparison band carries only ~14.4 bits of entropy (adjacent
     dHash bits share a pixel, so neighboring comparisons anti-
     correlate — inherent to difference hashes, not a synthesis
-    artifact), so past ~100 k docs the mean bucket outgrows the
-    oversized cap EVERYWHERE (64× stress: median bucket 8, p90 31,
-    31 M candidate pairs — the blocking stops blocking). Above
-    ``superband_threshold`` docs the blocking key becomes PAIRS of
-    adjacent bands (4 × 32-bit keys, ~2^28.8 effective states): the
-    pigeonhole guarantee narrows from Hamming 7 to 3, but any pair
-    whose flips touch <= 2 base bands — e.g. the constructed 1-pixel
-    image perturbations — still shares >= 2 of the 4 super-bands. One
-    driver-side count() on the checkpointed fingerprints picks the
-    tier; an oracle replays it from the same corpus count.
+    artifact), so well before a million docs the mean bucket outgrows
+    the oversized cap EVERYWHERE (64× stress at 320 k docs: median
+    bucket 8, p90 31, 31 M candidate pairs — the blocking stops
+    blocking). The tier is picked from the MEASURED bucket load, not a
+    fixed doc count: one agg over the checkpointed fingerprints reads
+    ``n`` docs and the per-band distinct-key counts ``Σ_b d_b``, and
+    when the mean bucket ``n·n_bands / Σ_b d_b`` exceeds
+    ``mean_bucket_limit`` (exact-integer comparison, replayed verbatim
+    by the oracles) the blocking key becomes PAIRS of adjacent bands
+    (4 × 32-bit keys): the pigeonhole guarantee narrows from Hamming 7
+    to 3, but any pair whose flips touch <= 2 base bands — e.g. the
+    constructed 1-pixel image perturbations — still shares >= 2 of the
+    4 super-bands. Measuring (rather than assuming) the entropy is
+    what makes the rule robust to LOW-entropy corpora (mostly-flat
+    images, near-silent audio): those run hot far below any doc-count
+    threshold, and the distinct-key agg sees it directly. The limit
+    defaults to ``n_bands`` (= mean bucket 8): ~2× above the 3.4-4.1
+    floor the grouped near-dup families themselves impose (group
+    members share 7 of 8 bands by construction), and well below the
+    bucket_cap=20 region where the guard starts truncating recall —
+    on the measured ~14.4-bit synthesis entropy that crosses at
+    ~147 k docs, close to the retired fixed 100 k rule.
 
     Scale: pair work is Σ_bucket |bucket|², bounded by the same
     oversized-bucket guard as minhash_candidates — buckets heavier than
@@ -894,9 +906,17 @@ def hamming_candidates(
     band_cols = [f"b{k}" for k in range(n_bands)]
     # decode/fingerprint pipeline runs once for the band explode and
     # both scoring re-joins (the minhash_bands checkpoint rule). The
-    # count() that picks the super-band tier reads the same checkpoint.
+    # one agg that picks the super-band tier reads the same checkpoint
+    # (n_bands exact count_distincts in one pass — an Expand over rows
+    # of 9 longs, same order of work as the count() it replaces).
     fp = fp.select(id_col, *band_cols).localCheckpoint(eager=True)
-    sb = 1 if fp.count() <= superband_threshold else 2
+    stats = fp.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count_distinct(c).alias(f"d{k}") for k, c in enumerate(band_cols)],
+    ).first()
+    n_docs = stats["n"]
+    sum_distinct = sum(stats[f"d{k}"] for k in range(n_bands))
+    sb = 2 if n_docs * n_bands > mean_bucket_limit * sum_distinct else 1
     keys = [
         F.col(f"b{sb * k}")
         if sb == 1

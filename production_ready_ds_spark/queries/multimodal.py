@@ -13,7 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    ENVELOPE_WINDOWS,
     RawRGBDecoder,
+    WAVAudioDecoder,
     Y4MVideoDecoder,
     attach_payload,
     extract_features,
@@ -466,8 +468,9 @@ _G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
 # The Hamming-blocking tail shared by every banded-bit-fingerprint
 # oracle (q_dedup_image, q_dedup_video, and their cluster queries):
 # expects a ``bandvals`` CTE of (doc_id, band 0..7, key 0..65535) and
-# replays hamming_candidates — fingerprint pivot, the corpus-scaled
-# super-band tier from COUNT(*), band-equality candidates,
+# replays hamming_candidates — fingerprint pivot, the entropy-scaled
+# super-band tier from the measured per-band distinct-key counts,
+# band-equality candidates,
 # bit_count(xor) scoring, radius filter. Split as CTES + final SELECT
 # so cluster oracles can chain a recursive components CTE onto
 # ``scored`` instead of re-stating the whole pipeline.
@@ -477,9 +480,15 @@ _HAMMING_TAIL_CTES = f"""
              {", ".join(f"MAX(CASE WHEN band = {k} THEN key END) AS b{k}" for k in range(8))}
       FROM bandvals GROUP BY doc_id
     ),
+    -- entropy-scaled tier (hamming_candidates' exact-integer rule):
+    -- super-bands when mean bucket n*8/sum(distinct keys per band)
+    -- exceeds 8, i.e. n_docs > sum of per-band distinct counts
     params AS (
-      SELECT CASE WHEN (SELECT COUNT(*) FROM documents) <= 100000
-                  THEN 1 ELSE 2 END AS sb
+      SELECT CASE WHEN (SELECT COUNT(DISTINCT doc_id) FROM bandvals)
+                  > (SELECT CAST(SUM(nd) AS BIGINT) FROM
+                     (SELECT COUNT(DISTINCT key) AS nd
+                      FROM bandvals GROUP BY band))
+                  THEN 2 ELSE 1 END AS sb
     ),
     sbands AS (
       SELECT doc_id, band // sb AS band,
@@ -657,12 +666,15 @@ def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes); pair generation is the LSH discipline — equi-join
     on (band, value) with the minhash oversized-bucket guard (n·cap,
     never n², inside a hot bucket), never all-pairs — and the blocking
-    key is CORPUS-SCALED: past 100 k docs the join key becomes pairs
-    of adjacent bands (4 × 32-bit super-bands, the scaled_sign_planes
-    convention; the oracle replays the tier from the same COUNT(*)),
-    because a 16-bit comparison band carries only ~14.4 bits of
-    entropy and stops blocking at that size. Hamming scoring is
-    JVM-side bit_count/xor on 8 longs per pair."""
+    key is ENTROPY-SCALED: when the measured mean bucket (docs ×
+    bands / Σ per-band distinct keys, one agg on the checkpointed
+    fingerprints) exceeds 8, the join key becomes pairs of adjacent
+    bands (4 × 32-bit super-bands, the scaled_sign_planes convention;
+    the oracle replays the exact-integer rule from the same distinct
+    counts), because a 16-bit comparison band carries only ~14.4 bits
+    of entropy — and a low-entropy corpus (mostly-flat images) runs
+    hot far earlier, which a doc-count threshold cannot see. Hamming
+    scoring is JVM-side bit_count/xor on 8 longs per pair."""
     from ..operators.dedup import hamming_candidates
 
     return hamming_candidates(
@@ -1060,7 +1072,7 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-side) → per-bit temporal MAJORITY vote into one video
     fingerprint (robust to single-frame edits — a variant whose
     perturbed frame is unsampled or outvoted fingerprints identically)
-    → the corpus-scaled super-band Hamming blocking shared with
+    → the entropy-scaled super-band Hamming blocking shared with
     q_dedup_image (one operator, two modalities). The DuckDB oracle
     replays container synthesis → frame sampling → NN grid → neighbor
     bits → majority fold → band packing → blocking → bit_count(xor)
@@ -1072,7 +1084,7 @@ def q_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs out — no frame bytes cross the JVM boundary; full-width
     spread by the q_video_frames rule); pair generation is
     hamming_candidates — banded equi-join, oversized-bucket guard,
-    super-band tier from one count()."""
+    entropy-scaled super-band tier from one distinct-counts agg."""
     from ..operators.dedup import hamming_candidates
 
     return hamming_candidates(
@@ -1156,11 +1168,14 @@ def _synth_wav_grouped(it):
     """mapInPandas kernel: doc_id → deterministic GROUPED WAV container
     (the closed form in the section comment — shared per-window
     amplitudes per group of 4, one overwritten window per variant;
-    samples alternate ±w_k so the signal is zero-mean audio, not DC)."""
+    samples alternate ±w_k so the signal is zero-mean audio, not DC.
+
+    ENVELOPE_WINDOWS / WAVAudioDecoder are captured from module scope
+    (the by-value pickle rule): a package-relative import INSIDE this
+    worker-executed body raises ModuleNotFoundError on a vanilla
+    foreign session, where the repo is not on the worker's path."""
     import numpy as np
     import pandas as pd
-
-    from ..operators.multimodal import ENVELOPE_WINDOWS, WAVAudioDecoder
 
     for pdf in it:
         payloads = []
@@ -1218,8 +1233,8 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark path, which still runs them).
 
     Scale shape: identical to the image family — one fused map pass
-    (doc_id in, 8 longs out), guarded banded join, super-band tier
-    from one count()."""
+    (doc_id in, 8 longs out), guarded banded join, entropy-scaled
+    super-band tier from one distinct-counts agg."""
     from ..operators.dedup import hamming_candidates
 
     return hamming_candidates(

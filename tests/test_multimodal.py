@@ -730,10 +730,11 @@ def test_hamming_candidates_oversized_bucket_guard(spark):
 
 
 def test_hamming_candidates_superband_tier(spark):
-    """Past the corpus threshold the blocking key becomes pairs of
-    adjacent bands: flips confined to ONE super-band still block (3 of
-    4 shared), while one flip in every OTHER base band touches all 4
-    super-bands and is correctly absent even under the radius."""
+    """Past the mean-bucket limit the blocking key becomes pairs of
+    adjacent bands (mean_bucket_limit=0 forces the tier): flips
+    confined to ONE super-band still block (3 of 4 shared), while one
+    flip in every OTHER base band touches all 4 super-bands and is
+    correctly absent even under the radius."""
     from production_ready_ds_spark.operators.dedup import hamming_candidates
 
     base = [10, 20, 30, 40, 50, 60, 70, 80]
@@ -743,7 +744,7 @@ def test_hamming_candidates_superband_tier(spark):
         [(0, *base), (1, *two_bands_one_super), (2, *one_per_super)],
         "doc_id long, " + ", ".join(f"b{k} long" for k in range(8)),
     )
-    rows = hamming_candidates(df, radius=7, superband_threshold=1).collect()
+    rows = hamming_candidates(df, radius=7, mean_bucket_limit=0).collect()
     got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
     assert got.get((0, 1)) == 4
     assert (0, 2) not in got, "flips in all 4 super-bands must not block"
@@ -752,6 +753,32 @@ def test_hamming_candidates_superband_tier(spark):
     rows1 = hamming_candidates(df, radius=7).collect()
     got1 = {(r.doc_a, r.doc_b): r.hamming for r in rows1}
     assert got1.get((0, 2)) == 4
+
+
+def test_hamming_candidates_low_entropy_corpus_escalates(spark):
+    """The tier rule measures bucket load, not corpus size: a tiny but
+    LOW-ENTROPY corpus (18 identical fingerprints drive mean bucket
+    past the limit — the mostly-flat-images case a doc-count threshold
+    cannot see) escalates to super-bands at the DEFAULT limit, so the
+    one-flip-per-super-band variant stops blocking; an equal-SIZE
+    high-entropy corpus stays on raw bands (the 3-doc test above)."""
+    from production_ready_ds_spark.operators.dedup import hamming_candidates
+
+    base = [10, 20, 30, 40, 50, 60, 70, 80]
+    one_per_super = [b ^ (1 - (k % 2)) if k % 2 == 0 else b for k, b in enumerate(base)]
+    rows = [(i, *base) for i in range(19)] + [(19, *one_per_super)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, " + ", ".join(f"b{k} long" for k in range(8))
+    )
+    # n=20 docs, sum of per-band distinct = 8 + 4 flips = 12 < 20 → sb=2
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in hamming_candidates(df, radius=7).collect()
+    }
+    assert all(19 not in pair for pair in got), (
+        "one flip per super-band must not block under the escalated tier"
+    )
+    assert (0, 1) in got, "identical fingerprints still pair"
 
 
 # --- Y4M video container ------------------------------------------------
