@@ -168,6 +168,7 @@ _EXTENSION_PRIORITY = (
     "q_dedup_image_clusters",
     "q_dedup_video_clusters",
     "q_dedup_audio",
+    "q_dedup_audio_clusters",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",

@@ -1135,8 +1135,8 @@ _A_Y = f"({_A_X} * {_A_X} % 2147483647)"
 _A_Z = f"(({_A_Y} * 2654435761 + 40503) % 2147483647)"
 _A_W = f"({_A_Z} * {_A_Z} % 2147483647) % 1024"
 
-_AUDIO_DEDUP_SQL = f"""
-    WITH d AS (
+_AUDIO_CTES = f"""
+    d AS (
       SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v FROM documents
     ),
     wk AS (
@@ -1158,7 +1158,10 @@ _AUDIO_DEDUP_SQL = f"""
              CAST(SUM(bit * (1 << CAST(kk % 16 AS INT))) AS BIGINT) AS key
       FROM bits GROUP BY doc_id, kk // 16
     ),
-    {_HAMMING_TAIL_CTES}
+    {_HAMMING_TAIL_CTES}"""
+
+_AUDIO_DEDUP_SQL = f"""
+    WITH {_AUDIO_CTES}
     SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
     FROM scored WHERE hamming <= {_DHASH_RADIUS}
     """
@@ -1240,6 +1243,33 @@ def q_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_candidates(
         _audio_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
     )
+
+
+@query(
+    "q_dedup_audio_clusters",
+    category="llm-dedup",
+    sql=f"""
+    WITH RECURSIVE {_AUDIO_CTES}{_HAMMING_CLUSTERS_SQL_TAIL}""",
+)
+def q_dedup_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive PERCEPTUAL audio duplicate clusters — the
+    keep-decision on top of q_dedup_audio, completing the cluster twin
+    across the modality triple (q_dedup_image_clusters,
+    q_dedup_video_clusters, here): envelope-Hamming pairs fed to
+    connected components, one row per clustered track with cluster_id
+    = min doc_id of its component, so chains A~B~C (perceptual
+    distance is not transitive) collapse to ONE keep decision. Oracle
+    = the full envelope pipeline's recursive reachability minima.
+
+    Scale shape: pair generation is q_dedup_audio's (fused
+    fingerprints, guarded banded join, entropy-scaled tier);
+    components is the threshold-gated hybrid — driver union-find below
+    the edge cap, distributed hash-min label propagation above it."""
+    from ..operators.dedup import connected_components, hamming_candidates
+
+    pairs = hamming_candidates(_audio_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 # --- audio: synthesized PCM payloads with a closed-form oracle ---------

@@ -951,7 +951,11 @@ def test_perceptual_cluster_queries_collapse_groups(spark, sf_small, cat):
     """Both perceptual cluster queries must collapse every constructed
     group of 4 variants into ONE cluster rooted at the group's lowest
     doc_id (the keep-decision contract: chains resolve transitively)."""
-    for name in ("q_dedup_image_clusters", "q_dedup_video_clusters"):
+    for name in (
+        "q_dedup_image_clusters",
+        "q_dedup_video_clusters",
+        "q_dedup_audio_clusters",
+    ):
         rows = cat[name].fn(spark, sf_small).collect()
         got = {r.doc_id: r.cluster_id for r in rows}
         assert len(got) == 500, name
