@@ -178,6 +178,7 @@ _EXTENSION_PRIORITY = (
     "q_xml_roundtrip",
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
+    "q_compact_files",
     # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
     # stratified sample, zlib bounds contract, IVF full-probe anchor)
     "q_dedup_simhash",

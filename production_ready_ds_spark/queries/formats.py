@@ -110,3 +110,53 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _build_lock(out):
         write_orc(load(spark, sf_dir, "documents"), out)
     return _roundtrip_agg(read_orc(spark, out))
+
+
+_COMPACT_TARGET = 200  # rows per compacted file — forces a multi-file layout at every SF
+
+_COMPACT_SQL = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+            AS BIGINT) AS text_checksum,
+       (SELECT CAST((COUNT(*) + {_COMPACT_TARGET - 1}) // {_COMPACT_TARGET}
+                    AS BIGINT) FROM documents) AS n_files
+FROM documents GROUP BY lang
+"""
+
+
+@query("q_compact_files", category="layout", sql=_COMPACT_SQL)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the driver hash gate: fragment the
+    corpus into 64 micro-batch-sized parquet files (the lake shape a
+    streaming ingest leaves behind — at 100 TB the open/footer
+    overhead of kilobyte files dominates scans), rewrite it with
+    operators/layout.compact_parquet into ⌈rows / target⌉ right-sized
+    files, and aggregate the shared round-trip checksum PLUS the
+    OBSERVED post-compaction file count. The oracle recomputes the
+    checksum over the original corpus and the expected ⌈n/target⌉
+    arithmetically, so the gate verifies both content fidelity (no
+    row lost or mangled by the rewrite) and the layout math (the
+    rewrite actually produced the right-sized file count).
+
+    Scale shape: compaction is one linear read + AQE-planned
+    repartition + write — no joins, one width-n_files shuffle;
+    production lakes run it continuously on recent partitions, never
+    the whole table (operators/layout.py docstring carries the
+    single-writer/table-format contract)."""
+    from ..operators.layout import compact_parquet
+    from .llm import _build_lock
+
+    out = _staging_dir(sf_dir, "compact")
+    with _build_lock(out):
+        (
+            load(spark, sf_dir, "documents")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        n_files = compact_parquet(spark, out, target_rows_per_file=_COMPACT_TARGET)
+    return _roundtrip_agg(spark.read.parquet(out)).withColumn(
+        "n_files", F.lit(n_files).cast("long")
+    )
