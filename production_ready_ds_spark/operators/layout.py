@@ -217,3 +217,56 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_key(x, y, bits: int = 8):
+    """Map two already-scaled [0, 2^bits) int columns onto the HILBERT
+    curve distance d — the locality-preserving refinement of the
+    Z-order key (Iceberg's rewrite_data_files supports exactly this
+    sort strategy). Morton order takes long diagonal jumps at every
+    power-of-two boundary, so a file of consecutive z-keys can own two
+    far-apart rectangles; consecutive Hilbert distances are always
+    grid-adjacent, so a file of consecutive d-values owns ONE compact
+    region and min/max stats stay tight on both dimensions.
+
+    The classic per-level fold (the Wikipedia xy2d formulation) runs
+    as ONE ``F.aggregate`` higher-order function over the level array
+    with a (x, y, d) struct accumulator — deliberately NOT unrolled
+    into nested column expressions: each level's state references the
+    previous level's x and y ~5 times, so an unrolled tree grows ~5^bits
+    nodes and OOMs the driver at plan construction (the
+    fused-expression re-inlining class the q_sketch_theta fix
+    documents; a lambda variable is a REFERENCE, so the HOF tree stays
+    constant-size). Variable shifts inside the lambda go through exact
+    power-of-two division (x < 2^bits keeps every intermediate exact
+    in a double). The DuckDB oracle twin replays the SAME walk as a
+    recursive CTE (queries/analytics.py), so the two engines cannot
+    disagree on the key."""
+    n = 1 << bits
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    levels = F.array(*[F.lit(i) for i in range(bits - 1, -1, -1)])
+
+    def step(acc, lvl):
+        p = F.pow(F.lit(2.0), lvl.cast("double"))
+        rx = F.floor(acc["x"] / p).cast("long").bitwiseAND(F.lit(1))
+        ry = F.floor(acc["y"] / p).cast("long").bitwiseAND(F.lit(1))
+        d2 = acc["d"] + (p * p).cast("long") * (rx * 3).bitwiseXOR(ry)
+        # rotate/flip the quadrant: ry=1 keeps (x,y); ry=0 swaps, and
+        # rx=1 additionally reflects through the full grid (n-1-·)
+        nx = (
+            F.when(ry == 1, acc["x"])
+            .when(rx == 1, F.lit(n - 1) - acc["y"])
+            .otherwise(acc["y"])
+        )
+        ny = (
+            F.when(ry == 1, acc["y"])
+            .when(rx == 1, F.lit(n - 1) - acc["x"])
+            .otherwise(acc["x"])
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])

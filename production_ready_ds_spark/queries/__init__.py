@@ -179,6 +179,7 @@ _EXTENSION_PRIORITY = (
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
     "q_compact_files",
+    "q_hilbert_layout",
     # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
     # stratified sample, zlib bounds contract, IVF full-probe anchor)
     "q_dedup_simhash",

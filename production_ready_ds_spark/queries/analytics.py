@@ -1788,3 +1788,129 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_HILBERT_N = 1 << _ZORDER_BITS  # 256: same 8-bit grid as the z-order twin
+
+# The same per-level fold hilbert_key unrolls, as a recursive CTE: state
+# (x, y, d, s) per row, s halving 128 -> 1; the s = 0 rows are final.
+# Both engines implement the identical walk (Wikipedia xy2d: quadrant
+# digit d += s*s*((3*rx) XOR ry), then ry=0 swaps axes with rx=1 also
+# reflecting through the full grid), so the key can never drift.
+_HILBERT_SQL = f"""
+    WITH RECURSIVE g AS (
+      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS mn_p,
+             CAST(MAX(l_partkey) AS DOUBLE) AS mx_p,
+             CAST(MIN(l_suppkey) AS DOUBLE) AS mn_s,
+             CAST(MAX(l_suppkey) AS DOUBLE) AS mx_s
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(LEAST({_ZORDER_TOP}, FLOOR(
+               (CAST(l_partkey AS DOUBLE) - mn_p)
+               / (CASE WHEN mx_p - mn_p = 0 THEN 1.0 ELSE mx_p - mn_p END)
+               * {_ZORDER_TOP})) AS BIGINT) AS p0,
+             CAST(LEAST({_ZORDER_TOP}, FLOOR(
+               (CAST(l_suppkey AS DOUBLE) - mn_s)
+               / (CASE WHEN mx_s - mn_s = 0 THEN 1.0 ELSE mx_s - mn_s END)
+               * {_ZORDER_TOP})) AS BIGINT) AS p1
+      FROM lineitem, g
+    ),
+    hwalk(l_partkey, l_suppkey, x, y, d, lvl) AS (
+      SELECT l_partkey, l_suppkey, p0, p1, CAST(0 AS BIGINT),
+             {_ZORDER_BITS - 1}
+      FROM s
+      UNION ALL
+      SELECT l_partkey, l_suppkey,
+             CASE WHEN ((y >> lvl) & 1) = 1 THEN x
+                  WHEN ((x >> lvl) & 1) = 1 THEN {_HILBERT_N - 1} - y
+                  ELSE y END,
+             CASE WHEN ((y >> lvl) & 1) = 1 THEN y
+                  WHEN ((x >> lvl) & 1) = 1 THEN {_HILBERT_N - 1} - x
+                  ELSE x END,
+             d + (CAST(1 AS BIGINT) << (2 * lvl))
+               * xor(3 * ((x >> lvl) & 1), (y >> lvl) & 1),
+             lvl - 1
+      FROM hwalk WHERE lvl >= 0
+    ),
+    h AS (
+      SELECT l_partkey, l_suppkey, d >> 12 AS bucket
+      FROM hwalk WHERE lvl = -1
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_partkey) AS BIGINT) AS pk_lo,
+           CAST(MAX(l_partkey) AS BIGINT) AS pk_hi,
+           CAST(MIN(l_suppkey) AS BIGINT) AS sk_lo,
+           CAST(MAX(l_suppkey) AS BIGINT) AS sk_hi
+    FROM h GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("q_hilbert_layout", category="layout", sql=_HILBERT_SQL)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-curve clustering assignment — the locality-preserving
+    refinement of q_zorder_layout (Iceberg rewrite_data_files' hilbert
+    sort strategy): the same min-max scaling of (l_partkey, l_suppkey)
+    into [0, 2^8), mapped to the Hilbert distance by
+    operators/layout.hilbert_key (the per-level quadrant-digit +
+    rotate/flip fold unrolled into JVM integer expressions), top 4
+    bits = file bucket. Where consecutive Morton keys take diagonal
+    jumps at power-of-two boundaries (a file can own two far-apart
+    rectangles), consecutive Hilbert distances are always
+    grid-adjacent, so every bucket owns ONE compact region — tighter
+    min/max boxes, better pruning on both dimensions. The oracle
+    replays the identical walk as a recursive CTE over the levels, so
+    the key math is pinned cross-engine; tests/test_layout.py pins the
+    Spark expression against a pure-Python xy2d exhaustively and
+    checks the adjacency property.
+
+    Scale shape: identical to the z-order twin — one tiny broadcast
+    bounds aggregate, map-side codegen integer fold (8 unrolled
+    levels), 16-key group. At 100 TB the same key feeds
+    repartitionByRange + sortWithinPartitions: one shuffle to the
+    clustered layout."""
+    from ..operators.layout import hilbert_key
+
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("double").alias("mn_p"),
+        F.max("l_partkey").cast("double").alias("mx_p"),
+        F.min("l_suppkey").cast("double").alias("mn_s"),
+        F.max("l_suppkey").cast("double").alias("mx_s"),
+    )
+
+    def scaled(c: str, mn: str, mx: str):
+        span = F.when(F.col(mx) - F.col(mn) == 0, F.lit(1.0)).otherwise(
+            F.col(mx) - F.col(mn)
+        )
+        return F.least(
+            F.lit(_ZORDER_TOP),
+            F.floor(
+                (F.col(c).cast("double") - F.col(mn)) / span * _ZORDER_TOP
+            ),
+        ).cast("long")
+
+    j = li.crossJoin(broadcast(bounds))
+    hkey = hilbert_key(
+        scaled("l_partkey", "mn_p", "mx_p"),
+        scaled("l_suppkey", "mn_s", "mx_s"),
+        bits=_ZORDER_BITS,
+    )
+    return (
+        j.select(
+            F.shiftright(hkey, 12).cast("long").alias("bucket"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("pk_lo"),
+            F.max("l_partkey").cast("long").alias("pk_hi"),
+            F.min("l_suppkey").cast("long").alias("sk_lo"),
+            F.max("l_suppkey").cast("long").alias("sk_hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -181,3 +181,62 @@ def test_zorder_rank_scale_prunes_skewed_dimension(spark, tmp_path):
     # the uniform dimension still prunes on both layouts
     assert _file_prune_fraction(rank, "uni", 0, 62) <= 0.5
     assert _file_prune_fraction(lin, "uni", 0, 62) <= 0.5
+
+
+def _xy2d_ref(n, x, y):
+    """Pure-Python Wikipedia xy2d — the independent reference the JVM
+    expression fold is pinned against."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_exhaustively(spark):
+    """Every cell of the 16x16 grid (bits=4): the unrolled JVM fold
+    equals the reference, the mapping is a bijection, and consecutive
+    distances are grid-adjacent (the locality property that motivates
+    Hilbert over Morton)."""
+    from production_ready_ds_spark.operators.layout import hilbert_key
+
+    import pyspark.sql.functions as F
+
+    n = 16
+    cells = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    rows = df.select(
+        "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=4).alias("d")
+    ).collect()
+    got = {(r.x, r.y): r.d for r in rows}
+    pos = {}
+    for (x, y), d in got.items():
+        assert d == _xy2d_ref(n, x, y), (x, y)
+        pos[d] = (x, y)
+    assert len(pos) == n * n, "bijection"
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, "adjacent steps"
+
+
+def test_hilbert_buckets_are_compact_boxes(spark, sf_small):
+    """The layout win, measured: every Hilbert bucket's bounding box
+    covers at most ~half of each key domain (consecutive curve
+    segments are compact regions), and bucket row counts are nonzero
+    for a spread of buckets."""
+    from production_ready_ds_spark.queries import catalog
+
+    out = catalog()["q_hilbert_layout"].fn(spark, sf_small).collect()
+    assert len(out) >= 8
+    pk_span = max(r.pk_hi for r in out) - min(r.pk_lo for r in out)
+    sk_span = max(r.sk_hi for r in out) - min(r.sk_lo for r in out)
+    for r in out:
+        assert r.n_rows > 0
+        assert (r.pk_hi - r.pk_lo) <= 0.6 * pk_span or r.n_rows < 50, r
+        assert (r.sk_hi - r.sk_lo) <= 0.6 * sk_span or r.n_rows < 50, r
