@@ -180,6 +180,7 @@ _EXTENSION_PRIORITY = (
     "q_orc_roundtrip",
     "q_compact_files",
     "q_hilbert_layout",
+    "q_sim_topk_mmr",
     # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
     # stratified sample, zlib bounds contract, IVF full-probe anchor)
     "q_dedup_simhash",

@@ -783,6 +783,192 @@ def cosine_topk(
     )
 
 
+_MMR_K = 8
+_MMR_CANDIDATES = 20
+
+_MMR_SQL = f"""
+    WITH RECURSIVE probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < 3
+    ),
+    rels AS (
+      SELECT p.probe_id, e.vec_id,
+             list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS rel
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id <> p.probe_id
+    ),
+    cand AS (
+      SELECT probe_id, vec_id, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM rels
+      ) WHERE rn <= {_MMR_CANDIDATES}
+    ),
+    pair AS (
+      SELECT a.probe_id, a.vec_id AS av, b.vec_id AS bv,
+             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS sim
+      FROM cand a
+      JOIN cand b ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel(probe_id, rank, vec_id, mmr, chosen) AS (
+      SELECT probe_id, 1, vec_id, rel, [vec_id] FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT s.probe_id, s.rank + 1, pick.vec_id, pick.mmr,
+             list_append(s.chosen, pick.vec_id)
+      FROM sel s, LATERAL (
+        SELECT c.vec_id,
+               0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr
+        FROM cand c
+        JOIN pair p ON p.probe_id = c.probe_id AND p.av = c.vec_id
+                    AND list_contains(s.chosen, p.bv)
+        WHERE c.probe_id = s.probe_id AND NOT list_contains(s.chosen, c.vec_id)
+        GROUP BY c.vec_id, c.rel
+        ORDER BY mmr DESC, c.vec_id
+        LIMIT 1
+      ) pick
+      WHERE s.rank < {_MMR_K}
+    )
+    SELECT probe_id, CAST(rank AS BIGINT) AS rank,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           ROUND(mmr, 4) AS mmr_score
+    FROM sel
+    """
+
+
+@query("q_sim_topk_mmr", category="llm-similarity", sql=_MMR_SQL)
+def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversity-aware top-k — the
+    rerank a retrieval/training-data pipeline applies when plain
+    cosine top-k returns k near-duplicates of one result: greedily
+    pick argmax λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d, s) (λ = 0.5,
+    the Carbonell-Goldstein formulation) from a bounded candidate
+    pool, so every next pick must be relevant AND novel against what
+    is already selected. The DuckDB oracle replays the whole greedy
+    as a recursive CTE (chosen carried as a list, per-step LATERAL
+    argmax with the vec_id tie-break), so candidate generation, the
+    pairwise-similarity matrix, and all {_MMR_K} selection steps sit
+    under the driver hash gate.
+
+    Scale shape: the DISTRIBUTED work is candidate generation — the
+    q_sim_cosine_topk plan (broadcast probes, one streaming pass,
+    per-probe top-{_MMR_CANDIDATES} window). The greedy itself is
+    inherently sequential and bounded: |probes|·c² pair similarities
+    computed ONCE (JVM-side, both frames checkpointed), then k−1
+    iterations of anti-join + max-agg + argmax window over ≤ |probes|·c
+    rows each — all Spark ops, no driver loop over data, cost
+    independent of corpus size. At 100 TB only the candidate pass
+    grows; the rerank stays O(k·c) per probe by construction."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    rels = (
+        e.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    # tiny frames (|probes|·c and |probes|·c² rows) reused every greedy
+    # step: checkpoint once; joins against them carry explicit
+    # broadcast hints (checkpointed frames lose size stats)
+    cand = (
+        rels.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CANDIDATES)
+        .select("probe_id", "vec_id", "rel")
+        .localCheckpoint(eager=True)
+    )
+    ce = cand.join(e.select("vec_id", "embedding", "nrm"), "vec_id")
+    a = ce.select(
+        "probe_id",
+        F.col("vec_id").alias("av"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = ce.select(
+        "probe_id",
+        F.col("vec_id").alias("bv"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair = (
+        a.join(broadcast(b), "probe_id")
+        .filter(F.col("av") != F.col("bv"))
+        .select(
+            "probe_id",
+            "av",
+            "bv",
+            cosine_prenormed(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "probe_id",
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            F.col("rel").alias("mmr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wm = Window.partitionBy("probe_id").orderBy(F.desc("mmr"), F.asc("vec_id"))
+    for step in range(2, _MMR_K + 1):
+        maxsim = (
+            pair.join(
+                broadcast(selected.select("probe_id", F.col("vec_id").alias("bv"))),
+                ["probe_id", "bv"],
+            )
+            .groupBy("probe_id", F.col("av").alias("vec_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            cand.join(
+                selected.select("probe_id", "vec_id"),
+                ["probe_id", "vec_id"],
+                "left_anti",
+            )
+            .join(maxsim, ["probe_id", "vec_id"])
+            .withColumn(
+                "mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
+            )
+            .withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(
+                "probe_id",
+                F.lit(step).cast("long").alias("rank"),
+                "vec_id",
+                "mmr",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "probe_id",
+        "rank",
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.round("mmr", 4).alias("mmr_score"),
+    )
+
+
 # ONE oracle text for the filtered-ANN pair (brute pre-filter AND the
 # attrs-sidecar IVF twin at the full-probe anchor) — the shared-oracle
 # convention: both engines' paths are held to the identical exact
