@@ -4240,6 +4240,105 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_OUT_DIMS = 16
+_JL_IN_DIMS = 64
+
+
+def _jl_sign(j: int, i: int) -> int:
+    """Deterministic ±1 for matrix cell (j, i) — the parity of
+    md5_prefix_int('jl:j:i'). hashlib here and DuckDB's md5() in the
+    oracle compute the identical digest of the identical bytes, so the
+    matrix can never drift between engines."""
+    import hashlib
+
+    h = int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+_JL_SQL = f"""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> CAST(FLOOR(x / (amax / 127) + 0.5)
+                                         AS BIGINT)) AS qe
+      FROM q WHERE amax > 0
+    ),
+    sgn AS (
+      SELECT j.range AS out_dim, i.range AS in_dim,
+             CASE WHEN CAST('0x' || substr(
+                    md5('jl:' || j.range || ':' || i.range), 1, 8)
+                  AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+      FROM range({_JL_OUT_DIMS}) j, range({_JL_IN_DIMS}) i
+    )
+    SELECT qv.vec_id, CAST(g.out_dim AS BIGINT) AS out_dim,
+           CAST(SUM(g.s * qv.qe[g.in_dim + 1]) AS BIGINT) AS component
+    FROM qv, sgn g
+    GROUP BY qv.vec_id, g.out_dim
+    """
+
+
+@query("q_embed_project", category="llm-similarity", sql=_JL_SQL)
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection of the embedding
+    store, 64 → {_JL_OUT_DIMS} dims — the dimensionality-reduction
+    pass an embedding pipeline runs before ANN/clustering at 100 TB
+    (4× fewer floats to shuffle, store, and probe; JL guarantees
+    pairwise geometry survives within ε for random ±1 matrices).
+    Composed entirely from this engine's exact-integer conventions:
+    vectors are first snapped to the q_embed_quantize int8 grid
+    (floor(x/scale + 0.5), scale = max|x|/127), the ±1 matrix cell
+    (j, i) is the parity of md5('jl:j:i')'s 8-hex prefix (the
+    md5_prefix_int convention), and each output component is the exact
+    integer Σᵢ ±qᵢ — so the DuckDB oracle replays quantize → matrix →
+    project bit-for-bit with no float-summation-order hazard anywhere.
+
+    Scale shape: ONE map-side pass, zero shuffles — the {_JL_OUT_DIMS}
+    components are zip_with/aggregate folds against broadcast-free
+    LITERAL sign rows ({_JL_OUT_DIMS}·{_JL_IN_DIMS} = 1024 codegen
+    constants, far below the F.lit-array blowup threshold the
+    bloom_prefilter note documents), then one posexplode to rows. The
+    JL distance-preservation property itself is pinned by test, not
+    assumed (projected dot products track original dot products)."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    d = (
+        e.select("vec_id", xd.alias("e"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale_raw", F.col("amax") / 127)
+    )
+    q = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)).cast("long"),
+    )
+    comps = []
+    for j in range(_JL_OUT_DIMS):
+        row = F.array(
+            *[F.lit(_jl_sign(j, i)).cast("long") for i in range(_JL_IN_DIMS)]
+        )
+        comps.append(
+            F.aggregate(
+                F.zip_with(F.col("qe"), row, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return (
+        d.withColumn("qe", q)
+        .select("vec_id", F.posexplode(F.array(*comps)))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("out_dim"),
+            F.col("col").cast("long").alias("component"),
+        )
+    )
+
+
 @query(
     "q_curation_funnel",
     category="llm-text",

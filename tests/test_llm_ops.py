@@ -1697,3 +1697,58 @@ def test_mmr_rerank_trades_relevance_for_diversity(spark, sf_small, cat):
         topk_ids = top20[:8]
         if mmr_ids != topk_ids:
             assert mean_pairwise(mmr_ids) < mean_pairwise(topk_ids), pid
+
+
+def test_jl_projection_preserves_pairwise_geometry(spark, sf_small, cat):
+    """The JL guarantee, measured instead of assumed, at the bounds the
+    statistics actually give for 64 -> 16 dims: (1) squared DISTANCES
+    concentrate — ||y_a - y_b||^2 / d_out stays within [0.5, 2.0] of
+    ||q_a - q_b||^2 for >= 90% of 300 random pairs, median within
+    [0.8, 1.25] (the JL statement; estimator sd is ~sqrt(2/16) = 35%);
+    (2) dot products still CORRELATE (r > 0.3 — near-orthogonal pairs
+    make this the noisy statistic: signal var d_in vs noise var
+    d_in^2/d_out predicts r = sqrt(64/(64+256)) = 0.45, so 0.8 would
+    be a wrong test, not a stricter one); (3) E[||y||^2] = d_out *
+    ||q||^2 within 25% on average (sign rows are unit-variance)."""
+    import numpy as np
+
+    from production_ready_ds_spark.tables import load
+
+    rows = cat["q_embed_project"].fn(spark, sf_small).collect()
+    proj = {}
+    for r in rows:
+        proj.setdefault(r.vec_id, [0] * 16)[r.out_dim] = r.component
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_small, "embeddings").collect()
+    }
+    qv = {}
+    for vid, e in emb.items():
+        amax = np.abs(e).max()
+        if amax > 0:
+            qv[vid] = np.floor(e / (amax / 127) + 0.5)
+    assert set(proj) == set(qv)
+
+    rng = np.random.RandomState(7)
+    ids = sorted(qv)
+    orig, prj, dratio = [], [], []
+    for _ in range(300):
+        a, b = rng.choice(ids, 2, replace=False)
+        orig.append(float(np.dot(qv[a], qv[b])))
+        prj.append(float(np.dot(proj[a], proj[b])) / 16.0)
+        d_orig = float(np.dot(qv[a] - qv[b], qv[a] - qv[b]))
+        pa, pb = np.array(proj[a], dtype=np.float64), np.array(proj[b], dtype=np.float64)
+        d_proj = float(np.dot(pa - pb, pa - pb)) / 16.0
+        dratio.append(d_proj / d_orig)
+    dratio = np.array(dratio)
+    assert 0.8 < float(np.median(dratio)) < 1.25, np.median(dratio)
+    frac_in = float(np.mean((dratio > 0.5) & (dratio < 2.0)))
+    assert frac_in >= 0.9, f"only {frac_in:.2%} of pair distances within 2x"
+    r = np.corrcoef(orig, prj)[0, 1]
+    assert r > 0.3, f"projected dots decorrelated from originals: r={r:.3f}"
+
+    ratios = [
+        float(np.dot(proj[v], proj[v])) / (16.0 * float(np.dot(qv[v], qv[v])))
+        for v in ids
+    ]
+    assert 0.75 < float(np.mean(ratios)) < 1.25, np.mean(ratios)
