@@ -175,6 +175,7 @@ _EXTENSION_PRIORITY = (
     "q_stream_faceted",
     "q_unigram_train",
     "q_unigram_apply",
+    "q_wordpiece_train",
     "q_xml_roundtrip",
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",

@@ -70,12 +70,16 @@ def adjacent_pairs(sym: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
 
 
-def merge_pair_expr(sym: Column, left: str, right: str) -> Column:
-    """Rewrite one symbol array with (left, right) → left+right merged
-    leftmost-first, non-overlapping — a single JVM array fold, the same
-    greedy order the reference implementation uses (an 'aaaa' word under
-    pair (a,a) becomes [aa, aa], not [aa, a, a])."""
-    merged = F.array(F.lit(left + right))
+def merge_pair_expr(
+    sym: Column, left: str, right: str, merged_sym: str | None = None
+) -> Column:
+    """Rewrite one symbol array with (left, right) → ``merged_sym``
+    (default left+right — the BPE convention; WordPiece passes
+    left + right-without-its-##-prefix) merged leftmost-first,
+    non-overlapping — a single JVM array fold, the same greedy order
+    the reference implementation uses (an 'aaaa' word under pair (a,a)
+    becomes [aa, aa], not [aa, a, a])."""
+    merged = F.array(F.lit(merged_sym if merged_sym is not None else left + right))
     return F.aggregate(
         sym,
         F.array().cast("array<string>"),

@@ -222,3 +222,130 @@ def q_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000 * sum(np)) div count(1)").alias("fertility_x1000"),
         F.sum("h").cast("long").alias("pieces_checksum"),
     )
+
+
+# ----------------------------------------------------- trainer ---------
+
+N_WP_MERGES = 12
+
+
+def wp_char_symbols(token):
+    """A word's initial WordPiece symbol array: first character plain,
+    every later character ##-prefixed (the continuation convention the
+    apply query's vocabulary uses). Empty words guarded like
+    bpe.char_symbols (sequence(1, 0) counts DOWN)."""
+    return F.when(
+        F.length(token) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(token)),
+            lambda i: F.when(i == 1, token.substr(i, F.lit(1))).otherwise(
+                F.concat(F.lit("##"), token.substr(i, F.lit(1)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def wp_merged_symbol(left: str, right: str) -> str:
+    """left + right with right's ## continuation marker folded away —
+    ("pl", "##ay") merges to "play" when word-initial, ("##a", "##y")
+    to "##ay"."""
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def train_wordpiece(word_counts: DataFrame, n_merges: int = N_WP_MERGES) -> list[tuple]:
+    """Learn ``n_merges`` WordPiece merges from a (token, n) frequency
+    frame — the bpe.train_bpe loop with the LIKELIHOOD score (Schuster &
+    Nakajima 2012 / the BERT trainer): each round merges the pair
+    maximizing count(l,r) / (count(l)·count(r)) — the pair whose fusion
+    most raises a unigram LM's corpus likelihood — instead of the raw
+    pair count, which is what makes WordPiece prefer 'qu' (always
+    together) over 'th' (frequent but independent). Returns
+    [(rank, left, right, merged, cnt, l_cnt, r_cnt), ...] with the
+    EXACT integer counts behind each score, never the float ratio.
+
+    Determinism: the argmax orders on the double ratio
+    cnt/(l_cnt·r_cnt) with (l, r) ascending tie-breaks; the pure-Python
+    reference computes the identical IEEE division from the identical
+    exact integers (tests/test_wordpiece_train.py), so ranking cannot
+    drift. (Counts here are far below 2^53, so the double products are
+    exact; at 100 TB swap the comparator to the integer cross-product
+    rule a.cnt·b.l_cnt·b.r_cnt vs b.cnt·a.l_cnt·a.r_cnt.)
+
+    Scale shape: identical to train_bpe — the corpus is scanned once
+    into the vocabulary-bounded word-count frame; each round is one
+    pair-count aggregate, one symbol-count aggregate, TWO broadcast
+    joins of the pair frame against the symbol counts, one 1-row
+    argmax collect, one array-fold rewrite; localCheckpoint truncates
+    lineage per round."""
+    from .bpe import adjacent_pairs, merge_pair_expr
+
+    words = word_counts.select(
+        F.col("n"), wp_char_symbols(F.col("token")).alias("sym")
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.select("n", F.explode(adjacent_pairs(F.col("sym"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        syms = (
+            words.select("n", F.explode(F.col("sym")).alias("s"))
+            .groupBy("s")
+            .agg(F.sum("n").alias("scnt"))
+        )
+        from pyspark.sql.functions import broadcast
+
+        scored = (
+            pairs.join(
+                broadcast(syms.select(F.col("s").alias("l"), F.col("scnt").alias("l_cnt"))),
+                "l",
+            )
+            .join(
+                broadcast(syms.select(F.col("s").alias("r"), F.col("scnt").alias("r_cnt"))),
+                "r",
+            )
+            .withColumn(
+                "score",
+                F.col("cnt").cast("double")
+                / (F.col("l_cnt").cast("double") * F.col("r_cnt").cast("double")),
+            )
+        )
+        best = (
+            scored.orderBy(F.desc("score"), F.asc("l"), F.asc("r")).limit(1).collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merged = wp_merged_symbol(row["l"], row["r"])
+        merges.append(
+            (rank, row["l"], row["r"], merged, row["cnt"], row["l_cnt"], row["r_cnt"])
+        )
+        words = words.withColumn(
+            "sym", merge_pair_expr(F.col("sym"), row["l"], row["r"], merged)
+        ).localCheckpoint()
+    return merges
+
+
+@query("q_wordpiece_train", category="llm-text", sql=None)
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train N_WP_MERGES (= 12) WordPiece merges on the documents
+    corpus and return the merge table with the exact integer counts
+    behind each likelihood score — completing train+apply symmetry
+    across all three tokenizer families (BPE, unigram-LM, WordPiece).
+    Rows-only like the sibling trainers (iterative data-dependent
+    argmax); exactness evidence is the independent pure-Python
+    reference replay in tests/test_wordpiece_train.py, the
+    train_bpe discipline."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = train_wordpiece(wc, N_WP_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string,"
+        " cnt long, l_cnt long, r_cnt long",
+    )
