@@ -4297,14 +4297,33 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer Σᵢ ±qᵢ — so the DuckDB oracle replays quantize → matrix →
     project bit-for-bit with no float-summation-order hazard anywhere.
 
-    Scale shape: ONE map-side pass, zero shuffles — the {_JL_OUT_DIMS}
-    components are zip_with/aggregate folds against broadcast-free
-    LITERAL sign rows ({_JL_OUT_DIMS}·{_JL_IN_DIMS} = 1024 codegen
-    constants, far below the F.lit-array blowup threshold the
-    bloom_prefilter note documents), then one posexplode to rows. The
-    JL distance-preservation property itself is pinned by test, not
-    assumed (projected dot products track original dot products)."""
-    e = load(spark, sf_dir, "embeddings")
+    Scale shape: ONE map-side pass plus a 1-row broadcast — the whole
+    projection is a SINGLE nested higher-order expression
+    (transform over out-dims → aggregate/zip_with fold per dim)
+    against the sign matrix shipped as a broadcast ONE-ROW frame.
+    Three builds were measured at sf0.1 on FRESH plans (the cost a
+    per-run bench actually pays): 16 separate folds over LITERAL sign
+    rows = 2.75 s — ~2.5 s of it Catalyst ANALYSIS of the 1024
+    CreateArray literals, the exact bloom_prefilter failure mode, and
+    an unrolled element_at codegen variant measured no faster (2.78 s)
+    because planning, not lambda interpretation, is the cost; literal
+    rows → broadcast attribute = 1.45 s; collapsing the 16 folds into
+    one nested HOF with j as a lambda variable = 0.87 s. Execution
+    itself is 0.2 s once planned. The store is spread() first — the
+    single-file local scan plans ONE partition and would serialize the
+    fold onto one core (no-op on a real lake's many-file scans). The
+    JL distance-preservation property is pinned by test, not
+    assumed."""
+    from ..tables import spread
+
+    e = spread(
+        load(spark, sf_dir, "embeddings"),
+        spark.sparkContext.defaultParallelism,
+    )
+    sign_rows = [
+        [_jl_sign(j, i) for i in range(_JL_IN_DIMS)] for j in range(_JL_OUT_DIMS)
+    ]
+    signs = spark.createDataFrame([(sign_rows,)], "signs array<array<bigint>>")
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(xd, F.abs))
     d = (
@@ -4316,21 +4335,22 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e"),
         lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)).cast("long"),
     )
-    comps = []
-    for j in range(_JL_OUT_DIMS):
-        row = F.array(
-            *[F.lit(_jl_sign(j, i)).cast("long") for i in range(_JL_IN_DIMS)]
-        )
-        comps.append(
-            F.aggregate(
-                F.zip_with(F.col("qe"), row, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-        )
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_OUT_DIMS - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("qe"),
+                F.element_at(F.col("signs"), j + 1),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
     return (
         d.withColumn("qe", q)
-        .select("vec_id", F.posexplode(F.array(*comps)))
+        .crossJoin(broadcast(signs))
+        .select("vec_id", F.posexplode(comps))
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("out_dim"),

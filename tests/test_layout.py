@@ -200,21 +200,17 @@ def _xy2d_ref(n, x, y):
 
 
 def test_hilbert_key_matches_reference_exhaustively(spark):
-    """Every cell of the 16x16 grid (bits=4): the unrolled JVM fold
+    """Every cell of the 16x16 grid (bits=4): the staged JVM walk
     equals the reference, the mapping is a bijection, and consecutive
     distances are grid-adjacent (the locality property that motivates
     Hilbert over Morton)."""
-    from production_ready_ds_spark.operators.layout import hilbert_key
-
-    import pyspark.sql.functions as F
+    from production_ready_ds_spark.operators.layout import with_hilbert_key
 
     n = 16
     cells = [(x, y) for x in range(n) for y in range(n)]
     df = spark.createDataFrame(cells, "x long, y long")
-    rows = df.select(
-        "x", "y", hilbert_key(F.col("x"), F.col("y"), bits=4).alias("d")
-    ).collect()
-    got = {(r.x, r.y): r.d for r in rows}
+    rows = with_hilbert_key(df, "x", "y", bits=4, keep=("x", "y")).collect()
+    got = {(r.x, r.y): r.hkey for r in rows}
     pos = {}
     for (x, y), d in got.items():
         assert d == _xy2d_ref(n, x, y), (x, y)
