@@ -183,6 +183,7 @@ _EXTENSION_PRIORITY = (
     "q_hilbert_layout",
     "q_sim_topk_mmr",
     "q_embed_project",
+    "q_scd2_history",
     # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
     # stratified sample, zlib bounds contract, IVF full-probe anchor)
     "q_dedup_simhash",

@@ -1919,3 +1919,66 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_SCD2_SQL = """
+    WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+    SELECT k AS c_custkey, seg AS c_mktsegment,
+           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN k % 7 = 0 THEN TIMESTAMP '2024-02-01 00:00:00' END
+             AS valid_to
+    FROM c
+    UNION ALL
+    SELECT k, 'SEG_B1', TIMESTAMP '2024-02-01 00:00:00',
+           CASE WHEN k % 14 = 0 THEN TIMESTAMP '2024-03-01 00:00:00' END
+    FROM c WHERE k % 7 = 0
+    UNION ALL
+    SELECT k, seg, TIMESTAMP '2024-03-01 00:00:00',
+           CAST(NULL AS TIMESTAMP)
+    FROM c WHERE k % 14 = 0
+    """
+
+
+@query("q_scd2_history", category="layout", sql=_SCD2_SQL)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history under the driver hash gate — the
+    row-level versioning a warehouse runs where a transactional table
+    format is unavailable (operators/scd2.py carries the single-writer
+    contract; Delta/Iceberg MERGE is this exact rewrite with a commit
+    protocol). Two deterministic update batches fold through
+    scd2_merge over the customer dimension: batch 1 (2024-02-01) moves
+    every c_custkey % 7 == 0 to segment SEG_B1; batch 2 (2024-03-01)
+    re-delivers ALL % 7 keys but only the % 14 keys actually change
+    (reverting to their original segment) — so the oracle's closed
+    form pins every merge rule at once: open-on-new-attr,
+    close-the-predecessor, AND the no-op on equal attributes
+    (idempotent re-delivery must not churn rows). Validity intervals
+    chain gap-free: [01-01, 02-01) → [02-01, 03-01) → [03-01, NULL).
+
+    Scale shape: each merge is one equi-join of the batch against
+    CURRENT rows only on the business key plus a union of
+    untouched/closed/opened — no windows, no per-key state; history
+    rows are never rewritten (scd2.py module docstring carries the
+    archival-partition guidance at 100 TB)."""
+    from ..operators.scd2 import VALID_FROM, VALID_TO, scd2_merge
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    hist = cust.withColumn(
+        VALID_FROM, F.lit("2024-01-01").cast("timestamp_ntz")
+    ).withColumn(VALID_TO, F.lit(None).cast("timestamp_ntz"))
+    b1 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_mktsegment", F.lit("SEG_B1")
+    )
+    hist = scd2_merge(
+        hist, b1, ["c_custkey"], ["c_mktsegment"], F.lit("2024-02-01")
+    )
+    b2 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment")).otherwise(
+            F.lit("SEG_B1")
+        ),
+    )
+    hist = scd2_merge(
+        hist, b2, ["c_custkey"], ["c_mktsegment"], F.lit("2024-03-01")
+    )
+    return hist.select("c_custkey", "c_mktsegment", VALID_FROM, VALID_TO)
