@@ -1688,8 +1688,11 @@ def _zkey_sql(p0: str, p1: str) -> str:
     return " + ".join(terms)
 
 
-_ZORDER_SQL = f"""
-    WITH g AS (
+# The min-max scaling shared by BOTH clustering-layout oracles — ONE
+# text (and one Spark twin, _scaled_lineitem_keys below) so a future
+# change to the scaling (the span==0 guard, the LEAST clamp) can never
+# drift between the z-order and Hilbert twins and their oracles.
+_SCALED_KEYS_CTES = f"""g AS (
       SELECT CAST(MIN(l_partkey) AS DOUBLE) AS mn_p,
              CAST(MAX(l_partkey) AS DOUBLE) AS mx_p,
              CAST(MIN(l_suppkey) AS DOUBLE) AS mn_s,
@@ -1707,17 +1710,71 @@ _ZORDER_SQL = f"""
                / (CASE WHEN mx_s - mn_s = 0 THEN 1.0 ELSE mx_s - mn_s END)
                * {_ZORDER_TOP})) AS BIGINT) AS p1
       FROM lineitem, g
-    ),
-    z AS (
-      SELECT l_partkey, l_suppkey, ({_zkey_sql("p0", "p1")}) >> 12 AS bucket
-      FROM s
-    )
+    )"""
+
+# The shared per-bucket report both layout queries aggregate to.
+_LAYOUT_REPORT_SQL = """
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(MIN(l_partkey) AS BIGINT) AS pk_lo,
            CAST(MAX(l_partkey) AS BIGINT) AS pk_hi,
            CAST(MIN(l_suppkey) AS BIGINT) AS sk_lo,
            CAST(MAX(l_suppkey) AS BIGINT) AS sk_hi
+    """
+
+
+def _scaled_lineitem_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE Spark twin of _SCALED_KEYS_CTES: lineitem with both keys
+    min-max scaled into [0, 2^bits) as p0/p1 — consumed by the z-order
+    and Hilbert layout queries alike. Bounds are one tiny broadcast
+    aggregate; scaling is map-side codegen."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").cast("double").alias("mn_p"),
+        F.max("l_partkey").cast("double").alias("mx_p"),
+        F.min("l_suppkey").cast("double").alias("mn_s"),
+        F.max("l_suppkey").cast("double").alias("mx_s"),
+    )
+
+    def scaled(c: str, mn: str, mx: str):
+        span = F.when(F.col(mx) - F.col(mn) == 0, F.lit(1.0)).otherwise(
+            F.col(mx) - F.col(mn)
+        )
+        return F.least(
+            F.lit(_ZORDER_TOP),
+            F.floor((F.col(c).cast("double") - F.col(mn)) / span * _ZORDER_TOP),
+        ).cast("long")
+
+    return li.crossJoin(broadcast(bounds)).select(
+        "l_partkey",
+        "l_suppkey",
+        scaled("l_partkey", "mn_p", "mx_p").alias("p0"),
+        scaled("l_suppkey", "mn_s", "mx_s").alias("p1"),
+    )
+
+
+def _layout_report(keyed: DataFrame) -> DataFrame:
+    """The ONE Spark twin of _LAYOUT_REPORT_SQL's aggregate."""
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("pk_lo"),
+            F.max("l_partkey").cast("long").alias("pk_hi"),
+            F.min("l_suppkey").cast("long").alias("sk_lo"),
+            F.max("l_suppkey").cast("long").alias("sk_hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ZORDER_SQL = f"""
+    WITH {_SCALED_KEYS_CTES},
+    z AS (
+      SELECT l_partkey, l_suppkey, ({_zkey_sql("p0", "p1")}) >> 12 AS bucket
+      FROM s
+    )
+    {_LAYOUT_REPORT_SQL}
     FROM z GROUP BY bucket ORDER BY bucket
     """
 
@@ -1748,45 +1805,14 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle to a clustered layout."""
     from ..operators.layout import zorder_key
 
-    li = load(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.min("l_partkey").cast("double").alias("mn_p"),
-        F.max("l_partkey").cast("double").alias("mx_p"),
-        F.min("l_suppkey").cast("double").alias("mn_s"),
-        F.max("l_suppkey").cast("double").alias("mx_s"),
-    )
-
-    def scaled(c: str, mn: str, mx: str):
-        span = F.when(F.col(mx) - F.col(mn) == 0, F.lit(1.0)).otherwise(
-            F.col(mx) - F.col(mn)
-        )
-        return F.least(
-            F.lit(_ZORDER_TOP),
-            F.floor(
-                (F.col(c).cast("double") - F.col(mn)) / span * _ZORDER_TOP
-            ),
-        ).cast("long")
-
-    j = li.crossJoin(broadcast(bounds))
-    zkey = zorder_key(
-        [scaled("l_partkey", "mn_p", "mx_p"), scaled("l_suppkey", "mn_s", "mx_s")],
-        bits=_ZORDER_BITS,
-    )
-    return (
+    j = _scaled_lineitem_keys(spark, sf_dir)
+    zkey = zorder_key([F.col("p0"), F.col("p1")], bits=_ZORDER_BITS)
+    return _layout_report(
         j.select(
             F.shiftright(zkey, 12).cast("long").alias("bucket"),
             "l_partkey",
             "l_suppkey",
         )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("l_partkey").cast("long").alias("pk_lo"),
-            F.max("l_partkey").cast("long").alias("pk_hi"),
-            F.min("l_suppkey").cast("long").alias("sk_lo"),
-            F.max("l_suppkey").cast("long").alias("sk_hi"),
-        )
-        .orderBy("bucket")
     )
 
 
@@ -1798,25 +1824,7 @@ _HILBERT_N = 1 << _ZORDER_BITS  # 256: same 8-bit grid as the z-order twin
 # digit d += s*s*((3*rx) XOR ry), then ry=0 swaps axes with rx=1 also
 # reflecting through the full grid), so the key can never drift.
 _HILBERT_SQL = f"""
-    WITH RECURSIVE g AS (
-      SELECT CAST(MIN(l_partkey) AS DOUBLE) AS mn_p,
-             CAST(MAX(l_partkey) AS DOUBLE) AS mx_p,
-             CAST(MIN(l_suppkey) AS DOUBLE) AS mn_s,
-             CAST(MAX(l_suppkey) AS DOUBLE) AS mx_s
-      FROM lineitem
-    ),
-    s AS (
-      SELECT l_partkey, l_suppkey,
-             CAST(LEAST({_ZORDER_TOP}, FLOOR(
-               (CAST(l_partkey AS DOUBLE) - mn_p)
-               / (CASE WHEN mx_p - mn_p = 0 THEN 1.0 ELSE mx_p - mn_p END)
-               * {_ZORDER_TOP})) AS BIGINT) AS p0,
-             CAST(LEAST({_ZORDER_TOP}, FLOOR(
-               (CAST(l_suppkey AS DOUBLE) - mn_s)
-               / (CASE WHEN mx_s - mn_s = 0 THEN 1.0 ELSE mx_s - mn_s END)
-               * {_ZORDER_TOP})) AS BIGINT) AS p1
-      FROM lineitem, g
-    ),
+    WITH RECURSIVE {_SCALED_KEYS_CTES},
     hwalk(l_partkey, l_suppkey, x, y, d, lvl) AS (
       SELECT l_partkey, l_suppkey, p0, p1, CAST(0 AS BIGINT),
              {_ZORDER_BITS - 1}
@@ -1838,12 +1846,7 @@ _HILBERT_SQL = f"""
       SELECT l_partkey, l_suppkey, d >> 12 AS bucket
       FROM hwalk WHERE lvl = -1
     )
-    SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(MIN(l_partkey) AS BIGINT) AS pk_lo,
-           CAST(MAX(l_partkey) AS BIGINT) AS pk_hi,
-           CAST(MIN(l_suppkey) AS BIGINT) AS sk_lo,
-           CAST(MAX(l_suppkey) AS BIGINT) AS sk_hi
+    {_LAYOUT_REPORT_SQL}
     FROM h GROUP BY bucket ORDER BY bucket
     """
 
@@ -1875,49 +1878,16 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered layout."""
     from ..operators.layout import with_hilbert_key
 
-    li = load(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.min("l_partkey").cast("double").alias("mn_p"),
-        F.max("l_partkey").cast("double").alias("mx_p"),
-        F.min("l_suppkey").cast("double").alias("mn_s"),
-        F.max("l_suppkey").cast("double").alias("mx_s"),
-    )
-
-    def scaled(c: str, mn: str, mx: str):
-        span = F.when(F.col(mx) - F.col(mn) == 0, F.lit(1.0)).otherwise(
-            F.col(mx) - F.col(mn)
-        )
-        return F.least(
-            F.lit(_ZORDER_TOP),
-            F.floor(
-                (F.col(c).cast("double") - F.col(mn)) / span * _ZORDER_TOP
-            ),
-        ).cast("long")
-
-    j = li.crossJoin(broadcast(bounds)).select(
-        "l_partkey",
-        "l_suppkey",
-        scaled("l_partkey", "mn_p", "mx_p").alias("p0"),
-        scaled("l_suppkey", "mn_s", "mx_s").alias("p1"),
-    )
+    j = _scaled_lineitem_keys(spark, sf_dir)
     keyed = with_hilbert_key(
         j, "p0", "p1", bits=_ZORDER_BITS, keep=("l_partkey", "l_suppkey")
     )
-    return (
+    return _layout_report(
         keyed.select(
             F.shiftright(F.col("hkey"), 12).cast("long").alias("bucket"),
             "l_partkey",
             "l_suppkey",
         )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.min("l_partkey").cast("long").alias("pk_lo"),
-            F.max("l_partkey").cast("long").alias("pk_hi"),
-            F.min("l_suppkey").cast("long").alias("sk_lo"),
-            F.max("l_suppkey").cast("long").alias("sk_hi"),
-        )
-        .orderBy("bucket")
     )
 
 

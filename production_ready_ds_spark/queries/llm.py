@@ -787,14 +787,23 @@ _MMR_K = 8
 _MMR_CANDIDATES = 20
 
 _MMR_SQL = f"""
-    WITH RECURSIVE probes AS (
-      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
-      FROM embeddings WHERE vec_id < 3
+    WITH RECURSIVE qraw AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    qv AS (
+      SELECT vec_id,
+             list_transform(e, x -> FLOOR(x / (amax / 127) + 0.5)) AS qe
+      FROM qraw WHERE amax > 0
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, qe AS pq FROM qv WHERE vec_id < 3
     ),
     rels AS (
       SELECT p.probe_id, e.vec_id,
-             list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS rel
-      FROM probes p CROSS JOIN embeddings e
+             CAST(list_dot_product(p.pq, e.qe) AS BIGINT) AS rel
+      FROM probes p CROSS JOIN qv e
       WHERE e.vec_id <> p.probe_id
     ),
     cand AS (
@@ -806,12 +815,11 @@ _MMR_SQL = f"""
     ),
     pair AS (
       SELECT a.probe_id, a.vec_id AS av, b.vec_id AS bv,
-             list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                    CAST(eb.embedding AS DOUBLE[])) AS sim
+             CAST(list_dot_product(ea.qe, eb.qe) AS BIGINT) AS sim
       FROM cand a
       JOIN cand b ON b.probe_id = a.probe_id AND b.vec_id <> a.vec_id
-      JOIN embeddings ea ON ea.vec_id = a.vec_id
-      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      JOIN qv ea ON ea.vec_id = a.vec_id
+      JOIN qv eb ON eb.vec_id = b.vec_id
     ),
     sel(probe_id, rank, vec_id, mmr, chosen) AS (
       SELECT probe_id, 1, vec_id, rel, [vec_id] FROM (
@@ -824,7 +832,7 @@ _MMR_SQL = f"""
              list_append(s.chosen, pick.vec_id)
       FROM sel s, LATERAL (
         SELECT c.vec_id,
-               0.5 * c.rel - 0.5 * MAX(p.sim) AS mmr
+               c.rel - MAX(p.sim) AS mmr
         FROM cand c
         JOIN pair p ON p.probe_id = c.probe_id AND p.av = c.vec_id
                     AND list_contains(s.chosen, p.bv)
@@ -837,7 +845,7 @@ _MMR_SQL = f"""
     )
     SELECT probe_id, CAST(rank AS BIGINT) AS rank,
            CAST(vec_id AS BIGINT) AS neighbor_id,
-           ROUND(mmr, 4) AS mmr_score
+           CAST(mmr AS BIGINT) AS mmr_score
     FROM sel
     """
 
@@ -846,19 +854,27 @@ _MMR_SQL = f"""
 def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (maximal-marginal-relevance) diversity-aware top-k — the
     rerank a retrieval/training-data pipeline applies when plain
-    cosine top-k returns k near-duplicates of one result: greedily
-    pick argmax λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d, s) (λ = 0.5,
-    the Carbonell-Goldstein formulation) from a bounded candidate
-    pool, so every next pick must be relevant AND novel against what
-    is already selected. The DuckDB oracle replays the whole greedy
-    as a recursive CTE (chosen carried as a list, per-step LATERAL
-    argmax with the vec_id tie-break), so candidate generation, the
-    pairwise-similarity matrix, and all {_MMR_K} selection steps sit
-    under the driver hash gate.
+    top-k returns k near-duplicates of one result: greedily pick
+    argmax λ·rel(d) − (1−λ)·max_{s∈chosen} sim(d, s) (λ = 0.5, the
+    Carbonell-Goldstein formulation) from a bounded candidate pool,
+    so every next pick must be relevant AND novel against what is
+    already selected. Similarity here is the EXACT integer dot
+    product on the q_embed_quantize int8 grid (at λ = ½ the argmax
+    reduces to the exact BIGINT rel − max_sim), so every comparison
+    the greedy makes is bit-identical across engines — a float-cosine
+    greedy would expose k−1 chained argmaxes to last-ulp libm
+    divergence, where one flipped pick cascades through every later
+    rank (the review finding that motivated this grid; production
+    embedding stores are L2-normalized, where dot ranking IS cosine
+    ranking). The DuckDB oracle replays the whole greedy as a
+    recursive CTE (chosen carried as a list, per-step LATERAL argmax
+    with the vec_id tie-break), so quantization, candidate
+    generation, the pairwise matrix, and all _MMR_K (= 8) selection
+    steps sit under the driver hash gate.
 
     Scale shape: the DISTRIBUTED work is candidate generation — the
     q_sim_cosine_topk plan (broadcast probes, one streaming pass,
-    per-probe top-{_MMR_CANDIDATES} window). The greedy itself is
+    per-probe top-_MMR_CANDIDATES (= 20) window). The greedy itself is
     inherently sequential and bounded: |probes|·c² pair similarities
     computed ONCE (JVM-side, both frames checkpointed), then k−1
     iterations of anti-join + max-agg + argmax window over ≤ |probes|·c
@@ -867,21 +883,36 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows; the rerank stays O(k·c) per probe by construction."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "embeddings").withColumn("nrm", norm(F.col("embedding")))
-    probes = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("pe"),
-        F.col("nrm").alias("pnrm"),
+    def dot_int(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    qe = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)).cast("long"),
+    )
+    qv = (
+        e.select("vec_id", xd.alias("e"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale_raw", F.col("amax") / 127)
+        .select("vec_id", qe.alias("qe"))
+    )
+    probes = qv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq")
     )
     rels = (
-        e.crossJoin(broadcast(probes))
+        qv.crossJoin(broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
-            cosine_prenormed(
-                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
-            ).alias("rel"),
+            dot_int(F.col("pq"), F.col("qe")).alias("rel"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -894,29 +925,18 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", "rel")
         .localCheckpoint(eager=True)
     )
-    ce = cand.join(e.select("vec_id", "embedding", "nrm"), "vec_id")
+    ce = cand.join(qv, "vec_id")
     a = ce.select(
-        "probe_id",
-        F.col("vec_id").alias("av"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+        "probe_id", F.col("vec_id").alias("av"), F.col("qe").alias("qa")
     )
     b = ce.select(
-        "probe_id",
-        F.col("vec_id").alias("bv"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
+        "probe_id", F.col("vec_id").alias("bv"), F.col("qe").alias("qb")
     )
     pair = (
         a.join(broadcast(b), "probe_id")
         .filter(F.col("av") != F.col("bv"))
         .select(
-            "probe_id",
-            "av",
-            "bv",
-            cosine_prenormed(
-                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
-            ).alias("sim"),
+            "probe_id", "av", "bv", dot_int(F.col("qa"), F.col("qb")).alias("sim")
         )
         .localCheckpoint(eager=True)
     )
@@ -948,9 +968,7 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "left_anti",
             )
             .join(maxsim, ["probe_id", "vec_id"])
-            .withColumn(
-                "mmr", F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.col("maxsim")
-            )
+            .withColumn("mmr", F.col("rel") - F.col("maxsim"))
             .withColumn("rn", F.row_number().over(wm))
             .filter(F.col("rn") == 1)
             .select(
@@ -965,7 +983,7 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id",
         "rank",
         F.col("vec_id").cast("long").alias("neighbor_id"),
-        F.round("mmr", 4).alias("mmr_score"),
+        F.col("mmr").cast("long").alias("mmr_score"),
     )
 
 

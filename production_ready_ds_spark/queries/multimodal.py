@@ -928,7 +928,7 @@ def q_dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The composition capstone of the multimodal stack: Y4M container walk
 # → strided frame sampling → per-frame dHash (the EXISTING kernels) →
-# per-bit temporal MAJORITY vote → the SAME corpus-scaled Hamming
+# per-bit temporal MAJORITY vote → the SAME entropy-scaled Hamming
 # blocking as q_dedup_image. Synthesis mirrors the image corpus' group
 # structure (g = id//4, v = id%4): videos in a group share nf
 # deterministic frames (Y byte = (x² mod p) mod 256 with x mixing g,

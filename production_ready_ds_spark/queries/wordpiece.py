@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..functions.text import md5_prefix_int, md5_prefix_int_sql, tokens_expr
 from ..tables import load
@@ -294,8 +295,6 @@ def train_wordpiece(word_counts: DataFrame, n_merges: int = N_WP_MERGES) -> list
             .groupBy("s")
             .agg(F.sum("n").alias("scnt"))
         )
-        from pyspark.sql.functions import broadcast
-
         scored = (
             pairs.join(
                 broadcast(syms.select(F.col("s").alias("l"), F.col("scnt").alias("l_cnt"))),

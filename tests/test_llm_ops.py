@@ -1654,11 +1654,12 @@ def test_rank_eval_metric_bounds(spark, sf_small):
 
 
 def test_mmr_rerank_trades_relevance_for_diversity(spark, sf_small, cat):
-    """The MMR contract, measured: the first pick IS the cosine top-1
-    (no selected set yet, score = relevance), every later pick is a
-    top-20 candidate, and the selected set's mean pairwise similarity
-    is LOWER than plain cosine top-8's (the diversity the operator
-    exists to buy), while ranks stay 1..8 per probe."""
+    """The MMR contract, measured on the operator's own exact
+    int8-grid dot similarity: the first pick IS the top-1 (no selected
+    set yet, score = relevance), every later pick is a top-20
+    candidate, and the selected set's mean pairwise similarity is
+    LOWER than plain top-8's (the diversity the operator exists to
+    buy), while ranks stay 1..8 per probe."""
     import numpy as np
 
     from production_ready_ds_spark.tables import load
@@ -1668,30 +1669,28 @@ def test_mmr_rerank_trades_relevance_for_diversity(spark, sf_small, cat):
     by_probe = {}
     for r in mmr:
         by_probe.setdefault(r.probe_id, {})[r.rank] = r.neighbor_id
-    embs = {
-        r.vec_id: np.array(r.embedding, dtype=np.float64)
-        for r in load(spark, sf_small, "embeddings").collect()
-    }
+    qv = {}
+    for r in load(spark, sf_small, "embeddings").collect():
+        e = np.array(r.embedding, dtype=np.float64)
+        amax = np.abs(e).max()
+        if amax > 0:
+            qv[r.vec_id] = np.floor(e / (amax / 127) + 0.5)
 
-    def cos(a, b):
-        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    def dot(a, b):
+        return int(np.dot(qv[a], qv[b]))
 
     def mean_pairwise(ids):
-        sims = [
-            cos(embs[a], embs[b])
-            for i, a in enumerate(ids)
-            for b in ids[i + 1 :]
-        ]
+        sims = [dot(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
         return sum(sims) / len(sims)
 
     for pid, picks in by_probe.items():
         assert sorted(picks) == list(range(1, 9)), "ranks are 1..8"
         rels = sorted(
-            ((cos(embs[pid], embs[v]), v) for v in embs if v != pid),
+            ((dot(pid, v), v) for v in qv if v != pid),
             key=lambda t: (-t[0], t[1]),
         )
         top20 = [v for _, v in rels[:20]]
-        assert picks[1] == top20[0], "first pick = cosine top-1"
+        assert picks[1] == top20[0], "first pick = relevance top-1"
         assert set(picks.values()) <= set(top20), "picks come from the pool"
         mmr_ids = [picks[k] for k in range(1, 9)]
         topk_ids = top20[:8]
