@@ -988,6 +988,11 @@ def hamming_candidates(
 
 
 DHASH_FAMILY = "dhash-128/luma-999/8x16le-v1"
+#: Audio loudness-envelope fingerprints share the banded 8×16-bit
+#: layout but are NOT comparable to visual dHashes — an audio pipeline
+#: passes this family tag so one store can never silently mix the two
+#: (the SignatureStore family guard turns the mistake into an error).
+ENVELOPE_FAMILY = "envhash-128/abs-env-129w-v1"
 
 
 def incremental_hamming_dedup(
@@ -998,6 +1003,7 @@ def incremental_hamming_dedup(
     n_bands: int = 8,
     radius: int = 7,
     bucket_cap: int | None = OVERSIZED_BUCKET_CAP,
+    family: str = DHASH_FAMILY,
 ) -> DataFrame:
     """Incremental PERCEPTUAL near-dup detection against a persistent
     fingerprint store — incremental_minhash_dedup's contract applied to
@@ -1022,7 +1028,7 @@ def incremental_hamming_dedup(
 
     spark = new_fp.sparkSession
     band_cols = [f"b{k}" for k in range(n_bands)]
-    store = SignatureStore(store_path, family=DHASH_FAMILY)
+    store = SignatureStore(store_path, family=family)
     bounds = new_fp.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
     fresh_fp = new_fp.select(id_col, *band_cols)
     if bounds.lo is not None:

@@ -200,3 +200,26 @@ def test_incremental_hamming_dedupes_within_batch(spark, tmp_path):
     assert [(r.doc_a, r.doc_b, r.hamming) for r in pairs] == [(0, 1, 1)]
     stored = spark.read.parquet(store)
     assert stored.count() == 2 * 8
+
+
+def test_incremental_hamming_family_knob_separates_modalities(spark, tmp_path):
+    """An audio-envelope store (ENVELOPE_FAMILY) must refuse a default
+    dHash read and vice versa — both are (id, b0..b7) banded rows, so
+    without the tag a pipeline could silently score image dHashes
+    against audio envelopes; with it the mistake is an error."""
+    import pytest as _pytest
+
+    from production_ready_ds_spark.operators.dedup import (
+        ENVELOPE_FAMILY,
+        incremental_hamming_dedup,
+    )
+
+    store = str(tmp_path / "env")
+    b1 = _fp_rows(spark, [(i, *_group_fp(i)) for i in range(8)])
+    out = incremental_hamming_dedup(b1, store, family=ENVELOPE_FAMILY)
+    assert out.collect() == []  # first batch, no prior corpus
+    with _pytest.raises(ValueError, match="family"):
+        incremental_hamming_dedup(b1, store)  # default dHash tag
+    # same family keeps working and stays idempotent
+    again = incremental_hamming_dedup(b1, store, family=ENVELOPE_FAMILY)
+    assert again.collect() == []
