@@ -288,3 +288,62 @@ def with_hilbert_key(
             F.col("_h.d").alias("_hd"),
         )
     return work.withColumnRenamed("_hd", out_col).drop("_hx", "_hy")
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` clustered on the HILBERT distance of two
+    ``cluster_cols`` — :func:`write_zorder_clustered`'s
+    locality-preserving refinement (Iceberg rewrite_data_files' hilbert
+    sort strategy), and the write path behind q_hilbert_layout's key
+    math: consecutive Hilbert distances are always grid-adjacent, so a
+    file of consecutive keys owns ONE compact hyper-rectangle where
+    consecutive Morton keys can straddle two far-apart ones — tighter
+    file min/max on both dimensions, better pruning.
+
+    Same one-pass min-max scaling as the z-order writer's default (two
+    numbers collected per column), then the staged
+    :func:`with_hilbert_key` walk, one repartitionByRange +
+    sortWithinPartitions shuffle to the layout. Two dimensions only —
+    the classic xy2d walk; for >2 dims use the z-order writer."""
+    if len(cluster_cols) != 2:
+        raise ValueError(
+            "write_hilbert_clustered takes exactly two cluster columns "
+            "(the xy2d walk); use write_zorder_clustered for other arities"
+        )
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cluster_cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cluster_cols],
+    ).first()
+    scaled = []
+    for c in cluster_cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ).cast("long")
+        )
+    keyed = with_hilbert_key(
+        df.withColumn("_p0", scaled[0]).withColumn("_p1", scaled[1]),
+        "_p0",
+        "_p1",
+        bits=bits,
+        out_col="_hkey",
+        keep=tuple(df.columns),
+    )
+    (
+        keyed.repartitionByRange(n_files, F.col("_hkey"))
+        .sortWithinPartitions("_hkey")
+        .drop("_hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

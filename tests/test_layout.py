@@ -236,3 +236,29 @@ def test_hilbert_buckets_are_compact_boxes(spark, sf_small):
         assert r.n_rows > 0
         assert (r.pk_hi - r.pk_lo) <= 0.6 * pk_span or r.n_rows < 50, r
         assert (r.sk_hi - r.sk_lo) <= 0.6 * sk_span or r.n_rows < 50, r
+
+
+def test_hilbert_write_prunes_both_dimensions(spark, sf_small, tmp_path):
+    """The Hilbert WRITE path (q_hilbert_layout's key math landing in
+    real files): data survives byte-for-byte and file min/max stats
+    prune narrow ranges on BOTH clustered columns, like the z-order
+    writer it refines."""
+    from production_ready_ds_spark.operators.layout import write_hilbert_clustered
+
+    orders = load(spark, sf_small, "orders")
+    hpath = str(tmp_path / "h")
+    write_hilbert_clustered(orders, hpath, ["o_custkey", "o_orderkey"], n_files=16)
+
+    before = sorted(map(tuple, orders.collect()))
+    assert sorted(map(tuple, spark.read.parquet(hpath).collect())) == before
+
+    ck = orders.agg(F.max("o_custkey"), F.max("o_orderkey")).first()
+    h_cust = _file_prune_fraction(hpath, "o_custkey", 0, ck[0] // 16)
+    h_order = _file_prune_fraction(hpath, "o_orderkey", 0, ck[1] // 16)
+    assert h_cust <= 0.5, h_cust
+    assert h_order <= 0.5, h_order
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two cluster columns"):
+        write_hilbert_clustered(orders, hpath, ["o_custkey"])
