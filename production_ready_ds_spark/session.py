@@ -68,6 +68,36 @@ def get_spark(app_name: str = "production-ready-ds-spark", master: str | None = 
     return builder.getOrCreate()
 
 
+#: Every module that defines worker-side Python (pandas UDFs,
+#: mapInPandas/applyInPandas/UDTF bodies), as dotted paths relative to
+#: the package. tests/test_sources.py::test_udf_modules_all_registered
+#: greps the source tree for worker-side markers and fails if a module
+#: is missing here — the q_wordpiece_apply incident: its pandas_udf
+#: referenced module globals (wordpiece_segment, the vocab set), the
+#: module wasn't registered, so the closure pickled those BY REFERENCE
+#: and every foreign-cwd worker died on ModuleNotFoundError while
+#: repo-cwd runs (and the test suite) passed silently.
+UDF_MODULES = (
+    "functions.stemmer",
+    "functions.snowball",
+    "functions.unicode_norm",
+    "operators.ann",
+    "operators.ivfstore",
+    "operators.multimodal",
+    "operators.pq",
+    "operators.sketch",
+    "queries.llm",
+    "queries.multimodal",
+    "queries.streaming_queries",
+    "queries.udfs",
+    "queries.unigram",
+    "queries.wordpiece",
+    "sources.api_source",
+    "streaming.dedup",
+    "streaming.events",
+)
+
+
 def register_udf_modules() -> None:
     """Register every module that defines worker-side Python (pandas
     UDFs, mapInPandas/applyInPandas bodies) for cloudpickle
@@ -77,26 +107,18 @@ def register_udf_modules() -> None:
     process wasn't started from the repo directory (true for the
     verification driver, spark-submit from elsewhere, and any real
     cluster without the package deployed). By-value pickling ships the
-    code inside the serialized task instead."""
+    code inside the serialized task instead. NOTE: registration makes
+    the CLOSURE'S module-global references by-value too — a kernel
+    that instead does ``from ..x import y`` INSIDE its worker body
+    still dies on a foreign cwd (the _synth_wav_grouped incident);
+    capture from module scope."""
+    import importlib
+
     from pyspark import cloudpickle
 
-    from .functions import snowball, stemmer
-    from .operators import multimodal, sketch
-    from .queries import udfs, unigram
-    from .queries import multimodal as multimodal_queries
-    from .sources import api_source
-
-    for mod in (
-        stemmer,
-        snowball,
-        udfs,
-        multimodal,
-        multimodal_queries,
-        api_source,
-        sketch,
-        unigram,
-    ):
+    for name in UDF_MODULES:
         try:
+            mod = importlib.import_module(f".{name}", package=__package__)
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API
             pass
