@@ -149,10 +149,13 @@ _CONTRACT_ORDER = (
 # ROUND-8 ROTATION (done): CORRECTNESS_r07 shows q_pack_bestfit and
 # q_image_png both hash-green → rotated to the back. Front slots are now
 # q_quality_perplexity + q_search_faceted per the committed queue, then
-# round-7's hash-gated additions (faceted pair, sketch cube, filtered
-# ANN, stream-faceted), the rows-only unigram pair, and the
-# late-round-6 families (cleaning, search presentation) so each earns a
-# driver-green row over rounds 9-13.
+# round-8's perceptual dedup family (image/video/audio pairs +
+# clusters), round-7's hash-gated additions (faceted pair, sketch
+# cube, filtered ANN, stream-faceted), the format round-trips, the
+# round-8 late additions (compaction, Hilbert, MMR, JL, SCD2 — all
+# full-hash-gated), the rows-only trainer family, and the late-round-6
+# families (cleaning, search presentation) so each earns a driver-green
+# row over rounds 9-14.
 _EXTENSION_PRIORITY = (
     # round-8 driver slots (rotation: 2 names per round)
     "q_quality_perplexity",
@@ -173,17 +176,21 @@ _EXTENSION_PRIORITY = (
     "q_sketch_cube",
     "q_sim_topk_filtered",
     "q_stream_faceted",
-    "q_unigram_train",
-    "q_unigram_apply",
-    "q_wordpiece_train",
     "q_xml_roundtrip",
     "q_jsonl_roundtrip",
     "q_orc_roundtrip",
+    # round-8 late additions, all full-hash-gated (layout maintenance,
+    # diversity rerank, JL projection, SCD2) — ahead of the rows-only
+    # trainers per the hash-gate-first rule
     "q_compact_files",
     "q_hilbert_layout",
     "q_sim_topk_mmr",
     "q_embed_project",
     "q_scd2_history",
+    # rows-only trainer family (weaker rows>0 driver check)
+    "q_unigram_train",
+    "q_unigram_apply",
+    "q_wordpiece_train",
     # round-7 rows-only→hash-gate upgrades (md5 simhash, deterministic
     # stratified sample, zlib bounds contract, IVF full-probe anchor)
     "q_dedup_simhash",
