@@ -187,6 +187,7 @@ _EXTENSION_PRIORITY = (
     "q_sim_topk_mmr",
     "q_embed_project",
     "q_scd2_history",
+    "q_upsert_roundtrip",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

@@ -160,3 +160,89 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(spark.read.parquet(out)).withColumn(
         "n_files", F.lit(n_files).cast("long")
     )
+
+
+_UPSERT_SQL = """
+    WITH merged AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 3
+                  THEN CAST(c_custkey AS DOUBLE) / 100
+                  ELSE c_acctbal END AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 100 = 7
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 3 AND c_custkey < 10000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+           CAST(SUM(CAST(FLOOR(bal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM merged GROUP BY c_mktsegment
+    """
+
+
+@query("q_upsert_roundtrip", category="layout", sql=_UPSERT_SQL)
+def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE-upsert under the driver hash gate, completing the
+    warehouse-maintenance trio (compaction, SCD2 history, upsert) on
+    the 100 TB path: the customer dimension is seeded as a
+    segment-PARTITIONED parquet lake, then one update batch flows
+    through operators/upsert.upsert_parquet — every c_custkey % 10 == 3
+    row gets a corrected balance (replace-on-key), every % 100 == 7
+    key is re-inserted under a shifted key (insert-on-new), and Spark's
+    dynamic partition-overwrite rewrites ONLY the touched segment
+    directories (cost proportional to touched partitions, never the
+    table). The read-back aggregate reports per-segment row counts,
+    the replaced-row count, and the balance total on the exact cent
+    grid (FLOOR(bal·100 + 0.5) per row BEFORE the sum — order-free
+    BIGINT addition, no float-summation hazard); the oracle derives
+    the merged table arithmetically from the original corpus, so a row
+    lost, duplicated, or stale anywhere in seed → merge → dynamic
+    overwrite → read hashes red.
+
+    Scale shape: the merge is one anti-join of the touched partitions
+    against the batch keys plus a union — the exact join shape
+    Delta/Iceberg MERGE executes, with the documented
+    single-writer/partition-pinned-rows contract in upsert.py."""
+    from ..operators.upsert import upsert_parquet
+    from .llm import _build_lock
+
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    cust = load(spark, sf_dir, "customer").select(*cols)
+    out = _staging_dir(sf_dir, "upsert")
+    with _build_lock(out):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)  # fresh seed every run
+        cust.write.partitionBy("c_mktsegment").parquet(out)
+        updates = (
+            cust.filter(F.col("c_custkey") % 10 == 3)
+            .withColumn("c_acctbal", F.col("c_custkey").cast("double") / 100)
+            .unionByName(
+                cust.filter(F.col("c_custkey") % 100 == 7).withColumn(
+                    "c_custkey", F.col("c_custkey") + F.lit(10000000)
+                )
+            )
+        )
+        upsert_parquet(
+            spark, out, updates, ["c_custkey"], partition_col="c_mktsegment"
+        )
+    merged = spark.read.parquet(out)
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("c_custkey") % 10 == 3) & (F.col("c_custkey") < 10000000),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("balance_cents"),
+    )
