@@ -13,6 +13,11 @@ tables ``copies`` times with offset keys and per-copy perturbation:
 - embeddings: copy c > 0 nudges the first component by c * 1e-3, so
   cosine stays ≈ 1 and the sign bucket is almost always preserved —
   the same family stress for the semantic/embedding dedup path.
+- customer / lineitem (round 8): plain key-offset replication (no
+  perturbation) for the layout/warehouse family — l_partkey/l_suppkey
+  keep their ORIGINAL domains, so the z-order/Hilbert scaling grids
+  stay fixed while row count grows (bucket mass scales, boxes don't),
+  and the customer key space grows for SCD2/upsert merges.
 
 This is a MEASUREMENT input only (never a correctness input — oracles
 run on the shipped testdata). Usage:
@@ -63,10 +68,33 @@ def main() -> None:
         ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    con.execute(
+        f"""
+        COPY (
+          SELECT t.c_custkey + c.c * 10000000 AS c_custkey,
+                 t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment
+          FROM read_parquet('{src}/customer.parquet') t,
+               (SELECT range AS c FROM range({copies})) c
+        ) TO '{dst}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT t.* REPLACE (t.l_orderkey + c.c * 10000000 AS l_orderkey)
+          FROM read_parquet('{src}/lineitem.parquet') t,
+               (SELECT range AS c FROM range({copies})) c
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
     for row in con.execute(
         f"""SELECT 'documents', COUNT(*) FROM read_parquet('{dst}/documents.parquet')
             UNION ALL
-            SELECT 'embeddings', COUNT(*) FROM read_parquet('{dst}/embeddings.parquet')"""
+            SELECT 'embeddings', COUNT(*) FROM read_parquet('{dst}/embeddings.parquet')
+            UNION ALL
+            SELECT 'customer', COUNT(*) FROM read_parquet('{dst}/customer.parquet')
+            UNION ALL
+            SELECT 'lineitem', COUNT(*) FROM read_parquet('{dst}/lineitem.parquet')"""
     ).fetchall():
         print(*row)
 
