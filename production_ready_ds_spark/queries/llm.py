@@ -850,6 +850,51 @@ _MMR_SQL = f"""
     """
 
 
+def _mmr_dot_int(a, b):
+    """Exact integer dot product of two int8-grid arrays (long-typed) —
+    the ONE similarity both MMR stages rank on."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _mmr_relevance(spark: SparkSession, sf_dir: str):
+    """MMR's DISTRIBUTED stage before any checkpoint: the int8-grid
+    quantized store (qv) and the probe-relevance frame (rels, probes
+    broadcast against the streaming corpus). Exposed separately so
+    tests/test_plans.py can audit the operator frame — localCheckpoint
+    hides everything upstream from the final plan (the documented
+    Scan-ExistingRDD effect), so the pin must attach here."""
+    e = load(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    qe = F.transform(
+        F.col("e"),
+        lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)).cast("long"),
+    )
+    qv = (
+        e.select("vec_id", xd.alias("e"), amax.alias("amax"))
+        .filter(F.col("amax") > 0)
+        .withColumn("scale_raw", F.col("amax") / 127)
+        .select("vec_id", qe.alias("qe"))
+    )
+    probes = qv.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq")
+    )
+    rels = (
+        qv.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            _mmr_dot_int(F.col("pq"), F.col("qe")).alias("rel"),
+        )
+    )
+    return qv, rels
+
+
 @query("q_sim_topk_mmr", category="llm-similarity", sql=_MMR_SQL)
 def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR (maximal-marginal-relevance) diversity-aware top-k — the
@@ -883,38 +928,7 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows; the rerank stays O(k·c) per probe by construction."""
     from pyspark.sql import Window
 
-    def dot_int(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    e = load(spark, sf_dir, "embeddings")
-    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(xd, F.abs))
-    qe = F.transform(
-        F.col("e"),
-        lambda x: F.floor(x / F.col("scale_raw") + F.lit(0.5)).cast("long"),
-    )
-    qv = (
-        e.select("vec_id", xd.alias("e"), amax.alias("amax"))
-        .filter(F.col("amax") > 0)
-        .withColumn("scale_raw", F.col("amax") / 127)
-        .select("vec_id", qe.alias("qe"))
-    )
-    probes = qv.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("probe_id"), F.col("qe").alias("pq")
-    )
-    rels = (
-        qv.crossJoin(broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            "vec_id",
-            dot_int(F.col("pq"), F.col("qe")).alias("rel"),
-        )
-    )
+    qv, rels = _mmr_relevance(spark, sf_dir)
     w = Window.partitionBy("probe_id").orderBy(F.desc("rel"), F.asc("vec_id"))
     # tiny frames (|probes|·c and |probes|·c² rows) reused every greedy
     # step: checkpoint once; joins against them carry explicit
@@ -936,7 +950,7 @@ def q_sim_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(broadcast(b), "probe_id")
         .filter(F.col("av") != F.col("bv"))
         .select(
-            "probe_id", "av", "bv", dot_int(F.col("qa"), F.col("qb")).alias("sim")
+            "probe_id", "av", "bv", _mmr_dot_int(F.col("qa"), F.col("qb")).alias("sim")
         )
         .localCheckpoint(eager=True)
     )

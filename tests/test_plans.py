@@ -776,3 +776,54 @@ def test_search_faceted_prunes_before_scoring(spark, sf_small, cat):
     pushed = " ".join(pushed_filters(df))
     assert "lang" in pushed and "In(" in pushed, pushed
     assert "LeftSemi" in explain_str(df)
+
+
+def test_layout_queries_read_only_cluster_columns(spark, sf_small, cat):
+    """Both clustering-layout twins must prune the lineitem scan to the
+    two cluster keys — a layout pass that deserializes all 11 columns
+    reads 5x the bytes it needs at 100 TB."""
+    for name in ("q_zorder_layout", "q_hilbert_layout"):
+        df = cat[name].fn(spark, sf_small)
+        schemas = [s for s in read_schema_columns(df) if s]
+        assert schemas, name
+        for s in schemas:
+            assert s <= {"l_partkey", "l_suppkey"}, (name, s)
+        assert has_broadcast_join(df), f"{name}: bounds must broadcast"
+
+
+def test_embed_project_is_one_pass_with_broadcast_signs(spark, sf_small, cat):
+    """The JL projection must stay map-side: the only exchange is
+    spread()'s round-robin widen (a no-op on real lakes), the sign
+    matrix rides a broadcast, and the scan reads only (vec_id,
+    embedding)."""
+    df = cat["q_embed_project"].fn(spark, sf_small)
+    assert shuffle_count(df) <= 1, explain_str(df)
+    assert has_broadcast_join(df), "sign frame must broadcast"
+    read = set().union(*[s for s in read_schema_columns(df) if s])
+    assert read == {"vec_id", "embedding"}
+
+
+def test_scd2_history_never_windows_and_reads_three_columns(spark, sf_small, cat):
+    """The SCD2 merge is joins + unions on the business key — a window
+    over the history would sort per key and not scale; the customer
+    scan must prune to (key, attr, seed columns)."""
+    df = cat["q_scd2_history"].fn(spark, sf_small)
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan, plan
+    read = set().union(*[s for s in read_schema_columns(df) if s])
+    assert read == {"c_custkey", "c_mktsegment"}
+
+
+def test_mmr_candidate_pass_broadcasts_probes(spark, sf_small):
+    """MMR's distributed stage is the candidate pass: probes ride a
+    broadcast against the streaming corpus, and the corpus never
+    shuffles its embedding/quantized column. The pin attaches to the
+    PRE-checkpoint operator frame (_mmr_relevance) — the final query
+    plan is a Scan ExistingRDD that hides everything upstream (the
+    localCheckpoint rule)."""
+    from production_ready_ds_spark.queries.llm import _mmr_relevance
+
+    _, rels = _mmr_relevance(spark, sf_small)
+    assert has_broadcast_join(rels), explain_str(rels, "simple")
+    for cols in exchange_input_columns(rels):
+        assert "embedding" not in cols and "qe" not in cols, cols
