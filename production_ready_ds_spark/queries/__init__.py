@@ -188,6 +188,7 @@ _EXTENSION_PRIORITY = (
     "q_embed_project",
     "q_scd2_history",
     "q_upsert_roundtrip",
+    "q_stream_scd2",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

@@ -530,3 +530,117 @@ def q_stream_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(
         spark, clean_unicode_frame(stream.select("doc_id", "text")), "append"
     )
+
+
+from .analytics import _SCD2_SQL  # noqa: E402 - the shared-oracle convention
+
+
+@query("q_stream_scd2", category="streaming", sql=_SCD2_SQL)
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dimension maintenance run to completion: the two SCD2
+    update batches arrive as a file stream (one micro-batch each,
+    mtime-ordered under availableNow + maxFilesPerTrigger=1) and
+    foreachBatch folds each through operators/scd2.scd2_merge against
+    the persisted history, swapping the history directory atomically
+    per batch (layout._swap_into, the single-writer contract). The
+    final history is hashed against q_scd2_history's closed-form
+    oracle (the shared _SCD2_SQL constant), so a green row
+    proves the whole online path: micro-batch delivery order, per-batch
+    merge, equal-attrs no-op on the re-delivered keys, history swap,
+    read-back. This is the warehouse twin of q_stream_index's
+    store-building contract (stream-built ≡ batch-built, here for
+    dimension history instead of postings).
+
+    Shape: each micro-batch costs one equi-join of the batch against
+    CURRENT rows plus a history rewrite — at 100 TB the rewrite is the
+    partitioned current-slice churn the scd2 module documents, and the
+    ordering guarantee comes from the stream's event-time ordering
+    (modeled here by file mtime; a production feed orders by its log
+    offset). Within a micro-batch carrying several batch_ts values the
+    merges apply in ascending ts order, so a coalesced delivery still
+    chains validity intervals gap-free."""
+    import os
+    import shutil
+
+    from ..operators.layout import _swap_into
+    from ..operators.scd2 import VALID_FROM, VALID_TO, scd2_merge
+    from ..tables import load
+    from .llm import _build_lock, _corpus_cache_dir
+
+    cols = ["c_custkey", "c_mktsegment"]
+    root = _corpus_cache_dir("prds_stream_scd2", sf_dir, "customer", 1)
+    hist_dir = os.path.join(root, "hist")
+    with _build_lock(root):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        cust = load(spark, sf_dir, "customer").select(*cols)
+        (
+            cust.withColumn(
+                VALID_FROM, F.lit("2024-01-01").cast("timestamp_ntz")
+            )
+            .withColumn(VALID_TO, F.lit(None).cast("timestamp_ntz"))
+            .write.parquet(hist_dir)
+        )
+        src = os.path.join(root, "updates")
+        os.makedirs(src)
+        b1 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_mktsegment", F.lit("SEG_B1")
+        )
+        b2 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_mktsegment",
+            F.when(
+                F.col("c_custkey") % 14 == 0, F.col("c_mktsegment")
+            ).otherwise(F.lit("SEG_B1")),
+        )
+        t0 = 1_700_000_000
+        for i, (batch, ts) in enumerate(
+            [(b1, "2024-02-01"), (b2, "2024-03-01")], start=1
+        ):
+            tmp = os.path.join(root, f"_b{i}")
+            batch.withColumn("batch_ts", F.lit(ts)).coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            shutil.rmtree(tmp)
+            # mtime orders the file stream (path order agrees as tiebreak)
+            os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+
+        def ingest(batch_df, batch_id):
+            ts_list = sorted(
+                r.batch_ts for r in batch_df.select("batch_ts").distinct().collect()
+            )
+            for ts in ts_list:
+                hist = spark.read.parquet(hist_dir)
+                upd = batch_df.filter(F.col("batch_ts") == ts).drop("batch_ts")
+                merged = scd2_merge(
+                    hist, upd, ["c_custkey"], ["c_mktsegment"], F.lit(ts)
+                )
+                tmp = hist_dir + ".new"
+                merged.write.mode("overwrite").parquet(tmp)
+                _swap_into(tmp, hist_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "c_custkey long, c_mktsegment string, batch_ts string"
+            )
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("scd2 update stream did not drain in 300s")
+    return spark.read.parquet(hist_dir).select(
+        "c_custkey", "c_mktsegment", VALID_FROM, VALID_TO
+    )
+
+
