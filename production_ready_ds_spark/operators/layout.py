@@ -112,6 +112,35 @@ def write_range_clustered(
     )
 
 
+def _minmax_scaled(df: DataFrame, cluster_cols: list[str], bits: int) -> list:
+    """Per-dimension linear min-max scaling into [0, 2^bits) as column
+    expressions — the ONE scaling both clustered writers share (a
+    guard or clamp fix applied here reaches z-order and Hilbert alike).
+    One tiny driver aggregate (2 numbers per column). An empty or
+    all-NULL frame has no usable bounds — raise a clear error rather
+    than let ``None - None`` surface as a TypeError downstream."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cluster_cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cluster_cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cluster_cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        if mn is None or mx is None:
+            raise ValueError(
+                f"cannot min-max scale '{c}': no non-NULL values to bound"
+            )
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
+            ).cast("long")
+        )
+    return scaled
+
+
 def zorder_key(scaled_cols: list, bits: int = 8):
     """Interleave the low ``bits`` of already-scaled int columns into a
     Morton (Z-order) key — pure JVM bit arithmetic, whole-stage
@@ -195,21 +224,9 @@ def write_zorder_clustered(
         ]
         keyed = work.withColumn("_zkey", zorder_key(scaled, bits)).drop(*tmp_cols)
     else:
-        bounds = df.agg(
-            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cluster_cols],
-            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cluster_cols],
-        ).first()
-        scaled = []
-        for c in cluster_cols:
-            mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-            span = (mx - mn) or 1.0
-            scaled.append(
-                F.least(
-                    F.lit(top),
-                    F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
-                ).cast("long")
-            )
-        keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+        keyed = df.withColumn(
+            "_zkey", zorder_key(_minmax_scaled(df, cluster_cols, bits), bits)
+        )
     (
         keyed.repartitionByRange(n_files, F.col("_zkey"))
         .sortWithinPartitions("_zkey")
@@ -317,21 +334,7 @@ def write_hilbert_clustered(
             "write_hilbert_clustered takes exactly two cluster columns "
             "(the xy2d walk); use write_zorder_clustered for other arities"
         )
-    top = (1 << bits) - 1
-    bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cluster_cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cluster_cols],
-    ).first()
-    scaled = []
-    for c in cluster_cols:
-        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
-        span = (mx - mn) or 1.0
-        scaled.append(
-            F.least(
-                F.lit(top),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top),
-            ).cast("long")
-        )
+    scaled = _minmax_scaled(df, cluster_cols, bits)
     keyed = with_hilbert_key(
         df.withColumn("_p0", scaled[0]).withColumn("_p1", scaled[1]),
         "_p0",

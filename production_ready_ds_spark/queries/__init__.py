@@ -345,6 +345,13 @@ def catalog() -> dict[str, Query]:
     """
     for mod in _MODULES:
         importlib.import_module(f"{__name__}.{mod}")
+    # every UDF-bearing query module now exists in sys.modules — make
+    # sure each is cloudpickle-registered by value even when the
+    # session was built (and register_udf_modules first ran) before
+    # this import loop (the get_spark-then-catalog flow)
+    from ..session import register_udf_modules
+
+    register_udf_modules(only_loaded=True)
     missing = [n for n in _CONTRACT_ORDER if n not in _REGISTRY]
     if missing:
         raise RuntimeError(f"contract queries missing from registry: {missing}")

@@ -207,11 +207,13 @@ def q_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta/Iceberg MERGE executes, with the documented
     single-writer/partition-pinned-rows contract in upsert.py."""
     from ..operators.upsert import upsert_parquet
-    from .llm import _build_lock
+    from .llm import _build_lock, _corpus_cache_dir
 
     cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
     cust = load(spark, sf_dir, "customer").select(*cols)
-    out = _staging_dir(sf_dir, "upsert")
+    # keyed off the CUSTOMER manifest — _staging_dir hashes documents,
+    # the wrong source table for this query (the q_stream_scd2 key)
+    out = _corpus_cache_dir("prds_fmt_upsert", sf_dir, "customer", 1)
     with _build_lock(out):
         import shutil
 

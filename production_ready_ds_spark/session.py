@@ -64,13 +64,17 @@ def get_spark(app_name: str = "production-ready-ds-spark", master: str | None = 
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
-    register_udf_modules()
+    # fast path: register what's imported now; queries/__init__ tops
+    # this up after its module loop, ensure_runtime_confs runs the
+    # full registration on the foreign-session path
+    register_udf_modules(only_loaded=True)
     return builder.getOrCreate()
 
 
 #: Every module that defines worker-side Python (pandas UDFs,
 #: mapInPandas/applyInPandas/UDTF bodies), as dotted paths relative to
-#: the package. tests/test_sources.py::test_udf_modules_all_registered
+#: the package.
+#: tests/test_udf_registration.py::test_udf_modules_all_registered
 #: greps the source tree for worker-side markers and fails if a module
 #: is missing here — the q_wordpiece_apply incident: its pandas_udf
 #: referenced module globals (wordpiece_segment, the vocab set), the
@@ -98,7 +102,7 @@ UDF_MODULES = (
 )
 
 
-def register_udf_modules() -> None:
+def register_udf_modules(only_loaded: bool = False) -> None:
     """Register every module that defines worker-side Python (pandas
     UDFs, mapInPandas/applyInPandas bodies) for cloudpickle
     pickle-BY-VALUE. Without this, Spark pickles those functions by
@@ -111,14 +115,37 @@ def register_udf_modules() -> None:
     the CLOSURE'S module-global references by-value too — a kernel
     that instead does ``from ..x import y`` INSIDE its worker body
     still dies on a foreign cwd (the _synth_wav_grouped incident);
-    capture from module scope."""
+    capture from module scope.
+
+    ``only_loaded=True`` registers only the modules already in
+    sys.modules — the get_spark() fast path: a session built for
+    operator-level use must not pay the whole query catalog's import
+    (queries.llm alone is ~7k lines, and streaming_queries chain-loads
+    analytics/traindata). Every flow still ends fully registered:
+    queries/__init__ re-invokes this after its module loop (so
+    catalog() users are covered the moment the modules exist), and
+    ensure_runtime_confs — the foreign-session/driver path — runs the
+    FULL registration. The one uncovered flow is hand-importing a
+    single query submodule (bypassing catalog()) on a get_spark()
+    session from a foreign cwd — call register_udf_modules() yourself
+    there.
+
+    Import errors are deliberately NOT swallowed: a module on this
+    list that cannot import must fail loudly here, not silently fall
+    back to by-reference pickling (the exact incident class the list
+    exists to kill). Only the registration call itself is guarded
+    (already registered / old cloudpickle API)."""
     import importlib
+    import sys
 
     from pyspark import cloudpickle
 
     for name in UDF_MODULES:
+        full = f"{__package__}.{name}"
+        if only_loaded and full not in sys.modules:
+            continue
+        mod = importlib.import_module(full)
         try:
-            mod = importlib.import_module(f".{name}", package=__package__)
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover - already registered / old API
             pass

@@ -16,10 +16,18 @@ import production_ready_ds_spark
 from production_ready_ds_spark.session import UDF_MODULES
 
 # Call-site markers only — module docstrings and comments mention these
-# names freely. applyInPandasWithState is covered by .applyInPandas(.
+# names freely. applyInPandasWithState is covered by .applyInPandas(;
+# bare udf(/`@udf`, the Arrow map/apply variants, and the rdd lambda
+# APIs are included so a future module using any worker-side style
+# cannot slip the guard.
 _MARKERS = re.compile(
     r"\bpandas_udf\s*\(|\.mapInPandas\s*\(|\.applyInPandas|"
-    r"\bF\.udf\s*\(|@F\.udf|\budtf\s*\(|functions\.udf\s*\("
+    r"\.mapInArrow\s*\(|\.applyInArrow|"
+    r"\budf\s*\(|@udf\b|\budtf\s*\(|"
+    # rdd TRANSFORMATIONS ship Python lambdas to workers; bare .rdd
+    # metadata access (getNumPartitions) does not
+    r"\.rdd\.(?:map|flatMap|filter|foreach|mapPartitions)|"
+    r"\bmapPartitions\s*\(|\.foreachPartition\s*\("
 )
 
 
