@@ -470,10 +470,15 @@ _G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
 # expects a ``bandvals`` CTE of (doc_id, band 0..7, key 0..65535) and
 # replays hamming_candidates — fingerprint pivot, the entropy-scaled
 # super-band tier from the measured per-band distinct-key counts,
-# band-equality candidates,
+# band-equality candidates UNDER THE SAME oversized-bucket cap the
+# Spark side enforces (round 8: the minhash oracle documents this as
+# a justified divergence; here the guard is replayed exactly, so even
+# a corpus with > cap identical fingerprints stays hash-green),
 # bit_count(xor) scoring, radius filter. Split as CTES + final SELECT
 # so cluster oracles can chain a recursive components CTE onto
 # ``scored`` instead of re-stating the whole pipeline.
+from ..operators.dedup import OVERSIZED_BUCKET_CAP as _HAMMING_BUCKET_CAP  # noqa: E402
+
 _HAMMING_TAIL_CTES = f"""
     fp AS (
       SELECT doc_id,
@@ -496,10 +501,23 @@ _HAMMING_TAIL_CTES = f"""
                   AS BIGINT) AS key
       FROM bandvals, params GROUP BY doc_id, band // sb
     ),
+    -- the oversized-bucket guard, replayed exactly: a hot bucket
+    -- (> cap rows) pairs its full membership against only its cap
+    -- lowest-id members; under a < b ordering "either end is a capped
+    -- member" reduces to rank(a) <= cap (ranks order by id, so the
+    -- smaller id always has the smaller rank)
+    ranked AS (
+      SELECT doc_id, band, key,
+             ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id)
+               AS rnk,
+             COUNT(*) OVER (PARTITION BY band, key) AS bn
+      FROM sbands
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sbands a JOIN sbands b
+      FROM ranked a JOIN ranked b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       AND (a.bn <= {_HAMMING_BUCKET_CAP} OR a.rnk <= {_HAMMING_BUCKET_CAP})
     ),
     scored AS (
       SELECT c.doc_a, c.doc_b,

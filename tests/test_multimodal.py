@@ -1016,3 +1016,56 @@ def test_dedup_audio_recall_all_group_pairs(spark, sf_small, cat):
                 limit = 2 if i == 0 else 4
                 assert got[key] <= limit, (key, got[key])
     assert all(h <= 7 for h in got.values())
+
+
+def test_hamming_oracle_cap_replay_matches_spark_on_hot_buckets(spark):
+    """The dHash oracle's oversized-bucket replay (ranked CTE): on a
+    corpus with > cap identical fingerprints the DuckDB formulation
+    emits EXACTLY hamming_candidates' pair set — the case the minhash
+    oracle documents as a justified divergence is exact here."""
+    import duckdb
+
+    from production_ready_ds_spark.operators.dedup import (
+        OVERSIZED_BUCKET_CAP,
+        hamming_candidates,
+    )
+
+    n = OVERSIZED_BUCKET_CAP + 12
+    fp = [77, 177, 277, 377, 477, 577, 677, 777]
+    df = spark.createDataFrame(
+        [(i, *fp) for i in range(n)],
+        "doc_id long, " + ", ".join(f"b{k} long" for k in range(8)),
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in hamming_candidates(df, radius=7).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE sb AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {k}, {v})" for i in range(n) for k, v in enumerate(fp))
+        + ") AS t(doc_id, band, key)"
+    )
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            f"""
+            WITH ranked AS (
+              SELECT doc_id, band, key,
+                     ROW_NUMBER() OVER (PARTITION BY band, key
+                                        ORDER BY doc_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY band, key) AS bn
+              FROM sb
+            )
+            SELECT DISTINCT a.doc_id, b.doc_id
+            FROM ranked a JOIN ranked b
+              ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+             AND (a.bn <= {OVERSIZED_BUCKET_CAP}
+                  OR a.rnk <= {OVERSIZED_BUCKET_CAP})
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+    # the hot-bucket shape: every pair's lower end is a capped member
+    assert all(a < OVERSIZED_BUCKET_CAP for a, _ in got)
