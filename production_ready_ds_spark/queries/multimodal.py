@@ -1427,3 +1427,87 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zcr", 6).alias("zcr"),
         "peak",
     )
+
+
+# --- cross-modal dedup: one keep-decision over text AND image pairs ----
+from .llm import (  # noqa: E402 - composition over the existing oracles
+    _DUCK_JACCARD_CTES,
+    HOT_SHINGLE_DF_CAP,
+    JACCARD_THRESHOLD,
+)
+
+_MULTIMODAL_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_DUCK_JACCARD_CTES},
+    {_DHASH_CTES},
+    alledges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_a, doc_b FROM scored WHERE hamming <= {_DHASH_RADIUS}
+    ),
+    medges AS (
+      SELECT doc_a AS s, doc_b AS t FROM alledges
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM alledges
+    ),
+    mnodes AS (SELECT DISTINCT s AS node FROM medges),
+    mreach(node, lbl) AS (
+      SELECT node, node FROM mnodes
+      UNION
+      SELECT e.t, r.lbl FROM mreach r JOIN medges e ON e.s = r.node
+    ),
+    mcl AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM mreach GROUP BY node
+    )
+    SELECT dd.doc_id,
+           CAST(COALESCE(mcl.cluster_id, dd.doc_id) AS BIGINT) AS cluster_id
+    FROM documents dd LEFT JOIN mcl ON dd.doc_id = mcl.doc_id
+    """
+
+
+@query(
+    "q_dedup_multimodal_clusters",
+    category="llm-dedup",
+    sql=_MULTIMODAL_CLUSTERS_SQL,
+)
+def q_dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL duplicate clusters — the unified keep-decision a
+    multimodal training corpus actually needs: a document is a
+    duplicate if its TEXT is a near-dup (capped 3-gram Jaccard, the
+    q_dedup_ngram_jaccard pairs) OR its IMAGE is a perceptual near-dup
+    (dHash Hamming pairs, the q_dedup_image set) — modality-specific
+    detectors catch different mirrors (rewritten captions over the
+    same image; re-encoded images under the same text), and dropping
+    per-modality double-counts the family. Edges are the UNION of both
+    pair sets, connected components give one cluster per cross-modal
+    family (a text-chain A~B joined to an image-chain B~C collapses to
+    ONE keep decision), and every document appears (singletons are
+    their own cluster). The oracle composes the two EXISTING oracle
+    CTE chains verbatim (the shared-constant convention — neither
+    detector's replay can drift from its standalone query) plus the
+    recursive reachability minima, so the whole composition is under
+    the driver hash gate.
+
+    Scale shape: both pair generators keep their own bounds (rank-cap
+    Σ min(df,cap)² for text; banded-Hamming bucket guard for images);
+    the union adds one distinct of 16-byte edge rows, components is
+    the threshold-gated hybrid, and the spine join is narrow — nothing
+    all-pairs, nothing corpus-wide beyond one left join."""
+    from ..operators.dedup import (
+        connected_components,
+        hamming_candidates,
+        jaccard_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tpairs = jaccard_pairs(
+        d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP
+    ).select("doc_a", "doc_b")
+    ipairs = hamming_candidates(
+        _image_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
+    ).select("doc_a", "doc_b")
+    edges = tpairs.unionByName(ipairs).distinct()
+    cc = connected_components(edges).withColumnRenamed("node", "doc_id")
+    return d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
+    )

@@ -1069,3 +1069,23 @@ def test_hamming_oracle_cap_replay_matches_spark_on_hot_buckets(spark):
     assert got == want and len(got) > 0
     # the hot-bucket shape: every pair's lower end is a capped member
     assert all(a < OVERSIZED_BUCKET_CAP for a, _ in got)
+
+
+def test_multimodal_clusters_coarsen_both_modalities(spark, sf_small, cat):
+    """The cross-modal composition property: any two documents sharing
+    a TEXT cluster or an IMAGE cluster must share a multimodal cluster
+    (the union graph can only merge components, never split them), and
+    every document appears exactly once."""
+    from collections import defaultdict
+
+    mm_cl = {
+        r.doc_id: r.cluster_id
+        for r in cat["q_dedup_multimodal_clusters"].fn(spark, sf_small).collect()
+    }
+    assert len(mm_cl) == 500
+    for modal in ("q_dedup_image_clusters", "q_dedup_clusters"):
+        groups = defaultdict(list)
+        for r in cat[modal].fn(spark, sf_small).collect():
+            groups[r.cluster_id].append(r.doc_id)
+        for members in groups.values():
+            assert len({mm_cl[m] for m in members}) == 1, (modal, members)
