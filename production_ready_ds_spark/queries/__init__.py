@@ -189,6 +189,7 @@ _EXTENSION_PRIORITY = (
     "q_scd2_history",
     "q_upsert_roundtrip",
     "q_stream_scd2",
+    "q_scd2_asof",
     "q_dedup_multimodal_clusters",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",

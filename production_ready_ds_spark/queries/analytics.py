@@ -1891,21 +1891,33 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCD2_SQL = """
-    WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+# Batch timestamps straddle the o_orderdate domain (1995..2001) so the
+# as-of consumer query has facts in every validity era.
+_SCD2_T0 = "1995-01-01"
+_SCD2_T1 = "1997-01-01"
+_SCD2_T2 = "1999-01-01"
+
+# The derived history as a closed-form CTE body — shared by the
+# history query, its streaming twin, and the as-of consumer.
+_SCD2_HIST_SELECT = f"""
     SELECT k AS c_custkey, seg AS c_mktsegment,
-           TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
-           CASE WHEN k % 7 = 0 THEN TIMESTAMP '2024-02-01 00:00:00' END
+           TIMESTAMP '{_SCD2_T0} 00:00:00' AS valid_from,
+           CASE WHEN k % 7 = 0 THEN TIMESTAMP '{_SCD2_T1} 00:00:00' END
              AS valid_to
     FROM c
     UNION ALL
-    SELECT k, 'SEG_B1', TIMESTAMP '2024-02-01 00:00:00',
-           CASE WHEN k % 14 = 0 THEN TIMESTAMP '2024-03-01 00:00:00' END
+    SELECT k, 'SEG_B1', TIMESTAMP '{_SCD2_T1} 00:00:00',
+           CASE WHEN k % 14 = 0 THEN TIMESTAMP '{_SCD2_T2} 00:00:00' END
     FROM c WHERE k % 7 = 0
     UNION ALL
-    SELECT k, seg, TIMESTAMP '2024-03-01 00:00:00',
+    SELECT k, seg, TIMESTAMP '{_SCD2_T2} 00:00:00',
            CAST(NULL AS TIMESTAMP)
     FROM c WHERE k % 14 = 0
+    """
+
+_SCD2_SQL = f"""
+    WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer)
+    {_SCD2_HIST_SELECT}
     """
 
 
@@ -1916,39 +1928,110 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     format is unavailable (operators/scd2.py carries the single-writer
     contract; Delta/Iceberg MERGE is this exact rewrite with a commit
     protocol). Two deterministic update batches fold through
-    scd2_merge over the customer dimension: batch 1 (2024-02-01) moves
-    every c_custkey % 7 == 0 to segment SEG_B1; batch 2 (2024-03-01)
+    scd2_merge over the customer dimension: batch 1 (_SCD2_T1) moves
+    every c_custkey % 7 == 0 to segment SEG_B1; batch 2 (_SCD2_T2)
     re-delivers ALL % 7 keys but only the % 14 keys actually change
     (reverting to their original segment) — so the oracle's closed
     form pins every merge rule at once: open-on-new-attr,
     close-the-predecessor, AND the no-op on equal attributes
     (idempotent re-delivery must not churn rows). Validity intervals
-    chain gap-free: [01-01, 02-01) → [02-01, 03-01) → [03-01, NULL).
+    chain gap-free: [T0, T1) → [T1, T2) → [T2, NULL), with the stamps
+    inside the o_orderdate domain so q_scd2_asof has facts in every
+    era.
 
     Scale shape: each merge is one equi-join of the batch against
     CURRENT rows only on the business key plus a union of
     untouched/closed/opened — no windows, no per-key state; history
     rows are never rewritten (scd2.py module docstring carries the
     archival-partition guidance at 100 TB)."""
+    return _scd2_history_frame(spark, sf_dir)
+
+
+def _scd2_history_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE deterministic SCD2 history builder (seed + two merges)
+    behind q_scd2_history and the q_scd2_asof consumer."""
     from ..operators.scd2 import VALID_FROM, VALID_TO, scd2_merge
 
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     hist = cust.withColumn(
-        VALID_FROM, F.lit("2024-01-01").cast("timestamp_ntz")
+        VALID_FROM, F.lit(_SCD2_T0).cast("timestamp_ntz")
     ).withColumn(VALID_TO, F.lit(None).cast("timestamp_ntz"))
     b1 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
         "c_mktsegment", F.lit("SEG_B1")
     )
-    hist = scd2_merge(
-        hist, b1, ["c_custkey"], ["c_mktsegment"], F.lit("2024-02-01")
-    )
+    hist = scd2_merge(hist, b1, ["c_custkey"], ["c_mktsegment"], F.lit(_SCD2_T1))
     b2 = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
         "c_mktsegment",
         F.when(F.col("c_custkey") % 14 == 0, F.col("c_mktsegment")).otherwise(
             F.lit("SEG_B1")
         ),
     )
-    hist = scd2_merge(
-        hist, b2, ["c_custkey"], ["c_mktsegment"], F.lit("2024-03-01")
-    )
+    hist = scd2_merge(hist, b2, ["c_custkey"], ["c_mktsegment"], F.lit(_SCD2_T2))
     return hist.select("c_custkey", "c_mktsegment", VALID_FROM, VALID_TO)
+
+
+_SCD2_ASOF_SQL = f"""
+    WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+    hist AS ({_SCD2_HIST_SELECT}),
+    cur AS (
+      SELECT c_custkey, c_mktsegment AS cur_seg FROM hist
+      WHERE valid_to IS NULL
+    )
+    SELECT h.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN h.c_mktsegment <> cu.cur_seg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retro
+    FROM orders o
+    JOIN hist h ON h.c_custkey = o.o_custkey
+               AND h.valid_from <= o.o_orderdate
+               AND (h.valid_to IS NULL OR h.valid_to > o.o_orderdate)
+    JOIN cur cu ON cu.c_custkey = o.o_custkey
+    GROUP BY h.c_mktsegment
+    """
+
+
+@query("q_scd2_asof", category="layout", sql=_SCD2_ASOF_SQL)
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMING side of SCD2 — the reason the history exists:
+    every order joins the customer dimension AS OF its own event time
+    (half-open [valid_from, valid_to) interval containment on the
+    business key), so a fact is attributed to the segment that was
+    TRUE when it happened, not today's. The report counts orders per
+    as-of segment and, per segment, how many land on a HISTORICAL
+    attribution (as-of ≠ current segment) — exactly the rows a
+    current-slice-only join would silently misattribute; nonzero
+    n_retro is the whole point of keeping Type-2 history. The oracle
+    derives the identical history closed-form (the shared
+    _SCD2_HIST_SELECT) and replays the interval join.
+
+    Scale shape: the history is dimension-sized and rides a broadcast
+    (each fact matches EXACTLY one interval per key, so no row
+    explosion); at 100 TB with a dimension too big to broadcast the
+    same join shuffle-sorts on the business key, and the as-of
+    operator family (operators/asof.py) carries the union+window
+    alternative that avoids the join entirely."""
+    from pyspark.sql.functions import broadcast as _bcast
+
+    from ..operators.scd2 import VALID_FROM, VALID_TO, scd2_current
+
+    hist = _scd2_history_frame(spark, sf_dir)
+    cur = scd2_current(hist).select(
+        "c_custkey", F.col("c_mktsegment").alias("cur_seg")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("timestamp_ntz").alias("ts")
+    )
+    j = orders.join(
+        _bcast(hist),
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col(VALID_FROM) <= F.col("ts"))
+        & (F.col(VALID_TO).isNull() | (F.col(VALID_TO) > F.col("ts"))),
+    ).join(_bcast(cur), "c_custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(F.col("c_mktsegment") != F.col("cur_seg"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retro"),
+    )

@@ -532,7 +532,12 @@ def q_stream_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .analytics import _SCD2_SQL  # noqa: E402 - the shared-oracle convention
+from .analytics import (  # noqa: E402 - the shared-oracle convention
+    _SCD2_SQL,
+    _SCD2_T0,
+    _SCD2_T1,
+    _SCD2_T2,
+)
 
 
 @query("q_stream_scd2", category="streaming", sql=_SCD2_SQL)
@@ -576,7 +581,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust = load(spark, sf_dir, "customer").select(*cols)
         (
             cust.withColumn(
-                VALID_FROM, F.lit("2024-01-01").cast("timestamp_ntz")
+                VALID_FROM, F.lit(_SCD2_T0).cast("timestamp_ntz")
             )
             .withColumn(VALID_TO, F.lit(None).cast("timestamp_ntz"))
             .write.parquet(hist_dir)
@@ -594,7 +599,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t0 = 1_700_000_000
         for i, (batch, ts) in enumerate(
-            [(b1, "2024-02-01"), (b2, "2024-03-01")], start=1
+            [(b1, _SCD2_T1), (b2, _SCD2_T2)], start=1
         ):
             tmp = os.path.join(root, f"_b{i}")
             batch.withColumn("batch_ts", F.lit(ts)).coalesce(1).write.parquet(tmp)
