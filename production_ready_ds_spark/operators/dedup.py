@@ -268,6 +268,31 @@ def jaccard_pairs(
     # (in-memory shuffles hide the difference); the point is at scale,
     # where it removes a full exploded-width shuffle and replaces it
     # with a map-side-combined one-row-per-doc aggregate.
+    pairs = _capped_pair_counts(
+        docs, id_col=id_col, text_col=text_col, df_cap=df_cap,
+        materialize=materialize,
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return pairs.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def _capped_pair_counts(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = DEFAULT_DF_CAP,
+    materialize: bool = True,
+) -> DataFrame:
+    """The rank-capped shingle pair-count stage shared by
+    :func:`jaccard_pairs` (symmetric score) and
+    :func:`containment_pairs` (asymmetric): (doc_a, doc_b, n_common,
+    na, nb) with all of jaccard_pairs' documented plan discipline —
+    the two scores are just different expressions over the SAME
+    bounded pair table, so they can never drift on blocking, capping,
+    or counting semantics."""
     sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
         id_col, F.xxhash64("sg").alias("sg")
     )
@@ -314,9 +339,50 @@ def jaccard_pairs(
         .join(cnt.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a")
         .join(cnt.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
     )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return pairs.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    return pairs
+
+
+#: containment keep-threshold as an exact integer fraction (4/5 = 0.8):
+#: ratio comparisons stay in BIGINT arithmetic on both engines, so the
+#: cut can never move on a float tie.
+CONTAINMENT_NUM = 4
+CONTAINMENT_DEN = 5
+
+
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int = DEFAULT_DF_CAP,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — the asymmetric score
+    max(|A∩B|/|A|, |A∩B|/|B|) (Broder's containment, the other half of
+    the resemblance/containment pair): a short document quoted whole
+    inside a long one has containment ≈ 1 while its Jaccard drowns in
+    the long side's extra shingles — exactly the subset-duplication
+    (quote expansion, page-with-boilerplate-wrapper, excerpt reposts)
+    the symmetric detector is blind to.
+
+    Same bounded pair table as :func:`jaccard_pairs`
+    (:func:`_capped_pair_counts` — rank-capped blocking, Σ min(df,cap)²
+    work bound), different keep rule: DEN·n_common ≥ NUM·min-side
+    count, evaluated as exact BIGINT products (no float tie). Returns
+    (doc_a, doc_b, cont_a_x1e4, cont_b_x1e4) with each direction's
+    containment on the exact integer grid (10000·n_common div n)."""
+    pairs = _capped_pair_counts(
+        docs, id_col=id_col, text_col=text_col, df_cap=df_cap,
+        materialize=materialize,
+    )
+    keep = (
+        F.col("n_common") * CONTAINMENT_DEN >= F.col("na") * CONTAINMENT_NUM
+    ) | (F.col("n_common") * CONTAINMENT_DEN >= F.col("nb") * CONTAINMENT_NUM)
+    return pairs.filter(keep).select(
+        "doc_a",
+        "doc_b",
+        F.expr("(10000 * n_common) div na").cast("long").alias("cont_a_x1e4"),
+        F.expr("(10000 * n_common) div nb").cast("long").alias("cont_b_x1e4"),
     )
 
 

@@ -191,6 +191,7 @@ _EXTENSION_PRIORITY = (
     "q_stream_scd2",
     "q_scd2_asof",
     "q_dedup_multimodal_clusters",
+    "q_dedup_containment",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

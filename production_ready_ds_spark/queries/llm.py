@@ -3364,6 +3364,41 @@ SEGMENT_TOKENS = 8  # tokens per dedup segment (a proxy for "one line")
 
 
 @query(
+    "q_dedup_containment",
+    category="llm-dedup",
+    sql=f"""
+    WITH {_DUCK_JACCARD_CTES}
+    SELECT doc_a, doc_b,
+           CAST((10000 * n_common) // ca.n AS BIGINT) AS cont_a_x1e4,
+           CAST((10000 * n_common) // cb.n AS BIGINT) AS cont_b_x1e4
+    FROM rawpairs
+    JOIN cnt ca ON doc_a = ca.doc_id
+    JOIN cnt cb ON doc_b = cb.doc_id
+    WHERE n_common * 5 >= ca.n * 4 OR n_common * 5 >= cb.n * 4
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT — Broder's asymmetric
+    score, the detector for SUBSET duplication the symmetric Jaccard
+    family is blind to: a short document quoted whole inside a long
+    one (excerpt reposts, boilerplate-wrapped pages) has containment
+    ≈ 1 while its Jaccard drowns in the long side's extra shingles.
+    Same rank-capped blocked pair table as q_dedup_ngram_jaccard (ONE
+    builder, operators/dedup._capped_pair_counts, so the two scores
+    can never drift on blocking or counting), keep rule
+    5·n_common ≥ 4·min-side-count in exact BIGINT products (no float
+    tie), both directions reported on the exact ×1e4 integer grid.
+    The oracle reuses _DUCK_JACCARD_CTES' pre-threshold CTEs verbatim.
+
+    Scale shape: identical to the Jaccard query — Σ min(df, cap)² pair
+    work, one extra expression per surviving pair."""
+    from ..operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return containment_pairs(d, df_cap=HOT_SHINGLE_DF_CAP)
+
+
+@query(
     "q_dedup_segments",
     category="llm-dedup",
     bench=True,

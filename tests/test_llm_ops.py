@@ -1751,3 +1751,33 @@ def test_jl_projection_preserves_pairwise_geometry(spark, sf_small, cat):
         for v in ids
     ]
     assert 0.75 < float(np.mean(ratios)) < 1.25, np.mean(ratios)
+
+
+def test_containment_catches_subset_duplication_jaccard_misses(spark):
+    """The asymmetric score's reason to exist: doc 0 is quoted WHOLE
+    inside doc 1 (plus 4x more text), so containment(0 in 1) = 1.0
+    while Jaccard ~ 0.2 sits under the 0.5 threshold — the pair must
+    surface in containment_pairs and be absent from jaccard_pairs.
+    Unrelated docs surface in neither."""
+    from production_ready_ds_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    quote = " ".join(f"tok{i}" for i in range(24))
+    wrapper = quote + " " + " ".join(f"pad{i}" for i in range(96))
+    other = " ".join(f"zz{i}" for i in range(30))
+    d = spark.createDataFrame(
+        [(0, quote), (1, wrapper), (2, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): (r.cont_a_x1e4, r.cont_b_x1e4)
+        for r in containment_pairs(d).collect()
+    }
+    assert (0, 1) in cont
+    ca, cb = cont[(0, 1)]
+    assert ca == 10000, "the quote is fully contained"
+    assert cb < 5000, "the wrapper is mostly NOT the quote"
+    assert not any(2 in p for p in cont), "unrelated doc pairs with nothing"
+    jac = {(r.doc_a, r.doc_b) for r in jaccard_pairs(d).collect()}
+    assert (0, 1) not in jac, "symmetric Jaccard must miss the subset pair"
