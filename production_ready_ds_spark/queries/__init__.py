@@ -146,23 +146,18 @@ _CONTRACT_ORDER = (
 # q_decontaminate + q_pack_sequences → back. Round-5 front:
 # q_mix_domains (last of the round-2 training-data trio) +
 # q_dedup_semantic (the round-4 SemDeDup flagship).
-# ROUND-8 ROTATION (done): CORRECTNESS_r07 shows q_pack_bestfit and
-# q_image_png both hash-green → rotated to the back. Front slots are now
-# q_quality_perplexity + q_search_faceted per the committed queue, then
-# round-8's perceptual dedup family (image/video/audio pairs +
-# clusters), round-7's hash-gated additions (faceted pair, sketch
-# cube, filtered ANN, stream-faceted), the format round-trips, the
-# round-8 late additions (compaction, Hilbert, MMR, JL, SCD2 — all
+# ROUND-9 ROTATION (done): CORRECTNESS_r08 shows q_quality_perplexity
+# and q_search_faceted both hash-green → rotated to the back. Front
+# slots are now q_dedup_image + q_video_frames per the committed queue
+# (round-8 verdict item 1), then the rest of round-8's perceptual dedup
+# family (video/audio pairs + clusters), round-7's hash-gated additions
+# (filtered ANN, sketch cube, stream-faceted), the format round-trips,
+# the round-8 late additions (compaction, Hilbert, MMR, JL, SCD2 — all
 # full-hash-gated), the rows-only trainer family, and the late-round-6
 # families (cleaning, search presentation) so each earns a driver-green
-# row over rounds 9-14.
+# row over rounds 10-14.
 _EXTENSION_PRIORITY = (
-    # round-8 driver slots (rotation: 2 names per round)
-    "q_quality_perplexity",
-    "q_search_faceted",
-    # round-8+ queue: hash-gated round-7 additions first (a driver slot
-    # buys a full value-hash row there; rows-only entries only get the
-    # weaker rows>0 check, so the unigram pair queues after them)
+    # round-9 driver slots (rotation: 2 names per round)
     "q_dedup_image",
     "q_video_frames",
     "q_video_report",
@@ -335,6 +330,8 @@ _EXTENSION_PRIORITY = (
     "q_dedup_semantic",
     "q_pack_bestfit",
     "q_image_png",
+    "q_quality_perplexity",
+    "q_search_faceted",
 )
 
 

@@ -44,6 +44,7 @@ from ..operators.dedup import (
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
+    OVERSIZED_BUCKET_CAP,
     connected_components,
     connected_components_star,
     jaccard_pairs,
@@ -597,10 +598,24 @@ _MINHASH_SQL = f"""
       SELECT doc_id, b.band, {_MH_BAND_KEY} AS key
       FROM sig, UNNEST(range(0, {_N_MINHASH // _BAND_SIZE})) AS b(band)
     ),
+    -- the oversized-bucket guard, replayed exactly (the Hamming-tail
+    -- ranked-CTE rewrite, round-8 verdict item 2): a hot bucket
+    -- (> cap rows) pairs its full membership against only its cap
+    -- lowest-id members; under a < b ordering "either end is a capped
+    -- member" reduces to rank(a) <= cap (ranks order by id, so the
+    -- smaller id always carries the smaller rank)
+    ranked AS (
+      SELECT doc_id, band, key,
+             ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id)
+               AS rnk,
+             COUNT(*) OVER (PARTITION BY band, key) AS bn
+      FROM bands
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
-      FROM bands a JOIN bands b2
+      FROM ranked a JOIN ranked b2
         ON a.band = b2.band AND a.key = b2.key AND a.doc_id < b2.doc_id
+       AND (a.bn <= {OVERSIZED_BUCKET_CAP} OR a.rnk <= {OVERSIZED_BUCKET_CAP})
     ),
     score AS (
       SELECT c.doc_a, c.doc_b, ({_MH_AGREE}) / {float(_N_MINHASH)} AS ej

@@ -471,9 +471,9 @@ _G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
 # replays hamming_candidates — fingerprint pivot, the entropy-scaled
 # super-band tier from the measured per-band distinct-key counts,
 # band-equality candidates UNDER THE SAME oversized-bucket cap the
-# Spark side enforces (round 8: the minhash oracle documents this as
-# a justified divergence; here the guard is replayed exactly, so even
-# a corpus with > cap identical fingerprints stays hash-green),
+# Spark side enforces (round 9: the minhash oracle now replays this
+# guard too, via the same ranked-CTE rewrite; in both, a corpus with
+# > cap identical fingerprints stays hash-green),
 # bit_count(xor) scoring, radius filter. Split as CTES + final SELECT
 # so cluster oracles can chain a recursive components CTE onto
 # ``scored`` instead of re-stating the whole pipeline.

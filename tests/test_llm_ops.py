@@ -178,6 +178,75 @@ def test_rank_cap_keeps_large_duplicate_family_visible(spark):
     assert {r.cluster_id for r in clusters.collect()} == {0}
 
 
+def test_minhash_oracle_cap_replay_matches_spark_on_hot_buckets(spark, sf_small):
+    """Round-8 verdict item 2: on a duplicate family LARGER than the
+    oversized-bucket cap, the minhash DuckDB oracle must emit EXACTLY
+    minhash_candidates' capped pair set (the ranked-CTE rewrite proven
+    in the Hamming tail, now ported into _MINHASH_SQL) — previously the
+    oracle emitted ALL within-bucket pairs, a latent driver-hash flip
+    the day a driver scale factor ships a > cap family."""
+    import os
+    import tempfile
+
+    from production_ready_ds_spark.operators.dedup import OVERSIZED_BUCKET_CAP
+    from production_ready_ds_spark.oracle import run_compare
+    from production_ready_ds_spark.queries import catalog as _cat
+
+    n = OVERSIZED_BUCKET_CAP + 12  # 32 identical docs: one hot bucket per band
+    fam = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [(i, fam) for i in range(n)] + [
+        (n, "completely different words about spark query engines at scale"),
+        (n + 1, "another unrelated document on duckdb window functions"),
+    ]
+    cat = _cat()
+    with tempfile.TemporaryDirectory() as d:
+        # duck_connection registers every TABLE_NAMES view eagerly —
+        # link the untouched tables from the real sf dir, then overlay
+        # the constructed documents corpus
+        from production_ready_ds_spark.tables import TABLE_NAMES
+
+        for t in TABLE_NAMES:
+            if t != "documents":
+                os.symlink(
+                    os.path.join(sf_small, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        # single-FILE parquet (pyarrow): DuckDB's read_parquet view
+        # cannot glob a Spark-written directory
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": ["t"] * len(rows),
+                    "n_chars": pa.array(
+                        [len(r[1]) for r in rows], pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        r = run_compare(spark, "q_dedup_minhash", d)
+        assert r.ok, r.detail
+        got = {
+            (p.doc_a, p.doc_b)
+            for p in cat["q_dedup_minhash"].fn(spark, d).collect()
+        }
+    # the capped shape: (a, b) survives iff a is one of the bucket's
+    # cap lowest ids — NOT the full n·(n-1)/2 quadratic family
+    want = {
+        (a, b)
+        for a in range(OVERSIZED_BUCKET_CAP)
+        for b in range(a + 1, n)
+    }
+    assert got == want
+    assert len(got) < n * (n - 1) // 2
+
+
 def test_capped_jaccard_still_finds_real_near_dups(spark):
     """The cap must not suppress genuine near-duplicates whose shared
     shingles are rare."""

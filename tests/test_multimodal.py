@@ -1021,8 +1021,8 @@ def test_dedup_audio_recall_all_group_pairs(spark, sf_small, cat):
 def test_hamming_oracle_cap_replay_matches_spark_on_hot_buckets(spark):
     """The dHash oracle's oversized-bucket replay (ranked CTE): on a
     corpus with > cap identical fingerprints the DuckDB formulation
-    emits EXACTLY hamming_candidates' pair set — the case the minhash
-    oracle documents as a justified divergence is exact here."""
+    emits EXACTLY hamming_candidates' pair set (round 9: the minhash
+    oracle replays the same guard — test_minhash_oracle_cap_replay)."""
     import duckdb
 
     from production_ready_ds_spark.operators.dedup import (
