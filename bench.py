@@ -133,6 +133,35 @@ def main() -> None:
         time.sleep(15)
         waited += 15
     load_start = round(os.getloadavg()[0], 2)
+    # machine-band canary (round-8 verdict item 4): a fixed 10-query
+    # set in its OWN subprocess JVM at true cold start, min-of-5,
+    # ratioed against the committed quiet-box floor
+    # (tools/canary_floor.json) — the per-round machine-band datum
+    # that replaces per-query flag re-adjudication. Runs BEFORE the
+    # protocol session so nothing is warm. SPARK_GRAFT_BENCH_CANARY=0
+    # disables; failures are recorded, never fatal to the bench.
+    canary: dict | str = "disabled"
+    if os.environ.get("SPARK_GRAFT_BENCH_CANARY", "1") != "0":
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools",
+                        "bench_canary.py",
+                    ),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus),
+            )
+            canary = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001 - diagnostic, not gate
+            canary = f"canary failed: {exc}"
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -169,7 +198,7 @@ def main() -> None:
         "load_avg_end": round(os.getloadavg()[0], 2),
         "n_queries": len(timings),
     }
-    detail = dict(summary, cold_queries=cold, notes=_FLOOR_NOTES)
+    detail = dict(summary, cold_queries=cold, notes=_FLOOR_NOTES, canary=canary)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_ivf_manifest.json"
 CENTROIDS = "_ivf_centroids.json"
+PQ_FILE = "_ivf_pq.json"
 
 #: Floor for the trained list count — the ACTUAL k is corpus-scaled:
 #: ``train(k=None)`` (the default) sizes k so the mean inverted list
@@ -53,18 +54,6 @@ CENTROIDS = "_ivf_centroids.json"
 #: a fixed 16 lists go quadratic.
 DEFAULT_K = 16
 DEFAULT_NPROBE = 4
-
-
-def _sqdist(vec_col, cen_col):
-    """Squared Euclidean distance between two array columns (JVM
-    higher-order fold — tiny inputs only: |probes| × k rows)."""
-    return F.aggregate(
-        F.zip_with(
-            vec_col, cen_col, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 class IVFStore:
@@ -161,7 +150,60 @@ class IVFStore:
         )
         return k
 
-    def assign(self, embeddings: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    def train_pq(
+        self,
+        embeddings: DataFrame,
+        *,
+        m: int = 8,
+        ks: int = 16,
+        seed: int = 7,
+        max_iter: int = 5,
+        vec_col: str = "embedding",
+    ) -> "object":
+        """Fit per-subspace PQ codebooks (operators/pq.PQCodec.train)
+        and persist them NEXT TO the centroids — from then on every
+        ``append`` also stores each vector's m code bytes in the
+        segment rows, and ``search_adc`` serves the composed IVFPQ
+        plan (probed lists prune the candidate READ, codes shrink what
+        is read). Must run BEFORE the first append: segments written
+        without codes would poison every later ADC read with NULL
+        code columns, so a store that already has segments refuses
+        (re-encode = rebuild, the re-train convention). Returns the
+        codec."""
+        if self.segments():
+            raise ValueError(
+                f"IVFStore at {self.root} already has segments — PQ "
+                "codebooks must be trained before the first append "
+                "(existing segment rows carry no codes; rebuild the "
+                "store to add them)"
+            )
+        from .pq import PQCodec
+
+        codec = PQCodec.train(
+            embeddings, m=m, ks=ks, seed=seed, max_iter=max_iter, vec_col=vec_col
+        )
+        codec.save(self._path(PQ_FILE))
+        return codec
+
+    def pq_codec(self) -> "object | None":
+        """The persisted PQ codec, or None for a plain (float-only)
+        store. Re-read per call — kilobytes, and the single-writer
+        contract makes a mid-life swap a rebuild, not a race."""
+        from .pq import PQCodec
+
+        try:
+            return PQCodec.load(self._path(PQ_FILE))
+        except FileNotFoundError:
+            return None
+
+    def assign(
+        self,
+        embeddings: DataFrame,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        codec: "object | None" = None,
+    ) -> DataFrame:
         """(id, embedding, list_id) for a batch: nearest persisted
         centroid per vector, computed as ONE BLAS matmul per Arrow
         batch (mapInPandas; the centroid matrix rides in the closure —
@@ -174,7 +216,13 @@ class IVFStore:
         took 199 s; the batched ‖x‖² − 2·X·Cᵀ + ‖c‖² argmin does the
         same flops at memory bandwidth (measured 199 → ~8 s). Ties
         break to the LOWEST list id (np.argmin picks the first
-        minimum), matching the old min_by (d2, list_id) ordering."""
+        minimum), matching the old min_by (d2, list_id) ordering.
+
+        With ``codec`` (a trained PQCodec) the SAME kernel also emits
+        each vector's ``codes`` — the per-subspace argmins run on the
+        already-materialized X of the same Arrow batch, so the IVFPQ
+        ingest path (append on a PQ-trained store) stays ONE map pass
+        instead of assign + encode + a batch-sized join."""
         import numpy as np
 
         cents = self.centroids()
@@ -182,34 +230,54 @@ class IVFStore:
             raise ValueError(f"IVFStore at {self.root} has no trained centroids")
         C = np.asarray(cents, dtype=np.float64)
         cn2 = (C * C).sum(axis=1)
+        books = None if codec is None else codec.codebooks
+        bn2 = None if codec is None else [(B * B).sum(axis=1) for B in books]
+        m = None if codec is None else codec.m
+        dsub = None if codec is None else codec.dsub
 
         def kernel(it):
             import pandas as pd
 
             for pdf in it:
                 if len(pdf) == 0:
-                    yield pd.DataFrame(
-                        {id_col: pd.Series(dtype="int64"),
-                         vec_col: pd.Series(dtype="object"),
-                         "list_id": pd.Series(dtype="int32")}
-                    )
+                    empty = {
+                        id_col: pd.Series(dtype="int64"),
+                        vec_col: pd.Series(dtype="object"),
+                        "list_id": pd.Series(dtype="int32"),
+                    }
+                    if books is not None:
+                        empty["codes"] = pd.Series(dtype="object")
+                    yield pd.DataFrame(empty)
                     continue
                 X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col],
-                        vec_col: pdf[vec_col],
-                        "list_id": d2.argmin(axis=1).astype("int32"),
-                    }
-                )
+                out = {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "list_id": d2.argmin(axis=1).astype("int32"),
+                }
+                if books is not None:
+                    codes = np.empty((len(X), m), dtype=np.int32)
+                    for j in range(m):
+                        S = X[:, j * dsub : (j + 1) * dsub]
+                        sd2 = (
+                            (S * S).sum(axis=1)[:, None]
+                            - 2.0 * (S @ books[j].T)
+                            + bn2[j][None, :]
+                        )
+                        codes[:, j] = sd2.argmin(axis=1)
+                    out["codes"] = list(codes)
+                yield pd.DataFrame(out)
 
         from ..tables import spread
 
+        schema = f"{id_col} long, {vec_col} array<float>, list_id int"
+        if codec is not None:
+            schema += ", codes array<int>"
         # spread: per-row numpy CPU behind a possibly-one-row-group
         # scan (the q_image_resize rule) — no-op on real lakes
         return spread(embeddings.select(id_col, vec_col)).mapInPandas(
-            kernel, schema=f"{id_col} long, {vec_col} array<float>, list_id int"
+            kernel, schema=schema
         )
 
     # -- writes --------------------------------------------------------
@@ -256,7 +324,7 @@ class IVFStore:
         ):
             return False
         attr_cols = [] if attrs is None else [c for c in attrs.columns if c != id_col]
-        reserved = {id_col, vec_col, "list_id"}
+        reserved = {id_col, vec_col, "list_id", "codes"}
         clash = sorted(set(attr_cols) & reserved)
         if clash:
             # an attrs column named list_id/vec_col would left-join into a
@@ -270,16 +338,26 @@ class IVFStore:
                 f"attrs columns {sorted(attr_cols)} must match the store's "
                 f"declared sidecar {sorted(declared)} on every append"
             )
+        codec = self.pq_codec()
         if assigned is None:
             # checkpoint so the assign matmul isn't paid twice (once by
             # the bounds agg below, once by the write). A CALLER-provided
             # frame is NOT re-checkpointed — the ingest DAG already
             # materializes it (re-checkpointing would copy the batch's
             # vectors into block storage a second time); callers passing
-            # a lazy frame just pay its recompute on the agg.
+            # a lazy frame just pay its recompute on the agg. On a
+            # PQ-trained store the codes ride the SAME fused kernel.
             assigned = self.assign(
-                embeddings, id_col=id_col, vec_col=vec_col
+                embeddings, id_col=id_col, vec_col=vec_col, codec=codec
             ).localCheckpoint(eager=True)
+        elif codec is not None and "codes" not in assigned.columns:
+            # caller-assigned batch on a PQ store: encode is a second
+            # map pass + a batch-sized equi-join — the fused assign
+            # path above is preferred; this keeps the ingest-DAG
+            # contract (caller owns the assignment) working unchanged
+            assigned = assigned.join(
+                codec.encode(embeddings, id_col=id_col, vec_col=vec_col), id_col
+            )
         # One bounded agg over the batch before anything is written:
         # (a) an EMPTY batch (an id-range gap spanning a whole ingest
         # window) must not register a segment — a zero-row parquet dir
@@ -428,6 +506,233 @@ class IVFStore:
             df = df.filter(F.col(col).isin(list(values)))
         return df
 
+    def _probe_list_frame(
+        self,
+        probes: DataFrame,
+        *,
+        nprobe: int,
+        id_col: str,
+        vec_col: str,
+    ) -> DataFrame:
+        """(probe_id, pe, list_id) — each probe's nprobe nearest
+        centroids, the ONE probe→list ranking both search paths
+        (float ``search`` and ADC ``search_adc``) consume so probed
+        sets can never drift between them. The assign() matmul kernel
+        at top-nprobe instead of argmin: the per-(probe, centroid)
+        JVM fold it replaces is exactly the pattern the corpus-scaled
+        knob turns super-linear — at k = 4096 a 10 000-probe batch
+        would pay 40 M interpreted distance folds; the batched matmul
+        does the same flops at memory bandwidth with ZERO shuffles.
+        Ties break to the lowest list id (stable argsort), matching
+        the old (d2, list_id) window order."""
+        import numpy as np
+
+        cents = self.centroids()
+        if cents is None:
+            raise ValueError(f"IVFStore at {self.root} has no trained centroids")
+        C = np.asarray(cents, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+        npb = int(nprobe)
+
+        def rank_lists(it):
+            import pandas as pd
+
+            for pdf in it:
+                out = {"probe_id": [], "pe": [], "list_id": []}
+                if len(pdf):
+                    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+                    order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+                    for row_i, pid in enumerate(pdf[id_col]):
+                        for lid in order[row_i]:
+                            out["probe_id"].append(pid)
+                            out["pe"].append(pdf[vec_col].iloc[row_i])
+                            out["list_id"].append(int(lid))
+                yield pd.DataFrame(out)
+
+        return probes.select(id_col, vec_col).mapInPandas(
+            rank_lists,
+            schema="probe_id long, pe array<float>, list_id int",
+        )
+
+    def search_adc(
+        self,
+        probes: DataFrame,
+        *,
+        top_k: int = 3,
+        nprobe: int = DEFAULT_NPROBE,
+        refine: int | None = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """The composed IVFPQ search (Jégou et al. 2011 §IV; the FAISS
+        IndexIVFPQ shape): probe ranks nprobe lists → the probed
+        lists' CODES are read with a pushed In(list_id) predicate and
+        the float column PRUNED from the scan (ReadSchema without
+        ``embedding`` — the 32×-smaller read that is the point of
+        storing codes) → per-probe (m × ks) ADC lookup tables rank
+        candidates by code arithmetic alone → with ``refine`` = r, the
+        top r·k ADC candidates per probe are re-ranked by EXACT cosine
+        against their float vectors (a bounded In(id) re-read of
+        ≤ |probes|·r·k rows — the "refine" stage every production
+        IVFPQ deployment runs), returning (probe_id, neighbor_id,
+        cos_sim) exactly like :meth:`search`. ``refine=None`` skips
+        the re-read and returns the raw ADC ranking (probe_id,
+        neighbor_id, adc_rank).
+
+        Requires :meth:`train_pq` before the first append. Probes are
+        a bounded query batch by contract (the adc_topk rule): their
+        lookup tables ride the kernel closure.
+
+        Exactness anchor (the q_ann_recall_ivf convention): at
+        nprobe = k (all lists) with refine·top_k ≥ corpus size, the
+        ADC cut keeps every candidate, so the exact re-rank IS brute
+        force — same cosine kernel, same (desc sim, asc id) tie-break.
+        Monotonicity: ADC orders candidates by (d2, id) — a total
+        order — so refine sets are NESTED prefixes, and recall is
+        non-decreasing in refine (a displacer of a true top-k member
+        must itself be true top-k)."""
+        import numpy as np
+
+        from pyspark.sql import Window
+
+        from ..functions.vectors import cosine_prenormed, norm
+
+        spark = probes.sparkSession
+        codec = self.pq_codec()
+        if codec is None:
+            raise ValueError(
+                f"IVFStore at {self.root} has no PQ codebooks — call "
+                "train_pq before the first append to enable ADC search"
+            )
+        probe_lists = self._probe_list_frame(
+            probes, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        )
+        wanted = sorted(
+            {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}
+        )  # bounded by |probes| * nprobe <= k — a sketch-sized collect
+        lists_df = self.read_lists(spark, wanted)
+        if lists_df is None:
+            raise ValueError(f"IVFStore at {self.root} is empty")
+        # the codes read: list_id + id + codes ONLY — parquet column
+        # pruning drops the float vectors (plan-asserted in tests)
+        cand_codes = lists_df.select(id_col, "list_id", "codes")
+
+        # per-probe ADC lookup tables, built driver-side from the
+        # bounded probe batch: LUT[p, j, c] = ||P[p, sub j] - C_j[c]||²
+        rows = probes.select(id_col, vec_col).collect()
+        if not rows:
+            raise ValueError("search_adc needs a non-empty probe batch")
+        pids = np.array([r[0] for r in rows], dtype=np.int64)
+        P = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+        m, dsub, ks = codec.m, codec.dsub, codec.ks
+        lut = np.empty((len(P), m, ks))
+        for j in range(m):
+            S = P[:, j * dsub : (j + 1) * dsub]
+            B = codec.codebooks[j]
+            lut[:, j, :] = (
+                (S * S).sum(axis=1)[:, None]
+                - 2.0 * (S @ B.T)
+                + (B * B).sum(axis=1)[None, :]
+            )
+        pidx = {int(p): i for i, p in enumerate(pids)}
+        keep = top_k if refine is None else refine * top_k
+
+        def adc_kernel(it):
+            import pandas as pd
+
+            for pdf in it:
+                out = {"probe_id": [], "neighbor_id": [], "d2": []}
+                if len(pdf):
+                    codes_arr = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                    ids = pdf[id_col].to_numpy()
+                    prows = pdf["probe_id"].to_numpy()
+                    pi = np.array([pidx[int(p)] for p in prows])
+                    d = np.zeros(len(codes_arr))
+                    for j in range(m):
+                        d += lut[pi, j, codes_arr[:, j]]
+                    # partition-local top-keep per probe: only the
+                    # per-batch best survive to the shuffle (the
+                    # adc_topk map-side-combine discipline); lexsort
+                    # on (d2, id) — PQ makes exact ties common
+                    # (duplicate vectors share codes) and the final
+                    # window is promised the lowest-id winner. The
+                    # probe's own row is dropped BEFORE the cut — at
+                    # d2 = 0 it would otherwise always occupy a keep
+                    # slot and push the true boundary candidate out
+                    # (a post-kernel filter is too late)
+                    for p in np.unique(prows):
+                        sel = np.flatnonzero((prows == p) & (ids != p))
+                        if len(sel) > keep:
+                            sel = sel[np.lexsort((ids[sel], d[sel]))[:keep]]
+                        out["probe_id"].extend([int(p)] * len(sel))
+                        out["neighbor_id"].extend(int(ids[s]) for s in sel)
+                        out["d2"].extend(float(d[s]) for s in sel)
+                yield pd.DataFrame(out)
+
+        # each probe scores ONLY its own probed lists' candidates:
+        # broadcast the (probe, list) pairs onto the pruned codes read
+        scored = (
+            cand_codes.join(
+                F.broadcast(probe_lists.select("probe_id", "list_id")), "list_id"
+            )
+            .select("probe_id", id_col, "codes")
+            .mapInPandas(adc_kernel, schema="probe_id long, neighbor_id long, d2 double")
+            .filter(F.col("probe_id") != F.col("neighbor_id"))
+        )
+        w_adc = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+        ranked = (
+            scored.withColumn("adc_rank", F.row_number().over(w_adc))
+            .filter(F.col("adc_rank") <= keep)
+        )
+        if refine is None:
+            return ranked.select(
+                "probe_id", "neighbor_id", F.col("adc_rank").cast("long")
+            )
+        # exact re-rank: the surviving (probe, candidate) pairs are
+        # ≤ |probes| · refine · top_k by construction — collect ONCE
+        # (this is the size probe AND the fetch, the limit-probe rule;
+        # a localCheckpoint here would both hide the ADC subplan from
+        # audits and stats-poison the downstream join) and re-ship as
+        # a LocalRelation, then a bounded In(id) re-read of only those
+        # candidates' float vectors, joined to the broadcast probes
+        pair_rows = ranked.select("probe_id", "neighbor_id").collect()
+        cand_ids = sorted({r["neighbor_id"] for r in pair_rows})
+        pairs = spark.createDataFrame(
+            [(int(r["probe_id"]), int(r["neighbor_id"])) for r in pair_rows],
+            "probe_id long, neighbor_id long",
+        )
+        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+        current = int(spark.conf.get(conf_key, "10"))
+        spark.conf.set(conf_key, str(max(current, len(cand_ids) + 1)))
+        vecs = (
+            lists_df.select(id_col, vec_col)
+            .filter(F.col(id_col).isin(cand_ids))
+        )
+        pv = probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("pe"),
+        ).withColumn("pnrm", norm(F.col("pe")))
+        sims = (
+            pairs.join(vecs.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+            .join(F.broadcast(pv), "probe_id")
+            .select(
+                "probe_id",
+                "neighbor_id",
+                cosine_prenormed(
+                    F.col("pe"), F.col(vec_col), F.col("pnrm"), norm(F.col(vec_col))
+                ).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        return (
+            sims.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= top_k)
+            .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+        )
+
     def search(
         self,
         probes: DataFrame,
@@ -465,39 +770,13 @@ class IVFStore:
         the same flops at memory bandwidth with ZERO shuffles. Ties
         break to the lowest list id (stable argsort), matching the
         old (d2, list_id) window order."""
-        import numpy as np
-
         from pyspark.sql import Window
 
         from ..functions.vectors import cosine_prenormed, norm
 
         spark = probes.sparkSession
-        cents = self.centroids()
-        if cents is None:
-            raise ValueError(f"IVFStore at {self.root} has no trained centroids")
-        C = np.asarray(cents, dtype=np.float64)
-        cn2 = (C * C).sum(axis=1)
-        npb = int(nprobe)
-
-        def rank_lists(it):
-            import pandas as pd
-
-            for pdf in it:
-                out = {"probe_id": [], "pe": [], "list_id": []}
-                if len(pdf):
-                    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
-                    order = np.argsort(d2, axis=1, kind="stable")[:, :npb]
-                    for row_i, pid in enumerate(pdf[id_col]):
-                        for lid in order[row_i]:
-                            out["probe_id"].append(pid)
-                            out["pe"].append(pdf[vec_col].iloc[row_i])
-                            out["list_id"].append(int(lid))
-                yield pd.DataFrame(out)
-
-        probe_lists = probes.select(id_col, vec_col).mapInPandas(
-            rank_lists,
-            schema="probe_id long, pe array<float>, list_id int",
+        probe_lists = self._probe_list_frame(
+            probes, nprobe=nprobe, id_col=id_col, vec_col=vec_col
         )
         wanted = sorted(
             {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}

@@ -29,9 +29,13 @@ Spark shapes (the 100 TB contract):
 - **adc_topk** broadcasts the probes' lookup tables inside the
   kernel closure, streams the CODES once (the 32×-smaller frame — the
   point), and leaves only (probe, candidate, distance) rows for the
-  per-probe top-k window. Combine with an IVF list filter upstream
-  (read_lists) for the full IVFPQ plan: probe lists prune the
-  candidate read, PQ shrinks what is read.
+  per-probe top-k window. The full IVFPQ composition is
+  ivfstore.IVFStore.search_adc (round 9): train_pq persists these
+  codebooks IN the store, append writes each vector's codes into the
+  list-clustered segments via one fused assign+encode pass, and
+  search_adc prunes the candidate read by probed list, ADC-ranks the
+  pruned CODES, then exact-reranks the top refine·k via a bounded
+  In(id) re-read.
 """
 
 from __future__ import annotations

@@ -73,9 +73,35 @@ def query(
         _REGISTRY[name] = Query(
             name=name, fn=fn, sql=sql, category=category, doc=fn.__doc__ or "", bench=bench, tags=tags
         )
+        _register_defining_module_by_value(fn.__module__)
         return fn
 
     return wrap
+
+
+def _register_defining_module_by_value(module_name: str) -> None:
+    """Cloudpickle-register the query's defining module BY VALUE the
+    moment its first @query decorator runs (round-8 verdict item 6).
+    This closes the one registration gap session.register_udf_modules
+    documents: a query submodule hand-imported DIRECTLY (bypassing
+    catalog()) on a session that was built earlier from a foreign cwd
+    would otherwise pickle its kernels by module reference, and
+    foreign-cwd Python workers die on ModuleNotFoundError. Decoration
+    time is import time, so the hook is structural — any import path
+    that makes a query callable has already registered its module.
+    Registration is a set-insert (no pickling happens until a kernel
+    ships), so the get_spark() fast path stays fast."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    mod = sys.modules.get(module_name)
+    if mod is None:  # pragma: no cover - defensive: exec outside import
+        return
+    try:
+        cloudpickle.register_pickle_by_value(mod)
+    except Exception:  # pragma: no cover - already registered / old API
+        pass
 
 
 # SURVEY.md §2b declared contract queries, in the survey's own order.
@@ -187,6 +213,11 @@ _EXTENSION_PRIORITY = (
     "q_scd2_asof",
     "q_dedup_multimodal_clusters",
     "q_dedup_containment",
+    # round-9 additions: the composed IVFPQ index (recall report is
+    # full-hash-gated via the bounds-contract + exact anchor; the
+    # neighbor query is rows-only trained state)
+    "q_ann_recall_ivfpq",
+    "q_sim_topk_ivfpq",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

@@ -1248,27 +1248,53 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE = 4
 
 
-@query("q_sim_topk_ivf", category="llm-similarity", sql=None)
+@query(
+    "q_sim_topk_ivf",
+    category="llm-similarity",
+    sql="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS cos_sim
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 3
+    """,
+)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 via a TRAINED coarse quantizer (real IVF), SERVED
-    FROM THE PERSISTENT INDEX: KMeans centroids define the inverted
-    lists (k CORPUS-SCALED via scaled_ivf_k — mean list ≤ 64 rows, the
-    round-5 knob), every corpus vector is assigned to its nearest
-    centroid, and each probe searches its ``_IVF_NPROBE`` nearest
-    lists (multi-probe; candidate ranking is cosine with the same
-    tie-break as brute force). The store is the SAME corpus-keyed
-    cached IVFStore q_ann_recall_ivf builds (one flock-serialized
-    train+append per corpus, the TermStore convention), because
-    round 7's 64× stress run caught the previous inline form
-    RETRAINING the full-corpus KMeans on EVERY call — 170 s at
-    k = 2 000 on 1.28 M vectors, the exact learned-state-per-query
-    anti-pattern the index stores exist to kill (same recipe → same
-    centroids → identical results; serving is now rank-lists matmul +
-    pushed In(list_id) reads, independent of corpus size beyond the
-    probed lists). Rows-only: centroids depend on the trainer, so no
-    cross-engine oracle; recall against brute force is asserted in
-    tests/test_llm_ops.py, and store.search ≡ brute-force-equality
-    properties live in tests/test_ivfstore.py.
+    FROM THE PERSISTENT INDEX — under the FULL hash gate since round 9
+    (round-8 verdict item 7): served at the FULL-PROBE anchor
+    (nprobe = k, the q_sim_topk_filtered_ivf convention), where the k
+    inverted lists partition the corpus, so the store-served ranking
+    is brute force BY CONSTRUCTION (same cosine kernel, same
+    (desc sim, asc id) tie-break) and the brute-force SQL oracle
+    hashes every value the index path emits — any bug in train /
+    assign / segment layout / pushed In(list_id) read / rank breaks
+    the driver row. Production sets nprobe < k for the recall/cost
+    trade; that partial-probe behavior keeps its own driver evidence
+    via q_ann_recall_ivf's budget rows and the subset/recall
+    properties in tests/test_ivfstore.py (``_IVF_NPROBE`` remains the
+    documented production default).
+
+    KMeans centroids define the inverted lists (k CORPUS-SCALED via
+    scaled_ivf_k — mean list ≤ 64 rows, the round-5 knob); the store
+    is the SAME corpus-keyed cached IVFStore q_ann_recall_ivf builds
+    (one flock-serialized train+append per corpus, the TermStore
+    convention), because round 7's 64× stress run caught the previous
+    inline form RETRAINING the full-corpus KMeans on EVERY call —
+    170 s at k = 2 000 on 1.28 M vectors, the exact
+    learned-state-per-query anti-pattern the index stores exist to
+    kill.
 
     This is the scale path past the seedless sign-bucket quantizer
     (q_sim_topk_bucketed): trained centroids adapt the partition to
@@ -1288,7 +1314,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             store.train(e)
             store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
     probes = e.filter(F.col("vec_id") < 10)
-    return store.search(probes, top_k=3, nprobe=_IVF_NPROBE)
+    return store.search(probes, top_k=3, nprobe=len(store.centroids()))
 
 
 @query(
@@ -5828,8 +5854,8 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one matmul-argmin map pass; search streams the 32×-smaller
     CODES frame once with partition-local top-k inside the kernel —
     only probes·(k+1) rows per partition reach the final window. The
-    full IVFPQ composition prunes the candidate read with
-    IVFStore.read_lists first; PQ then shrinks what is read."""
+    full IVFPQ composition is IVFStore.search_adc (q_sim_topk_ivfpq):
+    probed lists prune the candidate read, PQ shrinks what is read."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codec = _cached_pq_codec(e, sf_dir)
     codes = codec.encode(e)
@@ -5917,6 +5943,197 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     return hits.crossJoin(broadcast(total))
+
+
+def _cached_ivfpq_store(e: DataFrame, sf_dir: str):
+    """Load-or-build-under-lock for the per-corpus composed IVFPQ
+    store (the _corpus_cache_dir convention): KMeans centroids + PQ
+    codebooks trained BEFORE the first append (train_pq's ordering
+    contract — every segment row carries its m code bytes), one
+    full-corpus segment. Shared by q_sim_topk_ivfpq and
+    q_ann_recall_ivfpq, which must read the same store. A separate
+    cache root from prds_ivf_recall: that store's segments were
+    written codeless."""
+    from ..operators.ivfstore import IVFStore
+
+    store = IVFStore(_corpus_cache_dir("prds_ivfpq", sf_dir, "embeddings", 1))
+    with _build_lock(store.root):
+        if store.centroids() is None or not store.segments():
+            store.train(e)
+            store.train_pq(e)
+            store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
+    return store
+
+
+@query("q_sim_topk_ivfpq", category="llm-similarity", sql=None)
+def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors from the COMPOSED IVFPQ index — the end-to-end
+    quantized ANN search every production vector store ships (FAISS
+    IndexIVFPQ; Jégou et al. 2011 §IV), now one code path
+    (IVFStore.search_adc): PQ codes are PERSISTED IN the IVF store's
+    list-clustered segments at append time (one fused assign+encode
+    map pass), a probe ranks nprobe lists, the probed lists' CODES are
+    read with In(list_id) pushed and the float column pruned from the
+    scan (the 32×-smaller read that is the point), ADC lookup tables
+    rank candidates by code arithmetic, and the top refine·k per probe
+    are re-ranked by exact cosine via a bounded In(id) re-read.
+    Declared ROWS-ONLY: codebooks and centroids are trained KMeans
+    state no SQL oracle can re-derive — the exactness anchor lives in
+    q_ann_recall_ivfpq (full-probe/full-refine ≡ brute force, under
+    the full hash gate), and plan/equivalence properties are pinned in
+    tests/test_ivfstore.py.
+
+    Scale shape: train on a sample, assign+encode is one map pass per
+    batch, search reads |probes|·nprobe code lists + |probes|·refine·k
+    float rows — never the corpus; both reads are parquet-stat-pruned
+    on the clustered layout."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = _cached_ivfpq_store(e, sf_dir)
+    probes = e.filter(F.col("vec_id") < 10)
+    return store.search_adc(probes, top_k=3, nprobe=4, refine=4)
+
+
+@query(
+    "q_ann_recall_ivfpq",
+    category="llm-similarity",
+    sql=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 10),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_cosine_similarity(p.pe, c.de) DESC, c.vec_id
+               ) AS rn
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+      ) WHERE rn <= 3
+    ),
+    k AS (
+      SELECT GREATEST({IVF_MIN_K}, LEAST({IVF_MAX_K},
+               (COUNT(*) + {SIGN_TARGET_BUCKET_ROWS - 1}) // {SIGN_TARGET_BUCKET_ROWS}))
+             AS kk,
+             (COUNT(*) + 2) // 3 AS refine_full
+      FROM e
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    cfg AS (
+      SELECT 4 AS nprobe, UNNEST([1, 2, 4]) AS refine
+      UNION ALL
+      SELECT kk, refine_full FROM k
+    )
+    SELECT CAST(cfg.nprobe AS BIGINT) AS nprobe,
+           CAST(cfg.refine AS BIGINT) AS refine,
+           t.n_truth,
+           CAST(CASE WHEN cfg.nprobe = k.kk THEN t.n_truth END AS BIGINT)
+             AS n_hits_full,
+           TRUE AS in_bounds,
+           TRUE AS monotone
+    FROM cfg, t, k
+    """,
+)
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the COMPOSED IVFPQ search (q_sim_topk_ivfpq's
+    store) vs brute-force cosine, per refine budget ∈ {1, 2, 4} at
+    nprobe = 4 PLUS the full-probe/full-refine anchor row — the
+    q_ann_recall_ivf bounds-contract convention extended to the
+    quantized path. The anchor is EXACTLY hashable: at nprobe = K
+    every list is probed, and refine·k ≥ corpus makes the ADC cut keep
+    every candidate, so the exact re-rank IS brute force (same cosine
+    kernel, same (desc sim, asc id) tie-break) — ``n_hits_full`` must
+    equal the SQL-computed n_truth, and any bug in codes-at-append,
+    the pruned code read, ADC ranking, or the refine re-read breaks
+    the driver hash. Partial rows carry the two provable theorems:
+    ``in_bounds`` (0 ≤ hits ≤ truth) and ``monotone`` — ADC orders
+    candidates by (d2, id), a total order, so refine sets are NESTED
+    prefixes of one ranking and a candidate displacing a true top-3
+    neighbor from a superset's exact top-3 must itself be true top-3.
+    The raw per-budget integers stay visible to a human via this
+    report; quantization-loss economics are q_ann_recall_pq's job."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = _cached_ivfpq_store(e, sf_dir)
+    k_lists = len(store.centroids())
+    from ..functions.vectors import scaled_ivf_k
+    from ..operators.ivfstore import DEFAULT_K
+
+    n = e.count()
+    expected_k = scaled_ivf_k(n, min_k=DEFAULT_K)
+    if k_lists != expected_k:
+        raise ValueError(
+            f"IVFPQ store has {k_lists} lists but scaled_ivf_k expects "
+            f"{expected_k}; the q_ann_recall_ivfpq oracle cannot verify "
+            "a store trained under different sizing knobs"
+        )
+    refine_full = (n + 2) // 3
+    probes = e.filter(F.col("vec_id") < 10)
+    en = e.withColumn("nrm", norm(F.col("embedding")))
+    pr = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sims_all = (
+        en.crossJoin(broadcast(pr))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    wt = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    truth = (
+        sims_all.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    configs = [(4, 1), (4, 2), (4, 4), (k_lists, refine_full)]
+    parts = []
+    for nprobe, refine in configs:
+        parts.append(
+            store.search_adc(probes, top_k=3, nprobe=nprobe, refine=refine).select(
+                F.lit(int(nprobe)).alias("nprobe"),
+                F.lit(int(refine)).alias("refine"),
+                "probe_id",
+                "neighbor_id",
+            )
+        )
+    ann = parts[0]
+    for part in parts[1:]:
+        ann = ann.unionByName(part)
+    hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy(
+        "nprobe", "refine"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    cfg = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in configs], "nprobe int, refine int"
+    )
+    w = Window.partitionBy("nprobe").orderBy("refine")
+    return (
+        cfg.join(broadcast(hits), ["nprobe", "refine"], "left")
+        .crossJoin(broadcast(total))
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long"))
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.col("refine").cast("long").alias("refine"),
+            "n_truth",
+            F.when(F.col("nprobe") == k_lists, F.col("n_hits"))
+            .cast("long")
+            .alias("n_hits_full"),
+            ((F.col("n_hits") >= 0) & (F.col("n_hits") <= F.col("n_truth"))).alias(
+                "in_bounds"
+            ),
+            F.coalesce(
+                F.col("n_hits") >= F.lag("n_hits").over(w), F.lit(True)
+            ).alias("monotone"),
+        )
+    )
 
 
 def ivf_recall_report(

@@ -1436,13 +1436,26 @@ from .llm import (  # noqa: E402 - composition over the existing oracles
     JACCARD_THRESHOLD,
 )
 
+# The video and audio pair chains reuse the SAME CTE names as the
+# image chain (bandvals/fp/params/sbands/ranked/cand/scored — one
+# shared Hamming tail), so they compose as NESTED-WITH derived tables:
+# each modality's standalone oracle text is embedded verbatim as a
+# subquery, whose inner WITH shadows the outer names. Composition
+# stays the shared-constant convention — neither detector's replay can
+# drift from its standalone query, because it IS that query's text.
 _MULTIMODAL_CLUSTERS_SQL = f"""
     WITH RECURSIVE {_DUCK_JACCARD_CTES},
     {_DHASH_CTES},
+    vpairs AS (SELECT doc_a, doc_b FROM ({_VIDEO_DEDUP_SQL})),
+    apairs AS (SELECT doc_a, doc_b FROM ({_AUDIO_DEDUP_SQL})),
     alledges AS (
       SELECT doc_a, doc_b FROM pairs
       UNION
       SELECT doc_a, doc_b FROM scored WHERE hamming <= {_DHASH_RADIUS}
+      UNION
+      SELECT doc_a, doc_b FROM vpairs
+      UNION
+      SELECT doc_a, doc_b FROM apairs
     ),
     medges AS (
       SELECT doc_a AS s, doc_b AS t FROM alledges
@@ -1470,28 +1483,33 @@ _MULTIMODAL_CLUSTERS_SQL = f"""
     sql=_MULTIMODAL_CLUSTERS_SQL,
 )
 def q_dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CROSS-MODAL duplicate clusters — the unified keep-decision a
-    multimodal training corpus actually needs: a document is a
-    duplicate if its TEXT is a near-dup (capped 3-gram Jaccard, the
-    q_dedup_ngram_jaccard pairs) OR its IMAGE is a perceptual near-dup
-    (dHash Hamming pairs, the q_dedup_image set) — modality-specific
+    """CROSS-MODAL duplicate clusters over the FULL modality set — the
+    unified keep-decision a multimodal training corpus actually needs:
+    a document is a duplicate if its TEXT is a near-dup (capped 3-gram
+    Jaccard, the q_dedup_ngram_jaccard pairs) OR its IMAGE (dHash
+    Hamming, the q_dedup_image set) OR its VIDEO (temporal-majority
+    dHash, q_dedup_video) OR its AUDIO (loudness-envelope hash,
+    q_dedup_audio) is a perceptual near-dup — modality-specific
     detectors catch different mirrors (rewritten captions over the
-    same image; re-encoded images under the same text), and dropping
-    per-modality double-counts the family. Edges are the UNION of both
-    pair sets, connected components give one cluster per cross-modal
-    family (a text-chain A~B joined to an image-chain B~C collapses to
-    ONE keep decision), and every document appears (singletons are
-    their own cluster). The oracle composes the two EXISTING oracle
-    CTE chains verbatim (the shared-constant convention — neither
-    detector's replay can drift from its standalone query) plus the
-    recursive reachability minima, so the whole composition is under
-    the driver hash gate.
+    same image; re-encoded frames under the same text; re-gained
+    audio), and dropping per-modality double-counts the family. Edges
+    are the UNION of all four pair sets, connected components give one
+    cluster per cross-modal family (a text-chain A~B joined to a
+    video-chain B~C collapses to ONE keep decision), and every
+    document appears (singletons are their own cluster). The oracle
+    composes the four EXISTING oracle chains — jaccard + image CTEs
+    inline, video + audio as their verbatim standalone texts in
+    nested-WITH subqueries (their chains share the image chain's CTE
+    names) — plus the recursive reachability minima, so the whole
+    composition is under the driver hash gate.
 
-    Scale shape: both pair generators keep their own bounds (rank-cap
-    Σ min(df,cap)² for text; banded-Hamming bucket guard for images);
-    the union adds one distinct of 16-byte edge rows, components is
-    the threshold-gated hybrid, and the spine join is narrow — nothing
-    all-pairs, nothing corpus-wide beyond one left join."""
+    Scale shape: all four pair generators keep their own bounds
+    (rank-cap Σ min(df,cap)² for text; the banded-Hamming bucket
+    guard + entropy-scaled super-bands for the three perceptual
+    sets); the union adds one distinct of 16-byte edge rows,
+    components is the threshold-gated hybrid, and the spine join is
+    narrow — nothing all-pairs, nothing corpus-wide beyond one left
+    join. Stress point recorded in SCALE.md (cross-modal dedup)."""
     from ..operators.dedup import (
         connected_components,
         hamming_candidates,
@@ -1505,7 +1523,15 @@ def q_dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ipairs = hamming_candidates(
         _image_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
     ).select("doc_a", "doc_b")
-    edges = tpairs.unionByName(ipairs).distinct()
+    vpairs = hamming_candidates(
+        _video_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
+    ).select("doc_a", "doc_b")
+    apairs = hamming_candidates(
+        _audio_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
+    ).select("doc_a", "doc_b")
+    edges = (
+        tpairs.unionByName(ipairs).unionByName(vpairs).unionByName(apairs).distinct()
+    )
     cc = connected_components(edges).withColumnRenamed("node", "doc_id")
     return d.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id",

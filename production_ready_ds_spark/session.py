@@ -125,10 +125,11 @@ def register_udf_modules(only_loaded: bool = False) -> None:
     queries/__init__ re-invokes this after its module loop (so
     catalog() users are covered the moment the modules exist), and
     ensure_runtime_confs — the foreign-session/driver path — runs the
-    FULL registration. The one uncovered flow is hand-importing a
-    single query submodule (bypassing catalog()) on a get_spark()
-    session from a foreign cwd — call register_udf_modules() yourself
-    there.
+    FULL registration. Hand-importing a single query submodule
+    (bypassing catalog()) is covered at the @query decorator itself
+    (queries._register_defining_module_by_value — import time IS
+    decoration time), so no flow that can run a query is left
+    by-reference.
 
     Import errors are deliberately NOT swallowed: a module on this
     list that cannot import must fail loudly here, not silently fall

@@ -405,3 +405,165 @@ def test_attrs_sidecar_contract_errors(spark, tmp_path, embs, sf_small):
     flt = _results(store2.search(probes, top_k=50, nprobe=n_lists,
                                  attr_filter=("lang", ("de", "fr"))))
     assert flt and all(nid < 100 for _, nid, _ in flt)
+
+
+# ---------------- composed IVFPQ (round-9: the pq.py promise) ----------------
+
+
+@pytest.fixture()
+def pq_store(spark, tmp_path, embs):
+    store = IVFStore(str(tmp_path / "ivfpq"))
+    store.train(embs)
+    store.train_pq(embs)
+    store.append(embs, id_min=0, id_max=10**9)
+    return store
+
+
+def test_ivfpq_anchor_full_probe_full_refine_is_exact(spark, pq_store, embs):
+    """The q_ann_recall_ivfpq anchor: at nprobe = K with refine·k ≥
+    corpus, the composed ADC-then-rerank path must equal the float
+    search at full probe (which is brute force by construction) —
+    value-for-value including the rounded cosine and tie-breaks."""
+    probes = embs.filter(F.col("vec_id") < 5)
+    k_lists = len(pq_store.centroids())
+    n = embs.count()
+    composed = _results(
+        pq_store.search_adc(probes, top_k=3, nprobe=k_lists, refine=(n + 2) // 3)
+    )
+    exact = _results(pq_store.search(probes, top_k=3, nprobe=k_lists))
+    assert composed == exact and len(composed) == 15
+
+
+def test_ivfpq_codes_read_prunes_floats_and_pushes_lists(spark, pq_store, embs):
+    """The 32×-read claim, plan-asserted on the COMPOSED path: the ADC
+    stage's scan reads (vec_id, list_id, codes) WITHOUT the float
+    embedding column, under a pushed In(list_id); the refine re-read
+    carries a pushed In(vec_id) and does read the floats."""
+    from production_ready_ds_spark.plans.audit import (
+        pushed_filters,
+        read_schema_columns,
+    )
+
+    probes = embs.filter(F.col("vec_id") < 5)
+    # the ADC stage's scans (visible on the refine=None plan — the
+    # refined path runs the identical code up to the ADC ranking, then
+    # collects the bounded pair set): codes read, floats pruned
+    adc_only = pq_store.search_adc(probes, top_k=3, nprobe=4, refine=None)
+    schemas = read_schema_columns(adc_only)
+    codes_scans = [s for s in schemas if "codes" in s]
+    assert codes_scans, schemas
+    # the CANDIDATE scans never read the floats; the only
+    # embedding-reading scan is the bounded probe read (no codes/list)
+    assert all("embedding" not in s for s in codes_scans), schemas
+    assert all(
+        "codes" in s or ("list_id" not in s and "codes" not in s)
+        for s in schemas
+    ), schemas
+    assert "In(list_id" in " ".join(pushed_filters(adc_only))
+    # the refine re-read: pushed In(vec_id) on the bounded candidate
+    # set; floats ARE read there (that is its job), codes are not
+    out = pq_store.search_adc(probes, top_k=3, nprobe=4, refine=2)
+    r_schemas = read_schema_columns(out)
+    assert any("embedding" in s for s in r_schemas), r_schemas
+    assert all("codes" not in s for s in r_schemas), r_schemas
+    assert "In(vec_id" in " ".join(pushed_filters(out))
+
+
+def test_ivfpq_incremental_append_equals_one_shot(spark, tmp_path, embs):
+    """Two-batch append ≡ one-shot for the composed search (the
+    SignatureStore contract on the quantized path) — codes ride every
+    append through the fused assign+encode kernel."""
+    probes = embs.filter(F.col("vec_id") < 5)
+    one = IVFStore(str(tmp_path / "one"))
+    one.train(embs)
+    one.train_pq(embs)
+    one.append(embs, id_min=0, id_max=10**9)
+
+    inc = IVFStore(str(tmp_path / "inc"))
+    inc.train(embs)
+    inc.train_pq(embs)
+    for lo, hi in [(0, 150), (150, 10**9)]:
+        inc.append(
+            embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            id_min=lo,
+            id_max=hi - 1,
+        )
+    assert len(inc.segments()) == 2
+    assert _results(
+        inc.search_adc(probes, top_k=3, nprobe=4, refine=4)
+    ) == _results(one.search_adc(probes, top_k=3, nprobe=4, refine=4))
+
+
+def test_ivfpq_compact_and_delete_preserve_codes(spark, tmp_path, embs):
+    """compact_tiered / delete_ids rewrite whole segment rows, so the
+    code columns must survive both: post-compact composed search is
+    unchanged; post-delete the forgotten id vanishes from results and
+    ADC still serves the remaining rows."""
+    probes = embs.filter(F.col("vec_id") < 5)
+    store = IVFStore(str(tmp_path / "cd"))
+    store.train(embs)
+    store.train_pq(embs)
+    for lo, hi in [(0, 100), (100, 200), (200, 10**9)]:
+        store.append(
+            embs.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+            id_min=lo,
+            id_max=hi - 1,
+        )
+    before = _results(store.search_adc(probes, top_k=3, nprobe=4, refine=4))
+    store.compact_tiered(spark)
+    assert _results(store.search_adc(probes, top_k=3, nprobe=4, refine=4)) == before
+    victim = before[0][1]  # some returned neighbor
+    store.delete_ids(spark, [victim])
+    after = _results(store.search_adc(probes, top_k=3, nprobe=4, refine=4))
+    assert all(nb != victim for _, nb, _sim in after)
+
+
+def test_train_pq_refuses_after_segments(spark, tmp_path, embs):
+    store = IVFStore(str(tmp_path / "late"))
+    store.train(embs)
+    store.append(embs, id_min=0, id_max=10**9)
+    with pytest.raises(ValueError, match="before the first append"):
+        store.train_pq(embs)
+    # and a codeless store refuses ADC search loudly
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        store.search_adc(embs.filter(F.col("vec_id") < 3))
+
+
+def test_ivfpq_adc_rank_sets_are_nested_in_top_k(spark, pq_store, embs):
+    """ADC ranks candidates by (d2, id) — a total order — so the
+    refine-set-nesting the q_ann_recall_ivfpq monotone theorem relies
+    on holds: the pure-ADC top-3 is a prefix of the top-6."""
+    probes = embs.filter(F.col("vec_id") < 5)
+    small = {
+        (r.probe_id, r.adc_rank): r.neighbor_id
+        for r in pq_store.search_adc(
+            probes, top_k=3, nprobe=4, refine=None
+        ).collect()
+    }
+    big = {
+        (r.probe_id, r.adc_rank): r.neighbor_id
+        for r in pq_store.search_adc(
+            probes, top_k=6, nprobe=4, refine=None
+        ).collect()
+    }
+    assert small == {k: v for k, v in big.items() if k[1] <= 3}
+
+
+def test_ivfpq_caller_assigned_append_encodes_codes(spark, tmp_path, embs):
+    """The ingest-DAG contract on a PQ store: a caller-provided
+    codeless ``assigned`` frame gets its codes via encode+join and the
+    resulting store serves search_adc identically to the fused path."""
+    fused = IVFStore(str(tmp_path / "fu"))
+    fused.train(embs)
+    fused.train_pq(embs)
+    fused.append(embs, id_min=0, id_max=10**9)
+
+    manual = IVFStore(str(tmp_path / "ma"))
+    manual.train(embs)
+    manual.train_pq(embs)
+    pre = manual.assign(embs).localCheckpoint(eager=True)  # codeless
+    manual.append(embs, id_min=0, id_max=10**9, assigned=pre)
+    probes = embs.filter(F.col("vec_id") < 5)
+    assert _results(
+        manual.search_adc(probes, top_k=3, nprobe=4, refine=4)
+    ) == _results(fused.search_adc(probes, top_k=3, nprobe=4, refine=4))

@@ -311,11 +311,10 @@ def test_connected_components_empty_pairs(spark):
 
 
 def test_ivf_topk_recall_vs_brute_force(spark, sf_small):
-    """The trained-quantizer ANN (nprobe=4 of 16 lists) must recover a
-    healthy fraction of the true cosine top-3. Measured 0.73 at both
-    sf0.001 and sf0.01; bound set at 0.5 to absorb trainer jitter while
-    still failing on a broken list assignment (random lists would score
-    ~nprobe/k ≈ 0.25)."""
+    """Round 9: q_sim_topk_ivf serves the FULL-PROBE anchor (nprobe =
+    k — the hash-gate upgrade), so the store-served pair set must
+    equal brute force EXACTLY, not just recall ≥ 0.5; partial-probe
+    recall keeps its own bounds in tests/test_ivfstore.py."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -357,7 +356,7 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_small):
         )
     )
     assert len(ivf) == len(brute) == 30  # 10 probes x top-3
-    assert len(brute & ivf) / len(brute) >= 0.5
+    assert ivf == brute
 
 
 def test_connected_components_raises_on_nonconvergence(spark):

@@ -1072,10 +1072,11 @@ def test_hamming_oracle_cap_replay_matches_spark_on_hot_buckets(spark):
 
 
 def test_multimodal_clusters_coarsen_both_modalities(spark, sf_small, cat):
-    """The cross-modal composition property: any two documents sharing
-    a TEXT cluster or an IMAGE cluster must share a multimodal cluster
-    (the union graph can only merge components, never split them), and
-    every document appears exactly once."""
+    """The cross-modal composition property over the FULL modality set
+    (round 9): any two documents sharing a TEXT, IMAGE, VIDEO, or
+    AUDIO cluster must share a multimodal cluster (the union graph can
+    only merge components, never split them), and every document
+    appears exactly once."""
     from collections import defaultdict
 
     mm_cl = {
@@ -1083,7 +1084,12 @@ def test_multimodal_clusters_coarsen_both_modalities(spark, sf_small, cat):
         for r in cat["q_dedup_multimodal_clusters"].fn(spark, sf_small).collect()
     }
     assert len(mm_cl) == 500
-    for modal in ("q_dedup_image_clusters", "q_dedup_clusters"):
+    for modal in (
+        "q_dedup_image_clusters",
+        "q_dedup_clusters",
+        "q_dedup_video_clusters",
+        "q_dedup_audio_clusters",
+    ):
         groups = defaultdict(list)
         for r in cat[modal].fn(spark, sf_small).collect():
             groups[r.cluster_id].append(r.doc_id)
