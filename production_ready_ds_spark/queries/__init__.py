@@ -218,6 +218,10 @@ _EXTENSION_PRIORITY = (
     # neighbor query is rows-only trained state)
     "q_ann_recall_ivfpq",
     "q_sim_topk_ivfpq",
+    # round-9 rows-only→hash-gate upgrades (SQL Porter2 replay; IVF
+    # full-probe anchor)
+    "q_stem_tokens",
+    "q_sim_topk_ivf",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",
@@ -332,7 +336,6 @@ _EXTENSION_PRIORITY = (
     "q_skew_profile",
     "q_quality_repetition",
     "q_pii_scrub",
-    "q_sim_topk_ivf",
     "q_snapshot_diff",
     "q_map_funcs",
     "q_try_funcs",

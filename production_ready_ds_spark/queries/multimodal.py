@@ -1529,8 +1529,23 @@ def q_dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     apairs = hamming_candidates(
         _audio_fingerprints(spark, sf_dir), radius=_DHASH_RADIUS
     ).select("doc_a", "doc_b")
+    # Materialize each pair set as its OWN job before the union: a
+    # single union-then-checkpoint job schedules all four corpus-wide
+    # generators' stages CONCURRENTLY, and their peak memory SUMS —
+    # measured OOM (java heap, 128 GiB box) at the 16× dedup-stress
+    # corpus, where each generator alone runs comfortably. Sequential
+    # checkpoints bound peak memory at the max of the four instead of
+    # the sum, for four extra writes of ~10⁵-row 16-byte edge frames
+    # (trivial). Same rule a 1000-executor cluster needs: fan
+    # independent corpus-wide pipelines into separate barriers when
+    # their working sets each approach executor memory. (SCALE.md
+    # round-9: cross-modal composition.)
     edges = (
-        tpairs.unionByName(ipairs).unionByName(vpairs).unionByName(apairs).distinct()
+        tpairs.localCheckpoint(eager=True)
+        .unionByName(ipairs.localCheckpoint(eager=True))
+        .unionByName(vpairs.localCheckpoint(eager=True))
+        .unionByName(apairs.localCheckpoint(eager=True))
+        .distinct()
     )
     cc = connected_components(edges).withColumnRenamed("node", "doc_id")
     return d.select("doc_id").join(cc, "doc_id", "left").select(

@@ -483,16 +483,38 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_stem_tokens", category="llm-text", sql=None)
+from ..functions.snowball_sql import snowball_stems_ctes  # noqa: E402
+
+_STEM_TOKENS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok
+      FROM documents WHERE lang = 'en'
+    ),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    sbv AS (SELECT tok FROM counts),{snowball_stems_ctes("sbv")}
+    SELECT s.stem, CAST(SUM(c.cnt) AS BIGINT) AS n
+    FROM counts c JOIN sb_stems s USING (tok)
+    GROUP BY s.stem ORDER BY n DESC, stem LIMIT 20
+    """
+
+
+@query("q_stem_tokens", category="llm-text", sql=_STEM_TOKENS_SQL)
 def q_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 stemmed token frequencies over English documents — the
     reference's Snowball stem stage (reference
     `00_training_pipeline.py:61,88`) surfaced as a corpus-level catalog
-    query. Rows-only: DuckDB has no Snowball stemmer, so there is no SQL
-    oracle; the stemmer itself is verified exactly — token-for-token
-    against the reference's golden cleaned.csv artifacts
-    (tests/test_reference_replay.py) and a 51-word Snowball vocabulary
-    (tests/test_snowball.py).
+    query. Under the FULL hash gate since round 9: the oracle replays
+    the ENTIRE Porter2 algorithm in DuckDB SQL
+    (functions/snowball_sql.py — consonant-y marking, R1/R2 region
+    indices, all six suffix steps with their region guards and the
+    ization/izer R2 collapse), GENERATED from the same constant tables
+    the Python stemmer uses, per-distinct-word (vocabulary-bounded,
+    the same cost shape as the Arrow-batched Spark kernel). Pinned
+    exact against the Python stemmer on every corpus vocabulary plus
+    a 18k-word suffix-biased fuzz corpus (tests/test_snowball.py);
+    the stemmer itself is verified token-for-token against the
+    reference's golden cleaned.csv artifacts
+    (tests/test_reference_replay.py).
 
     Plan: tokenize (JVM) → ONE Arrow-batched pandas UDF stems whole
     token arrays (the only Python touchpoint — per-batch, never

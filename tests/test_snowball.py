@@ -81,3 +81,67 @@ def test_never_longer_than_input_plus_one():
     # step 1b can add back an 'e' (hoping→hope) but never more
     for word, _ in CASES:
         assert len(snowball_stem(word)) <= len(word) + 1
+
+
+def test_sql_oracle_replays_python_stemmer_exactly():
+    """The q_stem_tokens oracle (functions/snowball_sql.py) must match
+    the Python Porter2 implementation word-for-word — on the corpus
+    vocabulary AND a deterministic suffix-biased fuzz corpus covering
+    every step-2/3/4 suffix, the 1a/1b families, apostrophes, and
+    y-marking chains. Any rule change in snowball.py that is not
+    mirrored by the generated SQL fails here before the driver sees
+    it."""
+    import random
+
+    import duckdb
+
+    from production_ready_ds_spark.functions.snowball import (
+        _STEP2,
+        _STEP3,
+        _STEP4,
+        snowball_stem,
+    )
+    from production_ready_ds_spark.functions.snowball_sql import (
+        snowball_stems_ctes,
+    )
+
+    random.seed(9)
+    sufs = (
+        [s for s, _ in _STEP2]
+        + [s for s, _ in _STEP3]
+        + list(_STEP4)
+        + ["ing", "ed", "edly", "ingly", "eed", "eedly", "s", "es", "ies",
+           "ied", "sses", "ss", "us", "y", "ly", "ogi", "li", "ative", "e",
+           "ll", "'s", "'s'", "'"]
+    )
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    words = {w for w, _ in CASES}
+    con = duckdb.connect()
+    for sf in ("/root/testdata/sf0.001",):
+        for (tok,) in con.execute(
+            "SELECT DISTINCT unnest(list_filter(regexp_split_to_array("
+            f"lower(text), '\\W+'), t -> t <> '')) FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        ).fetchall():
+            words.add(tok)
+    for _ in range(4000):
+        base = "".join(random.choice(alpha) for _ in range(random.randint(1, 8)))
+        w = base + random.choice(sufs) if random.random() < 0.85 else base
+        if random.random() < 0.1:
+            w = "y" + w
+        words.add(w)
+    vocab = sorted(w for w in words if w)
+    con.execute("CREATE TABLE sbv (tok VARCHAR)")
+    con.executemany("INSERT INTO sbv VALUES (?)", [[w] for w in vocab])
+    got = dict(
+        con.execute(
+            "WITH " + snowball_stems_ctes("sbv").lstrip()
+            + " SELECT tok, stem FROM sb_stems"
+        ).fetchall()
+    )
+    bad = [
+        (w, got.get(w), snowball_stem(w))
+        for w in vocab
+        if got.get(w) != snowball_stem(w)
+    ]
+    assert not bad, bad[:10]
