@@ -162,6 +162,14 @@ def main() -> None:
             canary = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception as exc:  # noqa: BLE001 - diagnostic, not gate
             canary = f"canary failed: {exc}"
+        # the canary itself just saturated local[32] for minutes — the
+        # protocol run must NOT start (or report load_avg_start) from
+        # the stale pre-canary sample, so wait the box quiet again
+        waited = 0.0
+        while os.getloadavg()[0] >= 1.0 and waited < quiet_wait:
+            time.sleep(15)
+            waited += 15
+        load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -605,9 +605,21 @@ class IVFStore:
                 f"IVFStore at {self.root} has no PQ codebooks — call "
                 "train_pq before the first append to enable ADC search"
             )
-        probe_lists = self._probe_list_frame(
-            probes, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        # Collect the bounded probe batch ONCE — it feeds the LUTs
+        # (driver-side by design), the probe→list ranking, and the
+        # refine join. Re-deriving each from the caller's frame would
+        # re-execute the probes lineage (often a corpus-scan filter)
+        # three or four times per call.
+        rows = probes.select(id_col, vec_col).collect()
+        if not rows:
+            raise ValueError("search_adc needs a non-empty probe batch")
+        probes_local = spark.createDataFrame(
+            [(int(r[0]), list(r[1])) for r in rows],
+            f"{id_col} long, {vec_col} array<float>",
         )
+        probe_lists = self._probe_list_frame(
+            probes_local, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)
         wanted = sorted(
             {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}
         )  # bounded by |probes| * nprobe <= k — a sketch-sized collect
@@ -619,10 +631,7 @@ class IVFStore:
         cand_codes = lists_df.select(id_col, "list_id", "codes")
 
         # per-probe ADC lookup tables, built driver-side from the
-        # bounded probe batch: LUT[p, j, c] = ||P[p, sub j] - C_j[c]||²
-        rows = probes.select(id_col, vec_col).collect()
-        if not rows:
-            raise ValueError("search_adc needs a non-empty probe batch")
+        # collected batch: LUT[p, j, c] = ||P[p, sub j] - C_j[c]||²
         pids = np.array([r[0] for r in rows], dtype=np.int64)
         P = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
         m, dsub, ks = codec.m, codec.dsub, codec.ks
@@ -672,13 +681,14 @@ class IVFStore:
 
         # each probe scores ONLY its own probed lists' candidates:
         # broadcast the (probe, list) pairs onto the pruned codes read
+        # self-rows are dropped inside adc_kernel (before the cut), so
+        # no probe_id == neighbor_id row can come out of it
         scored = (
             cand_codes.join(
                 F.broadcast(probe_lists.select("probe_id", "list_id")), "list_id"
             )
             .select("probe_id", id_col, "codes")
             .mapInPandas(adc_kernel, schema="probe_id long, neighbor_id long, d2 double")
-            .filter(F.col("probe_id") != F.col("neighbor_id"))
         )
         w_adc = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
         ranked = (
@@ -709,7 +719,7 @@ class IVFStore:
             lists_df.select(id_col, vec_col)
             .filter(F.col(id_col).isin(cand_ids))
         )
-        pv = probes.select(
+        pv = probes_local.select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("pe"),
         ).withColumn("pnrm", norm(F.col("pe")))

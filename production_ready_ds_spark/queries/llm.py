@@ -1245,7 +1245,6 @@ def q_sim_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_NPROBE = 4
 
 
 @query(
@@ -1283,8 +1282,8 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver row. Production sets nprobe < k for the recall/cost
     trade; that partial-probe behavior keeps its own driver evidence
     via q_ann_recall_ivf's budget rows and the subset/recall
-    properties in tests/test_ivfstore.py (``_IVF_NPROBE`` remains the
-    documented production default).
+    properties in tests/test_ivfstore.py (operators/ivfstore.DEFAULT_NPROBE is the
+    production default).
 
     KMeans centroids define the inverted lists (k CORPUS-SCALED via
     scaled_ivf_k — mean list ≤ 64 rows, the round-5 knob); the store
