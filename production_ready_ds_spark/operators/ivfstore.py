@@ -159,6 +159,7 @@ class IVFStore:
         seed: int = 7,
         max_iter: int = 5,
         vec_col: str = "embedding",
+        residual: bool = False,
     ) -> "object":
         """Fit per-subspace PQ codebooks (operators/pq.PQCodec.train)
         and persist them NEXT TO the centroids — from then on every
@@ -169,7 +170,17 @@ class IVFStore:
         without codes would poison every later ADC read with NULL
         code columns, so a store that already has segments refuses
         (re-encode = rebuild, the re-train convention). Returns the
-        codec."""
+        codec.
+
+        ``residual=True`` is the IVFADC form of Jégou et al. 2011 §IV
+        (and FAISS IndexIVFPQ): codebooks are trained on — and codes
+        encode — the RESIDUAL ``x − centroid(list(x))`` instead of the
+        raw vector. Residuals are smaller-normed and centered, so the
+        same m × ks code budget spends its resolution on the
+        within-list geometry that actually ranks candidates;
+        search_adc then builds its lookup tables per (probe, probed
+        list), still a driver-side kilobytes-scale constant. Requires
+        trained centroids (the IVF half comes first by construction)."""
         if self.segments():
             raise ValueError(
                 f"IVFStore at {self.root} already has segments — PQ "
@@ -179,10 +190,28 @@ class IVFStore:
             )
         from .pq import PQCodec
 
+        train_src = embeddings
+        train_col = vec_col
+        if residual:
+            if self.centroids() is None:
+                raise ValueError(
+                    "residual PQ needs trained centroids first — call "
+                    "train() before train_pq(residual=True)"
+                )
+            train_src = self._residual_frame(
+                embeddings, id_col=None, vec_col=vec_col
+            )
+            train_col = "res"
         codec = PQCodec.train(
-            embeddings, m=m, ks=ks, seed=seed, max_iter=max_iter, vec_col=vec_col
+            train_src, m=m, ks=ks, seed=seed, max_iter=max_iter, vec_col=train_col
         )
-        codec.save(self._path(PQ_FILE))
+        self._write_json(
+            PQ_FILE,
+            {
+                "codebooks": [c.tolist() for c in codec.codebooks],
+                "residual": bool(residual),
+            },
+        )
         return codec
 
     def pq_codec(self) -> "object | None":
@@ -196,6 +225,53 @@ class IVFStore:
         except FileNotFoundError:
             return None
 
+    def pq_residual(self) -> bool:
+        """True when the persisted codebooks encode residuals
+        (IVFADC); False for raw-vector codes or a codeless store."""
+        try:
+            with open(self._path(PQ_FILE)) as fh:
+                return bool(json.load(fh).get("residual", False))
+        except FileNotFoundError:
+            return False
+
+    def _residual_frame(
+        self, embeddings: DataFrame, *, id_col: str | None, vec_col: str
+    ) -> DataFrame:
+        """(id?, res) — each vector minus its nearest centroid, one
+        matmul-argmin map pass (the assign kernel's math; training
+        input for residual codebooks)."""
+        import numpy as np
+
+        cents = self.centroids()
+        if cents is None:
+            raise ValueError(f"IVFStore at {self.root} has no trained centroids")
+        C = np.asarray(cents, dtype=np.float64)
+        cn2 = (C * C).sum(axis=1)
+        cols = ([id_col] if id_col else []) + [vec_col]
+
+        def kernel(it):
+            import pandas as pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    empty = {"res": pd.Series(dtype="object")}
+                    if id_col:
+                        empty = {id_col: pd.Series(dtype="int64"), **empty}
+                    yield pd.DataFrame(empty)
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cn2[None, :]
+                R = X - C[d2.argmin(axis=1)]
+                out = {"res": list(R.astype(np.float32))}
+                if id_col:
+                    out = {id_col: pdf[id_col], **out}
+                yield pd.DataFrame(out)
+
+        from ..tables import spread
+
+        schema = ("" if not id_col else f"{id_col} long, ") + "res array<float>"
+        return spread(embeddings.select(*cols)).mapInPandas(kernel, schema=schema)
+
     def assign(
         self,
         embeddings: DataFrame,
@@ -203,6 +279,7 @@ class IVFStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         codec: "object | None" = None,
+        residual: bool = False,
     ) -> DataFrame:
         """(id, embedding, list_id) for a batch: nearest persisted
         centroid per vector, computed as ONE BLAS matmul per Arrow
@@ -222,7 +299,10 @@ class IVFStore:
         each vector's ``codes`` — the per-subspace argmins run on the
         already-materialized X of the same Arrow batch, so the IVFPQ
         ingest path (append on a PQ-trained store) stays ONE map pass
-        instead of assign + encode + a batch-sized join."""
+        instead of assign + encode + a batch-sized join. With
+        ``residual`` (the IVFADC store form) the codes quantize
+        ``x − centroid(list)`` — the argmin'd centroid row is already
+        in-register when the subspace argmins run."""
         import numpy as np
 
         cents = self.centroids()
@@ -257,9 +337,10 @@ class IVFStore:
                     "list_id": d2.argmin(axis=1).astype("int32"),
                 }
                 if books is not None:
+                    E = X - C[out["list_id"]] if residual else X
                     codes = np.empty((len(X), m), dtype=np.int32)
                     for j in range(m):
-                        S = X[:, j * dsub : (j + 1) * dsub]
+                        S = E[:, j * dsub : (j + 1) * dsub]
                         sd2 = (
                             (S * S).sum(axis=1)[:, None]
                             - 2.0 * (S @ books[j].T)
@@ -339,6 +420,7 @@ class IVFStore:
                 f"declared sidecar {sorted(declared)} on every append"
             )
         codec = self.pq_codec()
+        pq_res = self.pq_residual()
         if assigned is None:
             # checkpoint so the assign matmul isn't paid twice (once by
             # the bounds agg below, once by the write). A CALLER-provided
@@ -348,15 +430,21 @@ class IVFStore:
             # a lazy frame just pay its recompute on the agg. On a
             # PQ-trained store the codes ride the SAME fused kernel.
             assigned = self.assign(
-                embeddings, id_col=id_col, vec_col=vec_col, codec=codec
+                embeddings, id_col=id_col, vec_col=vec_col, codec=codec,
+                residual=pq_res,
             ).localCheckpoint(eager=True)
         elif codec is not None and "codes" not in assigned.columns:
-            # caller-assigned batch on a PQ store: encode is a second
-            # map pass + a batch-sized equi-join — the fused assign
-            # path above is preferred; this keeps the ingest-DAG
-            # contract (caller owns the assignment) working unchanged
+            # caller-assigned batch on a PQ store: codes via a second
+            # fused-kernel pass + a batch-sized equi-join — the fused
+            # assign path above is preferred; this keeps the
+            # ingest-DAG contract (caller owns the assignment) working
+            # unchanged, and the kernel handles both encodings
             assigned = assigned.join(
-                codec.encode(embeddings, id_col=id_col, vec_col=vec_col), id_col
+                self.assign(
+                    embeddings, id_col=id_col, vec_col=vec_col, codec=codec,
+                    residual=pq_res,
+                ).select(id_col, "codes"),
+                id_col,
             )
         # One bounded agg over the batch before anything is written:
         # (a) an EMPTY batch (an id-range gap spanning a whole ingest
@@ -630,20 +718,42 @@ class IVFStore:
         # pruning drops the float vectors (plan-asserted in tests)
         cand_codes = lists_df.select(id_col, "list_id", "codes")
 
-        # per-probe ADC lookup tables, built driver-side from the
-        # collected batch: LUT[p, j, c] = ||P[p, sub j] - C_j[c]||²
+        # ADC lookup tables, built driver-side from the collected
+        # batch. Raw-vector store: LUT[p, j, c] = ||P[p, sub j] -
+        # B_j[c]||². Residual (IVFADC) store: the code decodes a
+        # residual AGAINST ITS LIST's centroid, so the table is per
+        # (probe, probed list): LUT[p, l, j, c] = ||(P[p] - C[l])[sub
+        # j] - B_j[c]||² — |probes| × |wanted| × m × ks doubles, still
+        # kilobytes-to-megabytes at the bounded probe-batch contract.
         pids = np.array([r[0] for r in rows], dtype=np.int64)
         P = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
         m, dsub, ks = codec.m, codec.dsub, codec.ks
-        lut = np.empty((len(P), m, ks))
-        for j in range(m):
-            S = P[:, j * dsub : (j + 1) * dsub]
-            B = codec.codebooks[j]
-            lut[:, j, :] = (
-                (S * S).sum(axis=1)[:, None]
-                - 2.0 * (S @ B.T)
-                + (B * B).sum(axis=1)[None, :]
-            )
+        is_res = self.pq_residual()
+        if is_res:
+            Cw = np.asarray(self.centroids(), dtype=np.float64)[wanted]
+            # R[p, l] = P[p] - C[wanted[l]]  -> (n_p, n_l, dim)
+            R = P[:, None, :] - Cw[None, :, :]
+            lut = np.empty((len(P), len(wanted), m, ks))
+            for j in range(m):
+                S = R[:, :, j * dsub : (j + 1) * dsub]
+                B = codec.codebooks[j]
+                lut[:, :, j, :] = (
+                    (S * S).sum(axis=2)[:, :, None]
+                    - 2.0 * (S @ B.T)
+                    + (B * B).sum(axis=1)[None, None, :]
+                )
+            lidx = {int(l): i for i, l in enumerate(wanted)}
+        else:
+            lut = np.empty((len(P), m, ks))
+            for j in range(m):
+                S = P[:, j * dsub : (j + 1) * dsub]
+                B = codec.codebooks[j]
+                lut[:, j, :] = (
+                    (S * S).sum(axis=1)[:, None]
+                    - 2.0 * (S @ B.T)
+                    + (B * B).sum(axis=1)[None, :]
+                )
+            lidx = None
         pidx = {int(p): i for i, p in enumerate(pids)}
         keep = top_k if refine is None else refine * top_k
 
@@ -658,8 +768,15 @@ class IVFStore:
                     prows = pdf["probe_id"].to_numpy()
                     pi = np.array([pidx[int(p)] for p in prows])
                     d = np.zeros(len(codes_arr))
-                    for j in range(m):
-                        d += lut[pi, j, codes_arr[:, j]]
+                    if lidx is not None:
+                        li = np.array(
+                            [lidx[int(x)] for x in pdf["list_id"].to_numpy()]
+                        )
+                        for j in range(m):
+                            d += lut[pi, li, j, codes_arr[:, j]]
+                    else:
+                        for j in range(m):
+                            d += lut[pi, j, codes_arr[:, j]]
                     # partition-local top-keep per probe: only the
                     # per-batch best survive to the shuffle (the
                     # adc_topk map-side-combine discipline); lexsort
@@ -683,11 +800,14 @@ class IVFStore:
         # broadcast the (probe, list) pairs onto the pruned codes read
         # self-rows are dropped inside adc_kernel (before the cut), so
         # no probe_id == neighbor_id row can come out of it
+        kernel_cols = ["probe_id", id_col, "codes"] + (
+            ["list_id"] if is_res else []
+        )
         scored = (
             cand_codes.join(
                 F.broadcast(probe_lists.select("probe_id", "list_id")), "list_id"
             )
-            .select("probe_id", id_col, "codes")
+            .select(*kernel_cols)
             .mapInPandas(adc_kernel, schema="probe_id long, neighbor_id long, d2 double")
         )
         w_adc = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))

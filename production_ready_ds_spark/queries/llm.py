@@ -5947,19 +5947,25 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cached_ivfpq_store(e: DataFrame, sf_dir: str):
     """Load-or-build-under-lock for the per-corpus composed IVFPQ
     store (the _corpus_cache_dir convention): KMeans centroids + PQ
-    codebooks trained BEFORE the first append (train_pq's ordering
-    contract — every segment row carries its m code bytes), one
-    full-corpus segment. Shared by q_sim_topk_ivfpq and
+    RESIDUAL codebooks (IVFADC) trained BEFORE the first append
+    (train_pq's ordering contract — every segment row carries its m
+    code bytes), one full-corpus segment. Shared by q_sim_topk_ivfpq and
     q_ann_recall_ivfpq, which must read the same store. A separate
     cache root from prds_ivf_recall: that store's segments were
     written codeless."""
     from ..operators.ivfstore import IVFStore
 
-    store = IVFStore(_corpus_cache_dir("prds_ivfpq", sf_dir, "embeddings", 1))
+    store = IVFStore(_corpus_cache_dir("prds_ivfpq", sf_dir, "embeddings", 2))
     with _build_lock(store.root):
         if store.centroids() is None or not store.segments():
             store.train(e)
-            store.train_pq(e)
+            # residual=True is the IVFADC form (Jégou et al. §IV;
+            # FAISS IndexIVFPQ): codes quantize x − centroid(list),
+            # spending the m × ks budget on within-list geometry —
+            # measured lower reconstruction MSE than raw-vector codes
+            # on the same corpus (tests/test_ivfstore.py pins the
+            # inequality); cache version bumped for the layout change
+            store.train_pq(e, residual=True)
             store.append(e, id_min=0, id_max=2**62, skip_if_range_indexed=True)
     return store
 

@@ -410,11 +410,14 @@ def test_attrs_sidecar_contract_errors(spark, tmp_path, embs, sf_small):
 # ---------------- composed IVFPQ (round-9: the pq.py promise) ----------------
 
 
-@pytest.fixture()
-def pq_store(spark, tmp_path, embs):
+@pytest.fixture(params=[False, True], ids=["raw", "residual"])
+def pq_store(request, spark, tmp_path, embs):
+    """Both encodings: raw-vector codes and the IVFADC residual form
+    (codes quantize x − centroid(list)); every composed-path property
+    below must hold for each."""
     store = IVFStore(str(tmp_path / "ivfpq"))
     store.train(embs)
-    store.train_pq(embs)
+    store.train_pq(embs, residual=request.param)
     store.append(embs, id_min=0, id_max=10**9)
     return store
 
@@ -567,3 +570,49 @@ def test_ivfpq_caller_assigned_append_encodes_codes(spark, tmp_path, embs):
     assert _results(
         manual.search_adc(probes, top_k=3, nprobe=4, refine=4)
     ) == _results(fused.search_adc(probes, top_k=3, nprobe=4, refine=4))
+
+
+def test_residual_codes_reconstruct_better_than_raw(spark, tmp_path, embs):
+    """The IVFADC claim, measured: PQ codebooks trained on residuals
+    (x − centroid(list)) reconstruct the corpus with LOWER mean
+    squared error than raw-vector codebooks under the identical
+    m × ks budget — residuals are smaller-normed and centered, so the
+    code resolution is spent on within-list geometry. (Recall effects
+    on the isotropic synthetic corpus are diagnosed by
+    q_ann_recall_pq; this pins the geometric mechanism.)"""
+    import numpy as np
+
+    def mse(residual):
+        store = IVFStore(str(tmp_path / ("r" if residual else "w")))
+        store.train(embs)
+        codec = store.train_pq(embs, residual=residual)
+        cents = np.asarray(store.centroids())
+        err, n = 0.0, 0
+        for r in store.assign(embs, codec=codec, residual=residual).collect():
+            x = np.asarray(r.embedding, dtype=np.float64)
+            dec = np.concatenate(
+                [codec.codebooks[j][r.codes[j]] for j in range(codec.m)]
+            )
+            if residual:
+                dec = dec + cents[r.list_id]
+            err += float(((x - dec) ** 2).sum())
+            n += 1
+        return err / n
+
+    assert mse(True) < mse(False)
+
+
+def test_residual_flag_persists_and_gates_lut_shape(spark, tmp_path, embs):
+    store = IVFStore(str(tmp_path / "rs"))
+    store.train(embs)
+    assert store.pq_residual() is False  # codeless store
+    store.train_pq(embs, residual=True)
+    assert store.pq_residual() is True
+    # a fresh handle on the same root sees the flag (it is on disk)
+    assert IVFStore(str(tmp_path / "rs")).pq_residual() is True
+
+
+def test_train_pq_residual_requires_centroids(spark, tmp_path, embs):
+    store = IVFStore(str(tmp_path / "nc"))
+    with pytest.raises(ValueError, match="centroids first"):
+        store.train_pq(embs, residual=True)
