@@ -224,6 +224,28 @@ def _parser() -> argparse.ArgumentParser:
     vindex.add_argument(
         "--compact-tiered", action="store_true", help="LSM leveled fold"
     )
+    vindex.add_argument(
+        "--pq",
+        choices=["raw", "residual"],
+        default=None,
+        help="build: also train PQ codebooks before the first append "
+        "(residual = the IVFADC form — codes quantize "
+        "x - centroid(list)); enables --adc search on this store",
+    )
+    vindex.add_argument(
+        "--adc",
+        action="store_true",
+        help="search (with --probe): serve from the PQ codes via the "
+        "composed IVFPQ path (pruned code read + ADC rank + exact "
+        "re-rank of the top refine*k)",
+    )
+    vindex.add_argument(
+        "--refine",
+        type=int,
+        default=4,
+        help="--adc: exact-rerank multiplier (top refine*k ADC "
+        "candidates re-ranked by true cosine; 0 = raw ADC ranks)",
+    )
     vindex.add_argument("--limit", type=int, default=20)
     corpus = sub.add_parser("corpus")
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -734,6 +756,20 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            if args.adc and vfacet is not None:
+                print(
+                    "--adc does not compose with --filter yet — use the "
+                    "float path (drop --adc) for facet-filtered search",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.adc and store.pq_codec() is None:
+                print(
+                    f"store at {args.root} has no PQ codebooks — rebuild "
+                    "with --pq raw|residual to enable --adc",
+                    file=sys.stderr,
+                )
+                return 2
             eligible = None
             if vfacet is not None:
                 attr, values = vfacet
@@ -748,11 +784,25 @@ def main(argv: list[str] | None = None) -> int:
                 eligible = docs.filter(F.col(attr).isin(list(values))).select(
                     F.col("doc_id").alias("vec_id")
                 )
-            store.search(
-                probes_df, top_k=args.k, nprobe=args.nprobe, eligible=eligible
-            ).orderBy("probe_id", F.desc("cos_sim"), "neighbor_id").show(
-                args.limit, truncate=False
-            )
+            if args.adc:
+                out = store.search_adc(
+                    probes_df,
+                    top_k=args.k,
+                    nprobe=args.nprobe,
+                    refine=args.refine or None,
+                )
+                order = (
+                    ["probe_id", F.desc("cos_sim"), "neighbor_id"]
+                    if args.refine
+                    else ["probe_id", "adc_rank"]
+                )
+                out.orderBy(*order).show(args.limit, truncate=False)
+            else:
+                store.search(
+                    probes_df, top_k=args.k, nprobe=args.nprobe, eligible=eligible
+                ).orderBy("probe_id", F.desc("cos_sim"), "neighbor_id").show(
+                    args.limit, truncate=False
+                )
         elif args.recall:
             from .queries.llm import ivf_recall_report
 
@@ -765,6 +815,9 @@ def main(argv: list[str] | None = None) -> int:
             if store.centroids() is None:
                 k = store.train(emb)
                 print(f"trained {k} lists (corpus-scaled)")
+            if args.pq and store.pq_codec() is None:
+                store.train_pq(emb, residual=(args.pq == "residual"))
+                print(f"trained PQ codebooks ({args.pq})")
             wrote = store.append(
                 emb, id_min=0, id_max=2**62, skip_if_range_indexed=True
             )

@@ -475,3 +475,54 @@ def test_tokenize_command_is_sparkless(capsys):
     assert lines["workers"] == "work ##er ##s"
     assert lines["snake_case"] == "[UNK]"
     assert lines["unaffable"].startswith("un ")
+
+
+def test_vindex_pq_build_and_adc_search(spark, sf_small, tmp_path, capsys):
+    """`vindex --pq residual` builds the IVFADC store; `--probe --adc`
+    serves the composed search and matches store.search_adc directly;
+    a codeless store and the unsupported --adc+--filter combination
+    both fail loudly."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.operators.ivfstore import IVFStore
+    from production_ready_ds_spark.tables import load
+
+    root = str(tmp_path / "ivfpq")
+    assert main(["vindex", "--root", root, "--sf", sf_small, "--pq", "residual"]) == 0
+    out = capsys.readouterr().out
+    assert "trained PQ codebooks (residual)" in out
+    store = IVFStore(root)
+    assert store.pq_residual() is True
+    assert (
+        main(
+            ["vindex", "--root", root, "--probe", "0,1", "--k", "2",
+             "--adc", "--sf", sf_small]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    emb = load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    want = store.search_adc(
+        emb.filter(F.col("vec_id").isin([0, 1])), top_k=2, nprobe=4, refine=4
+    ).collect()
+    assert want
+    for r in want:
+        assert str(r.neighbor_id) in out
+    # --adc on a codeless store: loud error, not a confusing traceback
+    plain = str(tmp_path / "plain")
+    assert main(["vindex", "--root", plain, "--sf", sf_small]) == 0
+    capsys.readouterr()
+    assert (
+        main(["vindex", "--root", plain, "--probe", "0", "--adc", "--sf", sf_small])
+        == 2
+    )
+    assert "no PQ codebooks" in capsys.readouterr().err
+    # --adc + --filter: declared unsupported
+    assert (
+        main(
+            ["vindex", "--root", root, "--probe", "0", "--adc",
+             "--filter", "lang=de", "--sf", sf_small]
+        )
+        == 2
+    )
+    assert "does not compose" in capsys.readouterr().err

@@ -82,3 +82,60 @@ def test_second_build_is_a_no_op(spark, tmp_path):
     build([SemDedupBatch(data_root=root, source_path=_src(spark), batch=1)])
     report = build([SemDedupBatch(data_root=root, source_path=_src(spark), batch=1)])
     assert report["ran"] == []
+
+
+def test_ingest_on_pq_store_carries_codes_every_batch(spark, tmp_path):
+    """The continuous-ingest shape on an IVFADC store: pre-train the
+    quantizer AND the residual PQ codebooks up front (the production
+    sample-train), then run the per-batch DAG — every appended segment
+    must carry non-null codes (the caller-assigned encode path), the
+    dedup decisions must be identical to the codeless store's, and the
+    composed search must serve from the ingested index exactly (full
+    probe + full refine ≡ float search)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "pq")
+    plain_root = str(tmp_path / "plain")
+    full = spark.read.parquet(_src(spark)).select("vec_id", "embedding")
+    store = IVFStore(f"{root}/ingest/ivf_store")
+    store.train(full)
+    store.train_pq(full, residual=True)
+    build([SemDedupBatch(data_root=root, source_path=_src(spark), batch=1)])
+    build([SemDedupBatch(data_root=plain_root, source_path=_src(spark), batch=1)])
+
+    seg_paths = [
+        f"{root}/ingest/ivf_store/seg={s['seg']}" for s in store.segments()
+    ]
+    seg = spark.read.parquet(*seg_paths)
+    assert "codes" in seg.columns
+    assert seg.filter(F.col("codes").isNull()).count() == 0
+    assert seg.count() == 2 * VEC_BATCH_SIZE
+
+    # codes are dedup-decision-neutral (only the index layout changed):
+    # NOTE the plain store trains on batch 0 only (the DAG bootstrap)
+    # while this store trained on the full corpus, so kept sets can
+    # differ by quantizer — compare against a one-shot under THIS
+    # store's quantizer instead
+    from production_ready_ds_spark.queries.llm import _semantic_decisions
+
+    assigned = store.assign(full).withColumnRenamed("list_id", "bucket")
+    one_shot = {
+        r.vec_id for r in _semantic_decisions(assigned).filter("kept").collect()
+    }
+    inc_kept = _accepted(spark, root, 0) | _accepted(spark, root, 1)
+    assert inc_kept == one_shot
+
+    probes = full.filter(F.col("vec_id") < 3)
+    k = len(store.centroids())
+    n = full.count()
+    composed = sorted(
+        (r.probe_id, r.neighbor_id, r.cos_sim)
+        for r in store.search_adc(
+            probes, top_k=3, nprobe=k, refine=(n + 2) // 3
+        ).collect()
+    )
+    exact = sorted(
+        (r.probe_id, r.neighbor_id, r.cos_sim)
+        for r in store.search(probes, top_k=3, nprobe=k).collect()
+    )
+    assert composed == exact
