@@ -222,6 +222,8 @@ _EXTENSION_PRIORITY = (
     # full-probe anchor)
     "q_stem_tokens",
     "q_sim_topk_ivf",
+    # round-9 new operator: quality-aware canonical selection
+    "q_dedup_keep_best",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

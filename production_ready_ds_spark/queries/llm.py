@@ -231,6 +231,87 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_keep_best",
+    category="llm-dedup",
+    sql=f"""
+    WITH RECURSIVE {_DUCK_JACCARD_CTES},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+    m AS (
+      SELECT cl.doc_id, cl.cluster_id, d.n_chars
+      FROM cl JOIN documents d USING (doc_id)
+    ),
+    best AS (
+      SELECT cluster_id, doc_id AS keep_doc_id FROM (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM m
+      ) WHERE rk = 1
+    )
+    SELECT m.doc_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+           b.keep_doc_id, m.doc_id = b.keep_doc_id AS kept
+    FROM m JOIN best b USING (cluster_id)
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE canonical selection — the keep-decision a real
+    curation pipeline wants on top of duplicate clusters: within each
+    transitive near-dup family, keep the MOST COMPLETE member (max
+    n_chars, ties to the lowest doc_id) instead of blindly the lowest
+    id. Min-id canonicals (q_dedup_clusters) systematically prefer
+    whichever copy was crawled first, which for truncated mirrors and
+    partial scrapes is often the WORST member of the family; ranking
+    the family by an exact quality key fixes that with one window.
+    Output: one row per clustered doc — (doc_id, cluster_id,
+    keep_doc_id, kept), so the downstream filter is `WHERE kept` and
+    the family audit is the not-kept complement. Under the FULL hash
+    gate: the quality key (n_chars desc, doc_id asc) is exact integer
+    data both engines share, composed onto the standard Jaccard-pairs
+    + recursive-reachability oracle chain.
+
+    Scale shape: the pair stage keeps the rank-cap bound, components
+    is the threshold-gated hybrid, and the added decision is ONE
+    window over the clustered-members frame (|clustered docs| rows —
+    orders of magnitude below the corpus) plus a cluster-keyed join of
+    the |clusters|-row winners. Swapping the quality key for a model
+    score (the q_quality_classifier output) is a join, not a rewrite."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
+    cc = connected_components(pairs)
+    members = cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    best = (
+        members.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("doc_id").alias("keep_doc_id"))
+    )
+    return (
+        members.join(broadcast(best), "cluster_id")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "keep_doc_id",
+            (F.col("doc_id") == F.col("keep_doc_id")).alias("kept"),
+        )
+    )
+
+
+@query(
     "q_sample_cluster_weighted",
     category="llm-traindata",
     bench=True,

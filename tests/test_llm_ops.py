@@ -1849,3 +1849,56 @@ def test_containment_catches_subset_duplication_jaccard_misses(spark):
     assert not any(2 in p for p in cont), "unrelated doc pairs with nothing"
     jac = {(r.doc_a, r.doc_b) for r in jaccard_pairs(d).collect()}
     assert (0, 1) not in jac, "symmetric Jaccard must miss the subset pair"
+
+
+def test_keep_best_prefers_longest_member_not_min_id(spark, sf_small):
+    """q_dedup_keep_best semantics on a constructed family: the most
+    complete (longest) member wins even when it carries the LARGEST
+    id; ties fall back to the lowest id; kept is true exactly for the
+    winner; singleton non-clustered docs never appear."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from production_ready_ds_spark.queries import catalog as _cat
+    from production_ready_ds_spark.tables import TABLE_NAMES
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),                              # family A, short
+        (1, base + " today"),                   # family A, longer
+        (2, base + " today with extra words"),  # family A, LONGEST, max id
+        (3, "totally unrelated text about spark catalyst optimizer rules"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        for t in TABLE_NAMES:
+            if t != "documents":
+                os.symlink(
+                    os.path.join(sf_small, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": ["t"] * len(rows),
+                    "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        from production_ready_ds_spark.oracle import run_compare
+
+        r = run_compare(spark, "q_dedup_keep_best", d)
+        assert r.ok, r.detail
+        got = {
+            x.doc_id: (x.cluster_id, x.keep_doc_id, x.kept)
+            for x in _cat()["q_dedup_keep_best"].fn(spark, d).collect()
+        }
+    assert set(got) == {0, 1, 2}, got  # doc 3 is a singleton
+    assert all(v[0] == 0 and v[1] == 2 for v in got.values()), got
+    assert [got[i][2] for i in (0, 1, 2)] == [False, False, True]
