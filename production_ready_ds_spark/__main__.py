@@ -757,12 +757,16 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             if args.adc and vfacet is not None:
-                print(
-                    "--adc does not compose with --filter yet — use the "
-                    "float path (drop --adc) for facet-filtered search",
-                    file=sys.stderr,
-                )
-                return 2
+                attr = vfacet[0]
+                if attr not in store.attr_names():
+                    print(
+                        f"--adc --filter needs {attr!r} in the store's "
+                        f"attrs sidecar (has: {store.attr_names()}) — "
+                        "append with attrs=, or drop --adc for the "
+                        "documents-join eligibility path",
+                        file=sys.stderr,
+                    )
+                    return 2
             if args.adc and store.pq_codec() is None:
                 print(
                     f"store at {args.root} has no PQ codebooks — rebuild "
@@ -790,6 +794,7 @@ def main(argv: list[str] | None = None) -> int:
                     top_k=args.k,
                     nprobe=args.nprobe,
                     refine=args.refine or None,
+                    attr_filter=vfacet,
                 )
                 order = (
                     ["probe_id", F.desc("cos_sim"), "neighbor_id"]

@@ -652,6 +652,7 @@ class IVFStore:
         refine: int | None = 4,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        attr_filter: tuple[str, tuple] | None = None,
     ) -> DataFrame:
         """The composed IVFPQ search (Jégou et al. 2011 §IV; the FAISS
         IndexIVFPQ shape): probe ranks nprobe lists → the probed
@@ -667,6 +668,13 @@ class IVFStore:
         cos_sim) exactly like :meth:`search`. ``refine=None`` skips
         the re-read and returns the raw ADC ranking (probe_id,
         neighbor_id, adc_rank).
+
+        ``attr_filter=(col, values)`` is filtered QUANTIZED search —
+        the attrs-sidecar facet predicate (see :meth:`search`) rides
+        the probed-list CODE read itself (read_lists pushes In(col)
+        next to In(list_id)), so ineligible candidates never reach the
+        ADC kernel, and the refine re-read inherits the same filter
+        because it scans the same filtered frame.
 
         Requires :meth:`train_pq` before the first append. Probes are
         a bounded query batch by contract (the adc_topk rule): their
@@ -711,7 +719,7 @@ class IVFStore:
         wanted = sorted(
             {r["list_id"] for r in probe_lists.select("list_id").distinct().collect()}
         )  # bounded by |probes| * nprobe <= k — a sketch-sized collect
-        lists_df = self.read_lists(spark, wanted)
+        lists_df = self.read_lists(spark, wanted, attr_filter=attr_filter)
         if lists_df is None:
             raise ValueError(f"IVFStore at {self.root} is empty")
         # the codes read: list_id + id + codes ONLY — parquet column

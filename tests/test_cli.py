@@ -517,7 +517,7 @@ def test_vindex_pq_build_and_adc_search(spark, sf_small, tmp_path, capsys):
         == 2
     )
     assert "no PQ codebooks" in capsys.readouterr().err
-    # --adc + --filter: declared unsupported
+    # --adc + --filter on a store WITHOUT an attrs sidecar: loud error
     assert (
         main(
             ["vindex", "--root", root, "--probe", "0", "--adc",
@@ -525,4 +525,4 @@ def test_vindex_pq_build_and_adc_search(spark, sf_small, tmp_path, capsys):
         )
         == 2
     )
-    assert "does not compose" in capsys.readouterr().err
+    assert "attrs sidecar" in capsys.readouterr().err

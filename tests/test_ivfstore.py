@@ -616,3 +616,49 @@ def test_train_pq_residual_requires_centroids(spark, tmp_path, embs):
     store = IVFStore(str(tmp_path / "nc"))
     with pytest.raises(ValueError, match="centroids first"):
         store.train_pq(embs, residual=True)
+
+
+def test_ivfpq_filtered_adc_matches_filtered_float_at_anchor(
+    spark, tmp_path, embs, sf_small
+):
+    """Filtered QUANTIZED search: with the facet persisted in the
+    attrs sidecar, search_adc(attr_filter=...) at the full-probe/
+    full-refine anchor must equal the float search(attr_filter=...)
+    at full probe — the facet predicate rides the probed-list CODE
+    read, and the refine re-read inherits it. Also: every neighbor is
+    eligible, and the plan still prunes floats from the code scan."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.plans.audit import read_schema_columns
+    from production_ready_ds_spark.tables import load
+
+    attrs = (
+        load(spark, sf_small, "documents")
+        .select(F.col("doc_id").alias("vec_id"), "lang")
+    )
+    store = IVFStore(str(tmp_path / "fadc"))
+    store.train(embs)
+    store.train_pq(embs, residual=True)
+    store.append(embs, id_min=0, id_max=10**9, attrs=attrs)
+    probes = embs.filter(F.col("vec_id") < 5)
+    k = len(store.centroids())
+    n = embs.count()
+    facet = ("lang", ("de", "fr"))
+    composed = _results(
+        store.search_adc(
+            probes, top_k=3, nprobe=k, refine=(n + 2) // 3, attr_filter=facet
+        )
+    )
+    exact = _results(store.search(probes, top_k=3, nprobe=k, attr_filter=facet))
+    assert composed == exact and composed
+    eligible = {
+        r.vec_id
+        for r in attrs.filter(F.col("lang").isin(["de", "fr"])).collect()
+    }
+    assert all(nb in eligible for _, nb, _s in composed)
+    # the filtered ADC stage still reads codes without floats
+    adc_only = store.search_adc(
+        probes, top_k=3, nprobe=4, refine=None, attr_filter=facet
+    )
+    schemas = read_schema_columns(adc_only)
+    assert any("codes" in s and "embedding" not in s for s in schemas), schemas

@@ -77,6 +77,13 @@ def run_canary(sf_dir: str, cpus: str, n_runs: int = 5) -> dict:
         "load_avg_end": round(os.getloadavg()[0], 2),
     }
     floor = load_floor()
+    if floor and floor.get("sf_dir") not in (None, sf_dir):
+        # the floor is a quiet-box reference at ITS recorded scale
+        # factor — ratios against a different sf are meaningless
+        out["floor_skipped"] = (
+            f"floor measured at {floor['sf_dir']}, this run at {sf_dir}"
+        )
+        floor = None
     if floor:
         ratios = {
             n: round(timings[n] / floor["queries"][n], 3)
