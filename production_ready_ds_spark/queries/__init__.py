@@ -222,8 +222,10 @@ _EXTENSION_PRIORITY = (
     # full-probe anchor)
     "q_stem_tokens",
     "q_sim_topk_ivf",
-    # round-9 new operator: quality-aware canonical selection
+    # round-9 new operators: quality-aware canonical selection;
+    # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",
+    "q_search_stemmed",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

@@ -4986,6 +4986,7 @@ def _bm25_sql_for(
     terms: tuple[str, ...],
     facet_attr: str | None = None,
     facet_values: tuple[str, ...] = (),
+    stemmed: bool = False,
 ) -> str:
     """The BM25 oracle text for an arbitrary fixed term tuple — ONE
     template so _BM25_SQL (the q_search_bm25 / _indexed / _RRF_SQL
@@ -4995,7 +4996,14 @@ def _bm25_sql_for(
     the attribute threads through the CTEs and filters in the final
     WHERE — BEFORE ROW_NUMBER assigns ranks, and with corpus
     statistics (n, sumdl, df) still aggregated over ALL documents
-    (the Lucene filter-query convention both engine paths follow)."""
+    (the Lucene filter-query convention both engine paths follow).
+    ``stemmed=True`` swaps the token source for the Snowball-folded
+    stream: tokens stem per DISTINCT word through the Porter2 SQL
+    chain (functions/snowball_sql.py — the q_stem_tokens oracle) and
+    regroup per document, token multiplicity and zero-token documents
+    preserved; the caller passes ALREADY-STEMMED query terms (stem
+    them with functions.snowball.snowball_stem, the same function the
+    Spark side uses)."""
     if facet_attr and not re.fullmatch(r"[A-Za-z_]\w*", facet_attr):
         raise ValueError(f"facet_attr must be a plain identifier: {facet_attr!r}")
     fcol = f", {facet_attr}" if facet_attr else ""
@@ -5010,10 +5018,31 @@ def _bm25_sql_for(
         if facet_attr
         else ""
     )
-    return f"""
-    WITH t AS (
+    if stemmed:
+        from ..functions.snowball_sql import snowball_stems_ctes
+
+        t_ctes = f"""
+    WITH toks0 AS (
       SELECT doc_id{fcol}, {_DUCK_TOKENS} AS ts FROM documents
     ),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks0),
+    sbv AS (SELECT DISTINCT tok FROM ex),{snowball_stems_ctes("sbv")},
+    t AS (
+      -- regroup stems per doc; LEFT JOIN + empty-list COALESCE keeps
+      -- zero-token documents in the corpus statistics (n, sumdl)
+      SELECT t0.doc_id{fcol.replace(", ", ", t0.")},
+             COALESCE(st.ts, CAST([] AS VARCHAR[])) AS ts
+      FROM toks0 t0 LEFT JOIN (
+        SELECT e.doc_id, list(s.stem) AS ts
+        FROM ex e JOIN sb_stems s USING (tok) GROUP BY e.doc_id
+      ) st USING (doc_id)
+    )"""
+    else:
+        t_ctes = f"""
+    WITH t AS (
+      SELECT doc_id{fcol}, {_DUCK_TOKENS} AS ts FROM documents
+    )"""
+    return f"""{t_ctes},
     d AS (
       SELECT doc_id{fcol}, len(ts) AS dl,
              {", ".join(
@@ -5130,6 +5159,33 @@ def bm25_topk(
     ``eligible`` (a doc_id frame) is the facet restriction, same
     semantics: candidates semi-join-pruned before ranks, statistics
     untouched (TermStore.search_filtered's scan twin)."""
+    # two-step projection on purpose (the shingled_docs rule): the token
+    # array materializes in its own Project so the tokenizer runs ONCE
+    # per row — fusing it into the size() expressions re-runs the
+    # regex split per expression (measured 1.55 → 1.22 s at sf0.1 and
+    # 8.9 → 4.2 s on the 16× stress set)
+    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
+    return bm25_rank(
+        toks, terms, k=k, k1=k1, b=b, exclude_ids=exclude_ids, eligible=eligible
+    )
+
+
+def bm25_rank(
+    toks: DataFrame,
+    terms: tuple[str, ...],
+    *,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    exclude_ids: tuple[int, ...] = (),
+    eligible: DataFrame | None = None,
+) -> DataFrame:
+    """The BM25 scoring engine over an ALREADY-TOKENIZED
+    (doc_id, ts array<string>) frame — factored out of
+    :func:`bm25_topk` so analyzer variants (q_search_stemmed's
+    Snowball-folded stream) reuse the identical integer-snapped math
+    and TakeOrderedAndProject plan; the token column is the only
+    degree of freedom."""
     terms = tuple(dict.fromkeys(terms))
 
     def tf_expr(term: str):
@@ -5137,12 +5193,6 @@ def bm25_topk(
         # (element, index) HOF signature instead of capturing the term
         return F.size(F.filter(F.col("ts"), lambda w: w == F.lit(term)))
 
-    # two-step projection on purpose (the shingled_docs rule): the token
-    # array materializes in its own Project so the tokenizer runs ONCE
-    # per row — fusing it into the size() expressions re-runs the
-    # regex split per expression (measured 1.55 → 1.22 s at sf0.1 and
-    # 8.9 → 4.2 s on the 16× stress set)
-    toks = docs.select("doc_id", tokens_expr(F.col("text")).alias("ts"))
     per_doc = toks.select(
         "doc_id",
         F.size("ts").alias("dl"),
@@ -5200,6 +5250,51 @@ def bm25_topk(
         final,
         [F.desc("score_scaled"), F.asc("doc_id")],
         k=k,
+    )
+
+
+#: the stemmed-search query — deliberately INFLECTED forms none of
+#: which exist as corpus tokens: the unstemmed BM25 returns ZERO hits
+#: for them, so the driver row is itself the morphological-folding
+#: demonstration (stems: tabl, queri, merg — which fold onto the
+#: corpus tokens table/query/merge)
+STEM_SEARCH_QUERY = ("tables", "querying", "merges")
+
+from ..functions.snowball import snowball_stem  # noqa: E402
+
+_STEMMED_BM25_SQL = _bm25_sql_for(
+    tuple(snowball_stem(t) for t in STEM_SEARCH_QUERY), stemmed=True
+)
+
+
+@query("q_search_stemmed", category="llm-text", sql=_STEMMED_BM25_SQL)
+def q_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STEM-FOLDED BM25 — the Lucene/Elasticsearch "english" analyzer
+    chain as a catalog query: both the document stream AND the query
+    terms pass through the Snowball (Porter2) stemmer before scoring,
+    so inflected queries match inflected documents ("tables" finds
+    docs containing "table"; the unstemmed q_search_bm25 scores these
+    query terms to an EMPTY result — the driver row demonstrates the
+    folding, not just tolerates it). Under the FULL hash gate by
+    composing two existing oracle chains: the Porter2 SQL replay
+    (functions/snowball_sql.py, per-distinct-word) feeds the
+    _bm25_sql_for scoring template, and the query-term stems are
+    generated by the SAME snowball_stem function the Spark side calls
+    — neither the analyzer nor the scorer can drift from its
+    standalone query.
+
+    Scale shape: identical to q_search_bm25 plus one Arrow-batched
+    stemmer pass (the q_stem_tokens kernel — linear in corpus tokens,
+    parallel across executors); scoring, statistics, and the
+    TakeOrderedAndProject top-k are bm25_rank, byte-for-byte the
+    unstemmed engine."""
+    from ..functions.stemmer import stem_tokens_udf
+
+    d = load(spark, sf_dir, "documents")
+    stem = stem_tokens_udf()
+    toks = d.select("doc_id", stem(tokens_expr(F.col("text"))).alias("ts"))
+    return bm25_rank(
+        toks, tuple(snowball_stem(t) for t in STEM_SEARCH_QUERY), k=20
     )
 
 

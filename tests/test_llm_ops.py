@@ -1902,3 +1902,70 @@ def test_keep_best_prefers_longest_member_not_min_id(spark, sf_small):
     assert set(got) == {0, 1, 2}, got  # doc 3 is a singleton
     assert all(v[0] == 0 and v[1] == 2 for v in got.values()), got
     assert [got[i][2] for i in (0, 1, 2)] == [False, False, True]
+
+
+def test_stemmed_search_folds_inflected_forms(spark, sf_small):
+    """q_search_stemmed's folding semantics on a constructed corpus:
+    documents containing only inflected forms (queries, querying,
+    tabled) are found by the stemmed search while the unstemmed BM25
+    for the same query terms misses them; a morphologically unrelated
+    doc never appears. Also re-verifies the composed oracle on the
+    constructed corpus (Porter2 chain + BM25 template end-to-end)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from production_ready_ds_spark.queries import catalog as _cat
+    from production_ready_ds_spark.queries.llm import (
+        STEM_SEARCH_QUERY,
+        bm25_topk,
+    )
+    from production_ready_ds_spark.oracle import run_compare
+    from production_ready_ds_spark.tables import TABLE_NAMES, load
+
+    rows = [
+        (0, "queries over large tables need planning and merges"),
+        (1, "querying tabled data merged yesterday"),
+        (2, "completely unrelated words about spark streams"),
+        (3, "the query planner merges table scans"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        for t in TABLE_NAMES:
+            if t != "documents":
+                os.symlink(
+                    os.path.join(sf_small, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"),
+                )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                    "lang": ["en"] * len(rows),
+                    "source": ["t"] * len(rows),
+                    "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                }
+            ),
+            os.path.join(d, "documents.parquet"),
+        )
+        r = run_compare(spark, "q_search_stemmed", d)
+        assert r.ok, r.detail
+        stemmed_hits = {
+            x.doc_id: x.n_terms_hit
+            for x in _cat()["q_search_stemmed"].fn(spark, d).collect()
+        }
+        unstemmed = bm25_topk(
+            load(spark, d, "documents"), STEM_SEARCH_QUERY
+        ).collect()
+    assert set(stemmed_hits) == {0, 1, 3}, stemmed_hits
+    # folding collapses every inflected variant onto the stem, so all
+    # three morphologically-related docs hit ALL THREE terms
+    assert all(stemmed_hits[i] == 3 for i in (0, 1, 3)), stemmed_hits
+    # the unstemmed engine only counts exact token matches — each doc
+    # hits at most its literally-present forms (doc 0: tables+merges,
+    # doc 1: querying, doc 3: merges), never all three
+    un = {x.doc_id: x.n_terms_hit for x in unstemmed}
+    assert un and max(un.values()) < 3, un
+    assert un == {0: 2, 1: 1, 3: 1}, un
