@@ -94,12 +94,33 @@ class TermStore:
         except FileNotFoundError:
             return []
 
-    def _write_manifest(self, segments: list[dict]) -> None:
+    def _write_manifest(
+        self, segments: list[dict], analyzer: str | None = None
+    ) -> None:
+        """Replace the segment list, PRESERVING the analyzer label —
+        every manifest writer (append / delete / compact) goes through
+        here so maintenance can never silently relabel a stemmed
+        store (the IVFStore attrs-preservation convention)."""
         os.makedirs(self.root, exist_ok=True)
+        payload: dict = {"segments": segments}
+        label = self.analyzer_name() if analyzer is None else analyzer
+        if label != "standard":
+            payload["analyzer"] = label
         tmp = self._path(MANIFEST) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"segments": segments}, fh)
+            json.dump(payload, fh)
         os.replace(tmp, self._path(MANIFEST))
+
+    def analyzer_name(self) -> str:
+        """The token-analyzer label this store's postings were built
+        with ("standard" = bare tokens_expr; "snowball" = stem-folded).
+        Query terms must pass through the same analyzer — mixed
+        analyzers make postings and query vocabulary disjoint."""
+        try:
+            with open(self._path(MANIFEST)) as fh:
+                return json.load(fh).get("analyzer", "standard")
+        except FileNotFoundError:
+            return "standard"
 
     def _docmap_path(self, seg: dict) -> str:
         """Path of a segment's doc-length sidecar, with a CLEAR error
@@ -136,6 +157,8 @@ class TermStore:
         n_files: int = 4,
         skip_if_range_indexed: bool = False,
         attrs: tuple[str, ...] = (),
+        token_fn=None,
+        analyzer: str = "standard",
     ) -> bool:
         """Tokenize a batch and register its postings as a
         term-clustered segment. Statistics count EVERY batch doc (a doc
@@ -161,13 +184,32 @@ class TermStore:
         the stats pass computes those anyway (the streaming-ingest
         case, which otherwise pays a redundant per-micro-batch
         aggregation); derived bounds are checked for overlap AFTER the
-        stats pass."""
+        stats pass.
+
+        ``token_fn`` (a Column → array<string> Column builder;
+        default ``tokens_expr``) is the ANALYZER — e.g. the Snowball
+        stem-folding chain for a stemmed index — and ``analyzer``
+        labels it in the manifest: every append must declare the same
+        label as the store's existing segments (mixed analyzers make
+        postings vocabularies disjoint — the attrs-schema rule applied
+        to tokenization), and search callers pass query terms through
+        the matching analyzer themselves (postings carry no
+        tokenizer)."""
         from ..functions.text import tokens_expr
 
         if (id_min is None) != (id_max is None):
             raise ValueError("pass both id_min and id_max, or neither")
+        if token_fn is None:
+            token_fn = tokens_expr
 
         segments = self.segments()
+        if segments and self.analyzer_name() != analyzer:
+            raise ValueError(
+                f"TermStore at {self.root} was built with analyzer="
+                f"{self.analyzer_name()!r} but this append declares "
+                f"{analyzer!r} — mixed analyzers make postings and "
+                "query vocabularies disjoint; rebuild the store"
+            )
         # attr-schema check BEFORE the idempotent-skip early return: a
         # re-append with different attrs must fail loudly, not silently
         # skip and leave the caller believing the facet is available
@@ -199,7 +241,7 @@ class TermStore:
         ):
             return False
         toks = docs.select(
-            "doc_id", *attrs, tokens_expr(F.col("text")).alias("ts")
+            "doc_id", *attrs, token_fn(F.col("text")).alias("ts")
         ).localCheckpoint(eager=True)  # consumed by stats AND postings
         stats_row = toks.agg(
             F.count(F.lit(1)).alias("n"),
@@ -261,7 +303,7 @@ class TermStore:
         )
         # manifest replaced only after BOTH data dirs are durable (the
         # sigstore crash ordering)
-        self._write_manifest([*segments, seg])
+        self._write_manifest([*segments, seg], analyzer=analyzer)
         return True
 
     def delete_ids(

@@ -226,6 +226,7 @@ _EXTENSION_PRIORITY = (
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",
     "q_search_stemmed",
+    "q_search_stemmed_indexed",
     # rows-only trainer family (weaker rows>0 driver check)
     "q_unigram_train",
     "q_unigram_apply",

@@ -5362,6 +5362,53 @@ def q_search_faceted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_stemmed_index(spark: SparkSession, sf_dir: str):
+    """The stem-folded TermStore twin of _cached_corpus_index: one
+    per-corpus /tmp store whose postings are built over the
+    Snowball-stemmed token stream (TermStore.append token_fn, the
+    analyzer-at-index-time half of the Lucene design; labelled
+    analyzer="snowball" in the manifest so a mixed append fails
+    loudly). Separate cache key — the standard store's postings
+    vocabulary is disjoint."""
+    from ..functions.stemmer import stem_tokens_udf
+    from ..operators.termstore import STORE_VERSION, TermStore
+
+    store = TermStore(
+        _corpus_cache_dir(
+            "prds_termstore_stem", sf_dir, "documents", (STORE_VERSION, "snowball")
+        )
+    )
+    with _build_lock(store.root):
+        if not store.segments():
+            stem = stem_tokens_udf()
+            store.append(
+                load(spark, sf_dir, "documents"),
+                id_min=0,
+                id_max=2**62,
+                skip_if_range_indexed=True,
+                token_fn=lambda c: stem(tokens_expr(c)),
+                analyzer="snowball",
+            )
+    return store
+
+
+@query("q_search_stemmed_indexed", category="llm-text", sql=_STEMMED_BM25_SQL)
+def q_search_stemmed_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_search_stemmed served from a PERSISTENT stem-folded inverted
+    index — the full Lucene "english" analyzer design: the SAME
+    analyzer runs at index time (postings built over stemmed tokens,
+    TermStore.append token_fn) and at query time (terms stemmed by the
+    same snowball_stem call), and the store's manifest carries the
+    analyzer label so a mismatched append fails loudly. Held to the
+    IDENTICAL composed Porter2+BM25 oracle as the scan twin (the
+    indexed-twin convention) — a hash-green row proves stemmed
+    tokenize → postings build → segment write → manifest stats →
+    pushed In(term) read → scoring end to end."""
+    return _cached_stemmed_index(spark, sf_dir).search(
+        spark, tuple(snowball_stem(t) for t in STEM_SEARCH_QUERY), k=20
+    )
+
+
 def _cached_corpus_index(spark: SparkSession, sf_dir: str):
     """The per-(corpus signature, STORE_VERSION) /tmp TermStore both
     indexed catalog queries share — ONE key definition, so the BM25

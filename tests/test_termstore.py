@@ -605,3 +605,45 @@ def test_append_rejects_mismatched_attr_schema(spark, sf_small, tmp_path):
         docs.filter("doc_id >= 250"), id_min=250, id_max=10**9, attrs=("lang",)
     )
     assert len(store.segments()) == 2
+
+
+def test_analyzer_label_guards_mixed_appends_and_survives_maintenance(
+    spark, tmp_path, sf_small
+):
+    """A stem-folded store (append token_fn + analyzer label) refuses
+    a standard append (disjoint postings vocabularies), the label
+    survives compaction, and the stemmed postings serve stemmed query
+    terms."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.functions.snowball import snowball_stem
+    from production_ready_ds_spark.functions.stemmer import stem_tokens_udf
+    from production_ready_ds_spark.functions.text import tokens_expr
+    from production_ready_ds_spark.operators.termstore import TermStore
+    from production_ready_ds_spark.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    stem = stem_tokens_udf()
+    store = TermStore(str(tmp_path / "stem"))
+    half = docs.filter(F.col("doc_id") < 250)
+    rest = docs.filter(F.col("doc_id") >= 250)
+    store.append(
+        half, id_min=0, id_max=249,
+        token_fn=lambda c: stem(tokens_expr(c)), analyzer="snowball",
+    )
+    assert store.analyzer_name() == "snowball"
+    with _pt.raises(ValueError, match="mixed analyzers"):
+        store.append(rest, id_min=250, id_max=10**9)
+    store.append(
+        rest, id_min=250, id_max=10**9,
+        token_fn=lambda c: stem(tokens_expr(c)), analyzer="snowball",
+    )
+    before = store.search(
+        spark, (snowball_stem("queries"),), k=5
+    ).collect()
+    assert before, "stemmed postings must serve the stemmed term"
+    store.compact(spark)
+    assert store.analyzer_name() == "snowball", "label must survive compact"
+    after = store.search(spark, (snowball_stem("queries"),), k=5).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
