@@ -166,8 +166,25 @@ def stem_tokens_udf():
 
     from .snowball import snowball_stem
 
+    # word -> stem memo, closure-level so it persists ACROSS Arrow
+    # batches within a worker (ships empty; each executor fills its
+    # own): corpus text is Zipfian, so most token occurrences repeat a
+    # small vocabulary and the full Porter2 run is paid once per
+    # distinct word per executor instead of once per occurrence
+    # (measured 5.6 -> 1.6 s on q_search_stemmed at sf0.1)
+    memo: dict = {}
+
     def _stem_arrays(s):  # pd.Series -> pd.Series (no hints: pandas is
         # not module-global here, and pyspark eval's string annotations)
-        return s.map(lambda toks: [snowball_stem(t) for t in toks] if toks is not None else None)
+        def st(t):
+            r = memo.get(t)
+            if r is None:
+                r = snowball_stem(t)
+                memo[t] = r
+            return r
+
+        return s.map(
+            lambda toks: [st(t) for t in toks] if toks is not None else None
+        )
 
     return pandas_udf(_stem_arrays, "array<string>")
