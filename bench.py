@@ -171,6 +171,10 @@ def main() -> None:
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
 
+    # the PROTOCOL loop's end load — sampled before the canary
+    # saturates the box, or every canary-enabled artifact would
+    # self-flag as noisy under the trust-deltas-when-loads-low rule
+    load_end = round(os.getloadavg()[0], 2)
     # machine-band canary (round-8 verdict item 4): a fixed 10-query
     # set in its OWN subprocess JVM, min-of-5, ratioed against the
     # committed quiet-box floor (tools/canary_floor.json) — the
@@ -219,7 +223,7 @@ def main() -> None:
         "mode": f"steady_state_min_of_{n_runs}",
         "sf": sf,
         "load_avg_start": load_start,
-        "load_avg_end": round(os.getloadavg()[0], 2),
+        "load_avg_end": load_end,
         "n_queries": len(timings),
     }
     detail = dict(summary, cold_queries=cold, notes=_FLOOR_NOTES, canary=canary)

@@ -775,7 +775,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return 2
             eligible = None
-            if vfacet is not None:
+            if vfacet is not None and not args.adc:
+                # the ADC path filters via the attrs sidecar inside
+                # search_adc — the documents-join eligibility frame is
+                # the FLOAT path's mechanism (and the facet attr need
+                # not exist in the documents table at all)
                 attr, values = vfacet
                 docs = load(spark, args.sf, "documents")
                 if attr not in docs.columns:
@@ -821,7 +825,11 @@ def main(argv: list[str] | None = None) -> int:
                 k = store.train(emb)
                 print(f"trained {k} lists (corpus-scaled)")
             if args.pq and store.pq_codec() is None:
-                store.train_pq(emb, residual=(args.pq == "residual"))
+                try:
+                    store.train_pq(emb, residual=(args.pq == "residual"))
+                except ValueError as exc:
+                    print(str(exc), file=sys.stderr)
+                    return 2
                 print(f"trained PQ codebooks ({args.pq})")
             wrote = store.append(
                 emb, id_min=0, id_max=2**62, skip_if_range_indexed=True

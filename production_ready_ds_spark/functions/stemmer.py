@@ -166,19 +166,25 @@ def stem_tokens_udf():
 
     from .snowball import snowball_stem
 
-    # word -> stem memo, closure-level so it persists ACROSS Arrow
-    # batches within a worker (ships empty; each executor fills its
-    # own): corpus text is Zipfian, so most token occurrences repeat a
-    # small vocabulary and the full Porter2 run is paid once per
-    # distinct word per executor instead of once per occurrence
-    # (measured 5.6 -> 1.6 s on q_search_stemmed at sf0.1)
+    # word -> stem memo, closure-level so it persists across Arrow
+    # batches WITHIN A TASK (each task deserializes a fresh closure;
+    # ships empty): corpus text is Zipfian, so most token occurrences
+    # repeat a small vocabulary and the full Porter2 run is paid once
+    # per distinct word per task instead of once per occurrence
+    # (measured 5.6 -> 1.45 s on q_search_stemmed at sf0.1). BOUNDED:
+    # a high-cardinality token tail (random ids, hashes) must not grow
+    # worker memory without cap — past the cap the memo resets, which
+    # keeps the Zipfian head hot and the ceiling fixed
     memo: dict = {}
+    _MEMO_CAP = 1_000_000
 
     def _stem_arrays(s):  # pd.Series -> pd.Series (no hints: pandas is
         # not module-global here, and pyspark eval's string annotations)
         def st(t):
             r = memo.get(t)
             if r is None:
+                if len(memo) >= _MEMO_CAP:
+                    memo.clear()
                 r = snowball_stem(t)
                 memo[t] = r
             return r

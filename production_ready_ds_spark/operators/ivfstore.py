@@ -205,13 +205,7 @@ class IVFStore:
         codec = PQCodec.train(
             train_src, m=m, ks=ks, seed=seed, max_iter=max_iter, vec_col=train_col
         )
-        self._write_json(
-            PQ_FILE,
-            {
-                "codebooks": [c.tolist() for c in codec.codebooks],
-                "residual": bool(residual),
-            },
-        )
+        codec.save(self._path(PQ_FILE), extra={"residual": bool(residual)})
         return codec
 
     def pq_codec(self) -> "object | None":
@@ -279,7 +273,7 @@ class IVFStore:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         codec: "object | None" = None,
-        residual: bool = False,
+        residual: bool | None = None,
     ) -> DataFrame:
         """(id, embedding, list_id) for a batch: nearest persisted
         centroid per vector, computed as ONE BLAS matmul per Arrow
@@ -299,12 +293,19 @@ class IVFStore:
         each vector's ``codes`` — the per-subspace argmins run on the
         already-materialized X of the same Arrow batch, so the IVFPQ
         ingest path (append on a PQ-trained store) stays ONE map pass
-        instead of assign + encode + a batch-sized join. With
-        ``residual`` (the IVFADC store form) the codes quantize
-        ``x − centroid(list)`` — the argmin'd centroid row is already
-        in-register when the subspace argmins run."""
+        instead of assign + encode + a batch-sized join. On a residual
+        (IVFADC) store the codes quantize ``x − centroid(list)`` — the
+        argmin'd centroid row is already in-register when the subspace
+        argmins run. ``residual`` DEFAULTS TO THE STORE'S PERSISTED
+        FLAG (pq_residual()): a caller following the fused-ingest
+        pattern (assign with codec, then append(assigned=...)) must
+        not be able to silently write raw-vector codes into a
+        residual store — every ADC distance would be wrong; pass it
+        explicitly only to override for diagnostics."""
         import numpy as np
 
+        if residual is None:
+            residual = self.pq_residual()
         cents = self.centroids()
         if cents is None:
             raise ValueError(f"IVFStore at {self.root} has no trained centroids")

@@ -99,11 +99,18 @@ class PQCodec:
         return cls(books)
 
     # -- persistence ------------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str, *, extra: dict | None = None) -> None:
+        """Persist the codebooks (+ optional caller metadata, e.g. the
+        IVFStore residual flag) — the ONE owner of the on-disk PQ JSON
+        format; ``load`` ignores unknown keys so metadata round-trips
+        through foreign readers."""
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        payload = {"codebooks": [c.tolist() for c in self.codebooks]}
+        if extra:
+            payload.update(extra)
         with open(tmp, "w") as fh:
-            json.dump({"codebooks": [c.tolist() for c in self.codebooks]}, fh)
+            json.dump(payload, fh)
         os.replace(tmp, path)
 
     @classmethod

@@ -111,6 +111,25 @@ class TermStore:
             json.dump(payload, fh)
         os.replace(tmp, self._path(MANIFEST))
 
+    def analyze_terms(self, terms: tuple[str, ...]) -> tuple[str, ...]:
+        """Pass query terms through the analyzer the manifest records
+        (the Lucene rule: the same chain at index and query time) —
+        identity for a standard store, snowball_stem per term for a
+        stem-folded one. The BM25 paths (search / search_filtered)
+        call this, so unanalyzed terms against a snowball store can
+        never silently miss the postings vocabulary; the positional
+        and raw primitives (phrase/proximity/prefix/fuzzy,
+        read_postings) stay analyzer-agnostic — analyze their inputs
+        yourself when serving a stemmed store. Do NOT pre-stem the
+        terms you pass to search — Porter2 is
+        not idempotent on every word, so double-stemming can change
+        the term."""
+        if self.analyzer_name() == "snowball":
+            from ..functions.snowball import snowball_stem
+
+            return tuple(snowball_stem(t) for t in terms)
+        return terms
+
     def analyzer_name(self) -> str:
         """The token-analyzer label this store's postings were built
         with ("standard" = bare tokens_expr; "snowball" = stem-folded).
@@ -516,8 +535,11 @@ class TermStore:
         semantics: corpus statistics (N, Σdl, per-term df) stay those
         of the FULL index, and the semi join prunes posting rows
         BEFORE the per-doc score aggregate, so no score is computed
-        for a filtered-out document (never post-filtered ranks)."""
-        terms = tuple(dict.fromkeys(terms))
+        for a filtered-out document (never post-filtered ranks).
+
+        Terms pass through the store's recorded analyzer first
+        (analyze_terms) — pass RAW terms, not pre-stemmed ones."""
+        terms = tuple(dict.fromkeys(self.analyze_terms(terms)))
         post = self.read_postings(spark, list(terms))
         if post is None:
             raise ValueError(f"TermStore at {self.root} is empty or no terms given")

@@ -5403,9 +5403,12 @@ def q_search_stemmed_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL composed Porter2+BM25 oracle as the scan twin (the
     indexed-twin convention) — a hash-green row proves stemmed
     tokenize → postings build → segment write → manifest stats →
-    pushed In(term) read → scoring end to end."""
+    pushed In(term) read → scoring end to end. RAW query terms go in:
+    the store's search() applies the analyzer its manifest records
+    (Porter2 is not idempotent on every word, so pre-stemming could
+    double-stem)."""
     return _cached_stemmed_index(spark, sf_dir).search(
-        spark, tuple(snowball_stem(t) for t in STEM_SEARCH_QUERY), k=20
+        spark, STEM_SEARCH_QUERY, k=20
     )
 
 

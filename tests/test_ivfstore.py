@@ -662,3 +662,38 @@ def test_ivfpq_filtered_adc_matches_filtered_float_at_anchor(
     )
     schemas = read_schema_columns(adc_only)
     assert any("codes" in s and "embedding" not in s for s in schemas), schemas
+
+
+def test_assign_defaults_to_the_stores_residual_flag(spark, tmp_path, embs):
+    """The round-9 review footgun, pinned: on a residual (IVFADC)
+    store, assign(codec=...) WITHOUT an explicit residual argument
+    must encode residuals (the persisted flag decides) — a caller
+    following the fused-ingest pattern could otherwise silently write
+    raw-vector codes whose ADC distances are all wrong."""
+    store = IVFStore(str(tmp_path / "flag"))
+    store.train(embs)
+    codec = store.train_pq(embs, residual=True)
+    batch = embs.filter(F.col("vec_id") < 50)
+    default_codes = {
+        r.vec_id: list(r.codes)
+        for r in store.assign(batch, codec=codec).collect()
+    }
+    res_codes = {
+        r.vec_id: list(r.codes)
+        for r in store.assign(batch, codec=codec, residual=True).collect()
+    }
+    raw_codes = {
+        r.vec_id: list(r.codes)
+        for r in store.assign(batch, codec=codec, residual=False).collect()
+    }
+    assert default_codes == res_codes
+    assert default_codes != raw_codes
+    # and the fused caller pattern end-to-end: append the defaults,
+    # composed search must equal float search at the anchor
+    pre = store.assign(batch, codec=codec).localCheckpoint(eager=True)
+    store.append(batch, id_min=0, id_max=49, assigned=pre)
+    probes = batch.filter(F.col("vec_id") < 3)
+    k = len(store.centroids())
+    assert _results(
+        store.search_adc(probes, top_k=3, nprobe=k, refine=50)
+    ) == _results(store.search(probes, top_k=3, nprobe=k))

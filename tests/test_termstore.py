@@ -639,11 +639,13 @@ def test_analyzer_label_guards_mixed_appends_and_survives_maintenance(
         rest, id_min=250, id_max=10**9,
         token_fn=lambda c: stem(tokens_expr(c)), analyzer="snowball",
     )
-    before = store.search(
-        spark, (snowball_stem("queries"),), k=5
-    ).collect()
-    assert before, "stemmed postings must serve the stemmed term"
+    # search takes RAW terms — the store applies its recorded analyzer
+    # (the Lucene same-chain-both-sides rule), so the inflected form
+    # finds the stem postings
+    before = store.search(spark, ("queries",), k=5).collect()
+    assert before, "raw inflected term must hit the stem postings"
+    assert store.analyze_terms(("queries",)) == (snowball_stem("queries"),)
     store.compact(spark)
     assert store.analyzer_name() == "snowball", "label must survive compact"
-    after = store.search(spark, (snowball_stem("queries"),), k=5).collect()
+    after = store.search(spark, ("queries",), k=5).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
