@@ -517,6 +517,11 @@ def test_vindex_pq_build_and_adc_search(spark, sf_small, tmp_path, capsys):
         == 2
     )
     assert "no PQ codebooks" in capsys.readouterr().err
+    # --pq on an already-segmented store: loud error, exit 2
+    assert (
+        main(["vindex", "--root", plain, "--sf", sf_small, "--pq", "raw"]) == 2
+    )
+    assert "already has segments" in capsys.readouterr().err
     # --adc + --filter on a store WITHOUT an attrs sidecar: loud error
     assert (
         main(
