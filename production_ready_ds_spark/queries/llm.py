@@ -233,6 +233,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_keep_best",
     category="llm-dedup",
+    bench=True,
     sql=f"""
     WITH RECURSIVE {_DUCK_JACCARD_CTES},
     edges AS (
@@ -5267,7 +5268,7 @@ _STEMMED_BM25_SQL = _bm25_sql_for(
 )
 
 
-@query("q_search_stemmed", category="llm-text", sql=_STEMMED_BM25_SQL)
+@query("q_search_stemmed", category="llm-text", bench=True, sql=_STEMMED_BM25_SQL)
 def q_search_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STEM-FOLDED BM25 — the Lucene/Elasticsearch "english" analyzer
     chain as a catalog query: both the document stream AND the query
