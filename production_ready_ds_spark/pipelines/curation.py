@@ -208,9 +208,17 @@ class DedupNear(SparkTask):
     """Near-dup removal with transitive cluster resolution: 3-gram
     Jaccard pairs (hash-blocked, hot-shingle-capped self join —
     operators/dedup.py jaccard_pairs) → connected components → keep ONE
-    canonical doc (min doc_id) per duplicate cluster. Per-pair
-    keep-lowest would mishandle chains: A~B and B~C could retain both B
-    and C; label propagation resolves {A,B,C} to a single keeper."""
+    canonical doc per duplicate cluster. Per-pair keep-lowest would
+    mishandle chains: A~B and B~C could retain both B and C; label
+    propagation resolves {A,B,C} to a single keeper.
+
+    ``keep_best`` selects the canonical by QUALITY (max current text
+    length, ties to lowest doc_id — the q_dedup_keep_best rule:
+    min-id canonicals
+    systematically prefer whichever copy was crawled first, often a
+    truncated mirror) instead of the default min doc_id. It changes
+    WHICH text survives, so like the text-mutating flags it is part of
+    the target's identity suffix."""
 
     data_root = Parameter()
     sf_dir = Parameter()
@@ -219,6 +227,7 @@ class DedupNear(SparkTask):
     clean_markup = Parameter(default=False)
     normalize_unicode = Parameter(default=False)
     redact_pii = Parameter(default=False)
+    keep_best = Parameter(default=False)
 
     def requires(self):
         return DedupExact(
@@ -233,19 +242,45 @@ class DedupNear(SparkTask):
     def output(self):
         return ParquetTarget(_stage_dir(
             self.data_root,
-            "dedup_near" + _variant(self.clean_markup, self.normalize_unicode, self.redact_pii),
+            "dedup_near"
+            + _variant(self.clean_markup, self.normalize_unicode, self.redact_pii)
+            + ("_kb" if self.keep_best else ""),
         ))
 
     def main(self, spark):
+        from pyspark.sql import Window
+
         from ..operators.dedup import connected_components, jaccard_pairs
 
         docs = spark.read.parquet(self.requires().output().path)
         pairs = jaccard_pairs(docs, threshold=float(self.jaccard_threshold))
         clusters = connected_components(pairs)
-        # every clustered doc that is NOT its component's minimum
-        drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
-            F.col("node").alias("doc_id")
-        )
+        if self.keep_best:
+            # the q_dedup_keep_best winner rule: within each cluster
+            # keep the most complete member (max n_chars, ties to the
+            # lowest doc_id); one window over the clustered-members
+            # frame + the drop anti-join
+            # quality key computed from the CURRENT text (upstream
+            # cleaning stages rewrite the schema — n_chars from the
+            # raw table may be absent or stale here)
+            members = clusters.select(
+                F.col("node").alias("doc_id"), "cluster_id"
+            ).join(
+                docs.select("doc_id", F.length("text").alias("_len")), "doc_id"
+            )
+            w = Window.partitionBy("cluster_id").orderBy(
+                F.desc("_len"), F.asc("doc_id")
+            )
+            drop = (
+                members.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") > 1)
+                .select("doc_id")
+            )
+        else:
+            # every clustered doc that is NOT its component's minimum
+            drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+                F.col("node").alias("doc_id")
+            )
         docs.join(drop, "doc_id", "left_anti").write.mode("overwrite").parquet(
             self.output().path
         )

@@ -223,3 +223,53 @@ def test_curation_normalize_unicode_composes_between_markup_and_pii(
     assert scored.filter(F.col("text").contains(" ")).count() == 0
     assert scored.filter(F.col("text").contains("leak.example.com")).count() == 0
     assert scored.filter(F.col("text").contains("<EMAIL>")).count() == n
+
+
+def test_dedup_near_keep_best_keeps_longest_member(spark, tmp_path):
+    """DedupNear(keep_best=True) keeps the most complete family member
+    (the q_dedup_keep_best rule) where the default keeps min-id — and
+    the two variants write DISTINCT targets (the flag is part of the
+    stage identity, so toggling it can never reuse the other's
+    output)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from production_ready_ds_spark.pipelines.curation import DedupNear
+    from production_ready_ds_spark.workflow import build
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base + " today with extra words making it the longest copy"),
+        (2, "totally unrelated text about catalyst optimizer rules"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(sf, "documents.parquet"),
+    )
+    root = str(tmp_path / "out")
+    kb = DedupNear(data_root=root, sf_dir=sf, min_quality=0.0, keep_best=True)
+    mn = DedupNear(data_root=root, sf_dir=sf, min_quality=0.0)
+    build([kb])
+    build([mn])
+    assert kb.output().path != mn.output().path
+    kept_kb = {
+        r.doc_id for r in spark.read.parquet(kb.output().path).collect()
+    }
+    kept_mn = {
+        r.doc_id for r in spark.read.parquet(mn.output().path).collect()
+    }
+    assert kept_kb == {1, 2}, kept_kb  # longest family member wins
+    assert kept_mn == {0, 2}, kept_mn  # min-id default unchanged
