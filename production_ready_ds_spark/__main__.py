@@ -246,6 +246,14 @@ def _parser() -> argparse.ArgumentParser:
         help="--adc: exact-rerank multiplier (top refine*k ADC "
         "candidates re-ranked by true cosine; 0 = raw ADC ranks)",
     )
+    vindex.add_argument(
+        "--max-train-rows",
+        type=int,
+        default=None,
+        help="build: train KMeans (and PQ codebooks) on a deterministic "
+        "content-hash sample of ~N rows; k is still sized by the full "
+        "corpus count (the 100 TB build-cost lever)",
+    )
     vindex.add_argument("--limit", type=int, default=20)
     corpus = sub.add_parser("corpus")
     corpus.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -822,11 +830,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
             if store.centroids() is None:
-                k = store.train(emb)
+                k = store.train(emb, max_train_rows=args.max_train_rows)
                 print(f"trained {k} lists (corpus-scaled)")
             if args.pq and store.pq_codec() is None:
                 try:
-                    store.train_pq(emb, residual=(args.pq == "residual"))
+                    store.train_pq(
+                        emb,
+                        residual=(args.pq == "residual"),
+                        max_train_rows=args.max_train_rows,
+                    )
                 except ValueError as exc:
                     print(str(exc), file=sys.stderr)
                     return 2

@@ -173,8 +173,9 @@ def stem_tokens_udf():
     # per distinct word per task instead of once per occurrence
     # (measured 5.6 -> 1.45 s on q_search_stemmed at sf0.1). BOUNDED:
     # a high-cardinality token tail (random ids, hashes) must not grow
-    # worker memory without cap — past the cap the memo resets, which
-    # keeps the Zipfian head hot and the ceiling fixed
+    # worker memory without cap — past the cap the memo resets (head
+    # and tail alike); the ceiling stays fixed and the Zipfian head
+    # re-warms within a few batches
     memo: dict = {}
     _MEMO_CAP = 1_000_000
 

@@ -56,6 +56,23 @@ DEFAULT_K = 16
 DEFAULT_NPROBE = 4
 
 
+def _hash_sample(
+    emb: DataFrame, *, vec_col: str, keep: int, n_rows: int, seed: int
+) -> DataFrame:
+    """~``keep`` of ``n_rows`` rows by CONTENT hash (xxhash64 of the
+    vector itself, salted with the training seed) — deterministic
+    across sessions, partitionings, and row orders, unlike
+    ``df.sample`` whose draw depends on partition layout. This is the
+    recompute-determinism convention of the ingest DAGs: retraining on
+    the same corpus reproduces the identical sample, so the identical
+    centroids. One map-side filter; no shuffle, no collect."""
+    denom = 1 << 30
+    cut = max(1, (denom * keep) // max(n_rows, 1))
+    return emb.filter(
+        F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(denom)) < F.lit(cut)
+    )
+
+
 class IVFStore:
     """Persistent trained-quantizer vector index (see module docstring)."""
 
@@ -123,24 +140,53 @@ class IVFStore:
         seed: int = 7,
         max_iter: int = 5,
         vec_col: str = "embedding",
+        max_train_rows: int | None = None,
     ) -> int:
         """Fit k centroids (seeded KMeans) and persist them. With
         ``k=None`` (default) k is CORPUS-SCALED via scaled_ivf_k —
         mean list ≤ 64 training rows, floored at DEFAULT_K — so list
         count grows with the data instead of letting fixed lists go
-        quadratic; pass an explicit k to pin it. Train on a SAMPLE at
-        scale — KMeans cost is per-training-row, and the assignment
-        map never needs the trainer again; a sample-trained k should
-        be sized for the FULL corpus (pass k=scaled_ivf_k(full_rows)).
-        Returns k."""
+        quadratic; pass an explicit k to pin it.
+
+        ``max_train_rows`` is the 100 TB lever (round-9 verdict item
+        2): KMeans cost is per-training-row × iterations, but the
+        assignment map never needs the trainer again, so a corpus
+        bigger than ``max_train_rows`` is trained on a ~that-sized
+        DETERMINISTIC content-hash sample (:func:`_hash_sample` —
+        reproducible across sessions and partitionings) while **k is
+        still sized by the FULL corpus count** — the inverted-list
+        width contract depends on what the store will HOLD, not on
+        what the trainer saw. Build cost thereby decouples from corpus
+        size (SCALE.md ivfpq-build curve). Must be ≥ the resolved k
+        (fewer training rows than centroids is a broken fit, not a
+        cheaper one). Returns k."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         from ..functions.vectors import scaled_ivf_k
 
+        n_rows: int | None = None
+        if k is None or max_train_rows is not None:
+            n_rows = embeddings.count()
         if k is None:
-            k = scaled_ivf_k(embeddings.count(), min_k=DEFAULT_K)
-        fe = embeddings.select(
+            k = scaled_ivf_k(n_rows, min_k=DEFAULT_K)
+        train_src = embeddings
+        if max_train_rows is not None:
+            if max_train_rows < k:
+                raise ValueError(
+                    f"max_train_rows={max_train_rows} < k={k} — KMeans "
+                    "needs at least k training rows; size the sample "
+                    "for the trained list count (>= ~64·k is sensible)"
+                )
+            if n_rows > max_train_rows:
+                train_src = _hash_sample(
+                    embeddings,
+                    vec_col=vec_col,
+                    keep=max_train_rows,
+                    n_rows=n_rows,
+                    seed=seed,
+                )
+        fe = train_src.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
         model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(fe)
@@ -160,6 +206,7 @@ class IVFStore:
         max_iter: int = 5,
         vec_col: str = "embedding",
         residual: bool = False,
+        max_train_rows: int | None = None,
     ) -> "object":
         """Fit per-subspace PQ codebooks (operators/pq.PQCodec.train)
         and persist them NEXT TO the centroids — from then on every
@@ -192,6 +239,25 @@ class IVFStore:
 
         train_src = embeddings
         train_col = vec_col
+        if max_train_rows is not None:
+            # same deterministic content-hash sample as train() — and
+            # taken BEFORE the residual transform, so the residual
+            # matmul pass also runs only on the sample. ks (not k)
+            # bounds the per-subspace fit.
+            if max_train_rows < ks:
+                raise ValueError(
+                    f"max_train_rows={max_train_rows} < ks={ks} — each "
+                    "subspace KMeans needs at least ks training rows"
+                )
+            n_rows = embeddings.count()
+            if n_rows > max_train_rows:
+                train_src = _hash_sample(
+                    embeddings,
+                    vec_col=vec_col,
+                    keep=max_train_rows,
+                    n_rows=n_rows,
+                    seed=seed,
+                )
         if residual:
             if self.centroids() is None:
                 raise ValueError(
@@ -199,7 +265,7 @@ class IVFStore:
                     "train() before train_pq(residual=True)"
                 )
             train_src = self._residual_frame(
-                embeddings, id_col=None, vec_col=vec_col
+                train_src, id_col=None, vec_col=vec_col
             )
             train_col = "res"
         codec = PQCodec.train(
@@ -695,6 +761,11 @@ class IVFStore:
 
         from ..functions.vectors import cosine_prenormed, norm
 
+        # refine=0 would make keep = 0·top_k = 0 and silently return an
+        # empty frame; the CLI maps --refine 0 to None (raw ADC), so the
+        # API normalizes the same way instead of diverging (ADVICE r9).
+        if not refine:
+            refine = None
         spark = probes.sparkSession
         codec = self.pq_codec()
         if codec is None:

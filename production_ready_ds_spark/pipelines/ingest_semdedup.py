@@ -66,6 +66,11 @@ class SemDedupBatch(SparkTask):
     data_root = Parameter()
     source_path = Parameter()  # parquet of (vec_id, embedding)
     batch = Parameter(default=0)
+    # 100 TB lever (round-9 verdict item 2): cap the batch-0 bootstrap
+    # trainer at ~N deterministic content-hash-sampled rows while k
+    # stays sized by the full bootstrap count. 0 = train on every row
+    # (the small-corpus default).
+    max_train_rows = Parameter(default=0)
 
     def requires(self):
         b = int(self.batch)
@@ -73,7 +78,10 @@ class SemDedupBatch(SparkTask):
             return []
         return [
             SemDedupBatch(
-                data_root=self.data_root, source_path=self.source_path, batch=b - 1
+                data_root=self.data_root,
+                source_path=self.source_path,
+                batch=b - 1,
+                max_train_rows=self.max_train_rows,
             )
         ]
 
@@ -97,7 +105,7 @@ class SemDedupBatch(SparkTask):
         if store.centroids() is None:
             # batch-0 bootstrap; production trains on a corpus-sized
             # sample up front (module docstring)
-            store.train(vecs)
+            store.train(vecs, max_train_rows=int(self.max_train_rows) or None)
         assigned = store.assign(vecs).localCheckpoint(eager=True)
 
         # lists this batch touches — bounded by k (a sketch-sized set)

@@ -172,10 +172,10 @@ _CONTRACT_ORDER = (
 # q_decontaminate + q_pack_sequences → back. Round-5 front:
 # q_mix_domains (last of the round-2 training-data trio) +
 # q_dedup_semantic (the round-4 SemDeDup flagship).
-# ROUND-9 ROTATION (done): CORRECTNESS_r08 shows q_quality_perplexity
-# and q_search_faceted both hash-green → rotated to the back. Front
-# slots are now q_dedup_image + q_video_frames per the committed queue
-# (round-8 verdict item 1), then the rest of round-8's perceptual dedup
+# ROUND-10 ROTATION (done): CORRECTNESS_r09 shows q_dedup_image and
+# q_video_frames both hash-green → rotated to the back. Front slots are
+# now q_video_report + q_sim_topk_filtered_ivf per the committed queue
+# (round-9 verdict item 1), then the rest of round-8's perceptual dedup
 # family (video/audio pairs + clusters), round-7's hash-gated additions
 # (filtered ANN, sketch cube, stream-faceted), the format round-trips,
 # the round-8 late additions (compaction, Hilbert, MMR, JL, SCD2 — all
@@ -183,9 +183,8 @@ _CONTRACT_ORDER = (
 # families (cleaning, search presentation) so each earns a driver-green
 # row over rounds 10-14.
 _EXTENSION_PRIORITY = (
-    # round-9 driver slots (rotation: 2 names per round)
-    "q_dedup_image",
-    "q_video_frames",
+    # round-10 driver slots (rotation: 2 names per round) — round-9's
+    # q_dedup_image + q_video_frames earned green rows and moved back
     "q_video_report",
     "q_sim_topk_filtered_ivf",
     "q_dedup_video",
@@ -371,6 +370,8 @@ _EXTENSION_PRIORITY = (
     "q_image_png",
     "q_quality_perplexity",
     "q_search_faceted",
+    "q_dedup_image",
+    "q_video_frames",
 )
 
 

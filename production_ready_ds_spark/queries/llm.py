@@ -6281,8 +6281,10 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates by (d2, id), a total order, so refine sets are NESTED
     prefixes of one ranking and a candidate displacing a true top-3
     neighbor from a superset's exact top-3 must itself be true top-3.
-    The raw per-budget integers stay visible to a human via this
-    report; quantization-loss economics are q_ann_recall_pq's job."""
+    Partial rows carry only those provable booleans (the raw hit
+    counts would not be deterministic across quantizer knobs, so they
+    stay out of the hashed frame); quantization-loss economics are
+    q_ann_recall_pq's job."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")

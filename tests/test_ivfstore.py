@@ -697,3 +697,141 @@ def test_assign_defaults_to_the_stores_residual_flag(spark, tmp_path, embs):
     assert _results(
         store.search_adc(probes, top_k=3, nprobe=k, refine=50)
     ) == _results(store.search(probes, top_k=3, nprobe=k))
+
+# -- sampled training: the 100 TB build-cost lever (round-9 verdict #2)
+
+
+def test_sampled_train_keeps_full_corpus_k_and_is_deterministic(
+    spark, tmp_path, embs
+):
+    """max_train_rows trains on a content-hash sample, but k stays
+    sized by the FULL corpus count (the inverted-list width contract
+    depends on what the store holds, not what the trainer saw); the
+    sample is content-deterministic, so retraining on the same frame
+    reproduces bit-identical centroids, and the SELECTION itself is
+    independent of partition layout."""
+    from production_ready_ds_spark.functions.vectors import scaled_ivf_k
+    from production_ready_ds_spark.operators.ivfstore import _hash_sample
+
+    a = IVFStore(str(tmp_path / "a"))
+    b = IVFStore(str(tmp_path / "b"))
+    ka = a.train(embs, max_train_rows=200)
+    kb = b.train(embs, max_train_rows=200)
+    assert ka == kb == scaled_ivf_k(embs.count())
+    assert a.centroids() == b.centroids()
+    # the sampled trainer saw a strict subset -> different fit than full
+    full = IVFStore(str(tmp_path / "f"))
+    full.train(embs)
+    assert a.centroids() != full.centroids()
+    # selection is content-hash -> layout-independent (df.sample is not)
+    n = embs.count()
+    picked = lambda df: sorted(  # noqa: E731
+        r.vec_id
+        for r in _hash_sample(
+            df, vec_col="embedding", keep=200, n_rows=n, seed=7
+        )
+        .select("vec_id")
+        .collect()
+    )
+    ids = picked(embs)
+    assert ids == picked(embs.repartition(7))
+    assert 100 <= len(ids) <= 320, len(ids)  # ~200 of 500, binomial slack
+
+
+def test_sampled_train_recall_within_bound_of_full_train(spark, tmp_path, embs):
+    """Recall@3 of a store trained on a ~40% sample must sit within
+    0.2 of the full-trained store's recall and stay >= 0.5 absolute —
+    on the ORGANIC corpus (the 16x stress set saturates recall
+    diagnostics; quantizer-quality claims need organic data)."""
+    from pyspark.sql import Window
+
+    from production_ready_ds_spark.functions.vectors import cosine_prenormed, norm
+
+    def build(name, **train_kw):
+        s = IVFStore(str(tmp_path / name))
+        s.train(embs, **train_kw)
+        s.append(embs, id_min=0, id_max=10**9)
+        return s
+
+    full = build("full")
+    samp = build("samp", max_train_rows=200)
+
+    probes = embs.filter(F.col("vec_id") < 10)
+    e = embs.withColumn("nrm", norm(F.col("embedding")))
+    p = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    sims = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+
+    def recall(store):
+        got = {
+            (r.probe_id, r.neighbor_id)
+            for r in store.search(probes, top_k=3).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_full, r_samp = recall(full), recall(samp)
+    assert r_samp >= 0.5, f"sampled recall {r_samp:.2f}"
+    assert r_samp >= r_full - 0.2, f"sampled {r_samp:.2f} vs full {r_full:.2f}"
+
+
+def test_sampled_train_pq_anchor_stays_exact(spark, tmp_path, embs):
+    """PQ codebooks trained on a sample still satisfy the full-probe/
+    full-refine exactness anchor — the anchor is a property of the
+    refine re-rank, not codebook quality, so sampling must not break
+    it. Both trainers sampled, residual form (the harder path)."""
+    store = IVFStore(str(tmp_path / "spq"))
+    store.train(embs, max_train_rows=200)
+    store.train_pq(embs, residual=True, max_train_rows=200)
+    store.append(embs, id_min=0, id_max=10**9)
+    probes = embs.filter(F.col("vec_id") < 5)
+    k_lists = len(store.centroids())
+    n = embs.count()
+    composed = _results(
+        store.search_adc(probes, top_k=3, nprobe=k_lists, refine=(n + 2) // 3)
+    )
+    assert composed == _results(store.search(probes, top_k=3, nprobe=k_lists))
+
+
+def test_max_train_rows_validation(spark, tmp_path, embs):
+    """Fewer training rows than centroids is a broken fit, not a
+    cheaper one — both trainers refuse."""
+    store = IVFStore(str(tmp_path / "v"))
+    with pytest.raises(ValueError, match="max_train_rows"):
+        store.train(embs, max_train_rows=8)  # k resolves to 16
+    store.train(embs)
+    with pytest.raises(ValueError, match="max_train_rows"):
+        store.train_pq(embs, ks=16, max_train_rows=8)
+
+
+def test_search_adc_refine_zero_is_raw_adc(spark, pq_store, embs):
+    """refine=0 must mean 'no refine' (the CLI convention), never a
+    silently empty frame (ADVICE r9): it returns the identical raw ADC
+    ranking as refine=None."""
+    probes = embs.filter(F.col("vec_id") < 3)
+    zero = pq_store.search_adc(probes, top_k=3, nprobe=4, refine=0)
+    none = pq_store.search_adc(probes, top_k=3, nprobe=4, refine=None)
+    key = lambda df: sorted(  # noqa: E731
+        (r.probe_id, r.neighbor_id, r.adc_rank) for r in df.collect()
+    )
+    rows = key(zero)
+    assert rows == key(none) and len(rows) == 9

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Machine-band canary: a FIXED 10-query set run in a fresh, isolated
-JVM at true cold start, min-of-5 per query (round-8 verdict item 4).
+"""Machine-band canary: a FIXED 10-query set run in a fresh subprocess
+JVM, min-of-5 per query (round-8 verdict item 4).
 
 Three rounds of bench adjudication (r4-r8) re-litigated the same
 phenomenon: per-query wall times on this box wander in a 1.0-1.24x
@@ -10,12 +10,16 @@ by hand to prove it. This canary measures the band ONCE per round,
 as data: the set below has had stable, test-pinned plans since early
 rounds (mix of sub-second and heavy), `tools/canary_floor.json`
 records a quiet-box reference measured when the set was frozen, and
-bench.py runs this script in a SUBPROCESS (own JVM, cold codegen,
-before the protocol session exists) and records the per-query ratios
-in BENCH_DETAIL.json under "canary". A canary query >1.3x its floor
-with an unchanged plan is a machine-band datum, not a regression
-debate; a plan regression would move its query in BOTH the canary and
-the protocol run.
+bench.py runs this script in a SUBPROCESS (own JVM, cold codegen)
+AFTER the protocol loop — running it first depleted the box's CPU
+burst budget and inflated the round-9 protocol numbers 1.4x, so the
+ratios recorded in BENCH_DETAIL.json under "canary" are an
+END-OF-BENCH SESSION-HEAT band (parent JVM still resident), an upper
+bound on the quiet-box band rather than a cold-start floor (see the
+position comment in bench.py). A canary query >1.3x its floor with an
+unchanged plan is a machine-band datum, not a regression debate; a
+plan regression would move its query in BOTH the canary and the
+protocol run.
 
 Standalone: python tools/bench_canary.py  (one JSON line on stdout)
 """
