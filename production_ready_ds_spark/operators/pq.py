@@ -57,9 +57,25 @@ class PQCodec:
     def __init__(self, codebooks) -> None:
         import numpy as np
 
-        self.codebooks = [np.asarray(c, dtype=np.float64) for c in codebooks]
+        books = [np.asarray(c, dtype=np.float64) for c in codebooks]
+        # Spark KMeans can return FEWER than ks centers when a
+        # subspace has too few distinct points (found by the round-10
+        # 64x stress run: replicated siblings differ only in component
+        # 0, so a later subspace collapsed to 5 centers and every
+        # rectangular (m, ks) LUT allocation crashed). Pad ragged
+        # books to a rectangle by repeating their LAST center: encode
+        # argmins pick the FIRST minimum, so a padded duplicate is
+        # never emitted as a code, and its LUT row is never referenced
+        # — distances and ranks are unchanged.
+        ks = max(b.shape[0] for b in books)
+        self.codebooks = [
+            b
+            if b.shape[0] == ks
+            else np.vstack([b, np.repeat(b[-1:], ks - b.shape[0], axis=0)])
+            for b in books
+        ]
         self.m = len(self.codebooks)
-        self.ks = self.codebooks[0].shape[0]
+        self.ks = ks
         self.dsub = self.codebooks[0].shape[1]
         self.dim = self.m * self.dsub
 

@@ -221,6 +221,9 @@ _EXTENSION_PRIORITY = (
     # full-probe anchor)
     "q_stem_tokens",
     "q_sim_topk_ivf",
+    # round-10 new operator: quality-aware canonicals over the
+    # cross-modal families (decoded per-modality quality keys)
+    "q_dedup_multimodal_keep_best",
     # round-9 new operators: quality-aware canonical selection;
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",

@@ -6108,17 +6108,58 @@ def _cached_pq_codec(e: DataFrame, sf_dir: str):
         return codec
 
 
-@query("q_ann_recall_pq", category="llm-similarity", sql=None)
+@query(
+    "q_ann_recall_pq",
+    category="llm-similarity",
+    sql="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, de AS pe FROM e WHERE vec_id < 10),
+    n AS (SELECT COUNT(*) AS nn FROM e),
+    truth AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.probe_id
+                 ORDER BY list_distance(p.pe, c.de), c.vec_id) AS rn
+        FROM probes p JOIN e c ON c.vec_id <> p.probe_id
+      ) WHERE rn <= 3
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    cfg AS (
+      SELECT UNNEST([3, 10]) AS budget
+      UNION ALL
+      SELECT nn - 1 FROM n
+    )
+    SELECT CAST(cfg.budget AS BIGINT) AS budget, t.n_truth,
+           CAST(CASE WHEN cfg.budget = n.nn - 1 THEN t.n_truth END AS BIGINT)
+             AS n_hits_full,
+           TRUE AS in_bounds,
+           TRUE AS monotone
+    FROM cfg, t, n
+    """,
+)
 def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PQ member of the ANN-quality family (q_ann_recall /
     q_ann_recall_ivf): recall@3 of asymmetric-distance search over
     8-byte PQ codes vs EXACT squared-L2 brute force on the float
-    vectors — how much neighbor quality 32× compression costs, as
-    integer hit counts (truth and ADC use the same L2 metric, so the
-    comparison isolates quantization loss; the cosine-based reports
-    isolate list-pruning loss). Declared ROWS-ONLY: trained codebooks
-    (the q_sim_topk_pq cache, shared). Probes are vec_id < 10,
-    matching the family convention.
+    vectors — how much neighbor quality 32× compression costs (truth
+    and ADC use the same L2 metric, so the comparison isolates
+    quantization loss; the cosine-based reports isolate list-pruning
+    loss). Probes are vec_id < 10, matching the family convention.
+
+    Under the FULL hash gate since round 10 (the q_ann_recall_ivfpq
+    bounds-contract convention, round-9 verdict item 4): per
+    candidate budget ∈ {3, 10} plus the FULL-BUDGET anchor row
+    (budget = corpus − 1, where adc_topk's candidate set is every
+    non-self vector, so hits ≡ n_truth provably — any bug in encode /
+    LUT arithmetic / the self-row exclusion / the rank window breaks
+    the driver hash). Partial rows carry the two provable theorems:
+    ``in_bounds`` (0 ≤ hits ≤ truth) and ``monotone`` — ADC orders
+    candidates by (d2, id), a total order, so budget sets are NESTED
+    prefixes and hits are non-decreasing in budget. Raw hit counts
+    depend on the trained codebooks and stay out of the hashed frame
+    (the q_ann_recall_ivfpq rule); the knob economics live below.
 
     Honest reading: on the ISOTROPIC synthetic corpus this reports
     LOW recall (5/30 at sf0.01) — the expected worst case at m=8,
@@ -6161,14 +6202,46 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
-    ann = codec.adc_topk(probes, codec.encode(e), top_k=3).select(
-        "probe_id", "neighbor_id"
-    )
-    hits = ann.join(truth, ["probe_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
-    )
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    return hits.crossJoin(broadcast(total))
+    n = e.count()
+    budgets = [3, 10, n - 1]
+    # encode ONCE for all budgets (one map pass; the big reused input —
+    # checkpointing a corpus-wide frame, not a join-size-estimated one)
+    codes = codec.encode(e).localCheckpoint(eager=True)
+    parts = [
+        codec.adc_topk(probes, codes, top_k=b).select(
+            F.lit(int(b)).alias("budget"), "probe_id", "neighbor_id"
+        )
+        for b in budgets
+    ]
+    ann = parts[0]
+    for part in parts[1:]:
+        ann = ann.unionByName(part)
+    hits = (
+        ann.join(truth, ["probe_id", "neighbor_id"])
+        .groupBy("budget")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    cfg = spark.createDataFrame([(int(b),) for b in budgets], "budget int")
+    wb = Window.orderBy("budget")
+    return (
+        cfg.join(broadcast(hits), "budget", "left")
+        .crossJoin(broadcast(total))
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long"))
+        .select(
+            F.col("budget").cast("long").alias("budget"),
+            "n_truth",
+            F.when(F.col("budget") == n - 1, F.col("n_hits"))
+            .cast("long")
+            .alias("n_hits_full"),
+            ((F.col("n_hits") >= 0) & (F.col("n_hits") <= F.col("n_truth"))).alias(
+                "in_bounds"
+            ),
+            F.coalesce(
+                F.col("n_hits") >= F.lag("n_hits").over(wb), F.lit(True)
+            ).alias("monotone"),
+        )
+    )
 
 
 def _cached_ivfpq_store(e: DataFrame, sf_dir: str):
@@ -6197,11 +6270,32 @@ def _cached_ivfpq_store(e: DataFrame, sf_dir: str):
     return store
 
 
-@query("q_sim_topk_ivfpq", category="llm-similarity", sql=None)
+@query(
+    "q_sim_topk_ivfpq",
+    category="llm-similarity",
+    sql="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS cos_sim
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 3
+    """,
+)
 def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k neighbors from the COMPOSED IVFPQ index — the end-to-end
     quantized ANN search every production vector store ships (FAISS
-    IndexIVFPQ; Jégou et al. 2011 §IV), now one code path
+    IndexIVFPQ; Jégou et al. 2011 §IV), one code path
     (IVFStore.search_adc): PQ codes are PERSISTED IN the IVF store's
     list-clustered segments at append time (one fused assign+encode
     map pass), a probe ranks nprobe lists, the probed lists' CODES are
@@ -6209,20 +6303,34 @@ def q_sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (the 32×-smaller read that is the point), ADC lookup tables
     rank candidates by code arithmetic, and the top refine·k per probe
     are re-ranked by exact cosine via a bounded In(id) re-read.
-    Declared ROWS-ONLY: codebooks and centroids are trained KMeans
-    state no SQL oracle can re-derive — the exactness anchor lives in
-    q_ann_recall_ivfpq (full-probe/full-refine ≡ brute force, under
-    the full hash gate), and plan/equivalence properties are pinned in
+
+    Under the FULL hash gate since round 10 (the q_sim_topk_ivf
+    graduation pattern, round-9 verdict item 4): served at the
+    full-probe/full-refine ANCHOR — nprobe = K probes every list and
+    refine·k ≥ corpus keeps every ADC candidate, so the exact re-rank
+    is brute force BY CONSTRUCTION (same cosine kernel, same
+    (desc sim, asc id) tie-break) and the brute-force SQL oracle
+    hashes every value the composed path emits: a bug in train /
+    codes-at-append / the pruned code read / ADC ranking / the refine
+    re-read breaks the driver row. The anchor's refine collect is
+    O(corpus) driver-side — a diagnostic shape for the gate corpus
+    only (SCALE.md anchor caveat); production sets nprobe=4/refine=4,
+    whose behavior keeps driver evidence via q_ann_recall_ivfpq's
+    budget rows and the nested-rank/plan tests in
     tests/test_ivfstore.py.
 
-    Scale shape: train on a sample, assign+encode is one map pass per
-    batch, search reads |probes|·nprobe code lists + |probes|·refine·k
-    float rows — never the corpus; both reads are parquet-stat-pruned
-    on the clustered layout."""
+    Scale shape (production knobs): train on a sample
+    (max_train_rows), assign+encode is one map pass per batch, search
+    reads |probes|·nprobe code lists + |probes|·refine·k float rows —
+    never the corpus; both reads are parquet-stat-pruned on the
+    clustered layout."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     store = _cached_ivfpq_store(e, sf_dir)
     probes = e.filter(F.col("vec_id") < 10)
-    return store.search_adc(probes, top_k=3, nprobe=4, refine=4)
+    n = e.count()
+    return store.search_adc(
+        probes, top_k=3, nprobe=len(store.centroids()), refine=(n + 2) // 3
+    )
 
 
 @query(

@@ -1510,6 +1510,14 @@ def q_dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components is the threshold-gated hybrid, and the spine join is
     narrow — nothing all-pairs, nothing corpus-wide beyond one left
     join. Stress point recorded in SCALE.md (cross-modal dedup)."""
+    return _multimodal_members(spark, sf_dir)
+
+
+def _multimodal_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) over the FULL corpus spine — the cross-
+    modal components q_dedup_multimodal_clusters returns, factored so
+    q_dedup_multimodal_keep_best ranks the SAME families (a detector
+    tweak changes both or neither)."""
     from ..operators.dedup import (
         connected_components,
         hamming_candidates,
@@ -1551,4 +1559,143 @@ def q_dedup_multimodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").cast("long").alias("cluster_id"),
+    )
+
+
+# --- cross-modal keep-best: quality-aware canonicals (round-9 item 3) --
+#
+# Per-modality quality keys, all exact integers both engines share:
+# text completeness (n_chars), image resolution (w·h), video length
+# (frame count), audio length (sample count). The Spark side DECODES
+# each synthesized container's header (real parse plumbing — the path
+# stored payloads would take); the oracle re-derives the same values
+# from the synth closed forms (the shared-constant convention every
+# multimodal oracle follows).
+_MM_QUALITY_SQL = f"""
+      SELECT doc_id, n_chars,
+             (16 + ((doc_id // 4) % 7)) * (16 + ((doc_id // 4) % 5))
+               AS img_pixels,
+             3 + (doc_id // 4) % 3 AS vid_frames,
+             {ENVELOPE_WINDOWS} * (8 + (doc_id // 4) % 5) AS aud_samples
+      FROM documents
+"""
+
+_MM_KEEP_BEST_SQL = f"""
+    WITH mem AS (SELECT * FROM ({_MULTIMODAL_CLUSTERS_SQL})),
+    q AS ({_MM_QUALITY_SQL}),
+    ranked AS (
+      SELECT m.doc_id, m.cluster_id,
+             FIRST_VALUE(m.doc_id) OVER (
+               PARTITION BY m.cluster_id
+               ORDER BY q.n_chars DESC, q.img_pixels DESC,
+                        q.vid_frames DESC, q.aud_samples DESC, m.doc_id
+             ) AS keep_doc_id
+      FROM mem m JOIN q USING (doc_id)
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           keep_doc_id, doc_id = keep_doc_id AS kept
+    FROM ranked
+    """
+
+
+def _multimodal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, img_pixels, vid_frames, aud_samples) — the perceptual
+    quality keys, obtained by synthesizing each modality's container
+    and PARSING ITS HEADER back (RawRGB dims, Y4M frame walk, RIFF
+    data-chunk length): the decode path a stored-payload corpus would
+    run, fused into ONE mapInPandas so no payload byte crosses the
+    JVM boundary (the _image_fingerprints rule). Full-width spread:
+    doc_id in, three longs out, heavy per-row Python."""
+    from ..tables import spread
+
+    ids = spread(
+        load(spark, sf_dir, "documents").select("doc_id"),
+        spark.sparkContext.defaultParallelism,
+    )
+
+    def kernel(it):
+        import pandas as pd
+
+        for pdf in it:
+            for start in range(0, len(pdf), 1024):
+                sl = pdf.iloc[start : start + 1024]
+                img = pd.concat(list(_synth_dhash_corpus([sl])), ignore_index=True)
+                vid = pd.concat(list(_synth_y4m_grouped([sl])), ignore_index=True)
+                aud = pd.concat(list(_synth_wav_grouped([sl])), ignore_index=True)
+                ipx = []
+                for buf in img["payload"]:
+                    w, h, _px = RawRGBDecoder.parse(buf)
+                    ipx.append(w * h)
+                vnf = [
+                    len(Y4MVideoDecoder.parse_fmt(buf)[1][2])
+                    for buf in vid["payload"]
+                ]
+                ans = [
+                    len(WAVAudioDecoder.parse(buf)[1]) // 2
+                    for buf in aud["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": sl["doc_id"].to_numpy(),
+                        "img_pixels": ipx,
+                        "vid_frames": vnf,
+                        "aud_samples": ans,
+                    }
+                )
+
+    return ids.mapInPandas(
+        kernel,
+        schema="doc_id long, img_pixels long, vid_frames long, aud_samples long",
+    )
+
+
+@query(
+    "q_dedup_multimodal_keep_best",
+    category="llm-dedup",
+    sql=_MM_KEEP_BEST_SQL,
+)
+def q_dedup_multimodal_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the CROSS-MODAL cluster
+    set — q_dedup_keep_best's decision extended from the text chain to
+    the unified families (round-9 verdict item 3): within each
+    cross-modal component, keep the member ranked best by the
+    per-modality quality keys — most complete TEXT first (n_chars),
+    then highest IMAGE resolution (decoded w·h), longest VIDEO (frame
+    count from the container walk), longest AUDIO (sample count from
+    the RIFF data chunk), ties to the lowest doc_id. Min-id canonicals
+    keep whichever copy was crawled first; a multimodal curation run
+    wants the most complete bundle instead, and each key is exact
+    integer data the oracle re-derives from the synth closed forms
+    while Spark DECODES it from the container headers — so the driver
+    hash also pins the parse path end-to-end. Output: one row per
+    document (singletons keep themselves) — (doc_id, cluster_id,
+    keep_doc_id, kept); the downstream filter is `WHERE kept`.
+
+    Scale shape: the component stage is q_dedup_multimodal_clusters
+    verbatim (bounded pair generators, sequential per-modality
+    checkpoints, threshold-gated components); the quality pass is ONE
+    fused map (doc_id in, three longs out); the decision is ONE window
+    over the corpus spine keyed by cluster_id — first_value over the
+    quality order, so no winners join and no corpus-sized broadcast.
+    Stress point recorded in SCALE.md (round-10)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    members = _multimodal_members(spark, sf_dir)
+    m = (
+        members.join(d.select("doc_id", "n_chars"), "doc_id")
+        .join(_multimodal_quality(spark, sf_dir), "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"),
+        F.desc("img_pixels"),
+        F.desc("vid_frames"),
+        F.desc("aud_samples"),
+        F.asc("doc_id"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.first("doc_id").over(w).alias("keep_doc_id"),
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("kept"),
     )

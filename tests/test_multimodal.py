@@ -1095,3 +1095,62 @@ def test_multimodal_clusters_coarsen_both_modalities(spark, sf_small, cat):
             groups[r.cluster_id].append(r.doc_id)
         for members in groups.values():
             assert len({mm_cl[m] for m in members}) == 1, (modal, members)
+
+
+def test_multimodal_keep_best_ranks_decoded_quality(spark, sf_small, cat):
+    """Round-10 quality-aware canonicals over the cross-modal
+    families: (a) the cluster sets are EXACTLY q_dedup_multimodal_
+    clusters'; (b) one keep per cluster, kept iff doc_id == keep;
+    (c) the winner maximizes the per-modality quality tuple (n_chars
+    desc, img w·h desc, video frames desc, audio samples desc, doc_id
+    asc) re-derived from the synth closed forms; (d) the DECODED keys
+    the Spark side ranks by equal those closed forms — pinning the
+    header-parse path."""
+    from production_ready_ds_spark.operators.multimodal import ENVELOPE_WINDOWS
+    from production_ready_ds_spark.queries.multimodal import _multimodal_quality
+
+    base = {
+        r.doc_id: r.cluster_id
+        for r in cat["q_dedup_multimodal_clusters"].fn(spark, sf_small).collect()
+    }
+    rows = cat["q_dedup_multimodal_keep_best"].fn(spark, sf_small).collect()
+    assert len(rows) == 500
+    assert {r.doc_id: r.cluster_id for r in rows} == base
+
+    n_chars = {
+        r.doc_id: r.n_chars
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+
+    def quality(doc_id):
+        g = doc_id // 4
+        return (
+            -n_chars[doc_id],
+            -(16 + g % 7) * (16 + g % 5),  # image w·h
+            -(3 + g % 3),  # video frames
+            -ENVELOPE_WINDOWS * (8 + g % 5),  # audio samples
+            doc_id,
+        )
+
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for r in rows:
+        members[r.cluster_id].append(r)
+    for cl, rs in members.items():
+        keeps = {r.keep_doc_id for r in rs}
+        assert len(keeps) == 1, (cl, keeps)
+        want = min((r.doc_id for r in rs), key=quality)
+        assert keeps == {want}, (cl, keeps, want)
+        for r in rs:
+            assert r.kept == (r.doc_id == r.keep_doc_id)
+
+    decoded = _multimodal_quality(spark, sf_small).collect()
+    assert len(decoded) == 500
+    for r in decoded:
+        g = r.doc_id // 4
+        assert r.img_pixels == (16 + g % 7) * (16 + g % 5)
+        assert r.vid_frames == 3 + g % 3
+        assert r.aud_samples == ENVELOPE_WINDOWS * (8 + g % 5)

@@ -159,3 +159,35 @@ def test_ivfpq_composition_prunes_candidate_read(spark, embs, tmp_path):
     # recall at nprobe=4 of the scaled lists)
     agree = sum(1 for k in full if pruned.get(k) == full[k])
     assert agree >= 3, (agree, pruned, full)
+
+
+def test_ragged_codebooks_pad_to_rectangle_without_changing_ranks(spark, embs):
+    """Spark KMeans can return FEWER than ks centers for a subspace
+    with few distinct points (the round-10 64x stress crash: a
+    replicated-sibling corpus collapsed one subspace to 5 centers and
+    the rectangular LUT allocation failed). PQCodec must pad ragged
+    books to a rectangle with duplicate last rows — codes never
+    reference a pad index (argmin takes the first minimum) and ADC
+    ranks are unchanged vs the unpadded geometry."""
+    import numpy as np
+
+    from production_ready_ds_spark.operators.pq import PQCodec
+
+    full = PQCodec.train(embs, m=8, ks=8)
+    # drop rows from two subspaces -> ragged, as a collapsed fit would be
+    ragged = [b.tolist() for b in full.codebooks]
+    ragged[3] = ragged[3][:2]
+    ragged[7] = ragged[7][:5]
+    codec = PQCodec(ragged)
+    assert codec.ks == 8
+    assert all(b.shape == (8, codec.dsub) for b in codec.codebooks)
+    # pad rows duplicate the last surviving center
+    assert np.allclose(codec.codebooks[3][2:], codec.codebooks[3][1])
+    # codes never point past the surviving centers of a ragged book
+    codes = {r.vec_id: list(r.codes) for r in codec.encode(embs).collect()}
+    assert max(c[3] for c in codes.values()) <= 1
+    assert max(c[7] for c in codes.values()) <= 4
+    # end to end: ADC search on the padded codec runs and ranks
+    probes = embs.filter("vec_id < 3")
+    out = codec.adc_topk(probes, codec.encode(embs), top_k=3).collect()
+    assert len(out) == 9

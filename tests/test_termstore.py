@@ -6,6 +6,8 @@ In(term) over term-clustered segments)."""
 
 from __future__ import annotations
 
+import pytest
+
 from production_ready_ds_spark.operators.termstore import TermStore
 from production_ready_ds_spark.queries.llm import bm25_topk
 from production_ready_ds_spark.tables import load
@@ -649,3 +651,80 @@ def test_analyzer_label_guards_mixed_appends_and_survives_maintenance(
     assert store.analyzer_name() == "snowball", "label must survive compact"
     after = store.search(spark, ("queries",), k=5).collect()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+@pytest.mark.parametrize("analyzer", ["standard", "snowball"])
+def test_analyzer_contract_across_search_surfaces(
+    spark, tmp_path, sf_small, analyzer
+):
+    """Round-9 verdict item 5, the review pass-2 #4 bug class pinned as
+    a PROPERTY over the whole analyzer × surface grid: whatever
+    analyzer the manifest records, every BM25 surface (plain search,
+    MLT-style exclude_ids, eligible-pruned, faceted search_filtered)
+    routes RAW query terms through analyze_terms — so two spellings
+    that analyze to the same postings term return identical integers,
+    duplicates collapse AFTER analysis, a full-facet filter equals the
+    unfiltered search — while the raw primitive (read_postings) stays
+    analyzer-agnostic and serves only the ANALYZED vocabulary."""
+    from pyspark.sql import functions as F
+
+    from production_ready_ds_spark.functions.stemmer import stem_tokens_udf
+    from production_ready_ds_spark.functions.text import tokens_expr
+    from production_ready_ds_spark.operators.termstore import TermStore
+    from production_ready_ds_spark.tables import load
+
+    docs = load(spark, sf_small, "documents")
+    store = TermStore(str(tmp_path / analyzer))
+    if analyzer == "snowball":
+        stem = stem_tokens_udf()
+        store.append(
+            docs, id_min=0, id_max=10**9,
+            token_fn=lambda c: stem(tokens_expr(c)),
+            analyzer="snowball", attrs=("lang",),
+        )
+        # two spellings, one analyzed term ("queri")
+        t1, t2 = "query", "queries"
+        assert store.analyze_terms((t1,)) == store.analyze_terms((t2,))
+    else:
+        store.append(docs, id_min=0, id_max=10**9, attrs=("lang",))
+        t1 = t2 = "query"  # identity analyzer: same spelling
+        assert store.analyze_terms((t1,)) == (t1,)
+
+    langs = tuple(
+        r.lang for r in docs.select("lang").distinct().collect()
+    )
+    everyone = docs.select("doc_id")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    surfaces = {
+        "search": lambda t: store.search(spark, t, k=10),
+        "mlt_exclude": lambda t: store.search(spark, t, k=10, exclude_ids=(0,)),
+        "eligible": lambda t: store.search(spark, t, k=10, eligible=everyone),
+        "faceted": lambda t: store.search_filtered(
+            spark, t, attr="lang", values=langs, k=10
+        ),
+    }
+    got = {}
+    for name, fn in surfaces.items():
+        r1 = rows(fn((t1,)))
+        assert r1, f"{analyzer}/{name}: raw term must hit the postings"
+        assert r1 == rows(fn((t2,))), f"{analyzer}/{name}: same-analysis spellings diverge"
+        assert r1 == rows(fn((t1, t2))), f"{analyzer}/{name}: dedup must follow analysis"
+        got[name] = r1
+    # full facet == all-eligible == unfiltered (the Lucene filter-query
+    # convention: filters prune candidates, never statistics)
+    assert got["search"] == got["eligible"] == got["faceted"]
+
+    # the raw primitive stays agnostic: it serves the ANALYZED
+    # vocabulary and must NOT re-analyze its input
+    analyzed = store.analyze_terms((t1,))[0]
+    hit = store.read_postings(spark, [analyzed])
+    assert hit is not None and hit.count() > 0
+    if analyzer == "snowball":
+        assert analyzed != "queries"
+        miss = store.read_postings(spark, ["queries"])
+        assert miss is None or miss.count() == 0, (
+            "raw inflection must miss a stem-folded vocabulary"
+        )
