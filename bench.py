@@ -114,6 +114,20 @@ _FLOOR_NOTES = {
         "end-of-bench session-heat datum, comparable round-over-round "
         "at the same position"
     ),
+    "bench_r10_video_frames": (
+        "round-9 verdict item 6 disposition: q_video_frames "
+        "(0.409 -> 0.653 s in r9, the only >1.3x common-set flag "
+        "without a canary ratio) re-measured ISOLATED min-of-5 three "
+        "times in round 10 — 0.576 s, 0.701 s, and 1.433 s, all at "
+        "1-min load < 0.5, spanning ten minutes after a 645 s stress "
+        "build; in the same third session q_image_resize read 3.19 s "
+        "vs its 0.564 s r9 number. Its code and plan are untouched "
+        "since round 8 (git-verified: the r9 multimodal diff is "
+        "confined to q_dedup_multimodal_clusters; the only shared-dep "
+        "diff is a session.py docstring). Disposition: machine band "
+        "(burst-budget state that 1-min load does not capture), not a "
+        "regression; no plan work"
+    ),
     "bench_late_r6": (
         "late-round-6 quiet-START runs (load_avg_start 0.09/0.13) read "
         "1.16-1.24x over r4 on the 40 common queries after ~3 h of "
