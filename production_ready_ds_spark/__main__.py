@@ -830,7 +830,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             emb = load(spark, args.sf, "embeddings").select("vec_id", "embedding")
             if store.centroids() is None:
-                k = store.train(emb, max_train_rows=args.max_train_rows)
+                try:
+                    k = store.train(emb, max_train_rows=args.max_train_rows)
+                except ValueError as exc:
+                    print(str(exc), file=sys.stderr)
+                    return 2
                 print(f"trained {k} lists (corpus-scaled)")
             if args.pq and store.pq_codec() is None:
                 try:

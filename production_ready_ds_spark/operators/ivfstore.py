@@ -159,7 +159,10 @@ class IVFStore:
         what the trainer saw. Build cost thereby decouples from corpus
         size (SCALE.md ivfpq-build curve). Must be ≥ the resolved k
         (fewer training rows than centroids is a broken fit, not a
-        cheaper one). Returns k."""
+        cheaper one). Returns the PERSISTED center count — equal to k
+        except on degenerate corpora where KMeans collapses duplicate
+        points and returns fewer centers (the list domain is what was
+        persisted, never the requested knob)."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
@@ -190,11 +193,19 @@ class IVFStore:
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
         )
         model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(fe)
+        cents = model.clusterCenters()
+        # Spark KMeans returns FEWER than k centers when the training
+        # frame has too few distinct points (duplicate-heavy corpora;
+        # the PQCodec ragged-book lesson) — the store's list domain is
+        # whatever was PERSISTED, so report that, never the requested
+        # knob: every downstream contract (read_lists pruning, the
+        # recall oracles' k check, mean-list width) keys off
+        # len(centroids()).
         self._write_json(
             CENTROIDS,
-            {"centroids": [[float(x) for x in c] for c in model.clusterCenters()]},
+            {"centroids": [[float(x) for x in c] for c in cents]},
         )
-        return k
+        return len(cents)
 
     def train_pq(
         self,

@@ -85,13 +85,24 @@ class SemDedupBatch(SparkTask):
             )
         ]
 
+    def _namespace(self) -> str:
+        """Directory namespace for targets AND the store — the training
+        knob is part of the TARGET IDENTITY (the DedupNear keep_best
+        convention): decisions trained under a different quantizer
+        recipe must never be served as a silent no-op from the other
+        variant's completed targets (review r10 #3)."""
+        m = int(self.max_train_rows)
+        return "ingest" if not m else f"ingest-mtr{m}"
+
     def output(self):
         return ParquetTarget(
-            os.path.join(str(self.data_root), "ingest", f"vecbatch={int(self.batch)}")
+            os.path.join(
+                str(self.data_root), self._namespace(), f"vecbatch={int(self.batch)}"
+            )
         )
 
     def _store(self) -> str:
-        return os.path.join(str(self.data_root), "ingest", "ivf_store")
+        return os.path.join(str(self.data_root), self._namespace(), "ivf_store")
 
     def main(self, spark) -> None:
         b = int(self.batch)

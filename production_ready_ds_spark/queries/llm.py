@@ -6127,9 +6127,11 @@ def _cached_pq_codec(e: DataFrame, sf_dir: str):
     ),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
     cfg AS (
-      SELECT UNNEST([3, 10]) AS budget
-      UNION ALL
-      SELECT nn - 1 FROM n
+      SELECT DISTINCT budget FROM (
+        SELECT UNNEST([3, 10]) AS budget
+        UNION ALL
+        SELECT nn - 1 FROM n
+      )
     )
     SELECT CAST(cfg.budget AS BIGINT) AS budget, t.n_truth,
            CAST(CASE WHEN cfg.budget = n.nn - 1 THEN t.n_truth END AS BIGINT)
@@ -6204,25 +6206,25 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     n = e.count()
-    budgets = [3, 10, n - 1]
-    # encode ONCE for all budgets (one map pass; the big reused input —
-    # checkpointing a corpus-wide frame, not a join-size-estimated one)
-    codes = codec.encode(e).localCheckpoint(eager=True)
-    parts = [
-        codec.adc_topk(probes, codes, top_k=b).select(
-            F.lit(int(b)).alias("budget"), "probe_id", "neighbor_id"
-        )
-        for b in budgets
-    ]
-    ann = parts[0]
-    for part in parts[1:]:
-        ann = ann.unionByName(part)
-    hits = (
-        ann.join(truth, ["probe_id", "neighbor_id"])
-        .groupBy("budget")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
+    budgets = sorted({3, 10, n - 1})  # dedup: tiny corpora collide
+    # ONE ADC pass at the full budget ranks every non-self candidate;
+    # smaller budgets are adc_rank PREFIXES of the same (d2, id) total
+    # order (the monotone argument below), so per-budget hits are rank
+    # filters over the ≤ n_truth matched rows — never re-runs of the
+    # kernel (review r10 #2: three passes paid 3× the ADC work for
+    # counts derivable from one)
+    ranked = codec.adc_topk(probes, codec.encode(e), top_k=n - 1)
+    hit_ranks = ranked.join(truth, ["probe_id", "neighbor_id"]).select("adc_rank")
     cfg = spark.createDataFrame([(int(b),) for b in budgets], "budget int")
+    hits = (
+        cfg.crossJoin(broadcast(hit_ranks))
+        .groupBy("budget")
+        .agg(
+            F.sum((F.col("adc_rank") <= F.col("budget")).cast("long")).alias(
+                "n_hits"
+            )
+        )
+    )
     wb = Window.orderBy("budget")
     return (
         cfg.join(broadcast(hits), "budget", "left")

@@ -531,3 +531,30 @@ def test_vindex_pq_build_and_adc_search(spark, sf_small, tmp_path, capsys):
         == 2
     )
     assert "attrs sidecar" in capsys.readouterr().err
+
+
+def test_vindex_sampled_train_and_undersized_sample_error(
+    spark, sf_small, tmp_path, capsys
+):
+    """--max-train-rows builds a working store (k still corpus-scaled);
+    an undersized sample (< k) is the clean exit-2 stderr path, not a
+    traceback (review r10 #4)."""
+    from production_ready_ds_spark.__main__ import main
+
+    bad = str(tmp_path / "vbad")
+    assert main(
+        ["vindex", "--root", bad, "--sf", sf_small, "--max-train-rows", "8"]
+    ) == 2
+    err = capsys.readouterr().err
+    assert "max_train_rows" in err and "Traceback" not in err
+
+    root = str(tmp_path / "vsamp")
+    assert main(
+        ["vindex", "--root", root, "--sf", sf_small, "--max-train-rows", "200"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "trained 16 lists" in out and "indexed 1 segment" in out
+    assert main(
+        ["vindex", "--root", root, "--probe", "0,1", "--k", "2", "--sf", sf_small]
+    ) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) > 4

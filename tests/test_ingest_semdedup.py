@@ -139,3 +139,39 @@ def test_ingest_on_pq_store_carries_codes_every_batch(spark, tmp_path):
         for r in store.search(probes, top_k=3, nprobe=k).collect()
     )
     assert composed == exact
+
+
+def test_sampled_bootstrap_training_keeps_the_equivalence(spark, tmp_path):
+    """Round-10: the max_train_rows knob threads through the DAG (the
+    requires() chain must propagate it, or batch 0 built as a
+    dependency trains full) and the incremental ≡ one-shot contract
+    holds under a SAMPLE-TRAINED quantizer too — decisions only need
+    the STORED centroids to be shared between the batch path and the
+    one-shot kernel, not any particular training recipe."""
+    from production_ready_ds_spark.queries.llm import _semantic_decisions
+
+    root = str(tmp_path / "out")
+    task = SemDedupBatch(
+        data_root=root, source_path=_src(spark), batch=1, max_train_rows=128
+    )
+    assert int(task.requires()[0].max_train_rows) == 128, (
+        "requires() must propagate the training knob to earlier batches"
+    )
+    build([task])
+
+    def accepted(batch):
+        return {
+            r.vec_id
+            for r in spark.read.parquet(f"{root}/ingest-mtr128/vecbatch={batch}")
+            .select("vec_id")
+            .collect()
+        }
+
+    inc_kept = accepted(0) | accepted(1)
+    store = IVFStore(f"{root}/ingest-mtr128/ivf_store")
+    full = spark.read.parquet(_src(spark)).select("vec_id", "embedding")
+    assigned = store.assign(full).withColumnRenamed("list_id", "bucket")
+    one_shot = {
+        r.vec_id for r in _semantic_decisions(assigned).filter("kept").collect()
+    }
+    assert inc_kept == one_shot
