@@ -1070,6 +1070,7 @@ def incremental_hamming_dedup(
     radius: int = 7,
     bucket_cap: int | None = OVERSIZED_BUCKET_CAP,
     family: str = DHASH_FAMILY,
+    earlier_below: int | None = None,
 ) -> DataFrame:
     """Incremental PERCEPTUAL near-dup detection against a persistent
     fingerprint store — incremental_minhash_dedup's contract applied to
@@ -1079,6 +1080,17 @@ def incremental_hamming_dedup(
     new×new via one raw-band bucket join of the small new side against
     store ∪ new, (3) append the new banded rows to the store. Returns
     (doc_a < doc_b, hamming <= radius) pairs.
+
+    ``earlier_below`` switches to the RANGE-DETERMINISTIC form the
+    ingest DAGs need (the ingest_dedup/ingest_semdedup convention):
+    the "earlier corpus" becomes stored rows with id < earlier_below —
+    derived from the batch RANGE, not from store content — the
+    already-indexed anti-join is skipped (the caller's id-range
+    batching is the delivery authority), and the append is guarded by
+    skip_if_range_indexed. Deleting a batch target and re-running then
+    reproduces IDENTICAL pairs even though the store was already
+    appended; the default (None) keeps the at-least-once streaming
+    semantics, where re-delivered ids are dropped against the store.
 
     The store is the SAME manifest-backed SignatureStore layout under
     the dHash family tag: one row per (doc, band) carrying the full
@@ -1097,7 +1109,7 @@ def incremental_hamming_dedup(
     store = SignatureStore(store_path, family=family)
     bounds = new_fp.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
     fresh_fp = new_fp.select(id_col, *band_cols)
-    if bounds.lo is not None:
+    if earlier_below is None and bounds.lo is not None:
         known = store.known_ids(spark, id_min=bounds.lo, id_max=bounds.hi, id_col=id_col)
         if known is not None:
             fresh_fp = fresh_fp.join(known, id_col, "left_anti")
@@ -1134,7 +1146,9 @@ def incremental_hamming_dedup(
     )
     if keys == []:
         return empty_pairs
-    corpus = store.read_signatures(spark, keys=keys, id_col=id_col)
+    corpus = store.read_signatures(
+        spark, keys=keys, id_col=id_col, id_below=earlier_below
+    )
     right = fresh if corpus is None else fresh.unionByName(corpus)
     # slim join sides (id, band, key) — the fingerprints re-join for
     # scoring; carrying b0..b7 through the banded join is the measured
@@ -1188,7 +1202,12 @@ def incremental_hamming_dedup(
     )
     span = fresh_fp.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
     if span.lo is not None:
-        store.append(fresh, id_min=span.lo, id_max=span.hi)
+        store.append(
+            fresh,
+            id_min=span.lo,
+            id_max=span.hi,
+            skip_if_range_indexed=earlier_below is not None,
+        )
     return pairs
 
 

@@ -625,21 +625,22 @@ def _synth_dhash_corpus(it):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
-def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ONE image fingerprint pipeline both q_dedup_image and its
-    cluster twin consume (a stride/spread tweak must change both or
-    they silently diverge): full-width spread (the q_video_frames
-    rule — only doc_id in, 8 longs out, heavy per-row Python; 64×
-    stress: 13.3 s at the /4 default → 4.3 s at 32), then synth →
-    resize → dHash composed as Python iterator stages inside ONE
-    mapInPandas — no payload byte ever crosses the JVM↔Python boundary
-    (chaining the stages as separate mapInPandas passes queues ~350 MB
-    of payload Arrow batches in the JVM at the 64× stress point and
-    OOMs a default-size heap). The REAL operator kernels still run
-    byte level: encode → header parse → NN resize → re-encode → parse
-    → luma → bit pack. A stored-payload corpus runs the same two
-    kernels via dhash_fingerprints, where the scan is the only
-    boundary crossing."""
+def image_fingerprints_for(ids: DataFrame) -> DataFrame:
+    """The ONE image fingerprint pipeline every image-dedup consumer
+    shares — the catalog queries AND the perceptual ingest DAG (a
+    stride/spread tweak must change all of them or they silently
+    diverge): full-width spread (the q_video_frames rule — only doc_id
+    in, 8 longs out, heavy per-row Python; 64× stress: 13.3 s at the
+    /4 default → 4.3 s at 32), then synth → resize → dHash composed as
+    Python iterator stages inside ONE mapInPandas — no payload byte
+    ever crosses the JVM↔Python boundary (chaining the stages as
+    separate mapInPandas passes queues ~350 MB of payload Arrow
+    batches in the JVM at the 64× stress point and OOMs a default-size
+    heap). The REAL operator kernels still run byte level: encode →
+    header parse → NN resize → re-encode → parse → luma → bit pack. A
+    stored-payload corpus runs the same two kernels via
+    dhash_fingerprints, where the scan is the only boundary
+    crossing."""
     from ..operators.multimodal import (
         DHASH_H,
         DHASH_SCHEMA,
@@ -650,8 +651,8 @@ def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import spread
 
     ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
+        ids.select("doc_id"),
+        ids.sparkSession.sparkContext.defaultParallelism,
     )
     resize = resize_rgb_batches(DHASH_W, DHASH_H)
     bands = dhash_bands_batches()
@@ -660,6 +661,10 @@ def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from bands(resize(_synth_dhash_corpus(it)))
 
     return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+
+
+def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_fingerprints_for(load(spark, sf_dir, "documents"))
 
 
 @query("q_dedup_image", category="llm-dedup", bench=True, sql=_DHASH_SQL)
