@@ -1059,6 +1059,11 @@ DHASH_FAMILY = "dhash-128/luma-999/8x16le-v1"
 #: passes this family tag so one store can never silently mix the two
 #: (the SignatureStore family guard turns the mistake into an error).
 ENVELOPE_FAMILY = "envhash-128/abs-env-129w-v1"
+#: Temporal-majority video dHashes fold many per-frame dHashes into one
+#: fingerprint — same 8×16-bit layout, DIFFERENT recipe: a video
+#: fingerprint colliding with a still image's says nothing, so video
+#: stores carry their own tag.
+VIDEO_DHASH_FAMILY = "vdhash-128/majority-stride2-v1"
 
 
 def incremental_hamming_dedup(

@@ -1064,23 +1064,30 @@ def _synth_y4m_grouped(it):
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
 
-def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ONE video fingerprint pipeline both q_dedup_video and its
-    cluster twin consume: full-width spread, then synth → container
-    walk → frame sampling → per-frame dHash → temporal majority fold
-    composed inside ONE mapInPandas (only doc_id in, 8 longs out — no
-    frame bytes cross the JVM boundary)."""
+def video_fingerprints_for(ids: DataFrame) -> DataFrame:
+    """The ONE video fingerprint pipeline every video-dedup consumer
+    shares (q_dedup_video, its cluster twin, and the perceptual ingest
+    DAG): full-width spread, then synth → container walk → frame
+    sampling → per-frame dHash → temporal majority fold composed
+    inside ONE mapInPandas (only doc_id in, 8 longs out — no frame
+    bytes cross the JVM boundary)."""
     from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
     from ..tables import spread
 
     ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
+        ids.select("doc_id"),
+        ids.sparkSession.sparkContext.defaultParallelism,
     )
     vd = video_dhash_batches(stride=_VID_STRIDE)
 
     def fused(it):
         yield from vd(_synth_y4m_grouped(it))
+
+    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+
+
+def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_fingerprints_for(load(spark, sf_dir, "documents"))
 
     return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
 
@@ -1223,16 +1230,17 @@ def _synth_wav_grouped(it):
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
-def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ONE audio fingerprint pipeline (the _image_fingerprints
-    convention): full-width spread, synth → RIFF walk → windowed
+def audio_fingerprints_for(ids: DataFrame) -> DataFrame:
+    """The ONE audio fingerprint pipeline (the image_fingerprints_for
+    convention; shared by the catalog queries and the perceptual
+    ingest DAG): full-width spread, synth → RIFF walk → windowed
     envelope → bit pack fused inside ONE mapInPandas."""
     from ..operators.multimodal import DHASH_SCHEMA, audio_envelope_dhash_batches
     from ..tables import spread
 
     ids = spread(
-        load(spark, sf_dir, "documents").select("doc_id"),
-        spark.sparkContext.defaultParallelism,
+        ids.select("doc_id"),
+        ids.sparkSession.sparkContext.defaultParallelism,
     )
     env = audio_envelope_dhash_batches()
 
@@ -1240,6 +1248,10 @@ def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from env(_synth_wav_grouped(it))
 
     return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+
+
+def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_fingerprints_for(load(spark, sf_dir, "documents"))
 
 
 @query("q_dedup_audio", category="llm-dedup", bench=True, sql=_AUDIO_DEDUP_SQL)
