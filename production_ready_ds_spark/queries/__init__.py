@@ -221,9 +221,11 @@ _EXTENSION_PRIORITY = (
     # full-probe anchor)
     "q_stem_tokens",
     "q_sim_topk_ivf",
-    # round-10 new operator: quality-aware canonicals over the
-    # cross-modal families (decoded per-modality quality keys)
+    # round-10 new operators: quality-aware canonicals over the
+    # cross-modal families (decoded per-modality quality keys);
+    # streaming perceptual pairs (the stateful image-dedup keep-rule)
     "q_dedup_multimodal_keep_best",
+    "q_stream_dedup_image",
     # round-9 new operators: quality-aware canonical selection;
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",

@@ -641,26 +641,35 @@ def image_fingerprints_for(ids: DataFrame) -> DataFrame:
     stored-payload corpus runs the same two kernels via
     dhash_fingerprints, where the scan is the only boundary
     crossing."""
-    from ..operators.multimodal import (
-        DHASH_H,
-        DHASH_SCHEMA,
-        DHASH_W,
-        dhash_bands_batches,
-        resize_rgb_batches,
-    )
+    from ..operators.multimodal import DHASH_SCHEMA
     from ..tables import spread
 
     ids = spread(
         ids.select("doc_id"),
         ids.sparkSession.sparkContext.defaultParallelism,
     )
+    return ids.mapInPandas(image_dhash_kernel(), schema=DHASH_SCHEMA)
+
+
+def image_dhash_kernel():
+    """The fused synth → resize → dHash iterator kernel itself — for
+    callers whose frame cannot take the batch path's spread (streaming
+    sources have no rdd to probe): ``stream.select("doc_id")
+    .mapInPandas(image_dhash_kernel(), DHASH_SCHEMA)``."""
+    from ..operators.multimodal import (
+        DHASH_H,
+        DHASH_W,
+        dhash_bands_batches,
+        resize_rgb_batches,
+    )
+
     resize = resize_rgb_batches(DHASH_W, DHASH_H)
     bands = dhash_bands_batches()
 
     def fused(it):
         yield from bands(resize(_synth_dhash_corpus(it)))
 
-    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    return fused
 
 
 def _image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

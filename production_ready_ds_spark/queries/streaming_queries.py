@@ -649,3 +649,45 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+from .multimodal import _DHASH_SQL  # noqa: E402 - the q_dedup_image oracle
+
+
+@query("q_stream_dedup_image", category="streaming", sql=_DHASH_SQL)
+def q_stream_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PERCEPTUAL near-dup pairs over the documents stream —
+    the incremental image-dedup keep-rule as ONE stateful operator
+    (streaming/dedup.py streaming_hamming_candidates: the fused
+    synth → resize → dHash kernel runs map-only via mapInPandas —
+    fingerprinting needs no cross-row state — then a per-(band, key)
+    applyInPandasWithState holds each bucket's cap lowest-id member
+    fingerprints and emits exact Hamming ≤ 7 pairs). Run to completion
+    and collapsed to distinct pairs (the documented cross-band dedup).
+
+    Under the FULL hash gate via the SAME _DHASH_SQL closed-form
+    oracle as q_dedup_image: blocking is the RAW 16-bit band tier (the
+    incremental path's — full pigeonhole radius-7 guarantee), which at
+    corpus scale-factors equals the batch query's measured-entropy
+    tier choice, so the stream's distinct pair set value-hashes
+    against the batch oracle end to end — synth, resize, luma, bit
+    pack, blocking, AND the stateful pair emission. The stream≡batch
+    equivalence across micro-batches and re-delivery stays pinned in
+    tests/test_streaming_dedup.py."""
+    import os
+
+    from ..operators.multimodal import DHASH_SCHEMA
+    from ..streaming.dedup import streaming_hamming_candidates
+    from ..streaming.events import _as_stream_dir
+    from .multimodal import image_dhash_kernel
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .format("parquet")
+        .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
+        .select("doc_id")
+    )
+    fp = stream.mapInPandas(image_dhash_kernel(), DHASH_SCHEMA)
+    return _run_stream(spark, streaming_hamming_candidates(fp), "append").distinct()

@@ -213,3 +213,100 @@ def streaming_minhash_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HAMMING_OUTPUT_SCHEMA = "doc_a long, doc_b long, hamming long"
+
+
+def streaming_hamming_candidates(
+    fp_stream: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    radius: int = 7,
+    bucket_cap: int = OVERSIZED_BUCKET_CAP,
+) -> DataFrame:
+    """Continuous PERCEPTUAL near-dup pairs over a fingerprint stream —
+    the incremental_hamming_dedup keep-rule as ONE stateful operator
+    (the streaming_minhash_candidates shape applied to banded
+    bit-fingerprints): the input is a STREAM of (id, b0..b{n-1})
+    fingerprint rows (produced map-only, e.g. the fused synth → dHash
+    kernel via mapInPandas — fingerprinting needs no cross-row state),
+    band-exploded on the RAW 16-bit band values (the incremental
+    path's blocking — full pigeonhole radius guarantee, and the stored
+    key layout), then applyInPandasWithState keyed on (band, key):
+    state holds the bucket's ``cap`` lowest-id member fingerprints
+    plus a processed-id high-water mark (re-delivery no-op, exact
+    under in-id-order arrival), and each arriving doc emits EXACT
+    Hamming ≤ radius pairs against the current members before joining
+    the state if it ranks.
+
+    Pairs emit once per shared band (the one-stateful-op rule forbids
+    a second stateful distinct) — collapse downstream with
+    ``.distinct()``; ``hamming`` is pair-deterministic, so the
+    3-column distinct IS the pair set. With in-id-order arrival the
+    distinct set equals batch hamming_candidates at raw-band tier
+    (tests/test_streaming_dedup.py)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    b_cols = [f"b{k}" for k in range(n_bands)]
+    bands = fp_stream.select(
+        F.col(id_col).alias("doc_id"),
+        *b_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.col(f"b{k}").cast("long").alias("key"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *b_cols, "bk.band", "bk.key")
+
+    def update_bucket(key, pdfs, state):
+        members: list[tuple[int, tuple]]
+        if state.exists:
+            members, hwm = pickle.loads(state.get[0])
+        else:
+            members, hwm = [], -1
+        out_a, out_b, out_h = [], [], []
+        chunks = list(pdfs)
+        if not chunks:  # timeout-only invocation (not used: NoTimeout)
+            yield pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        # in-batch determinism: id order, so earlier docs of the same
+        # micro-batch are members when later ones probe (the minhash
+        # twin's rule)
+        rows = rows.sort_values("doc_id")
+        for row in rows.itertuples(index=False):
+            doc_id = int(row.doc_id)
+            if doc_id <= hwm or any(mid == doc_id for mid, _ in members):
+                continue  # re-delivery no-op (O2 semantics)
+            hwm = max(hwm, doc_id)
+            fp = tuple(int(getattr(row, c)) for c in b_cols)
+            for mid, mfp in members:
+                h = sum((a ^ b).bit_count() for a, b in zip(fp, mfp))
+                if h <= radius:
+                    out_a.append(min(mid, doc_id))
+                    out_b.append(max(mid, doc_id))
+                    out_h.append(h)
+            members.append((doc_id, fp))
+            if len(members) > bucket_cap:
+                # rank cap: keep the bucket's cap lowest ids
+                members.sort(key=lambda m: m[0])
+                members = members[:bucket_cap]
+        state.update((pickle.dumps((members, hwm)),))
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+
+    return bands.groupBy("band", "key").applyInPandasWithState(
+        update_bucket,
+        outputStructType=HAMMING_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

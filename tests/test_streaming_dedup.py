@@ -143,3 +143,91 @@ def test_streaming_bucket_state_respects_cap(spark, tmp_path):
     # every doc beyond the cap is still detected (has an edge)
     seen = {r.doc_b for r in got} | {r.doc_a for r in got}
     assert seen == set(range(n))
+
+
+def _fp_rows_for(spark, ids):
+    """Fingerprint a doc_id list through the SAME fused kernel the
+    batch query runs (synth → resize → dHash)."""
+    from production_ready_ds_spark.queries.multimodal import (
+        image_fingerprints_for,
+    )
+
+    return image_fingerprints_for(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    )
+
+
+def test_streaming_hamming_candidates_equal_batch(spark, tmp_path):
+    """The perceptual stateful operator across two in-id-order
+    micro-batches must emit exactly the batch hamming_candidates pair
+    set (after the documented cross-band distinct) — pairs spanning
+    the batch boundary included."""
+    from production_ready_ds_spark.operators.dedup import hamming_candidates
+    from production_ready_ds_spark.streaming.dedup import (
+        streaming_hamming_candidates,
+    )
+
+    ids = list(range(40))  # 10 synth groups of 4 near-identical variants
+    want = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_candidates(_fp_rows_for(spark, ids)).collect()
+    }
+    assert want, "synth corpus must contain perceptual families"
+    # family groups are ids (4g..4g+3): the batch split at 22 puts
+    # group 5 astride the boundary -> cross-batch pairs exercised
+    src = str(tmp_path / "fp_split")
+    _fp_rows_for(spark, ids[:22]).coalesce(1).write.parquet(src)
+    _fp_rows_for(spark, ids[22:]).coalesce(1).write.mode("append").parquet(src)
+
+    fp_schema = "doc_id long, " + ", ".join(f"b{k} long" for k in range(8))
+    stream = (
+        spark.readStream.schema(fp_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_hamming_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("t_shdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress["batchId"] >= 1, "expected >= 2 micro-batches"
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.table("t_shdedup").distinct().collect()
+    }
+    assert got == want
+
+
+def test_streaming_hamming_redelivery_is_noop(spark, tmp_path):
+    """Delivering the same fingerprint file twice must not re-emit
+    pairs (hwm + membership skip), matching the minhash twin."""
+    from production_ready_ds_spark.streaming.dedup import (
+        streaming_hamming_candidates,
+    )
+
+    src = str(tmp_path / "fp_redeliver")
+    _fp_rows_for(spark, [0, 1]).coalesce(1).write.parquet(src)
+    _fp_rows_for(spark, [0, 1]).coalesce(1).write.mode("append").parquet(src)
+    fp_schema = "doc_id long, " + ", ".join(f"b{k} long" for k in range(8))
+    stream = (
+        spark.readStream.schema(fp_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_hamming_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("t_shdedup2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pairs = spark.table("t_shdedup2").collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+    per_band = spark.table("t_shdedup2").groupBy("doc_a", "doc_b").count().collect()
+    assert all(r["count"] <= 8 for r in per_band), "re-delivery must not re-emit"
