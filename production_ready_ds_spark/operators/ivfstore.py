@@ -73,6 +73,50 @@ def _hash_sample(
     )
 
 
+def _hash_sample_at_least(
+    emb: DataFrame,
+    *,
+    vec_col: str,
+    keep: int,
+    n_rows: int,
+    seed: int,
+    min_rows: int,
+) -> DataFrame:
+    """:func:`_hash_sample` with a realized-size guard. Content hashing
+    samples duplicate vectors all-or-nothing, so on duplicate-heavy
+    corpora (the 64× replicated stress set) the REALIZED sample can
+    land far under ``keep`` — below the trainer's k/ks floor even
+    though the ``max_train_rows ≥ k`` validation passed, which would
+    silently collapse the fit. Guard: count the realized sample (one
+    map-side filter + count, cheap next to KMeans) and deterministically
+    DOUBLE the keep fraction until it covers ``min_rows``, falling back
+    to the full corpus when even that fails (all-duplicates corpus —
+    KMeans then collapses centers and the caller persists the actual
+    count, the ragged-book contract). Same hash, same seed, and a
+    wider cut is a SUPERSET of the narrower one, so the draw stays
+    deterministic across sessions and partitionings."""
+    want = keep
+    while True:
+        s = _hash_sample(emb, vec_col=vec_col, keep=want, n_rows=n_rows, seed=seed)
+        if want >= n_rows:
+            return emb  # cut covers everything — skip the filter
+        realized = s.count()
+        if realized >= min_rows:
+            if want > keep:
+                import warnings
+
+                warnings.warn(
+                    f"content-hash training sample widened {keep} -> "
+                    f"{want} target rows (realized {realized}) to cover "
+                    f"the {min_rows}-row trainer floor — duplicate-heavy "
+                    "corpus; centroid quality is unaffected but build "
+                    "cost grows with the widened sample",
+                    stacklevel=3,
+                )
+            return s
+        want = min(n_rows, want * 2)
+
+
 class IVFStore:
     """Persistent trained-quantizer vector index (see module docstring)."""
 
@@ -182,12 +226,13 @@ class IVFStore:
                     "for the trained list count (>= ~64·k is sensible)"
                 )
             if n_rows > max_train_rows:
-                train_src = _hash_sample(
+                train_src = _hash_sample_at_least(
                     embeddings,
                     vec_col=vec_col,
                     keep=max_train_rows,
                     n_rows=n_rows,
                     seed=seed,
+                    min_rows=k,
                 )
         fe = train_src.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
@@ -262,12 +307,13 @@ class IVFStore:
                 )
             n_rows = embeddings.count()
             if n_rows > max_train_rows:
-                train_src = _hash_sample(
+                train_src = _hash_sample_at_least(
                     embeddings,
                     vec_col=vec_col,
                     keep=max_train_rows,
                     n_rows=n_rows,
                     seed=seed,
+                    min_rows=ks,
                 )
         if residual:
             if self.centroids() is None:

@@ -183,10 +183,9 @@ _CONTRACT_ORDER = (
 # families (cleaning, search presentation) so each earns a driver-green
 # row over rounds 10-14.
 _EXTENSION_PRIORITY = (
-    # round-10 driver slots (rotation: 2 names per round) — round-9's
-    # q_dedup_image + q_video_frames earned green rows and moved back
-    "q_video_report",
-    "q_sim_topk_filtered_ivf",
+    # ROUND-11 ROTATION: CORRECTNESS_r10 shows q_video_report and
+    # q_sim_topk_filtered_ivf both hash-green → rotated to the back.
+    # Front slots per the committed queue (round-10 verdict item 1):
     "q_dedup_video",
     "q_dedup_image_clusters",
     "q_dedup_video_clusters",
@@ -226,6 +225,10 @@ _EXTENSION_PRIORITY = (
     # streaming perceptual pairs (the stateful image-dedup keep-rule)
     "q_dedup_multimodal_keep_best",
     "q_stream_dedup_image",
+    # round-11 new operators: streaming perceptual dedup extended to
+    # video and audio (raw-tier oracles), the composed curation ingest
+    "q_stream_dedup_video",
+    "q_stream_dedup_audio",
     # round-9 new operators: quality-aware canonical selection;
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",
@@ -377,6 +380,8 @@ _EXTENSION_PRIORITY = (
     "q_search_faceted",
     "q_dedup_image",
     "q_video_frames",
+    "q_video_report",
+    "q_sim_topk_filtered_ivf",
 )
 
 

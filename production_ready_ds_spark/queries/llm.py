@@ -6005,12 +6005,14 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes of one stable centroid ranking, and any candidate that
     displaces a global-top-3 neighbor from a superset's top-3 must
     itself be global-top-3). n_truth is computed, not a literal:
-    DuckDB runs the same brute-force ranking. The raw per-budget
-    recall integers stay visible via ivf_recall_report (the CLI
-    ``vindex --recall`` surface) and SCALE.md's recall-economics
-    notes; determinism within the engine is covered by the seeded
-    trainer and tests/test_ivfstore.py's brute-force-equality
-    properties."""
+    DuckDB runs the same brute-force ranking. The returned frame
+    itself never carries raw per-budget hit counts (partial rows hold
+    only the provable booleans; ``n_hits_full`` is non-null only on
+    the anchor row) — the integers are human-inspectable via
+    ivf_recall_report (the CLI ``vindex --recall`` surface) and
+    SCALE.md's recall-economics notes; determinism within the engine
+    is covered by the seeded trainer and tests/test_ivfstore.py's
+    brute-force-equality properties."""
     from pyspark.sql import Window
 
     from ..operators.ivfstore import IVFStore
@@ -6156,12 +6158,17 @@ def q_ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (budget = corpus − 1, where adc_topk's candidate set is every
     non-self vector, so hits ≡ n_truth provably — any bug in encode /
     LUT arithmetic / the self-row exclusion / the rank window breaks
-    the driver hash). Partial rows carry the two provable theorems:
-    ``in_bounds`` (0 ≤ hits ≤ truth) and ``monotone`` — ADC orders
-    candidates by (d2, id), a total order, so budget sets are NESTED
-    prefixes and hits are non-decreasing in budget. Raw hit counts
-    depend on the trained codebooks and stay out of the hashed frame
-    (the q_ann_recall_ivfpq rule); the knob economics live below.
+    the driver hash). Partial rows carry ``in_bounds`` (0 ≤ hits ≤
+    truth) and ``monotone`` — and in this single-pass form those
+    booleans are STRUCTURAL, not independent theorems: per-budget
+    hits are rank-prefix filters of ONE (d2, id) ranking, so
+    monotonicity holds by construction and cannot catch a kernel bug
+    on its own. The anchor row is the real gate (it pins the entire
+    ranking against exact truth); the partial rows exist to hash the
+    budget frame's SHAPE and to keep the report's columns stable
+    across the recall family. Raw hit counts depend on the trained
+    codebooks and stay out of the hashed frame (the q_ann_recall_ivfpq
+    rule); the knob economics live below.
 
     Honest reading: on the ISOTROPIC synthetic corpus this reports
     LOW recall (5/30 at sf0.01) — the expected worst case at m=8,

@@ -479,22 +479,31 @@ _G_BYTE = f"({_G_X} * {_G_X} % 2147483647) % 256"
 # ``scored`` instead of re-stating the whole pipeline.
 from ..operators.dedup import OVERSIZED_BUCKET_CAP as _HAMMING_BUCKET_CAP  # noqa: E402
 
+# entropy-scaled tier (hamming_candidates' exact-integer rule):
+# super-bands when mean bucket n*8/sum(distinct keys per band)
+# exceeds 8, i.e. n_docs > sum of per-band distinct counts
+_TIER_PARAMS_MEASURED = """params AS (
+      SELECT CASE WHEN (SELECT COUNT(DISTINCT doc_id) FROM bandvals)
+                  > (SELECT CAST(SUM(nd) AS BIGINT) FROM
+                     (SELECT COUNT(DISTINCT key) AS nd
+                      FROM bandvals GROUP BY band))
+                  THEN 2 ELSE 1 END AS sb
+    )"""
+# raw 16-bit band tier, PINNED — the incremental/streaming blocking
+# (streaming_hamming_candidates has no batch-global entropy agg to
+# consult, so it always blocks on raw bands); its oracles must replay
+# THAT tier, not the measured one, or a corpus whose measured tier
+# resolves to super-bands silently hash-mismatches (round-11 ADVICE
+# item 1: raw-band candidates are a strict superset within the radius)
+_TIER_PARAMS_RAW = "params AS (SELECT 1 AS sb)"
+
 _HAMMING_TAIL_CTES = f"""
     fp AS (
       SELECT doc_id,
              {", ".join(f"MAX(CASE WHEN band = {k} THEN key END) AS b{k}" for k in range(8))}
       FROM bandvals GROUP BY doc_id
     ),
-    -- entropy-scaled tier (hamming_candidates' exact-integer rule):
-    -- super-bands when mean bucket n*8/sum(distinct keys per band)
-    -- exceeds 8, i.e. n_docs > sum of per-band distinct counts
-    params AS (
-      SELECT CASE WHEN (SELECT COUNT(DISTINCT doc_id) FROM bandvals)
-                  > (SELECT CAST(SUM(nd) AS BIGINT) FROM
-                     (SELECT COUNT(DISTINCT key) AS nd
-                      FROM bandvals GROUP BY band))
-                  THEN 2 ELSE 1 END AS sb
-    ),
+    {_TIER_PARAMS_MEASURED},
     sbands AS (
       SELECT doc_id, band // sb AS band,
              CAST(SUM(key * CASE WHEN band % sb = 0 THEN 1 ELSE 65536 END)
@@ -591,6 +600,24 @@ _DHASH_SQL = f"""
     SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
     FROM scored WHERE hamming <= {_DHASH_RADIUS}
     """
+
+
+def _raw_tier(sql: str) -> str:
+    """The same closed-form oracle with the blocking tier PINNED to raw
+    16-bit bands (sb = 1) — the tier streaming_hamming_candidates
+    actually blocks on. The streaming q_stream_dedup_* twins must
+    declare THIS variant: the batch oracles replay the measured-entropy
+    tier, and on a corpus whose tier resolves to super-bands the raw
+    path emits a strict superset of the super-band candidates within
+    the radius (a Hamming ≤ 7 pair flipping bits in 4+ super-bands
+    shares a raw band but no super-band), so the measured-tier oracle
+    would silently hash-mismatch."""
+    if _TIER_PARAMS_MEASURED not in sql:
+        raise ValueError("oracle does not embed the measured-tier params CTE")
+    return sql.replace(_TIER_PARAMS_MEASURED, _TIER_PARAMS_RAW)
+
+
+_DHASH_SQL_RAW = _raw_tier(_DHASH_SQL)
 
 
 def _synth_dhash_corpus(it):
@@ -1040,6 +1067,8 @@ _VIDEO_DEDUP_SQL = f"""
     FROM scored WHERE hamming <= {_DHASH_RADIUS}
     """
 
+_VIDEO_DEDUP_SQL_RAW = _raw_tier(_VIDEO_DEDUP_SQL)
+
 
 def _synth_y4m_grouped(it):
     """mapInPandas kernel: doc_id → deterministic GROUPED C420 Y4M
@@ -1080,25 +1109,33 @@ def video_fingerprints_for(ids: DataFrame) -> DataFrame:
     sampling → per-frame dHash → temporal majority fold composed
     inside ONE mapInPandas (only doc_id in, 8 longs out — no frame
     bytes cross the JVM boundary)."""
-    from ..operators.multimodal import DHASH_SCHEMA, video_dhash_batches
+    from ..operators.multimodal import DHASH_SCHEMA
     from ..tables import spread
 
     ids = spread(
         ids.select("doc_id"),
         ids.sparkSession.sparkContext.defaultParallelism,
     )
+    return ids.mapInPandas(video_dhash_kernel(), schema=DHASH_SCHEMA)
+
+
+def video_dhash_kernel():
+    """The fused synth → Y4M walk → frame dHash → temporal-majority
+    iterator kernel itself (the image_dhash_kernel convention) — for
+    streaming callers whose frame cannot take the batch path's
+    spread."""
+    from ..operators.multimodal import video_dhash_batches
+
     vd = video_dhash_batches(stride=_VID_STRIDE)
 
     def fused(it):
         yield from vd(_synth_y4m_grouped(it))
 
-    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    return fused
 
 
 def _video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_fingerprints_for(load(spark, sf_dir, "documents"))
-
-    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
 
 
 @query("q_dedup_video", category="llm-dedup", bench=True, sql=_VIDEO_DEDUP_SQL)
@@ -1205,6 +1242,8 @@ _AUDIO_DEDUP_SQL = f"""
     FROM scored WHERE hamming <= {_DHASH_RADIUS}
     """
 
+_AUDIO_DEDUP_SQL_RAW = _raw_tier(_AUDIO_DEDUP_SQL)
+
 
 def _synth_wav_grouped(it):
     """mapInPandas kernel: doc_id → deterministic GROUPED WAV container
@@ -1244,19 +1283,29 @@ def audio_fingerprints_for(ids: DataFrame) -> DataFrame:
     convention; shared by the catalog queries and the perceptual
     ingest DAG): full-width spread, synth → RIFF walk → windowed
     envelope → bit pack fused inside ONE mapInPandas."""
-    from ..operators.multimodal import DHASH_SCHEMA, audio_envelope_dhash_batches
+    from ..operators.multimodal import DHASH_SCHEMA
     from ..tables import spread
 
     ids = spread(
         ids.select("doc_id"),
         ids.sparkSession.sparkContext.defaultParallelism,
     )
+    return ids.mapInPandas(audio_dhash_kernel(), schema=DHASH_SCHEMA)
+
+
+def audio_dhash_kernel():
+    """The fused synth → RIFF walk → windowed envelope → bit-pack
+    iterator kernel itself (the image_dhash_kernel convention) — for
+    streaming callers whose frame cannot take the batch path's
+    spread."""
+    from ..operators.multimodal import audio_envelope_dhash_batches
+
     env = audio_envelope_dhash_batches()
 
     def fused(it):
         yield from env(_synth_wav_grouped(it))
 
-    return ids.mapInPandas(fused, schema=DHASH_SCHEMA)
+    return fused
 
 
 def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -651,35 +651,26 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-from .multimodal import _DHASH_SQL  # noqa: E402 - the q_dedup_image oracle
+from .multimodal import (  # noqa: E402 - the raw-tier perceptual oracles
+    _AUDIO_DEDUP_SQL_RAW,
+    _DHASH_SQL_RAW,
+    _VIDEO_DEDUP_SQL_RAW,
+)
 
 
-@query("q_stream_dedup_image", category="streaming", sql=_DHASH_SQL)
-def q_stream_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming PERCEPTUAL near-dup pairs over the documents stream —
-    the incremental image-dedup keep-rule as ONE stateful operator
-    (streaming/dedup.py streaming_hamming_candidates: the fused
-    synth → resize → dHash kernel runs map-only via mapInPandas —
-    fingerprinting needs no cross-row state — then a per-(band, key)
-    applyInPandasWithState holds each bucket's cap lowest-id member
-    fingerprints and emits exact Hamming ≤ 7 pairs). Run to completion
-    and collapsed to distinct pairs (the documented cross-band dedup).
-
-    Under the FULL hash gate via the SAME _DHASH_SQL closed-form
-    oracle as q_dedup_image: blocking is the RAW 16-bit band tier (the
-    incremental path's — full pigeonhole radius-7 guarantee), which at
-    corpus scale-factors equals the batch query's measured-entropy
-    tier choice, so the stream's distinct pair set value-hashes
-    against the batch oracle end to end — synth, resize, luma, bit
-    pack, blocking, AND the stateful pair emission. The stream≡batch
-    equivalence across micro-batches and re-delivery stays pinned in
-    tests/test_streaming_dedup.py."""
+def _stream_perceptual_pairs(spark, sf_dir, kernel) -> DataFrame:
+    """The shared streaming perceptual-dedup shape: documents id stream
+    → fused fingerprint kernel (map-only mapInPandas — fingerprinting
+    needs no cross-row state) → streaming_hamming_candidates (one
+    per-(band, key) applyInPandasWithState holding each bucket's cap
+    lowest-id member fingerprints, emitting exact Hamming ≤ 7 pairs) →
+    run to completion → distinct (the documented cross-band
+    collapse)."""
     import os
 
     from ..operators.multimodal import DHASH_SCHEMA
     from ..streaming.dedup import streaming_hamming_candidates
     from ..streaming.events import _as_stream_dir
-    from .multimodal import image_dhash_kernel
 
     stream = (
         spark.readStream.schema(
@@ -689,5 +680,59 @@ def q_stream_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(_as_stream_dir(os.path.join(sf_dir, "documents.parquet")))
         .select("doc_id")
     )
-    fp = stream.mapInPandas(image_dhash_kernel(), DHASH_SCHEMA)
+    fp = stream.mapInPandas(kernel, DHASH_SCHEMA)
     return _run_stream(spark, streaming_hamming_candidates(fp), "append").distinct()
+
+
+@query("q_stream_dedup_image", category="streaming", sql=_DHASH_SQL_RAW)
+def q_stream_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PERCEPTUAL near-dup pairs over the documents stream —
+    the incremental image-dedup keep-rule as ONE stateful operator
+    (streaming/dedup.py streaming_hamming_candidates; see
+    _stream_perceptual_pairs for the shared shape).
+
+    Under the FULL hash gate via the RAW-TIER variant of the
+    q_dedup_image closed-form oracle (_DHASH_SQL_RAW): the stream
+    blocks on raw 16-bit bands ALWAYS (an incremental operator has no
+    batch-global entropy agg to consult — and raw bands carry the full
+    pigeonhole radius-7 guarantee), so its oracle pins sb = 1 instead
+    of replaying the batch query's measured-entropy tier choice. On a
+    corpus whose measured tier resolves to super-bands the two tiers
+    emit DIFFERENT pair sets (raw is a strict superset within the
+    radius), so declaring the batch oracle here would silently
+    hash-mismatch — round-11 ADVICE item 1; the tier pin removes the
+    corpus assumption rather than asserting it. Everything else —
+    synth, resize, luma, bit pack, bucket cap, AND the stateful pair
+    emission — still value-hashes end to end. The stream≡batch(raw
+    tier) equivalence across micro-batches and re-delivery stays
+    pinned in tests/test_streaming_dedup.py."""
+    from .multimodal import image_dhash_kernel
+
+    return _stream_perceptual_pairs(spark, sf_dir, image_dhash_kernel())
+
+
+@query("q_stream_dedup_video", category="streaming", sql=_VIDEO_DEDUP_SQL_RAW)
+def q_stream_dedup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual VIDEO near-dup pairs — the q_dedup_video
+    fingerprint (Y4M walk → strided frame dHash → per-bit temporal
+    majority) under the SAME stateful Hamming operator and raw-tier
+    oracle discipline as q_stream_dedup_image (the kernel is
+    modality-blind over banded longs; streaming/dedup.py). Hash-gated
+    by _VIDEO_DEDUP_SQL_RAW — the batch closed form with the blocking
+    tier pinned to the stream's raw 16-bit bands."""
+    from .multimodal import video_dhash_kernel
+
+    return _stream_perceptual_pairs(spark, sf_dir, video_dhash_kernel())
+
+
+@query("q_stream_dedup_audio", category="streaming", sql=_AUDIO_DEDUP_SQL_RAW)
+def q_stream_dedup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual AUDIO near-dup pairs — the q_dedup_audio
+    fingerprint (RIFF walk → windowed loudness envelope → bit pack)
+    under the SAME stateful Hamming operator and raw-tier oracle
+    discipline as q_stream_dedup_image. Hash-gated by
+    _AUDIO_DEDUP_SQL_RAW — the batch closed form with the blocking
+    tier pinned to the stream's raw 16-bit bands."""
+    from .multimodal import audio_dhash_kernel
+
+    return _stream_perceptual_pairs(spark, sf_dir, audio_dhash_kernel())

@@ -835,3 +835,49 @@ def test_search_adc_refine_zero_is_raw_adc(spark, pq_store, embs):
     )
     rows = key(zero)
     assert rows == key(none) and len(rows) == 9
+
+
+def test_sampled_train_widens_on_duplicate_heavy_corpus(spark, tmp_path, embs):
+    """Round-11 ADVICE item 4: content hashing samples duplicate
+    vectors all-or-nothing, so a duplicate-heavy corpus can realize
+    far fewer rows than max_train_rows — the guard must widen the keep
+    fraction (warning) until the trainer floor is covered instead of
+    silently collapsing the fit."""
+    import warnings
+
+    from production_ready_ds_spark.operators.ivfstore import (
+        _hash_sample_at_least,
+    )
+
+    # 12 distinct vectors, each replicated 50x: content-hash keeps or
+    # drops all 50 copies together, so a 60-row target realizes ~1-2
+    # distinct vectors' worth of rows unless widened.
+    base = embs.limit(12).select("embedding")
+    dup = base
+    for _ in range(5):  # 12 * 2^5 = 384 rows over 12 distinct contents
+        dup = dup.unionAll(dup)
+    n = dup.count()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        s = _hash_sample_at_least(
+            dup, vec_col="embedding", keep=60, n_rows=n, seed=7, min_rows=120
+        )
+        realized = s.count()
+    assert realized >= 120, realized
+    # the warning fires exactly when the FIRST cut undershot the floor
+    from production_ready_ds_spark.operators.ivfstore import _hash_sample
+
+    first_cut = _hash_sample(
+        dup, vec_col="embedding", keep=60, n_rows=n, seed=7
+    ).count()
+    widened = [w for w in caught if "widened" in str(w.message)]
+    if first_cut < 120 and realized < n:
+        assert widened, f"first cut {first_cut} < floor but no warning"
+    if first_cut >= 120:
+        assert not widened
+    # degenerate all-duplicates floor: min_rows > distinct rows ->
+    # falls back to the full corpus, never an infinite loop
+    s2 = _hash_sample_at_least(
+        dup, vec_col="embedding", keep=60, n_rows=n, seed=7, min_rows=n
+    )
+    assert s2.count() == n

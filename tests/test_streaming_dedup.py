@@ -231,3 +231,127 @@ def test_streaming_hamming_redelivery_is_noop(spark, tmp_path):
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
     per_band = spark.table("t_shdedup2").groupBy("doc_a", "doc_b").count().collect()
     assert all(r["count"] <= 8 for r in per_band), "re-delivery must not re-emit"
+
+
+def _run_fp_stream(spark, src, name):
+    from production_ready_ds_spark.streaming.dedup import (
+        streaming_hamming_candidates,
+    )
+
+    fp_schema = "doc_id long, " + ", ".join(f"b{k} long" for k in range(8))
+    stream = (
+        spark.readStream.schema(fp_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_hamming_candidates(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in spark.table(name).distinct().collect()
+    }
+
+
+def test_streaming_hamming_raw_tier_on_superband_corpus(spark, tmp_path):
+    """Round-11 ADVICE item 1 pinned: on a corpus whose MEASURED
+    entropy tier resolves to super-bands, the stream (which always
+    blocks on raw 16-bit bands) must still equal batch
+    hamming_candidates FORCED to the raw tier — while the
+    measured-tier batch result DIVERGES (uncapped, raw is a strict
+    superset within the radius; with hot buckets the per-tier cap
+    moves pairs in both directions), which is exactly why the
+    q_stream_dedup_* oracles pin sb = 1 instead of assuming the tiers
+    agree."""
+    from production_ready_ds_spark.operators.dedup import hamming_candidates
+
+    # low-entropy fingerprints: every band key drawn from {0, 1}, so
+    # sum of per-band distinct keys = 16 << n_docs -> super-band tier.
+    # Pairs at Hamming <= 7 exist that flip bits in 4+ DISTINCT base
+    # bands (one bit in each of bands 0..3 vs doc 0) -> raw blocking
+    # keeps them, super-band blocking can lose ones flipping in all 4
+    # super-bands.
+    rows = []
+    for i in range(40):
+        # doc i flips band (i % 8) to key 1; doc 0's near-family
+        rows.append(tuple([i] + [1 if k == (i % 8) else 0 for k in range(8)]))
+    # and one doc at distance 4 from doc 8's all-zero-except-band0:
+    rows.append(tuple([100, 1, 1, 1, 1, 0, 0, 0, 0]))
+    schema = "doc_id long, " + ", ".join(f"b{k} long" for k in range(8))
+    fp = spark.createDataFrame(rows, schema)
+
+    raw = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_candidates(fp, mean_bucket_limit=10**9).collect()
+    }
+    measured = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_candidates(fp).collect()
+    }
+    assert measured != raw, (
+        "corpus must exercise the tier divergence the raw-pin guards"
+    )
+    assert raw, "corpus must contain radius pairs"
+
+    src = str(tmp_path / "fp_lowent")
+    ordered = sorted(rows)
+    spark.createDataFrame(ordered[:20], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(ordered[20:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = _run_fp_stream(spark, src, "t_shdedup_raw")
+    assert got == raw
+
+
+def test_stream_dedup_oracles_pin_raw_tier():
+    """The streaming perceptual twins must declare the raw-tier oracle
+    (sb pinned to 1), never the measured-tier batch oracle."""
+    from production_ready_ds_spark.queries import catalog
+    from production_ready_ds_spark.queries.multimodal import (
+        _TIER_PARAMS_MEASURED,
+        _TIER_PARAMS_RAW,
+    )
+
+    cat = catalog()
+    for name in (
+        "q_stream_dedup_image",
+        "q_stream_dedup_video",
+        "q_stream_dedup_audio",
+    ):
+        sql = cat[name].sql
+        assert _TIER_PARAMS_RAW in sql, name
+        assert _TIER_PARAMS_MEASURED not in sql, name
+
+
+def test_streaming_video_audio_equal_batch(spark, tmp_path):
+    """q_stream_dedup_video / q_stream_dedup_audio: the modality-blind
+    stateful operator over the video and audio fingerprint kernels
+    must equal batch hamming_candidates at raw tier across
+    micro-batches (the image twin's equivalence, per modality)."""
+    from production_ready_ds_spark.operators.dedup import hamming_candidates
+    from production_ready_ds_spark.queries.multimodal import (
+        audio_fingerprints_for,
+        video_fingerprints_for,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(24)], "doc_id long")
+    for tag, fp_for in (("vid", video_fingerprints_for), ("aud", audio_fingerprints_for)):
+        fp = fp_for(ids).localCheckpoint(eager=True)
+        want = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in hamming_candidates(fp, mean_bucket_limit=10**9).collect()
+        }
+        assert want, f"{tag}: synth corpus must contain perceptual families"
+        src = str(tmp_path / f"fp_{tag}")
+        lo = fp.filter(F.col("doc_id") < 13)
+        hi = fp.filter(F.col("doc_id") >= 13)
+        lo.coalesce(1).write.parquet(src)
+        hi.coalesce(1).write.mode("append").parquet(src)
+        got = _run_fp_stream(spark, src, f"t_sh_{tag}")
+        assert got == want
