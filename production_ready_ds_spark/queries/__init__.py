@@ -229,6 +229,8 @@ _EXTENSION_PRIORITY = (
     # video and audio (raw-tier oracles), the composed curation ingest
     "q_stream_dedup_video",
     "q_stream_dedup_audio",
+    # round-11 rows-only→hash-gate upgrade (exhaustive-budget anchor)
+    "q_sim_topk_pq",
     # round-9 new operators: quality-aware canonical selection;
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",

@@ -6061,21 +6061,53 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_topk_pq", category="llm-similarity", sql=None)
+_BRUTE_COSINE_TOPK_SQL = """
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < 10
+    ),
+    sims AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS cos_sim
+      FROM probes p CROSS JOIN embeddings e
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(cos_sim, 4) AS cos_sim
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 3
+    """
+
+
+@query("q_sim_topk_pq", category="llm-similarity", sql=_BRUTE_COSINE_TOPK_SQL)
 def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-QUANTIZED ANN top-k — the asymmetric-distance (ADC)
     search of Jégou et al. 2011 over PQ codes (operators/pq.py
     PQCodec): each corpus vector is stored as m=8 code bytes (32×
     smaller than float32), per-probe (m × ks) lookup tables replace
-    d-dim dot products, and the top-3 neighbors per probe (vec_id <
-    10) come out of code arithmetic alone. Declared ROWS-ONLY: the
-    codebooks are trained KMeans state no SQL oracle can re-derive
-    (the q_ann_recall_pq declaration class — and unlike
-    q_ann_recall_ivf there is no full-probe brute-force anchor to
-    hash, because ADC distances differ from exact distances at EVERY
-    budget by construction); encode-argmin
-    correctness, family recall, and ADC ≡ reconstruction-distance
-    equality are property-tested in tests/test_pq.py.
+    d-dim dot products, and candidates are ranked by code arithmetic
+    alone before an exact-cosine re-rank of the kept prefix.
+
+    Under the FULL hash gate since round 11 (the q_sim_topk_ivfpq
+    graduation pattern, round-10 verdict item 5): served at the
+    EXHAUSTIVE-BUDGET anchor — adc_topk keeps every non-self
+    candidate (top_k = corpus − 1), so the exact-cosine re-rank of
+    the candidate set IS brute force by construction (same cosine
+    kernel, same (desc sim, asc id) tie-break as the SQL oracle), and
+    a bug in encode / LUT arithmetic / the kernel's tie-safe
+    partition-local cut / the self-row exclusion that DROPS any
+    candidate breaks the driver hash (a true top-3 neighbor missing
+    from the candidate set cannot be resurrected by the re-rank). The
+    anchor's candidate frame is O(probes·corpus) — a diagnostic gate
+    shape on the gate corpus (the q_sim_topk_ivfpq anchor caveat,
+    SCALE.md); a production PQ search keeps top_k ≪ corpus and never
+    re-ranks more than probes·(k+1) rows per partition. ADC-rank
+    internals (which quantized distance ordered the prefix) stay
+    property-tested in tests/test_pq.py: encode ≡ exact subspace
+    argmin, ADC rank ≡ reconstruction-distance brute force, ≥90%
+    family recall through codes alone.
 
     Scale shape: training is per-sample-row (codebooks are kilobytes
     of JSON, cached per corpus signature like the IVF store); encode
@@ -6084,11 +6116,48 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     only probes·(k+1) rows per partition reach the final window. The
     full IVFPQ composition is IVFStore.search_adc (q_sim_topk_ivfpq):
     probed lists prune the candidate read, PQ shrinks what is read."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_prenormed, norm
+
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     codec = _cached_pq_codec(e, sf_dir)
     codes = codec.encode(e)
     probes = e.filter(F.col("vec_id") < 10)
-    return codec.adc_topk(probes, codes, top_k=3)
+    n = e.count()
+    cand = codec.adc_topk(probes, codes, top_k=n - 1)
+    en = e.withColumn("nrm", norm(F.col("embedding")))
+    pr = en.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("nrm").alias("pnrm"),
+    )
+    scored = (
+        cand.join(
+            en.select(
+                F.col("vec_id").alias("neighbor_id"),
+                "embedding",
+                "nrm",
+            ),
+            "neighbor_id",
+        )
+        .join(broadcast(pr), "probe_id")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("pe"), F.col("embedding"), F.col("pnrm"), F.col("nrm")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
 
 
 def _cached_pq_codec(e: DataFrame, sf_dir: str):
