@@ -43,6 +43,7 @@ _MODULES = (
     "unigram",
     "wordpiece",
     "formats",
+    "curation_ingest",
 )
 
 
@@ -231,6 +232,9 @@ _EXTENSION_PRIORITY = (
     "q_stream_dedup_audio",
     # round-11 rows-only→hash-gate upgrade (exhaustive-budget anchor)
     "q_sim_topk_pq",
+    # round-11 flagship: the composed exact→lexical→perceptual→semantic
+    # ingest chain with quality keep-best (verdict item 3)
+    "q_curation_ingest",
     # round-9 new operators: quality-aware canonical selection;
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",

@@ -1,0 +1,327 @@
+"""The composed curation-ingest chain: exact → lexical → perceptual →
+semantic dedup with a quality keep-best canonical view, as ONE one-shot
+query (`q_curation_ingest`) — the batch twin of the incremental
+:mod:`..pipelines.ingest_curation` DAG (round-10 verdict item 3).
+
+The reference's whole identity is a multi-stage incremental DAG
+(reference `run_pipeline.sh:6-11`, `01_classification_pipeline.py:
+155-156`: fetch → clean → classify, chained per day). This module is
+that shape generalized to the 100 TB corpus-refresh: each stage
+consumes the PREVIOUS stage's survivors, ordered cheap-to-expensive —
+
+1. **exact** (md5 keep-min, the q_dedup_exact rule): a doc is rejected
+   iff a smaller-id doc carries the same content hash.
+2. **lexical** (MinHash LSH, the q_dedup_minhash md5+affine family):
+   over exact survivors only — never pay shingling for byte-identical
+   copies.
+3. **perceptual** (image dHash at the RAW band tier — the incremental
+   store's blocking, `incremental_hamming_dedup`): over lexical
+   survivors only — never pay decode for textual mirrors. The DAG
+   parametrizes the modality (image/video/audio); the catalog twin
+   pins image.
+4. **semantic** (SemDeDup sign-bucket cosine, the q_dedup_semantic
+   blocking with planes scaled by the FULL embeddings corpus): over
+   perceptual survivors that have an embedding; docs without
+   embeddings pass through.
+5. **quality keep-best**: the four stages' pair evidence unions into
+   ONE component graph (the q_dedup_multimodal_clusters discipline);
+   within each unified family the canonical is the HIGHEST-QUALITY
+   member (max n_chars, ties to lowest doc_id — the q_dedup_keep_best
+   rule), which may be a doc the min-id chain rejected.
+
+Chaining is the efficiency contract AND a recall statement: a doc
+rejected at stage k is never fingerprinted by stage k+1, so families
+connect only through survivors' evidence (two docs whose only link is
+a perceptual match between two LEXICALLY-rejected copies stay separate
+families — the funnel trades that recall for never running expensive
+detectors on known duplicates; the un-chained full-evidence graph is
+q_dedup_multimodal_clusters).
+
+Every decision is deterministic and SQL-replayable (the md5 hash, the
+md5+affine MinHash family, the closed-form dHash synth at raw tier,
+the sign-bucket blocking), so the WHOLE composed chain — gates,
+survivor sets, family labels, and the keep-best winners — sits under
+the driver hash gate.
+
+Incremental ≡ one-shot: the id-range-batched DAG reproduces exactly
+this query's survivor sets and canonical view
+(tests/test_ingest_curation.py) because every stage's keep-rule is
+"rejected iff a smaller-id pair partner exists" and every store
+derives its "earlier corpus" from the batch id RANGE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from . import query
+from .llm import (
+    _DUCK_BUCKET_SCALED,
+    _DUCK_PLANES_CTE,
+    _MINHASH_SQL,
+    EMBED_COS_THRESHOLD,
+    _scaled_planes_for,
+)
+from .multimodal import _DHASH_RADIUS, _DHASH_SQL_RAW, image_fingerprints_for
+
+# Stage fragments restricted to the previous stage's survivors: the
+# standalone oracle texts are embedded VERBATIM as nested-WITH
+# subqueries (the q_dedup_multimodal_clusters composition convention —
+# neither detector's replay can drift from its standalone query,
+# because it IS that query's text), with only the source-table
+# reference rebound to the survivor CTE. Each fragment reads
+# `FROM documents` exactly once (asserted below), so the rebind is a
+# plain textual substitution.
+_MH_SQL_S1 = _MINHASH_SQL.replace("FROM documents", "FROM s1")
+_PH_SQL_S2 = _DHASH_SQL_RAW.replace("FROM documents", "FROM s2")
+for _frag, _src in ((_MINHASH_SQL, _MH_SQL_S1), (_DHASH_SQL_RAW, _PH_SQL_S2)):
+    if _frag.count("FROM documents") != 1 or "FROM documents" in _src:
+        raise AssertionError(
+            "stage oracle fragment no longer reads `FROM documents` "
+            "exactly once — the curation-ingest rebind would compose "
+            "the wrong doc set"
+        )
+
+_CURATION_INGEST_SQL = f"""
+    WITH RECURSIVE
+    exk AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+      FROM documents GROUP BY md5(text)
+    ),
+    s1 AS (
+      SELECT d.* FROM documents d
+      JOIN exk ON exk.h = md5(d.text) AND exk.keep_id = d.doc_id
+    ),
+    ex_edges AS (
+      SELECT exk.keep_id AS doc_a, d.doc_id AS doc_b
+      FROM documents d
+      JOIN exk ON md5(d.text) = exk.h AND d.doc_id > exk.keep_id
+    ),
+    mh_pairs AS (SELECT doc_a, doc_b FROM ({_MH_SQL_S1})),
+    s2 AS (
+      SELECT * FROM s1
+      WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
+    ),
+    ph_pairs AS (SELECT doc_a, doc_b FROM ({_PH_SQL_S2})),
+    s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id NOT IN (SELECT doc_b FROM ph_pairs)
+    ),
+    {_DUCK_PLANES_CTE},
+    semb AS (
+      SELECT e.vec_id, {_DUCK_BUCKET_SCALED} AS bucket,
+             CAST(e.embedding AS DOUBLE[]) AS de
+      FROM embeddings e JOIN s3 ON s3.doc_id = e.vec_id, planes
+    ),
+    sem_pairs AS (
+      SELECT a.vec_id AS doc_a, c.vec_id AS doc_b
+      FROM semb a JOIN semb c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE list_cosine_similarity(a.de, c.de) >= {EMBED_COS_THRESHOLD}
+    ),
+    alledges AS (
+      SELECT doc_a, doc_b FROM ex_edges
+      UNION SELECT doc_a, doc_b FROM mh_pairs
+      UNION SELECT doc_a, doc_b FROM ph_pairs
+      UNION SELECT doc_a, doc_b FROM sem_pairs
+    ),
+    cedges AS (
+      SELECT doc_a AS s, doc_b AS t FROM alledges
+      UNION
+      SELECT doc_b AS s, doc_a AS t FROM alledges
+    ),
+    cnodes AS (SELECT DISTINCT s AS node FROM cedges),
+    creach(node, lbl) AS (
+      SELECT node, node FROM cnodes
+      UNION
+      SELECT e.t, r.lbl FROM creach r JOIN cedges e ON e.s = r.node
+    ),
+    fam AS (SELECT node AS doc_id, MIN(lbl) AS family_id
+            FROM creach GROUP BY node),
+    spine AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(f.family_id, d.doc_id) AS BIGINT) AS family_id,
+             d.n_chars,
+             CASE
+               WHEN d.doc_id NOT IN (SELECT doc_id FROM s1) THEN 'exact'
+               WHEN d.doc_id IN (SELECT doc_b FROM mh_pairs) THEN 'lexical'
+               WHEN d.doc_id IN (SELECT doc_b FROM ph_pairs) THEN 'perceptual'
+               WHEN d.doc_id IN (SELECT doc_b FROM sem_pairs) THEN 'semantic'
+               ELSE 'kept'
+             END AS stage
+      FROM documents d LEFT JOIN fam f ON f.doc_id = d.doc_id
+    )
+    SELECT doc_id, family_id, stage,
+           ROW_NUMBER() OVER (PARTITION BY family_id
+                              ORDER BY n_chars DESC, doc_id) = 1 AS keep_best
+    FROM spine
+    """
+
+
+def _chain_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-shot composed chain — factored so the catalog query and
+    the incremental DAG's equivalence test rank the SAME decisions.
+    Returns (doc_id, family_id, stage, keep_best) over the full
+    documents spine."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import sign_bucket
+    from ..operators.ann import bucketed_cosine_pairs
+    from ..operators.dedup import (
+        connected_components,
+        hamming_candidates,
+        minhash_bands,
+        minhash_candidates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    # stage 1: exact (md5 keep-min)
+    hashed = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    exk = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    ex_edges = (
+        hashed.join(exk, "h")
+        .filter(F.col("doc_id") > F.col("keep_id"))
+        .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    s1 = d.join(
+        exk.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    # stage 2: lexical MinHash over exact survivors. Sequential
+    # checkpoints per pair set (the _multimodal_members OOM rule: peak
+    # memory = max of the generators, never their sum).
+    mh_pairs = (
+        minhash_candidates(minhash_bands(s1))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    s2 = s1.join(
+        mh_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
+    )
+    # stage 3: perceptual image dHash over lexical survivors, at the
+    # RAW band tier — the tier the incremental store path blocks on
+    # (incremental_hamming_dedup), pinned by mean_bucket_limit so the
+    # one-shot twin and the DAG emit identical pairs.
+    ph_pairs = (
+        hamming_candidates(
+            image_fingerprints_for(s2.select("doc_id")),
+            radius=_DHASH_RADIUS,
+            mean_bucket_limit=1 << 62,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    s3 = s2.join(
+        ph_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
+    )
+    # stage 4: semantic sign-bucket SemDeDup over perceptual survivors
+    # that have an embedding (planes scaled by the FULL corpus — the
+    # quantizer is corpus-global; restricting it to survivors would
+    # make the blocking depend on upstream decisions)
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p = _scaled_planes_for(e)
+    panel = (
+        e.join(
+            s3.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        .select(
+            "vec_id",
+            sign_bucket(F.col("embedding"), p).alias("pb"),
+            "embedding",
+        )
+    )
+    sem_pairs = (
+        bucketed_cosine_pairs(panel, panel, threshold=EMBED_COS_THRESHOLD)
+        .distinct()
+        .select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # stage 5: unified families + quality keep-best over the spine
+    edges = (
+        ex_edges.unionByName(mh_pairs)
+        .unionByName(ph_pairs)
+        .unionByName(sem_pairs)
+        .distinct()
+    )
+    fam = connected_components(edges)
+    rejected = [
+        (s1, "exact", True),  # NOT in s1 → exact-rejected
+        (mh_pairs, "lexical", False),
+        (ph_pairs, "perceptual", False),
+        (sem_pairs, "semantic", False),
+    ]
+    spine = d.select("doc_id", "n_chars").join(
+        fam.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    spine = spine.withColumn(
+        "family_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    ).drop("cluster_id")
+    flag = lambda df, col: df.select(  # noqa: E731
+        F.col(col).alias("doc_id"), F.lit(True).alias(f"_{col}")
+    ).dropDuplicates(["doc_id"])
+    spine = (
+        spine.join(
+            s1.select("doc_id").withColumn("_s1", F.lit(True)), "doc_id", "left"
+        )
+        .join(flag(mh_pairs, "doc_b").withColumnRenamed("_doc_b", "_mh"), "doc_id", "left")
+        .join(flag(ph_pairs, "doc_b").withColumnRenamed("_doc_b", "_ph"), "doc_id", "left")
+        .join(flag(sem_pairs, "doc_b").withColumnRenamed("_doc_b", "_sem"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "family_id",
+            "n_chars",
+            F.when(F.col("_s1").isNull(), "exact")
+            .when(F.col("_mh"), "lexical")
+            .when(F.col("_ph"), "perceptual")
+            .when(F.col("_sem"), "semantic")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )
+    w = Window.partitionBy("family_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return spine.select(
+        "doc_id",
+        "family_id",
+        "stage",
+        (F.row_number().over(w) == 1).alias("keep_best"),
+    )
+
+
+@query(
+    "q_curation_ingest",
+    category="llm-dedup",
+    bench=True,
+    sql=_CURATION_INGEST_SQL,
+)
+def q_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation-ingest decision table (module docstring):
+    per document — which stage of the exact → lexical → perceptual →
+    semantic funnel rejected it ('kept' for chain survivors), its
+    unified cross-stage duplicate family, and whether it is the
+    family's quality keep-best canonical (max n_chars, ties to lowest
+    doc_id; singletons are their own canonical). The min-id curated
+    corpus is ``stage = 'kept'``; the quality-canonical corpus is
+    ``keep_best`` — the two views a corpus refresh publishes.
+
+    Under the FULL hash gate: every stage is deterministic and the
+    oracle composes the four EXISTING stage oracles verbatim (md5
+    keep-min; the md5+affine MinHash family restricted to exact
+    survivors; the closed-form image dHash chain at the raw band tier
+    restricted to lexical survivors; sign-bucket cosine over
+    perceptual survivors) plus recursive reachability minima and the
+    keep-best window — a value drift anywhere in the CHAIN (not just
+    inside one detector) breaks the driver hash.
+
+    Scale shape: each stage keeps its standalone bounds (hash-groupBy;
+    rank-capped LSH buckets; banded Hamming with the bucket guard;
+    per-bucket BLAS panels) and the chaining only SHRINKS stage
+    inputs; the funnel never re-reads a rejected doc. The incremental
+    id-range-batched form — same decisions, O(batch) per-batch store
+    IO — is pipelines/ingest_curation.py, equivalence-tested against
+    this query."""
+    return _chain_decisions(spark, sf_dir)
