@@ -1275,3 +1275,94 @@ def incremental_minhash_dedup(
     span = fresh.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
     store.append(fresh, id_min=span.lo, id_max=span.hi)
     return pairs
+
+
+#: Family tag for the exact-content store: one row per doc, blocking
+#: key = 32-bit md5-prefix integer of the text, full md5 hex carried
+#: for the (collision-free) pair predicate. Incomparable with the
+#: MinHash family's affine signatures — hence its own tag.
+EXACT_FAMILY = "md5exact-v1"
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    earlier_below: int | None = None,
+) -> DataFrame:
+    """Incremental EXACT dedup against a persistent content-hash store —
+    the cheapest stage of the curation-ingest funnel
+    (pipelines/ingest_curation.py), run BEFORE shingling so
+    byte-identical copies never pay the MinHash stage.
+
+    Per batch of (id, text) docs: hash each text once (md5; the
+    q_dedup_exact rule), block on the 32-bit md5-prefix integer
+    (``key`` — range-clustered in the store, so the corpus side of the
+    bucket join is pruned to the batch's keys via a pushed In(key,...)
+    parquet filter, per-batch store IO ~O(batch)), pair on FULL md5
+    equality, and emit per rejected doc exactly ONE star edge
+    ``(doc_a = the group's smallest smaller-id member, doc_b = doc)``
+    — the q_curation_ingest oracle's ``ex_edges`` shape, and the same
+    transitive closure as the full same-hash clique. A doc with no
+    smaller-id same-hash partner (the group minimum so far) survives.
+
+    ``earlier_below`` selects the RANGE-DETERMINISTIC ingest form (the
+    incremental_hamming_dedup convention): "earlier corpus" = stored
+    rows with id < earlier_below, the already-indexed anti-join is
+    skipped, and the append is guarded by skip_if_range_indexed —
+    deleting a batch target and re-running reproduces identical
+    edges. The default (None) keeps at-least-once streaming semantics
+    (re-delivered ids drop against the store)."""
+    from ..functions.text import md5_prefix_int
+    from .sigstore import SignatureStore, collect_prune_keys
+
+    spark = new_docs.sparkSession
+    store = SignatureStore(store_path, family=EXACT_FAMILY)
+    sigs = new_docs.select(
+        id_col,
+        F.lit(0).alias("band"),
+        md5_prefix_int(F.col(text_col)).alias("key"),
+        F.md5(F.col(text_col).cast("binary")).alias("h"),
+    )
+    if earlier_below is None:
+        bounds = sigs.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+        if bounds.lo is not None:
+            known = store.known_ids(
+                spark, id_min=bounds.lo, id_max=bounds.hi, id_col=id_col
+            )
+            if known is not None:
+                sigs = sigs.join(known, id_col, "left_anti")
+    fresh = sigs.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    empty = fresh.limit(0).select(
+        F.col(id_col).alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    keys = collect_prune_keys(fresh)
+    if keys == []:
+        return empty
+    corpus = store.read_signatures(
+        spark, keys=keys, id_col=id_col, id_below=earlier_below
+    )
+    right = fresh if corpus is None else fresh.unionByName(corpus)
+    a = fresh.alias("a")
+    pairs = (
+        a.join(
+            right.alias("b"),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_b"))
+        .agg(F.min(F.col(f"b.{id_col}")).alias("doc_a"))
+        .select("doc_a", "doc_b")
+    )
+    span = fresh.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    if span.lo is not None:
+        store.append(
+            fresh,
+            id_min=span.lo,
+            id_max=span.hi,
+            skip_if_range_indexed=earlier_below is not None,
+        )
+    return pairs
