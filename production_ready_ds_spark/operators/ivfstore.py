@@ -698,14 +698,14 @@ class IVFStore:
         segs = self.segments()
         if not segs or not list_ids:
             return None
-        # Session-level RATCHET, never a lowering: the threshold must
-        # still be high when the lazy scan actually executes (a
-        # set/restore pair would revert before execution), and a raise
-        # only makes other scans' In-filters push as In instead of
-        # degrading to [min,max] — strictly more precise pruning.
-        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
-        current = int(spark.conf.get(conf_key, "10"))
-        spark.conf.set(conf_key, str(max(current, len(list_ids) + 1)))
+        # Session-level CAPPED RATCHET (layout.ratchet_in_pushdown),
+        # never a lowering: the threshold must still be high when the
+        # lazy scan actually executes (a set/restore pair would revert
+        # before execution); oversized lists stay a post-scan InSet
+        # instead of a pushed OR-chain that stack-overflows the scan.
+        from .layout import ratchet_in_pushdown
+
+        ratchet_in_pushdown(spark, len(list_ids))
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
         df = df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
         if attr_filter is not None:
@@ -969,9 +969,9 @@ class IVFStore:
             [(int(r["probe_id"]), int(r["neighbor_id"])) for r in pair_rows],
             "probe_id long, neighbor_id long",
         )
-        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
-        current = int(spark.conf.get(conf_key, "10"))
-        spark.conf.set(conf_key, str(max(current, len(cand_ids) + 1)))
+        from .layout import ratchet_in_pushdown
+
+        ratchet_in_pushdown(spark, len(cand_ids))
         vecs = (
             lists_df.select(id_col, vec_col)
             .filter(F.col(id_col).isin(cand_ids))

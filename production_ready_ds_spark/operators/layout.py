@@ -23,6 +23,36 @@ from pyspark.sql import functions as F
 
 DEFAULT_TARGET_ROWS = 1_000_000
 
+#: Largest In(...) literal list that may be PUSHED to the parquet
+#: reader. Spark converts a pushed In to a parquet FilterPredicate
+#: whose evaluation recurses per element (an OR-chain, not a set
+#: probe); measured on this JVM (Spark 4.1.2, default task stacks)
+#: the scan STACK-OVERFLOWS between 1 000 and 1 500 pushed long
+#: literals — a latent crash every store's pruned read shared, first
+#: hit by a 5 000-doc curation-ingest batch (round 11). Past the cap
+#: the threshold is NOT raised: the filter stays a post-scan InSet
+#: (hash probe, no recursion, still correct) and only row-group
+#: pruning is lost.
+MAX_IN_PUSHDOWN = 1000
+
+
+def ratchet_in_pushdown(spark: SparkSession, n_values: int) -> bool:
+    """Raise ``spark.sql.parquet.pushdown.inFilterThreshold`` so an
+    In(``n_values``) predicate pushes to parquet row-group stats —
+    RATCHET semantics (max with current, never a lowering: the lazy
+    scan reads the conf at execution time, and a raise is strictly
+    more precise pruning for every other scan) — unless ``n_values``
+    exceeds :data:`MAX_IN_PUSHDOWN`, in which case the threshold is
+    left alone and False is returned (the caller's isin stays a safe
+    post-scan InSet). The cap also bounds the ratchet itself, so no
+    earlier raise can ever let a later oversized In slip through."""
+    if n_values > MAX_IN_PUSHDOWN:
+        return False
+    conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    current = int(spark.conf.get(conf_key, "10"))
+    spark.conf.set(conf_key, str(max(current, n_values + 1)))
+    return True
+
 
 def _swap_into(tmp: str, target: str) -> None:
     """Replace ``target`` with ``tmp`` via two renames.

@@ -166,15 +166,15 @@ class SignatureStore:
         if id_below is not None and any(s["id_max"] >= id_below for s in segs):
             df = df.filter(F.col(id_col) < id_below)
         if keys is not None and 0 < len(keys) <= MAX_PRUNE_KEYS:
-            # Raise the parquet IN-pushdown threshold past our list size:
-            # above it Spark degrades In to a [min,max] range filter,
-            # which prunes nothing on uniform 64-bit bucket hashes.
-            # RATCHET (max with current), never a lowering: the lazy
-            # scan reads the conf at execution time, and a raise is
-            # strictly-more-precise pushdown for every other scan too.
-            conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
-            current = int(spark.conf.get(conf_key, "10"))
-            spark.conf.set(conf_key, str(max(current, len(keys) + 1)))
+            # Raise the parquet IN-pushdown threshold past our list size
+            # (above it Spark degrades In to a [min,max] range filter,
+            # which prunes nothing on uniform 64-bit bucket hashes) —
+            # via the shared CAPPED ratchet: oversized lists stay a
+            # post-scan InSet instead of a pushed OR-chain that
+            # stack-overflows the scan (layout.MAX_IN_PUSHDOWN).
+            from .layout import ratchet_in_pushdown
+
+            ratchet_in_pushdown(spark, len(keys))
             df = df.filter(F.col("key").isin(keys))
         return df
 

@@ -502,9 +502,9 @@ class TermStore:
         segs = self.segments()
         if not segs or not terms:
             return None
-        conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
-        current = int(spark.conf.get(conf_key, "10"))
-        spark.conf.set(conf_key, str(max(current, len(terms) + 1)))
+        from .layout import ratchet_in_pushdown
+
+        ratchet_in_pushdown(spark, len(terms))
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
         return df.filter(F.col("term").isin([str(t) for t in terms]))
 

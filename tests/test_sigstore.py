@@ -251,3 +251,36 @@ def test_foreign_hash_family_manifest_is_refused(spark, tmp_path):
     # empty store from an older layout: nothing to mis-join, allowed
     json.dump({"segments": []}, open(store._manifest_path(), "w"))
     assert store.segments() == []
+
+
+def test_oversized_key_list_reads_safely_unpushed(spark, tmp_path):
+    """Round-11 regression: a pruned read with MORE keys than the
+    parquet In-pushdown cap must still return correct rows — Spark
+    converts a PUSHED In to a per-element OR-chain FilterPredicate
+    whose evaluation stack-overflows between ~1000 and ~1500 long
+    literals (first hit by a 5000-doc curation-ingest batch), so
+    layout.ratchet_in_pushdown refuses to raise the threshold past
+    MAX_IN_PUSHDOWN and the filter stays a post-scan InSet."""
+    from production_ready_ds_spark.operators.layout import (
+        MAX_IN_PUSHDOWN,
+        ratchet_in_pushdown,
+    )
+
+    # the ratchet cap itself
+    assert ratchet_in_pushdown(spark, 50)
+    assert not ratchet_in_pushdown(spark, MAX_IN_PUSHDOWN + 1)
+    thr = int(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold"))
+    assert thr <= MAX_IN_PUSHDOWN + 1
+
+    # a real store read with an oversized key list: 1 band x 2000 keys
+    store = SignatureStore(str(tmp_path / "wide"), family="md5exact-v1")
+    rows = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.xxhash64("id").alias("key"),
+    )
+    store.append(rows, id_min=0, id_max=1999)
+    keys = [r.key for r in rows.select("key").collect()]
+    assert len(keys) > MAX_IN_PUSHDOWN
+    got = store.read_signatures(spark, keys=keys[:1500])
+    assert got.count() == 1500  # would StackOverflow if pushed
