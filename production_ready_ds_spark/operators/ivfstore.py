@@ -95,24 +95,34 @@ def _hash_sample_at_least(
     count, the ragged-book contract). Same hash, same seed, and a
     wider cut is a SUPERSET of the narrower one, so the draw stays
     deterministic across sessions and partitionings."""
+    def _warn(want: int, realized) -> None:
+        import warnings
+
+        warnings.warn(
+            f"content-hash training sample widened {keep} -> "
+            f"{want} target rows (realized {realized}) to cover "
+            f"the {min_rows}-row trainer floor — duplicate-heavy "
+            "corpus; centroid quality is unaffected but build "
+            "cost grows with the widened sample",
+            stacklevel=4,
+        )
+
     want = keep
     while True:
         s = _hash_sample(emb, vec_col=vec_col, keep=want, n_rows=n_rows, seed=seed)
         if want >= n_rows:
-            return emb  # cut covers everything — skip the filter
+            # cut covers everything — skip the filter. This is the
+            # MAXIMAL widening (train cost = the full corpus), reached
+            # by doubling past n_rows on duplicate-heavy corpora, not
+            # only the all-duplicates degenerate case — warn exactly
+            # like any other widening (round-11 review #6)
+            if want > keep:
+                _warn(want, "full corpus")
+            return emb
         realized = s.count()
         if realized >= min_rows:
             if want > keep:
-                import warnings
-
-                warnings.warn(
-                    f"content-hash training sample widened {keep} -> "
-                    f"{want} target rows (realized {realized}) to cover "
-                    f"the {min_rows}-row trainer floor — duplicate-heavy "
-                    "corpus; centroid quality is unaffected but build "
-                    "cost grows with the widened sample",
-                    stacklevel=3,
-                )
+                _warn(want, realized)
             return s
         want = min(n_rows, want * 2)
 

@@ -50,7 +50,12 @@ def ratchet_in_pushdown(spark: SparkSession, n_values: int) -> bool:
         return False
     conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
     current = int(spark.conf.get(conf_key, "10"))
-    spark.conf.set(conf_key, str(max(current, n_values + 1)))
+    # Spark pushes an In when values.length <= threshold, so n_values
+    # itself suffices — and the stored value is CLAMPED to the cap
+    # (the one permitted lowering: it can only un-push Ins larger than
+    # the cap, which is the point), so a pre-cap session value can
+    # never let a cap+1 list through.
+    spark.conf.set(conf_key, str(min(max(current, n_values), MAX_IN_PUSHDOWN)))
     return True
 
 

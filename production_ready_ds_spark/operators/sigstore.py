@@ -200,6 +200,16 @@ class SignatureStore:
             s["id_min"] <= id_max and s["id_max"] >= id_min for s in segments
         ):
             return False
+        if not bands.take(1):
+            # never register an EMPTY segment (an id-range gap spanning
+            # a whole ingest window, or an all-duplicates batch whose
+            # survivor set emptied upstream): a zero-row parquet dir has
+            # no part files, so a later read whose manifest selection
+            # hits only empty segments dies on schema inference —
+            # permanently poisoning the store (the IVFStore.append
+            # bounds-agg guard, applied here; round-11 review #4 moved
+            # it from one caller into the store where it belongs)
+            return False
         seg = {
             "seg": (max((s["seg"] for s in segments), default=-1) + 1),
             "id_min": id_min,

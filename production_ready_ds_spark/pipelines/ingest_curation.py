@@ -162,20 +162,34 @@ class CurationIngestBatch(SparkTask):
         fresh = minhash_bands(s1)
         store_lex = SignatureStore(os.path.join(root, "sig_store"))
         keys = collect_prune_keys(fresh)
-        earlier = store_lex.read_signatures(spark, id_below=lo, keys=keys)
-        right = fresh if earlier is None else fresh.unionByName(earlier)
-        mh_pairs = (
-            minhash_candidates(fresh, right)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
-        )
-        if fresh.take(1):
-            # never register an empty segment (an all-duplicates batch
-            # empties s1 — the zero-part-file poisoning IVFStore.append
-            # guards against, applied to the lexical store)
-            store_lex.append(
-                fresh, id_min=lo, id_max=hi - 1, skip_if_range_indexed=True
+        if keys == []:
+            # nothing to check or index (an all-duplicates batch emptied
+            # s1): skip the store read entirely — read_signatures with
+            # keys=[] would scan the selected segments UNPRUNED, an
+            # O(corpus) read this DAG's contract forbids (round-11
+            # review #2; the incremental_* operators short-circuit the
+            # same way)
+            mh_pairs = (
+                fresh.limit(0)
+                .select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                )
+                .localCheckpoint(eager=True)
             )
+        else:
+            earlier = store_lex.read_signatures(spark, id_below=lo, keys=keys)
+            right = fresh if earlier is None else fresh.unionByName(earlier)
+            mh_pairs = (
+                minhash_candidates(fresh, right)
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True)
+            )
+        # empty batches are refused inside SignatureStore.append (the
+        # zero-part-file poisoning guard lives in the store now)
+        store_lex.append(
+            fresh, id_min=lo, id_max=hi - 1, skip_if_range_indexed=True
+        )
         s2 = s1.join(
             mh_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
         )
@@ -323,8 +337,15 @@ class CurationCanonicals(SparkTask):
             .distinct()
         )
         fam = connected_components(edges).withColumnRenamed("node", "doc_id")
+        # spine = the INGESTED id range only (docstring contract): the
+        # source file may cover future batches, and a doc no dedup
+        # stage has seen must not be published as a vetted canonical
+        # with a family label its eventual ingestion would contradict
+        # (round-11 review #1)
+        hi = int(self.n_batches) * int(self.batch_size)
         spine = (
             spark.read.parquet(str(self.source_path))
+            .filter(F.col("doc_id") < hi)
             .select("doc_id", "n_chars")
             .join(fam, "doc_id", "left")
             .withColumn(

@@ -6095,19 +6095,22 @@ def q_sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXHAUSTIVE-BUDGET anchor — adc_topk keeps every non-self
     candidate (top_k = corpus − 1), so the exact-cosine re-rank of
     the candidate set IS brute force by construction (same cosine
-    kernel, same (desc sim, asc id) tie-break as the SQL oracle), and
-    a bug in encode / LUT arithmetic / the kernel's tie-safe
-    partition-local cut / the self-row exclusion that DROPS any
-    candidate breaks the driver hash (a true top-3 neighbor missing
-    from the candidate set cannot be resurrected by the re-rank). The
-    anchor's candidate frame is O(probes·corpus) — a diagnostic gate
-    shape on the gate corpus (the q_sim_topk_ivfpq anchor caveat,
-    SCALE.md); a production PQ search keeps top_k ≪ corpus and never
-    re-ranks more than probes·(k+1) rows per partition. ADC-rank
-    internals (which quantized distance ordered the prefix) stay
-    property-tested in tests/test_pq.py: encode ≡ exact subspace
-    argmin, ADC rank ≡ reconstruction-distance brute force, ≥90%
-    family recall through codes alone.
+    kernel, same (desc sim, asc id) tie-break as the SQL oracle).
+    HONEST SCOPE of the anchor (the q_ann_recall_pq structural-
+    booleans discipline): at keep = corpus the kernel's partition-
+    local cut never fires and the rank filter keeps every row, so the
+    hash gates candidate-set COMPLETENESS, the self-row exclusion,
+    and the re-rank plumbing — NOT the ADC arithmetic itself (a wrong
+    LUT would reorder a prefix the full budget doesn't cut, and the
+    exact re-rank would restore it). The quantized-distance internals
+    — encode ≡ exact subspace argmin, ADC rank ≡ reconstruction-
+    distance brute force, ≥90% family recall through codes alone —
+    keep their evidence in tests/test_pq.py, and q_ann_recall_pq's
+    full-budget anchor pins the rank window end to end. The anchor's
+    candidate frame is O(probes·corpus) — a diagnostic gate shape on
+    the gate corpus (the q_sim_topk_ivfpq anchor caveat, SCALE.md);
+    a production PQ search keeps top_k ≪ corpus and never re-ranks
+    more than probes·(k+1) rows per partition.
 
     Scale shape: training is per-sample-row (codebooks are kilobytes
     of JSON, cached per corpus signature like the IVF store); encode

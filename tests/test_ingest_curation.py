@@ -215,3 +215,70 @@ def test_exact_stage_rejects_across_batches(spark, tmp_path):
         for r in incremental_exact_dedup(b1, store, earlier_below=10).collect()
     }
     assert p1_again == p1
+
+
+def test_canonicals_spine_covers_only_ingested_range(spark, tmp_path):
+    """Round-11 review #1: the canonical view must cover ONLY the
+    ingested id range — a source file slicing future batches must not
+    leak never-deduped docs into the published canonicals."""
+    root = str(tmp_path / "out")
+    kw = _dag_kwargs(root)
+    build([CurationCanonicals(n_batches=1, **kw)])
+    view = spark.read.parquet(
+        f"{root}/curation_ingest/image/canonicals-n=1"
+    )
+    ids = {r.doc_id for r in view.select("doc_id").collect()}
+    assert ids and max(ids) < 250  # batch_size default = 250
+    n_src = (
+        spark.read.parquet(f"{SF}/documents.parquet").count()
+    )
+    assert n_src > 250  # the source really does cover future batches
+
+
+def test_all_duplicates_batch_takes_the_short_circuit(spark, tmp_path):
+    """Round-11 review #2/#4: a batch whose docs are ALL exact
+    duplicates of earlier docs empties s1 — the lexical stage must
+    short-circuit (no unpruned store scan), the store must refuse the
+    empty segment, and the batch's accepted target is empty while the
+    exact edges still land in the ledger."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from production_ready_ds_spark.operators.sigstore import SignatureStore
+
+    src = str(tmp_path / "src")
+    emb = str(tmp_path / "emb")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    # batch 1 = byte-identical copies of batch 0's first 250 texts
+    b1 = b0.withColumn("doc_id", F.col("doc_id") + 250)
+    b0.unionByName(b1).write.parquet(src)
+    spark.read.parquet(f"{SF}/embeddings.parquet").write.parquet(emb)
+
+    root = str(tmp_path / "out")
+    build(
+        [
+            CurationIngestBatch(
+                data_root=root,
+                source_path=src,
+                embeddings_path=emb,
+                batch=1,
+            )
+        ]
+    )
+    accepted1 = spark.read.parquet(
+        f"{root}/curation_ingest/image/accepted-batch=1"
+    )
+    assert accepted1.count() == 0
+    # the lexical store holds ONLY batch-0 signatures (the empty
+    # batch-1 segment was refused inside SignatureStore.append)
+    store = SignatureStore(f"{root}/curation_ingest/image/sig_store")
+    assert [
+        (s["id_min"], s["id_max"]) for s in store.segments()
+    ] == [(0, 249)]
+    # the exact edges reached the ledger: every batch-1 doc points at
+    # its batch-0 original
+    edges = spark.read.parquet(
+        f"{root}/curation_ingest/image/edges/batch=1"
+    )
+    got = {(r.doc_a, r.doc_b) for r in edges.collect()}
+    assert got == {(i, i + 250) for i in range(250)}
