@@ -235,6 +235,7 @@ _EXTENSION_PRIORITY = (
     # round-11 flagship: the composed exact→lexical→perceptual→semantic
     # ingest chain with quality keep-best (verdict item 3)
     "q_curation_ingest",
+    "q_curation_report",
     # round-9 new operators: quality-aware canonical selection;
     # stem-folded BM25 (the "english" analyzer chain)
     "q_dedup_keep_best",

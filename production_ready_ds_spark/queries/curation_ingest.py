@@ -325,3 +325,49 @@ def q_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     IO — is pipelines/ingest_curation.py, equivalence-tested against
     this query."""
     return _chain_decisions(spark, sf_dir)
+
+
+_CURATION_REPORT_SQL = f"""
+    WITH RECURSIVE decisions AS ({_CURATION_INGEST_SQL}),
+    j AS (
+      SELECT d.source, dec.stage, dec.keep_best
+      FROM decisions dec JOIN documents d USING (doc_id)
+    )
+    SELECT source, stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep_best THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_canonical
+    FROM j GROUP BY source, stage
+    """
+
+
+@query(
+    "q_curation_report",
+    category="llm-dedup",
+    sql=_CURATION_REPORT_SQL,
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, stage) attrition report over the composed
+    curation-ingest chain — the release sheet a corpus refresh ships
+    (the q_curation_funnel shape, upgraded from four cheap gates to
+    the full four-detector chain): how many documents each source
+    lost at each stage (exact / lexical / perceptual / semantic /
+    kept), and how many of each cell survive as quality keep-best
+    canonicals (a rejected doc CAN be canonical — that is the
+    keep-best point, and the report makes it visible per source).
+
+    Hash-gated by composing the q_curation_ingest oracle verbatim as
+    a decisions CTE + one GROUP BY — the report can never drift from
+    the decision table it summarizes. Scale: the chain's own bounds
+    plus one map-side-combined aggregate over (source, stage) — a
+    |sources| × 5-row result."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        _chain_decisions(spark, sf_dir)
+        .join(d, "doc_id")
+        .groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep_best").cast("long")).alias("n_canonical"),
+        )
+    )
