@@ -173,16 +173,18 @@ _CONTRACT_ORDER = (
 # q_decontaminate + q_pack_sequences → back. Round-5 front:
 # q_mix_domains (last of the round-2 training-data trio) +
 # q_dedup_semantic (the round-4 SemDeDup flagship).
-# ROUND-10 ROTATION (done): CORRECTNESS_r09 shows q_dedup_image and
-# q_video_frames both hash-green → rotated to the back. Front slots are
-# now q_video_report + q_sim_topk_filtered_ivf per the committed queue
-# (round-9 verdict item 1), then the rest of round-8's perceptual dedup
-# family (video/audio pairs + clusters), round-7's hash-gated additions
-# (filtered ANN, sketch cube, stream-faceted), the format round-trips,
-# the round-8 late additions (compaction, Hilbert, MMR, JL, SCD2 — all
-# full-hash-gated), the rows-only trainer family, and the late-round-6
-# families (cleaning, search presentation) so each earns a driver-green
-# row over rounds 10-14.
+# ROUND-11 ROTATION (done): CORRECTNESS_r10 shows q_video_report and
+# q_sim_topk_filtered_ivf both hash-green → rotated to the back. Front
+# slots are now q_dedup_video + q_dedup_image_clusters per the
+# committed queue (round-10 verdict item 1), then the rest of round-8's
+# perceptual dedup family (video/audio pairs + clusters), round-7's
+# hash-gated additions (filtered ANN, sketch cube, stream-faceted), the
+# format round-trips, the round-8 late additions (compaction, Hilbert,
+# MMR, JL, SCD2 — all full-hash-gated), the rows-only trainer family,
+# and the late-round-6 families (cleaning, search presentation) so each
+# earns a driver-green row over rounds 11-14. Round-11's own additions
+# (stream video/audio dedup, q_sim_topk_pq, q_curation_ingest/_report)
+# queue right behind the front slots.
 _EXTENSION_PRIORITY = (
     # ROUND-11 ROTATION: CORRECTNESS_r10 shows q_video_report and
     # q_sim_topk_filtered_ivf both hash-green → rotated to the back.
