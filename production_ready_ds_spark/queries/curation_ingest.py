@@ -64,7 +64,7 @@ from .llm import (
     EMBED_COS_THRESHOLD,
     _scaled_planes_for,
 )
-from .multimodal import _DHASH_RADIUS, _DHASH_SQL_RAW, image_fingerprints_for
+from .multimodal import _DHASH_RADIUS, _DHASH_SQL_RAW
 
 # Stage fragments restricted to the previous stage's survivors: the
 # standalone oracle texts are embedded VERBATIM as nested-WITH
@@ -160,11 +160,16 @@ _CURATION_INGEST_SQL = f"""
     """
 
 
-def _chain_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chain_decisions(
+    spark: SparkSession, sf_dir: str, *, modality: str = "image"
+) -> DataFrame:
     """The one-shot composed chain — factored so the catalog query and
     the incremental DAG's equivalence test rank the SAME decisions.
     Returns (doc_id, family_id, stage, keep_best) over the full
-    documents spine."""
+    documents spine. ``modality`` picks the perceptual stage's kernel
+    (the DAG's own parameter — image/video/audio); the catalog twin
+    pins image because its composed oracle embeds the image closed
+    form."""
     from pyspark.sql import Window
 
     from ..functions.vectors import sign_bucket
@@ -175,6 +180,9 @@ def _chain_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_bands,
         minhash_candidates,
     )
+    from ..pipelines.ingest_curation import _modality_kernel
+
+    fingerprint, _family = _modality_kernel(modality)
 
     d = load(spark, sf_dir, "documents")
     # stage 1: exact (md5 keep-min)
@@ -205,7 +213,7 @@ def _chain_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-shot twin and the DAG emit identical pairs.
     ph_pairs = (
         hamming_candidates(
-            image_fingerprints_for(s2.select("doc_id")),
+            fingerprint(s2.select("doc_id")),
             radius=_DHASH_RADIUS,
             mean_bucket_limit=1 << 62,
         )

@@ -282,3 +282,45 @@ def test_all_duplicates_batch_takes_the_short_circuit(spark, tmp_path):
     )
     got = {(r.doc_a, r.doc_b) for r in edges.collect()}
     assert got == {(i, i + 250) for i in range(250)}
+
+
+def test_incremental_equals_one_shot_video_and_audio(spark, tmp_path):
+    """The composed DAG's perceptual stage is modality-parametrized —
+    the video and audio chains must reproduce their one-shot decisions
+    exactly, like the image chain (same operators, different
+    fingerprint kernel)."""
+    from production_ready_ds_spark.queries.curation_ingest import (
+        _chain_decisions,
+    )
+
+    for modality in ("video", "audio"):
+        root = str(tmp_path / f"out_{modality}")
+        build(
+            [
+                CurationCanonicals(
+                    n_batches=2, modality=modality, **_dag_kwargs(root)
+                )
+            ]
+        )
+        one = _chain_decisions(spark, SF, modality=modality).collect()
+        inc_kept = set()
+        for b in (0, 1):
+            inc_kept |= {
+                r.doc_id
+                for r in spark.read.parquet(
+                    f"{root}/curation_ingest/{modality}/accepted-batch={b}"
+                )
+                .select("doc_id")
+                .collect()
+            }
+        assert inc_kept == {r.doc_id for r in one if r.stage == "kept"}, modality
+        assert any(r.stage == "perceptual" for r in one), modality
+        canon = {
+            (r.doc_id, r.family_id, r.keep_best)
+            for r in spark.read.parquet(
+                f"{root}/curation_ingest/{modality}/canonicals-n=2"
+            ).collect()
+        }
+        assert canon == {
+            (r.doc_id, r.family_id, r.keep_best) for r in one
+        }, modality
