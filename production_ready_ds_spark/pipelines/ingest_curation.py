@@ -56,9 +56,6 @@ import os
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    DHASH_FAMILY,
-    ENVELOPE_FAMILY,
-    VIDEO_DHASH_FAMILY,
     incremental_exact_dedup,
     incremental_hamming_dedup,
     minhash_bands,
@@ -72,25 +69,13 @@ CURATION_BATCH_SIZE = 250  # doc_ids per batch: batch b = [b*SIZE, (b+1)*SIZE)
 
 
 def _modality_kernel(modality: str):
-    """(fingerprint_fn, family_tag) — the ingest_phash table, reused so
-    the composed DAG's perceptual stage is the SAME kernel per
-    modality."""
-    from ..queries.multimodal import (
-        audio_fingerprints_for,
-        image_fingerprints_for,
-        video_fingerprints_for,
-    )
+    """(fingerprint_fn, family_tag) — resolved from the kernel table in
+    :mod:`queries.multimodal` (homed next to the kernels it maps) so
+    the composed DAG's perceptual stage is the SAME kernel per modality
+    as the one-shot catalog twin."""
+    from ..queries.multimodal import perceptual_kernel
 
-    table = {
-        "image": (image_fingerprints_for, DHASH_FAMILY),
-        "video": (video_fingerprints_for, VIDEO_DHASH_FAMILY),
-        "audio": (audio_fingerprints_for, ENVELOPE_FAMILY),
-    }
-    if modality not in table:
-        raise ValueError(
-            f"unknown perceptual modality {modality!r} — one of {sorted(table)}"
-        )
-    return table[modality]
+    return perceptual_kernel(modality)
 
 
 class CurationIngestBatch(SparkTask):

@@ -184,7 +184,9 @@ _CONTRACT_ORDER = (
 # and the late-round-6 families (cleaning, search presentation) so each
 # earns a driver-green row over rounds 11-14. Round-11's own additions
 # (stream video/audio dedup, q_sim_topk_pq, q_curation_ingest/_report)
-# queue right behind the front slots.
+# slot in after the previously-committed round-8/9/10 blocks — about 22
+# entries deep, i.e. they take their driver turn once the older
+# promises are honored, not ahead of them.
 _EXTENSION_PRIORITY = (
     # ROUND-11 ROTATION: CORRECTNESS_r10 shows q_video_report and
     # q_sim_topk_filtered_ivf both hash-green → rotated to the back.

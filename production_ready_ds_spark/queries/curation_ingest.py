@@ -180,9 +180,9 @@ def _chain_decisions(
         minhash_bands,
         minhash_candidates,
     )
-    from ..pipelines.ingest_curation import _modality_kernel
+    from .multimodal import perceptual_kernel
 
-    fingerprint, _family = _modality_kernel(modality)
+    fingerprint, _family = perceptual_kernel(modality)
 
     d = load(spark, sf_dir, "documents")
     # stage 1: exact (md5 keep-min)

@@ -1308,6 +1308,31 @@ def audio_dhash_kernel():
     return fused
 
 
+def perceptual_kernel(modality: str):
+    """(fingerprint_fn, family_tag) for a perceptual modality — the ONE
+    table mapping modality names to their fused fingerprint pipelines
+    and store family tags, homed next to the kernels it maps so the
+    queries layer never reaches down into pipelines (the composed
+    curation DAG and its one-shot catalog twin both resolve their
+    perceptual stage here)."""
+    from ..operators.dedup import (
+        DHASH_FAMILY,
+        ENVELOPE_FAMILY,
+        VIDEO_DHASH_FAMILY,
+    )
+
+    table = {
+        "image": (image_fingerprints_for, DHASH_FAMILY),
+        "video": (video_fingerprints_for, VIDEO_DHASH_FAMILY),
+        "audio": (audio_fingerprints_for, ENVELOPE_FAMILY),
+    }
+    if modality not in table:
+        raise ValueError(
+            f"unknown perceptual modality {modality!r} — one of {sorted(table)}"
+        )
+    return table[modality]
+
+
 def _audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_fingerprints_for(load(spark, sf_dir, "documents"))
 

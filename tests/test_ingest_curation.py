@@ -284,16 +284,52 @@ def test_all_duplicates_batch_takes_the_short_circuit(spark, tmp_path):
     assert got == {(i, i + 250) for i in range(250)}
 
 
-def test_incremental_equals_one_shot_video_and_audio(spark, tmp_path):
+def test_incremental_equals_one_shot_video_and_audio(
+    spark, tmp_path, monkeypatch
+):
     """The composed DAG's perceptual stage is modality-parametrized —
     the video and audio chains must reproduce their one-shot decisions
     exactly, like the image chain (same operators, different
-    fingerprint kernel)."""
+    fingerprint kernel).
+
+    On THIS corpus the three modalities' raw-tier pair sets coincide
+    (the synth generators share the doc_id-family layout), so decision
+    equality alone cannot catch a chain that silently resolves the
+    image kernel for every modality (round-11 review finding). The
+    kernel WIRING is therefore pinned directly: both the DAG and the
+    one-shot twin must invoke the named modality kernel and never the
+    image kernel, via spies on the module globals the kernel table
+    resolves at call time."""
+    from production_ready_ds_spark.queries import multimodal as mm
     from production_ready_ds_spark.queries.curation_ingest import (
         _chain_decisions,
     )
 
+    # premise made explicit: the KERNELS are genuinely different
+    # computations on this corpus even though the derived pair sets
+    # coincide — fingerprint values must differ per modality.
+    from production_ready_ds_spark.tables import load
+
+    probe = load(spark, SF, "documents").select("doc_id").limit(20)
+    img_fp = {tuple(r) for r in mm.image_fingerprints_for(probe).collect()}
+    for kernel in (mm.video_fingerprints_for, mm.audio_fingerprints_for):
+        assert {tuple(r) for r in kernel(probe).collect()} != img_fp
+
     for modality in ("video", "audio"):
+        calls = []
+        named = getattr(mm, f"{modality}_fingerprints_for")
+
+        def spy_named(ids, _named=named, _m=modality):
+            calls.append(_m)
+            return _named(ids)
+
+        def spy_image(ids):
+            raise AssertionError(
+                f"image kernel resolved for modality={modality!r}"
+            )
+
+        monkeypatch.setattr(mm, f"{modality}_fingerprints_for", spy_named)
+        monkeypatch.setattr(mm, "image_fingerprints_for", spy_image)
         root = str(tmp_path / f"out_{modality}")
         build(
             [
@@ -303,6 +339,10 @@ def test_incremental_equals_one_shot_video_and_audio(spark, tmp_path):
             ]
         )
         one = _chain_decisions(spark, SF, modality=modality).collect()
+        # the DAG's two batches AND the one-shot twin each resolved the
+        # named kernel (plan-build time, so recorded even pre-collect)
+        assert len(calls) >= 3, (modality, calls)
+        monkeypatch.undo()
         inc_kept = set()
         for b in (0, 1):
             inc_kept |= {
