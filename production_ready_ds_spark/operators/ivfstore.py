@@ -708,16 +708,15 @@ class IVFStore:
         segs = self.segments()
         if not segs or not list_ids:
             return None
-        # Session-level CAPPED RATCHET (layout.ratchet_in_pushdown),
-        # never a lowering: the threshold must still be high when the
-        # lazy scan actually executes (a set/restore pair would revert
-        # before execution); oversized lists stay a post-scan InSet
-        # instead of a pushed OR-chain that stack-overflows the scan.
-        from .layout import ratchet_in_pushdown
+        # In(list_id) pushed in ≤ MAX_IN_PUSHDOWN chunks
+        # (layout.pruned_isin; ratchet semantics preserved — the
+        # threshold must still be high when the lazy scan executes, and
+        # oversized lists keep row-group pruning via chunked pushes
+        # instead of degrading to a post-scan InSet full scan).
+        from .layout import pruned_isin
 
-        ratchet_in_pushdown(spark, len(list_ids))
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
-        df = df.filter(F.col("list_id").isin([int(x) for x in list_ids]))
+        df = pruned_isin(spark, df, "list_id", [int(x) for x in list_ids])
         if attr_filter is not None:
             col, values = attr_filter
             if col not in self.attr_names():
@@ -979,12 +978,10 @@ class IVFStore:
             [(int(r["probe_id"]), int(r["neighbor_id"])) for r in pair_rows],
             "probe_id long, neighbor_id long",
         )
-        from .layout import ratchet_in_pushdown
+        from .layout import pruned_isin
 
-        ratchet_in_pushdown(spark, len(cand_ids))
-        vecs = (
-            lists_df.select(id_col, vec_col)
-            .filter(F.col(id_col).isin(cand_ids))
+        vecs = pruned_isin(
+            spark, lists_df.select(id_col, vec_col), id_col, cand_ids
         )
         pv = probes_local.select(
             F.col(id_col).alias("probe_id"),

@@ -26,14 +26,18 @@ DEFAULT_TARGET_ROWS = 1_000_000
 #: Largest In(...) literal list that may be PUSHED to the parquet
 #: reader. Spark converts a pushed In to a parquet FilterPredicate
 #: whose evaluation recurses per element (an OR-chain, not a set
-#: probe); measured on this JVM (Spark 4.1.2, default task stacks)
-#: the scan STACK-OVERFLOWS between 1 000 and 1 500 pushed long
-#: literals — a latent crash every store's pruned read shared, first
-#: hit by a 5 000-doc curation-ingest batch (round 11). Past the cap
-#: the threshold is NOT raised: the filter stays a post-scan InSet
-#: (hash probe, no recursion, still correct) and only row-group
-#: pruning is lost.
-MAX_IN_PUSHDOWN = 1000
+#: probe), and the scan STACK-OVERFLOWS when the chain outgrows the
+#: task stack — first hit by a 5 000-doc curation-ingest batch
+#: (round 11). The cliff is NOT a stable constant: it moves with
+#: whatever else is on the task stack (codegen depth, plan shape) —
+#: measured 1 000 OK / 1 500 crash on one scan, then 750 OK / 1 000
+#: CRASH on the 64×-grown store read in the same round — so the cap
+#: rides well below every observed cliff rather than at the edge.
+#: Larger lists are served by :func:`pruned_isin` as a UNION of ≤ cap
+#: pushed chunks (row-group pruning preserved, bounded recursion);
+#: the bare ratchet leaves them a post-scan InSet (hash probe, no
+#: recursion, pruning lost).
+MAX_IN_PUSHDOWN = 250
 
 
 def ratchet_in_pushdown(spark: SparkSession, n_values: int) -> bool:
@@ -57,6 +61,65 @@ def ratchet_in_pushdown(spark: SparkSession, n_values: int) -> bool:
     # never let a cap+1 list through.
     spark.conf.set(conf_key, str(min(max(current, n_values), MAX_IN_PUSHDOWN)))
     return True
+
+
+#: Minimum known store size (rows) before an over-cap key list is
+#: served as a UNION of chunked pushed Ins rather than one post-scan
+#: InSet. Row-group pruning only wins when row groups far outnumber
+#: the probed keys: measured on the 64×-grown curation exact store
+#: (320 k rows, 5 000 uniform keys — every row group contains some
+#: probed key) the 20-branch chunk union pays 20× scan scheduling for
+#: zero pruning and loses to the single InSet scan 4.8 s vs 2.9 s.
+#: Order-of-magnitude crossover, not a tuned constant: below it the
+#: full scan is scheduling-bound anyway; far above it (the 100 TB
+#: store, row groups ≫ keys) chunked pushes skip almost every row
+#: group while InSet reads the world.
+CHUNKED_PRUNE_MIN_STORE_ROWS = 5_000_000
+
+
+def pruned_isin(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    values,
+    *,
+    store_rows: int | None = None,
+) -> DataFrame:
+    """``df.filter(col IN values)`` with parquet row-group pruning
+    preserved where it can actually win.
+
+    - ≤ :data:`MAX_IN_PUSHDOWN` values: one pushed In (bounded
+      OR-chain, prunes row groups by stats).
+    - more values, ``store_rows`` unknown or small: post-scan InSet —
+      one scan, hash probe, no recursion. On a small or fully-probed
+      store nothing would prune anyway, and a chunk union only adds
+      per-branch scan scheduling (measured 0.61× on the 64× curation
+      store — SCALE.md round 11).
+    - more values AND ``store_rows`` ≥
+      :data:`CHUNKED_PRUNE_MIN_STORE_ROWS`: the sorted list splits
+      into ≤ cap chunks, each pushed as its own In over the same scan,
+      unioned — disjoint chunks, exact result, bounded recursion per
+      branch, and total row groups touched is O(|values|) instead of
+      O(store): the O(batch)-vs-O(corpus) read for a corpus-refresh
+      ingest probing a planet-sized store.
+
+    The value list stays bounded by the caller's contract (e.g.
+    ``collect_prune_keys``'s MAX_PRUNE_KEYS = 8 192 → ≤ 33 branches);
+    an unbounded list belongs in a broadcast semi-join, not here."""
+    vals = sorted(values)
+    if len(vals) <= MAX_IN_PUSHDOWN:
+        ratchet_in_pushdown(spark, len(vals))
+        return df.filter(F.col(col).isin(vals))
+    if store_rows is None or store_rows < CHUNKED_PRUNE_MIN_STORE_ROWS:
+        # the ratchet's cap keeps this a post-scan InSet even if an
+        # earlier caller raised the session threshold
+        return df.filter(F.col(col).isin(vals))
+    ratchet_in_pushdown(spark, MAX_IN_PUSHDOWN)
+    out = None
+    for i in range(0, len(vals), MAX_IN_PUSHDOWN):
+        part = df.filter(F.col(col).isin(vals[i : i + MAX_IN_PUSHDOWN]))
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _swap_into(tmp: str, target: str) -> None:

@@ -166,16 +166,17 @@ class SignatureStore:
         if id_below is not None and any(s["id_max"] >= id_below for s in segs):
             df = df.filter(F.col(id_col) < id_below)
         if keys is not None and 0 < len(keys) <= MAX_PRUNE_KEYS:
-            # Raise the parquet IN-pushdown threshold past our list size
-            # (above it Spark degrades In to a [min,max] range filter,
-            # which prunes nothing on uniform 64-bit bucket hashes) —
-            # via the shared CAPPED ratchet: oversized lists stay a
-            # post-scan InSet instead of a pushed OR-chain that
-            # stack-overflows the scan (layout.MAX_IN_PUSHDOWN).
-            from .layout import ratchet_in_pushdown
+            # In(key) pruning via layout.pruned_isin: one pushed In
+            # under the cap; past it, a post-scan InSet on small/
+            # unknown stores and chunked pushed Ins once the selected
+            # segments are known-large enough for row-group pruning to
+            # beat per-branch scan scheduling (the manifest row counts
+            # recorded at append feed the decision).
+            from .layout import pruned_isin
 
-            ratchet_in_pushdown(spark, len(keys))
-            df = df.filter(F.col("key").isin(keys))
+            known = [s["rows"] for s in segs]
+            store_rows = sum(known) if all(r is not None for r in known) else None
+            df = pruned_isin(spark, df, "key", keys, store_rows=store_rows)
         return df
 
     # -- writes -------------------------------------------------------
@@ -217,6 +218,16 @@ class SignatureStore:
             "rows": rows,
         }
         write_range_clustered(bands, self._seg_path(seg), ["band", "key"], n_files=n_files)
+        if rows is None:
+            # record the true segment size from parquet footers (a
+            # metadata-only count on the just-written files): the
+            # manifest row totals drive read_signatures' density
+            # decision between a post-scan InSet and chunked pushed
+            # Ins (layout.pruned_isin) — an unknown size forfeits
+            # chunked row-group pruning on planet-sized stores
+            seg["rows"] = (
+                bands.sparkSession.read.parquet(self._seg_path(seg)).count()
+            )
         # Manifest is replaced only after the segment data is durable:
         # a crash between the two writes leaves an unregistered (and
         # thus invisible) directory, never a dangling manifest entry.

@@ -502,11 +502,10 @@ class TermStore:
         segs = self.segments()
         if not segs or not terms:
             return None
-        from .layout import ratchet_in_pushdown
+        from .layout import pruned_isin
 
-        ratchet_in_pushdown(spark, len(terms))
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
-        return df.filter(F.col("term").isin([str(t) for t in terms]))
+        return pruned_isin(spark, df, "term", [str(t) for t in terms])
 
     def search(
         self, spark: SparkSession, terms: tuple[str, ...], *, k: int = 20,

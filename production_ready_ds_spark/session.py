@@ -64,6 +64,19 @@ def get_spark(app_name: str = "production-ready-ds-spark", master: str | None = 
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master:
         builder = builder.master(master)
+    # Local-mode heap knob: Spark's default driver heap is 1g, which is
+    # the EXECUTOR memory too in local mode — 32 task threads share
+    # ~360 MB of execution memory, and text-heavy aggregations at the
+    # replicated stress scales die in spill-buffer allocation
+    # (java.lang.OutOfMemoryError inside UnsafeSorterSpillReader, seen
+    # at the 64× composed-curation stress; 16× fits). Opt-in via env so
+    # the committed bench floor (measured on the default heap) stays
+    # comparable; on a real cluster spark-submit owns this knob and the
+    # builder conf is ignored for an already-running JVM.
+    if "SPARK_GRAFT_DRIVER_MEM" in os.environ:
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
     # fast path: register what's imported now; queries/__init__ tops
     # this up after its module loop, ensure_runtime_confs runs the
     # full registration on the foreign-session path

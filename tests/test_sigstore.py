@@ -283,4 +283,48 @@ def test_oversized_key_list_reads_safely_unpushed(spark, tmp_path):
     keys = [r.key for r in rows.select("key").collect()]
     assert len(keys) > MAX_IN_PUSHDOWN
     got = store.read_signatures(spark, keys=keys[:1500])
-    assert got.count() == 1500  # would StackOverflow if pushed
+    # density rule (layout.pruned_isin): the store is SMALL (2000 rows,
+    # recorded in the manifest at append), so the over-cap list stays a
+    # single post-scan InSet scan — correct, no pushed OR-chain to
+    # overflow, and measured faster than a chunk union when row groups
+    # cannot prune anyway
+    assert got.count() == 1500
+    from production_ready_ds_spark.plans import explain_str
+
+    assert "Union" not in explain_str(got)
+
+
+def test_pruned_isin_chunks_on_large_stores(spark, tmp_path):
+    """Over-cap value lists against a KNOWN-LARGE store must read as a
+    union of ≤ MAX_IN_PUSHDOWN pushed Ins — bounded recursion per
+    branch (a single pushed 1500-element OR-chain stack-overflows; the
+    cliff moved between 750 and 1000 on the 64×-grown store read, so
+    the cap rides low), row-group pruning preserved, exact result."""
+    from production_ready_ds_spark.operators.layout import (
+        CHUNKED_PRUNE_MIN_STORE_ROWS,
+        MAX_IN_PUSHDOWN,
+        pruned_isin,
+    )
+    from production_ready_ds_spark.plans import explain_str, pushed_filters
+
+    path = str(tmp_path / "wide")
+    spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.xxhash64("id").alias("key")
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    keys = [r.key for r in df.select("key").collect()]
+
+    got = pruned_isin(
+        spark, df, "key", keys[:1500] + [1, 2, 3],
+        store_rows=CHUNKED_PRUNE_MIN_STORE_ROWS,
+    )
+    # misses fall out, disjoint chunks never duplicate a row
+    assert got.count() == 1500
+    n_chunks = -(-1503 // MAX_IN_PUSHDOWN)
+    assert sum("In(key" in p for p in pushed_filters(got)) == n_chunks
+    assert "Union" in explain_str(got)
+
+    # small/unknown store: same rows, single InSet scan
+    small = pruned_isin(spark, df, "key", keys[:1500], store_rows=2000)
+    assert small.count() == 1500
+    assert "Union" not in explain_str(small)
