@@ -606,6 +606,9 @@ class IVFStore:
             "seg": max((s["seg"] for s in segments), default=-1) + 1,
             "id_min": id_min,
             "id_max": id_max,
+            # exact, already paid for by the bounds aggregate above —
+            # feeds read_lists' pruned-read density decision
+            "rows": int(bounds["n"]),
         }
         if attrs is not None:
             assigned = assigned.join(
@@ -677,7 +680,7 @@ class IVFStore:
         }
         from .layout import write_range_clustered
 
-        write_range_clustered(
+        merged["rows"] = write_range_clustered(
             df, self._path(f"seg={merged['seg']}"), ["list_id"], n_files=n_files
         )
         self._write_manifest([merged])
@@ -708,15 +711,21 @@ class IVFStore:
         segs = self.segments()
         if not segs or not list_ids:
             return None
-        # In(list_id) pushed in ≤ MAX_IN_PUSHDOWN chunks
-        # (layout.pruned_isin; ratchet semantics preserved — the
-        # threshold must still be high when the lazy scan executes, and
-        # oversized lists keep row-group pruning via chunked pushes
-        # instead of degrading to a post-scan InSet full scan).
+        # In(list_id) pruning via layout.pruned_isin: one pushed In
+        # under the cap (the common nprobe read); past it, a post-scan
+        # InSet on small/unknown stores and chunked pushed Ins once the
+        # manifest row counts (recorded at append) say the store is
+        # large enough for row-group pruning to beat per-branch scan
+        # scheduling.
         from .layout import pruned_isin
 
+        known = [s.get("rows") for s in segs]
+        store_rows = sum(known) if all(r is not None for r in known) else None
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
-        df = pruned_isin(spark, df, "list_id", [int(x) for x in list_ids])
+        df = pruned_isin(
+            spark, df, "list_id", [int(x) for x in list_ids],
+            store_rows=store_rows,
+        )
         if attr_filter is not None:
             col, values = attr_filter
             if col not in self.attr_names():
@@ -980,6 +989,9 @@ class IVFStore:
         )
         from .layout import pruned_isin
 
+        # no store_rows: lists_df is ALREADY the pruned probed-lists
+        # frame, so the over-cap fallback (post-scan InSet) re-reads
+        # only |probes|·list rows, never the store — contract-bounded
         vecs = pruned_isin(
             spark, lists_df.select(id_col, vec_col), id_col, cand_ids
         )

@@ -106,7 +106,11 @@ def pruned_isin(
     The value list stays bounded by the caller's contract (e.g.
     ``collect_prune_keys``'s MAX_PRUNE_KEYS = 8 192 → ≤ 33 branches);
     an unbounded list belongs in a broadcast semi-join, not here."""
-    vals = sorted(values)
+    # set() before sorting: a duplicate value straddling a chunk
+    # boundary would land in TWO chunks and its rows would surface
+    # twice in the union (round-11 review finding — 'disjoint chunks'
+    # must be made true, not assumed of the caller's list)
+    vals = sorted(set(values))
     if len(vals) <= MAX_IN_PUSHDOWN:
         ratchet_in_pushdown(spark, len(vals))
         return df.filter(F.col(col).isin(vals))
@@ -184,9 +188,14 @@ def write_range_clustered(
     cluster_cols: list[str],
     *,
     n_files: int = 8,
-) -> None:
+) -> int:
     """Write ``df`` range-partitioned AND sorted on ``cluster_cols`` so
-    each output file owns a disjoint slice of the key domain.
+    each output file owns a disjoint slice of the key domain. Returns
+    the EXACT written row count, captured by an ``Observation`` on the
+    write job itself — no second read, no footer re-open — so the
+    manifest-backed stores can record true segment sizes and their
+    pruned reads can make the InSet-vs-chunked-push density decision
+    (:func:`pruned_isin`).
 
     Why this matters at 100 TB: parquet pushdown prunes by row-group
     min/max. After an unordered write every file spans the whole key
@@ -202,12 +211,17 @@ def write_range_clustered(
     for the common time-series + id case, (date, id) range clustering
     is what query patterns actually hit.
     """
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
-        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        .repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
         .sortWithinPartitions(*cluster_cols)
         .write.mode("overwrite")
         .parquet(path)
     )
+    return int(obs.get["rows"])
 
 
 def _minmax_scaled(df: DataFrame, cluster_cols: list[str], bits: int) -> list:

@@ -217,17 +217,17 @@ class SignatureStore:
             "id_max": id_max,
             "rows": rows,
         }
-        write_range_clustered(bands, self._seg_path(seg), ["band", "key"], n_files=n_files)
+        written = write_range_clustered(
+            bands, self._seg_path(seg), ["band", "key"], n_files=n_files
+        )
         if rows is None:
-            # record the true segment size from parquet footers (a
-            # metadata-only count on the just-written files): the
-            # manifest row totals drive read_signatures' density
-            # decision between a post-scan InSet and chunked pushed
-            # Ins (layout.pruned_isin) — an unknown size forfeits
-            # chunked row-group pruning on planet-sized stores
-            seg["rows"] = (
-                bands.sparkSession.read.parquet(self._seg_path(seg)).count()
-            )
+            # record the true segment size, observed on the write job
+            # itself (no extra read): the manifest row totals drive
+            # read_signatures' density decision between a post-scan
+            # InSet and chunked pushed Ins (layout.pruned_isin) — an
+            # unknown size forfeits chunked row-group pruning on
+            # planet-sized stores
+            seg["rows"] = written
         # Manifest is replaced only after the segment data is durable:
         # a crash between the two writes leaves an unregistered (and
         # thus invisible) directory, never a dangling manifest entry.
@@ -297,7 +297,11 @@ class SignatureStore:
             "id_max": max(s["id_max"] for s in segments),
             "rows": sum(s["rows"] for s in segments) if all(s["rows"] is not None for s in segments) else None,
         }
-        write_range_clustered(df, self._seg_path(merged), ["band", "key"], n_files=n_files)
+        # the observed write count repairs rows=None inherited from
+        # legacy segments (pre-row-tracking appends, delete rewrites)
+        merged["rows"] = write_range_clustered(
+            df, self._seg_path(merged), ["band", "key"], n_files=n_files
+        )
         self._write_manifest([merged])
         import shutil
 
@@ -355,7 +359,13 @@ def compact_tiered_segments(
         }
         if merge_fields is not None:
             merged.update(merge_fields(ripe))
-        write_segment(df, merged)
+        written = write_segment(df, merged)
+        if isinstance(written, int):
+            # exact observed count from the rewrite: repairs rows=None
+            # inherited from legacy/deleted segments, overrides the
+            # merge_fields sum where both exist (they agree when all
+            # inputs were known)
+            merged["rows"] = written
         if extra_merge is not None:
             extra_merge(ripe, merged)
         ripe_ids = {s["seg"] for s in ripe}
@@ -419,12 +429,15 @@ def delete_ids_from_segments(
             ~F.col(id_col).isin(id_list)
         )
         new = dict(s, seg=next_seg)
-        if "rows" in new:
-            # the manifest row count is now stale; None is the
-            # documented unknown (compact() propagates it correctly)
-            new["rows"] = None
         next_seg += 1
-        write_segment(kept, new)
+        written = write_segment(kept, new)
+        # the pre-delete row count is stale: take the rewrite's
+        # observed count when the writer reports one, else the
+        # documented unknown
+        if isinstance(written, int):
+            new["rows"] = written
+        elif "rows" in new:
+            new["rows"] = None
         replaced[s["seg"]] = new
     write_manifest([replaced.get(s["seg"], s) for s in segments])
     for s in affected:

@@ -308,7 +308,9 @@ class TermStore:
             "n_docs": int(stats_row["n"]),
             "sum_dl": int(stats_row["sumdl"] or 0),
         }
-        write_range_clustered(
+        # observed postings row count feeds read_postings' pruned-read
+        # density decision (layout.pruned_isin)
+        seg["rows"] = write_range_clustered(
             postings, self._path(f"seg={seg['seg']}"), ["term"], n_files=n_files
         )
         # per-segment doc sidecar (doc_id, dl, *attrs) — ONE row per
@@ -395,7 +397,7 @@ class TermStore:
             # edge: guarantees one writer task, so the dir always holds
             # a schema-bearing part file instead of poisoning reads
             if kept_post.limit(1).count():
-                write_range_clustered(
+                new["rows"] = write_range_clustered(
                     kept_post, self._path(f"seg={new['seg']}"), ["term"],
                     n_files=n_files,
                 )
@@ -403,6 +405,7 @@ class TermStore:
                 kept_post.repartition(1).write.mode("overwrite").parquet(
                     self._path(f"seg={new['seg']}")
                 )
+                new["rows"] = 0
             docmap.filter(~F.col("doc_id").isin(id_list)).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(self._path(f"docs_seg={new['seg']}"))
@@ -478,7 +481,7 @@ class TermStore:
             "n_docs": sum(s["n_docs"] for s in segments),
             "sum_dl": sum(s["sum_dl"] for s in segments),
         }
-        write_range_clustered(
+        merged["rows"] = write_range_clustered(
             df, self._path(f"seg={merged['seg']}"), ["term"], n_files=n_files
         )
         spark.read.parquet(*doc_paths).coalesce(1).write.mode(
@@ -504,8 +507,12 @@ class TermStore:
             return None
         from .layout import pruned_isin
 
+        known = [s.get("rows") for s in segs]
+        store_rows = sum(known) if all(r is not None for r in known) else None
         df = spark.read.parquet(*[self._path(f"seg={s['seg']}") for s in segs])
-        return pruned_isin(spark, df, "term", [str(t) for t in terms])
+        return pruned_isin(
+            spark, df, "term", [str(t) for t in terms], store_rows=store_rows
+        )
 
     def search(
         self, spark: SparkSession, terms: tuple[str, ...], *, k: int = 20,

@@ -320,6 +320,17 @@ def test_pruned_isin_chunks_on_large_stores(spark, tmp_path):
     )
     # misses fall out, disjoint chunks never duplicate a row
     assert got.count() == 1500
+
+    # a DUPLICATE value straddling a chunk boundary must not surface
+    # its rows twice (values are set()-deduped before chunking):
+    # without the dedup, sorted() keeps both copies and the value lands
+    # in two chunks whose unioned branches each match its rows
+    dup_vals = sorted(keys[:1500])
+    dup_vals = dup_vals[:MAX_IN_PUSHDOWN] + [dup_vals[MAX_IN_PUSHDOWN - 1]] + dup_vals[MAX_IN_PUSHDOWN:]
+    dup = pruned_isin(
+        spark, df, "key", dup_vals, store_rows=CHUNKED_PRUNE_MIN_STORE_ROWS
+    )
+    assert dup.count() == 1500
     n_chunks = -(-1503 // MAX_IN_PUSHDOWN)
     assert sum("In(key" in p for p in pushed_filters(got)) == n_chunks
     assert "Union" in explain_str(got)
