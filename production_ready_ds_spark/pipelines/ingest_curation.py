@@ -262,6 +262,27 @@ class CurationIngestBatch(SparkTask):
         edges.write.mode("overwrite").parquet(self.edges_dir())
         accepted.write.mode("overwrite").parquet(self.output().path)
 
+        # -- store maintenance AFTER publish: the LSM leveled fold
+        # keeps per-read footer-open cost O(fanout·levels) instead of
+        # O(batches) (64 segment dirs per store at the 64× stress).
+        # Safe here: every pair frame above is eager-checkpointed, so
+        # nothing still reads the pre-fold segment paths; the fold is
+        # an idempotent rewrite, so a crash before it leaves valid
+        # stores and the next batch folds when ripe. Readers are
+        # compaction-aware by contract (merged segments keep covering
+        # id ranges; straddle filters apply id_below exactly).
+        from ..operators.dedup import EXACT_FAMILY
+        from .ingest_dedup import COMPACT_EVERY
+
+        SignatureStore(
+            os.path.join(root, "exact_store"), family=EXACT_FAMILY
+        ).compact_tiered(spark, fanout=COMPACT_EVERY)
+        store_lex.compact_tiered(spark, fanout=COMPACT_EVERY)
+        SignatureStore(
+            os.path.join(root, "phash_store"), family=family
+        ).compact_tiered(spark, fanout=COMPACT_EVERY)
+        store_sem.compact_tiered(spark, fanout=COMPACT_EVERY)
+
 
 class CurationCanonicals(SparkTask):
     """The quality keep-best canonical view over the accumulated edge

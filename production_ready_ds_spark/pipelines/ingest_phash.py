@@ -133,3 +133,14 @@ class PerceptualDedupBatch(SparkTask):
         )
         accepted = batch_docs.join(rejects, "doc_id", "left_anti")
         accepted.write.mode("overwrite").parquet(self.output().path)
+
+        # store maintenance AFTER publish (pairs above lazily read the
+        # pre-fold segment paths until the write consumes them): LSM
+        # fold bounds footer-open cost at O(fanout·levels); idempotent,
+        # so a crash before it self-heals on the next batch's fold
+        from ..operators.sigstore import SignatureStore
+        from .ingest_dedup import COMPACT_EVERY
+
+        SignatureStore(self._store(), family=family).compact_tiered(
+            spark, fanout=COMPACT_EVERY
+        )

@@ -158,3 +158,12 @@ class SemDedupBatch(SparkTask):
             assigned=assigned,
         )
         accepted.write.mode("overwrite").parquet(self.output().path)
+
+        # store maintenance AFTER publish (`accepted` above lazily
+        # reads the pre-fold segment paths via read_lists until the
+        # write consumes it): LSM fold bounds footer-open cost at
+        # O(fanout·levels); idempotent, so a crash before it
+        # self-heals on the next batch's fold
+        from .ingest_dedup import COMPACT_EVERY
+
+        store.compact_tiered(spark, fanout=COMPACT_EVERY)

@@ -364,3 +364,36 @@ def test_incremental_equals_one_shot_video_and_audio(
         assert canon == {
             (r.doc_id, r.family_id, r.keep_best) for r in one
         }, modality
+
+
+def test_incremental_survives_store_compaction(spark, tmp_path):
+    """With 10 small batches the per-store LSM fold FIRES mid-ingest
+    (fanout 8 — round-11 store-maintenance wiring): decisions must
+    stay identical to the one-shot chain, and the lexical store must
+    actually end folded (fewer segments than batches), proving the
+    compaction-aware read contract (merged segments keep covering id
+    ranges; straddle filters apply id_below) under the composed DAG
+    rather than only in unit tests."""
+    from production_ready_ds_spark.operators.sigstore import SignatureStore
+    from production_ready_ds_spark.queries.curation_ingest import (
+        _chain_decisions,
+    )
+
+    root = str(tmp_path / "out")
+    build(
+        [
+            CurationCanonicals(
+                n_batches=10, batch_size=50, **_dag_kwargs(root)
+            )
+        ]
+    )
+    one = {r.doc_id for r in _chain_decisions(spark, SF).collect() if r.stage == "kept"}
+    inc = _kept(spark, root, batches=range(10))
+    assert inc == one
+
+    store = SignatureStore(f"{root}/curation_ingest/image/sig_store")
+    segs = store.segments()
+    assert len(segs) < 10, [s["seg"] for s in segs]
+    assert any(int(s.get("level", 0)) > 0 for s in segs), segs
+    # observed row counts survive the fold (density-decision inputs)
+    assert all(s.get("rows") is not None for s in segs), segs
