@@ -19,6 +19,14 @@ tables ``copies`` times with offset keys and per-copy perturbation:
   stay fixed while row count grows (bucket mass scales, boxes don't),
   and the customer key space grows for SCD2/upsert merges.
 
+KEY LAYOUT (read this before batching over a stress set): copy ``c``
+offsets every key by ``c * 10_000_000`` — doc_ids/vec_ids are SPARSE
+strides, NOT a contiguous [0, copies·n) range. An id-range ingest
+must therefore batch with ``batch_size=10**7`` (one batch per replica
+copy); smaller ranges silently ingest only copy 0 and leave every
+other batch empty (cost a round-11 session a false incremental-vs-
+one-shot divergence before diagnosis).
+
 This is a MEASUREMENT input only (never a correctness input — oracles
 run on the shipped testdata). Usage:
 
