@@ -63,18 +63,19 @@ def ratchet_in_pushdown(spark: SparkSession, n_values: int) -> bool:
     return True
 
 
-#: Minimum known store size (rows) before an over-cap key list is
-#: served as a UNION of chunked pushed Ins rather than one post-scan
-#: InSet. Row-group pruning only wins when row groups far outnumber
-#: the probed keys: measured on the 64×-grown curation exact store
-#: (320 k rows, 5 000 uniform keys — every row group contains some
-#: probed key) the 20-branch chunk union pays 20× scan scheduling for
-#: zero pruning and loses to the single InSet scan 4.8 s vs 2.9 s.
-#: Order-of-magnitude crossover, not a tuned constant: below it the
-#: full scan is scheduling-bound anyway; far above it (the 100 TB
-#: store, row groups ≫ keys) chunked pushes skip almost every row
-#: group while InSet reads the world.
-CHUNKED_PRUNE_MIN_STORE_ROWS = 5_000_000
+#: Store rows PER PROBED VALUE before an over-cap key list is served
+#: as a UNION of chunked pushed Ins rather than one post-scan InSet.
+#: The crossover scales with the key count, not the store alone:
+#: row-group pruning wins only when row groups far outnumber the
+#: probed keys (each uniform key lands in ~1 row group of ~10⁵ rows,
+#: so |keys| keys blanket any store under ~|keys|·10⁵ rows and the
+#: chunk union pays per-branch scan scheduling for zero pruning —
+#: measured on the 64×-grown curation exact store, 320 k rows /
+#: 5 000 keys: chunked 4.8 s vs single InSet scan 2.9 s). Chunked
+#: pushes win far above the crossover (the 100 TB store: row groups
+#: ≫ keys, InSet reads the world). 2× a ~10⁵-row row-group estimate;
+#: order of magnitude, not a tuned constant.
+CHUNKED_PRUNE_ROWS_PER_VALUE = 200_000
 
 
 def pruned_isin(
@@ -90,18 +91,18 @@ def pruned_isin(
 
     - ≤ :data:`MAX_IN_PUSHDOWN` values: one pushed In (bounded
       OR-chain, prunes row groups by stats).
-    - more values, ``store_rows`` unknown or small: post-scan InSet —
-      one scan, hash probe, no recursion. On a small or fully-probed
-      store nothing would prune anyway, and a chunk union only adds
-      per-branch scan scheduling (measured 0.61× on the 64× curation
-      store — SCALE.md round 11).
-    - more values AND ``store_rows`` ≥
-      :data:`CHUNKED_PRUNE_MIN_STORE_ROWS`: the sorted list splits
-      into ≤ cap chunks, each pushed as its own In over the same scan,
-      unioned — disjoint chunks, exact result, bounded recursion per
-      branch, and total row groups touched is O(|values|) instead of
-      O(store): the O(batch)-vs-O(corpus) read for a corpus-refresh
-      ingest probing a planet-sized store.
+    - more values, ``store_rows`` unknown or below the value-scaled
+      crossover (|values| × :data:`CHUNKED_PRUNE_ROWS_PER_VALUE`):
+      post-scan InSet — one scan, hash probe, no recursion. When the
+      probed keys blanket the row groups nothing would prune anyway,
+      and a chunk union only adds per-branch scan scheduling
+      (measured 0.61× on the 64× curation store — SCALE.md round 11).
+    - more values AND a known-large store past the crossover: the
+      sorted list splits into ≤ cap chunks, each pushed as its own In
+      over the same scan, unioned — disjoint chunks, exact result,
+      bounded recursion per branch, and total row groups touched is
+      O(|values|) instead of O(store): the O(batch)-vs-O(corpus) read
+      for a corpus-refresh ingest probing a planet-sized store.
 
     The value list stays bounded by the caller's contract (e.g.
     ``collect_prune_keys``'s MAX_PRUNE_KEYS = 8 192 → ≤ 33 branches);
@@ -114,7 +115,10 @@ def pruned_isin(
     if len(vals) <= MAX_IN_PUSHDOWN:
         ratchet_in_pushdown(spark, len(vals))
         return df.filter(F.col(col).isin(vals))
-    if store_rows is None or store_rows < CHUNKED_PRUNE_MIN_STORE_ROWS:
+    if (
+        store_rows is None
+        or store_rows < len(vals) * CHUNKED_PRUNE_ROWS_PER_VALUE
+    ):
         # the ratchet's cap keeps this a post-scan InSet even if an
         # earlier caller raised the session threshold
         return df.filter(F.col(col).isin(vals))

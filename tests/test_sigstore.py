@@ -301,7 +301,7 @@ def test_pruned_isin_chunks_on_large_stores(spark, tmp_path):
     cliff moved between 750 and 1000 on the 64×-grown store read, so
     the cap rides low), row-group pruning preserved, exact result."""
     from production_ready_ds_spark.operators.layout import (
-        CHUNKED_PRUNE_MIN_STORE_ROWS,
+        CHUNKED_PRUNE_ROWS_PER_VALUE,
         MAX_IN_PUSHDOWN,
         pruned_isin,
     )
@@ -316,7 +316,7 @@ def test_pruned_isin_chunks_on_large_stores(spark, tmp_path):
 
     got = pruned_isin(
         spark, df, "key", keys[:1500] + [1, 2, 3],
-        store_rows=CHUNKED_PRUNE_MIN_STORE_ROWS,
+        store_rows=1503 * CHUNKED_PRUNE_ROWS_PER_VALUE,
     )
     # misses fall out, disjoint chunks never duplicate a row
     assert got.count() == 1500
@@ -328,7 +328,7 @@ def test_pruned_isin_chunks_on_large_stores(spark, tmp_path):
     dup_vals = sorted(keys[:1500])
     dup_vals = dup_vals[:MAX_IN_PUSHDOWN] + [dup_vals[MAX_IN_PUSHDOWN - 1]] + dup_vals[MAX_IN_PUSHDOWN:]
     dup = pruned_isin(
-        spark, df, "key", dup_vals, store_rows=CHUNKED_PRUNE_MIN_STORE_ROWS
+        spark, df, "key", dup_vals, store_rows=1503 * CHUNKED_PRUNE_ROWS_PER_VALUE
     )
     assert dup.count() == 1500
     n_chunks = -(-1503 // MAX_IN_PUSHDOWN)
