@@ -796,7 +796,11 @@ def minhash_bands(
 
 
 def _split_hot_buckets(
-    bands: DataFrame, *, id_col: str, bucket_cap: int | None
+    bands: DataFrame,
+    *,
+    id_col: str,
+    bucket_cap: int | None,
+    has_hot: bool | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Cold/hot split of a banded (…, band, key) frame under the
     oversized-bucket guard — the ONE implementation both LSH candidate
@@ -808,11 +812,17 @@ def _split_hot_buckets(
     +0.5 s at sf0.1 on local[32]) — the guard stages are planned only
     when a bucket actually needs them. The hot side keeps each bucket's
     ``bucket_cap`` lowest ids via a salted two-stage rank (no
-    single-partition sort)."""
+    single-partition sort).
+
+    ``has_hot`` lets a caller that ALREADY measured the bucket-size
+    distribution (hamming_candidates folds max-bucket-size into its
+    tier agg — one job instead of agg + peek, round-11 §1 profiling:
+    the peek alone read ~0.44 s at sf0.1) pass the decision in; None
+    keeps the self-contained probe."""
     if bucket_cap is not None:
         sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_n"))
         hot = sizes.filter(F.col("_n") > bucket_cap).drop("_n")
-        if not hot.take(1):
+        if has_hot is False or (has_hot is None and not hot.take(1)):
             bucket_cap = None
     if bucket_cap is None:
         return bands, None
@@ -938,8 +948,11 @@ def hamming_candidates(
     the oversized cap EVERYWHERE (64× stress at 320 k docs: median
     bucket 8, p90 31, 31 M candidate pairs — the blocking stops
     blocking). The tier is picked from the MEASURED bucket load, not a
-    fixed doc count: one agg over the checkpointed fingerprints reads
-    ``n`` docs and the per-band distinct-key counts ``Σ_b d_b``, and
+    fixed doc count: one grouped agg over the checkpointed
+    fingerprints' (band, key) buckets reads ``n·n_bands`` (= Σ bucket
+    sizes), the distinct-key count ``Σ_b d_b`` AND the max bucket size
+    (which answers the oversized-bucket guard's existence peek in the
+    same pass — see bucket_stats), and
     when the mean bucket ``n·n_bands / Σ_b d_b`` exceeds
     ``mean_bucket_limit`` (exact-integer comparison, replayed verbatim
     by the oracles) the blocking key becomes PAIRS of adjacent bands
@@ -969,40 +982,88 @@ def hamming_candidates(
     per-partition hash maps (measured SparkOutOfMemoryError at the 64×
     stress point); the distance instead comes from two re-joins of the
     DISTINCT candidate pairs against the 1×-sized fingerprint frame."""
+    from ..tables import compact_checkpoint
+
     band_cols = [f"b{k}" for k in range(n_bands)]
     # decode/fingerprint pipeline runs once for the band explode and
-    # both scoring re-joins (the minhash_bands checkpoint rule). The
-    # one agg that picks the super-band tier reads the same checkpoint
-    # (n_bands exact count_distincts in one pass — an Expand over rows
-    # of 9 longs, same order of work as the count() it replaces).
-    fp = fp.select(id_col, *band_cols).localCheckpoint(eager=True)
-    stats = fp.agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.count_distinct(c).alias(f"d{k}") for k, c in enumerate(band_cols)],
-    ).first()
-    n_docs = stats["n"]
-    sum_distinct = sum(stats[f"d{k}"] for k in range(n_bands))
-    sb = 2 if n_docs * n_bands > mean_bucket_limit * sum_distinct else 1
-    keys = [
-        F.col(f"b{sb * k}")
-        if sb == 1
-        else (F.col(f"b{sb * k}") + F.col(f"b{sb * k + 1}") * F.lit(65536))
-        for k in range(n_bands // sb)
-    ]
-    bands = fp.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("band"), key.cast("long").alias("key"))
-                    for k, key in enumerate(keys)
-                ]
+    # both scoring re-joins (the minhash_bands checkpoint rule); the
+    # checkpoint is size-compacted so the FIVE downstream stages that
+    # re-read it (tier agg, band explode × join sides, two scoring
+    # re-joins) launch map tasks proportional to its SIZE, not to the
+    # decode pipeline's 32-way width (round-11 §2: ~0.6 s/stage of
+    # per-map-task shuffle-file overhead on a 700 KB frame).
+    fp = compact_checkpoint(fp.select(id_col, *band_cols))
+
+    def tier_keys(sb: int) -> list[Column]:
+        return [
+            (
+                F.col(f"b{sb * k}")
+                if sb == 1
+                else (F.col(f"b{sb * k}") + F.col(f"b{sb * k + 1}") * F.lit(65536))
+            ).cast("long")
+            for k in range(n_bands // sb)
+        ]
+
+    def banded(sb: int) -> DataFrame:
+        return fp.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(k).alias("band"), key.alias("key"))
+                        for k, key in enumerate(tier_keys(sb))
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, "bk.band", "bk.key")
+
+    def bucket_stats(sb: int):
+        """(Σ bucket sizes, distinct non-null keys, max bucket size) of
+        the tier's (band, key) buckets in ONE grouped agg. Exact-integer
+        equivalences the oracles rely on: Σ sizes = n_docs · n_keys
+        (explode never drops a row, NULL keys form groups), and the
+        non-null distinct-group count = Σ_band COUNT(DISTINCT key) —
+        the entropy rule's inputs — while MAX(size) answers the
+        oversized-bucket guard's existence peek over ALL groups
+        (NULL-key buckets included, matching the sizes>cap filter the
+        guard itself plans; NULL keys never equi-join, so flagging
+        them changes plan shape only, never pairs)."""
+        return (
+            banded(sb)
+            .groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.sum("_n").alias("total"),
+                F.count(F.when(F.col("key").isNotNull(), F.lit(1))).alias("d"),
+                F.max("_n").alias("maxb"),
             )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+            .first()
+        )
+
+    # Tier pick + oversized-bucket peek in ONE job (round-11 §1
+    # profiling: the previous shape — an 8-way count_distinct Expand
+    # agg (~0.5 s at sf0.1) plus _split_hot_buckets' take(1) peek
+    # (~0.44 s) — paid two sequential driver actions for scalars one
+    # grouped agg already contains; the super-band tier pays a second
+    # tiny probe for its own max bucket, same job count as before).
+    # Decision integers are IDENTICAL to the count_distinct form (see
+    # bucket_stats), so the oracles' replayed rule is untouched.
+    raw = bucket_stats(1)
+    n_docs_x_bands = raw["total"] or 0
+    sum_distinct = raw["d"]
+    sb = 2 if n_docs_x_bands > mean_bucket_limit * sum_distinct else 1
+    if bucket_cap is None:
+        has_hot = None
+    elif sb == 1:
+        has_hot = (raw["maxb"] or 0) > bucket_cap
+    else:
+        has_hot = (bucket_stats(2)["maxb"] or 0) > bucket_cap
+    bands = banded(sb)
     a = bands.alias("a")
     on_bucket = (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
-    b_cold, b_hot = _split_hot_buckets(bands, id_col=id_col, bucket_cap=bucket_cap)
+    b_cold, b_hot = _split_hot_buckets(
+        bands, id_col=id_col, bucket_cap=bucket_cap, has_hot=has_hot
+    )
     cand = a.join(
         b_cold.alias("b"), on_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     ).select(
@@ -1041,8 +1102,8 @@ def hamming_candidates(
     # unroll buffer.
     from pyspark.storagelevel import StorageLevel
 
-    cand = cand.distinct().localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    cand = compact_checkpoint(
+        cand.distinct(), storage_level=StorageLevel.DISK_ONLY
     )
     return (
         cand.join(fa, "doc_a")
@@ -1125,7 +1186,9 @@ def incremental_hamming_dedup(
     # per copy and the store gains duplicate rows forever (the minhash
     # twin is immune by construction: minhash_bands' groupBy collapses
     # per id).
-    fresh_fp = fresh_fp.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    from ..tables import compact_checkpoint
+
+    fresh_fp = compact_checkpoint(fresh_fp.dropDuplicates([id_col]))
     fresh = fresh_fp.select(
         id_col,
         *band_cols,
@@ -1179,8 +1242,8 @@ def incremental_hamming_dedup(
         )
     from pyspark.storagelevel import StorageLevel
 
-    cand = cand.distinct().localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    cand = compact_checkpoint(
+        cand.distinct(), storage_level=StorageLevel.DISK_ONLY
     )
     # every stored row carries the full fingerprint, so the pruned
     # corpus read already holds the b-columns scoring needs

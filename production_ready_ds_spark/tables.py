@@ -117,6 +117,62 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     return df
 
 
+#: compact_checkpoint partition-size target. 32 MB of cached bytes per
+#: partition keeps a warehouse-scale frame at full width (a no-op past
+#: ~1 GB cached) while collapsing bench-scale frames to the handful of
+#: map tasks their size deserves.
+CKPT_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def compact_checkpoint(df: DataFrame, *, storage_level=None, min_parts: int = 1) -> DataFrame:
+    """Eager localCheckpoint + SIZE-ADAPTIVE narrowing of the cached
+    frame's partition count — the checkpoint analogue of AQE partition
+    coalescing (guide §2.2 "fewer, larger map tasks", §6 split sizing).
+
+    Why: an eagerly checkpointed frame keeps its producer's partition
+    count, and every downstream stage launches that many map tasks over
+    it. The producer's width is chosen for the PRODUCER's CPU work
+    (e.g. the 32-way spread feeding a fused decode kernel); the
+    consumers — tier aggs, band explodes, self-join sides — pay
+    per-map-task fixed costs (task launch + a shuffle-file set per
+    task) that dominate when the cached frame is small. Round-11
+    measurement (sf0.1, local[32], interleaved): one grouped agg over
+    a 700 KB 32-partition checkpoint reads ~0.95 s; the identical agg
+    over a coalesce(4) view of the SAME cached blocks reads ~0.33 s,
+    and a synthetic floor probe scales 0.58 s → 0.21 s → 0.12 s at
+    32 → 4 → 1 map partitions for identical work.
+
+    How: materialize the checkpoint (producer parallelism unchanged —
+    the blocks are already computed when coalesce attaches), read the
+    cached byte size from the driver's block-manager registry (NO job:
+    ``sc.getRDDStorageInfo()``), then ``coalesce`` — a zero-shuffle,
+    zero-job re-view of the cached blocks — to
+    ``ceil(bytes / CKPT_TARGET_BYTES)`` partitions, never widening. At
+    warehouse scale the frame exceeds the target and keeps full width,
+    so this is exactly the scale-adaptive shape the optimization brief
+    demands (derive partitioning from measured size, not from a
+    constant tuned for either local mode or the cluster). Falls back
+    to the plain checkpoint when the registry row cannot be identified
+    (e.g. concurrent checkpointing threads)."""
+    sc = df.sparkSession.sparkContext
+    registry = sc._jsc.sc().getRDDStorageInfo
+    before = {info.id() for info in registry()}
+    if storage_level is None:
+        ck = df.localCheckpoint(eager=True)
+    else:
+        ck = df.localCheckpoint(eager=True, storageLevel=storage_level)
+    fresh = [info for info in registry() if info.id() not in before]
+    if not fresh:  # pragma: no cover - registry race under concurrency
+        return ck
+    info = max(fresh, key=lambda i: i.id())
+    size = info.memSize() + info.diskSize()
+    parts = info.numCachedPartitions()
+    want = max(min_parts, int((size + CKPT_TARGET_BYTES - 1) // CKPT_TARGET_BYTES))
+    if want < parts:
+        return ck.coalesce(want)
+    return ck
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (SQL entry point parity —
     the reference enables Hive support but never registers a table;
