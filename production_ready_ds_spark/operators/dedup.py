@@ -78,10 +78,11 @@ def shingled_docs(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "t
     into every element_at lambda → O(tokens²) per document (measured 4×
     slower at sf0.1).
 
-    Deliberately NOT spread (tables.spread): shingling is cheap concat
-    work, and an interleaved A/B at sf0.1 measured the repartition a
-    net loss here (2.12 → 2.29 s on jaccard) — the single-partition
-    scan drains into the first shuffle fast enough."""
+    Deliberately does NOT spread here: callers that checkpoint the
+    exploded frame (_capped_pair_counts) spread the INPUT themselves
+    and re-compact the checkpoint, so the producer parallelism and the
+    consumer partition count are chosen independently; callers that
+    consume the lineage lazily keep the plain single-scan shape."""
     tok = docs.select(id_col, tokens_expr(F.col(text_col)).alias("ts"))
     return tok.select(id_col, F.explode(shingles(F.col("ts"))).alias("sg"))
 
@@ -293,14 +294,24 @@ def _capped_pair_counts(
     the two scores are just different expressions over the SAME
     bounded pair table, so they can never drift on blocking, capping,
     or counting semantics."""
-    sh = shingled_docs(docs, id_col=id_col, text_col=text_col).select(
-        id_col, F.xxhash64("sg").alias("sg")
-    )
+    from ..tables import compact_checkpoint, spread
+
+    # spread BEFORE the shingle map: the single-row-group documents
+    # scan otherwise serializes tokenize+shingle+hash onto ONE core
+    # (round-11 profile: a 0.46-0.51 s single-task checkpoint job in
+    # every jaccard-chain query). The round-4 A/B that measured spread
+    # a loss here predates compact_checkpoint — the loss was the
+    # spread-width checkpoint taxing every downstream stage, which the
+    # size-adaptive compaction now removes (re-measured round 11:
+    # interleaved win, see OPTIMIZATION_r11.md batch 2).
+    sh = shingled_docs(
+        spread(docs) if materialize else docs, id_col=id_col, text_col=text_col
+    ).select(id_col, F.xxhash64("sg").alias("sg"))
     if materialize:
         # Checkpoint BEFORE the cap: rank_cap consumes the frame three
         # times, the self-join twice more — all read these blocks
         # instead of re-running the tokenizer pipeline.
-        sh = sh.localCheckpoint(eager=True)
+        sh = compact_checkpoint(sh)
     # RANK cap, not a doc-frequency drop: each shingle is kept in its
     # df_cap lowest-id documents and dropped elsewhere. A pure df>cap
     # drop has a blind spot — in a duplicate FAMILY larger than the cap
@@ -325,7 +336,7 @@ def _capped_pair_counts(
         # one exchange was measured a wash: AQE does NOT reuse
         # identical REPARTITION_BY_COL stages over a checkpoint scan,
         # so it only added a shuffle.)
-        sh = sh.localCheckpoint(eager=True)
+        sh = compact_checkpoint(sh)
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.hint("SHUFFLE_HASH").alias("b")
@@ -441,8 +452,10 @@ def connected_components(
     # references ``pairs`` twice (forward + reversed), and without this
     # the whole upstream pair-generation pipeline would execute once
     # per reference.
-    fwd = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
-        eager=True
+    from ..tables import compact_checkpoint
+
+    fwd = compact_checkpoint(
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     )
     # Union-find is undirected and idempotent, so the driver path can
     # consume the forward list directly — the mirror+distinct shuffle
@@ -460,7 +473,7 @@ def connected_components(
             fwd.sparkSession, rows, fwd.schema["s"].dataType
         )
     edges = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = compact_checkpoint(edges)
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
@@ -553,7 +566,16 @@ def _driver_union_find_rows(spark: SparkSession, rows, node_type) -> DataFrame:
     schema = StructType(
         [StructField("node", node_type), StructField("cluster_id", node_type)]
     )
-    return spark.createDataFrame(out, schema)
+    # Explicit slice count: the default parallelize() fans this
+    # driver-bounded list (≤ driver_threshold rows) across
+    # defaultParallelism partitions, and every downstream stage then
+    # pays 32 near-empty tasks (round-11 profile: ~0.4 s/stage on the
+    # post-cluster joins). One slice per 50k rows keeps the frame a
+    # handful of tasks at any size the driver path permits.
+    slices = max(1, (len(out) + 49_999) // 50_000)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, slices), schema
+    )
 
 
 def connected_components_star(
@@ -791,7 +813,9 @@ def minhash_bands(
         # both self-join sides read the checkpointed blocks instead of
         # recomputing the whole shingle→minhash pipeline per side (AQE
         # misses the ReuseExchange on identical self-join subplans).
-        bands = bands.localCheckpoint(eager=True)
+        from ..tables import compact_checkpoint
+
+        bands = compact_checkpoint(bands)
     return bands
 
 
