@@ -184,41 +184,52 @@ def _chain_decisions(
 
     fingerprint, _family = perceptual_kernel(modality)
 
+    from ..tables import compact_checkpoint
+
     d = load(spark, sf_dir, "documents")
-    # stage 1: exact (md5 keep-min)
+    # stage 1: exact (md5 keep-min), computed ONCE into the
+    # checkpointed rejected-pair frame. Every later stage derives its
+    # survivor set by anti-joining doc-id spines against checkpointed
+    # PAIR frames (a doc is stage-k rejected iff it appears as doc_b
+    # in stage k's pairs — for the exact stage, doc_id > keep_id of
+    # its hash group ⇔ doc_id ∈ ex_edges.doc_b). Before round 11 the
+    # survivor frames chained lazily off `exk`, so the corpus-wide
+    # md5 + keep-min groupBy subtree re-executed inside EVERY
+    # downstream consumer (fingerprint input, semantic panel, spine
+    # flags — 4 full passes at 100 TB); now each stage's full-corpus
+    # work runs exactly once, inside its own checkpoint job (guide
+    # §1.2: fix the pass structure before anything else).
     hashed = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
     exk = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    ex_edges = (
+    ex_edges = compact_checkpoint(
         hashed.join(exk, "h")
         .filter(F.col("doc_id") > F.col("keep_id"))
         .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    s1 = d.join(
-        exk.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
-    )
+    # doc_b is unique in ex_edges (one hash group, one keep-min), so
+    # the rejected-id frame needs no distinct.
+    ex_rej = ex_edges.select(F.col("doc_b").alias("doc_id"))
+    s1 = d.join(ex_rej, "doc_id", "left_anti")
+    s1_ids = s1.select("doc_id")
     # stage 2: lexical MinHash over exact survivors. Sequential
     # checkpoints per pair set (the _multimodal_members OOM rule: peak
     # memory = max of the generators, never their sum).
-    mh_pairs = (
-        minhash_candidates(minhash_bands(s1))
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+    mh_pairs = compact_checkpoint(
+        minhash_candidates(minhash_bands(s1)).select("doc_a", "doc_b")
     )
-    s2 = s1.join(
+    s2 = s1_ids.join(
         mh_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
     )
     # stage 3: perceptual image dHash over lexical survivors, at the
     # RAW band tier — the tier the incremental store path blocks on
     # (incremental_hamming_dedup), pinned by mean_bucket_limit so the
     # one-shot twin and the DAG emit identical pairs.
-    ph_pairs = (
+    ph_pairs = compact_checkpoint(
         hamming_candidates(
-            fingerprint(s2.select("doc_id")),
+            fingerprint(s2),
             radius=_DHASH_RADIUS,
             mean_bucket_limit=1 << 62,
-        )
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        ).select("doc_a", "doc_b")
     )
     s3 = s2.join(
         ph_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
@@ -239,13 +250,12 @@ def _chain_decisions(
             "embedding",
         )
     )
-    sem_pairs = (
+    sem_pairs = compact_checkpoint(
         bucketed_cosine_pairs(panel, panel, threshold=EMBED_COS_THRESHOLD)
         .distinct()
         .select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
-        .localCheckpoint(eager=True)
     )
     # stage 5: unified families + quality keep-best over the spine
     edges = (
@@ -255,12 +265,6 @@ def _chain_decisions(
         .distinct()
     )
     fam = connected_components(edges)
-    rejected = [
-        (s1, "exact", True),  # NOT in s1 → exact-rejected
-        (mh_pairs, "lexical", False),
-        (ph_pairs, "perceptual", False),
-        (sem_pairs, "semantic", False),
-    ]
     spine = d.select("doc_id", "n_chars").join(
         fam.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     )
@@ -272,7 +276,7 @@ def _chain_decisions(
     ).dropDuplicates(["doc_id"])
     spine = (
         spine.join(
-            s1.select("doc_id").withColumn("_s1", F.lit(True)), "doc_id", "left"
+            ex_rej.withColumn("_ex", F.lit(True)), "doc_id", "left"
         )
         .join(flag(mh_pairs, "doc_b").withColumnRenamed("_doc_b", "_mh"), "doc_id", "left")
         .join(flag(ph_pairs, "doc_b").withColumnRenamed("_doc_b", "_ph"), "doc_id", "left")
@@ -281,7 +285,9 @@ def _chain_decisions(
             "doc_id",
             "family_id",
             "n_chars",
-            F.when(F.col("_s1").isNull(), "exact")
+            # _ex true ⇔ doc_id ∈ ex_edges.doc_b ⇔ NOT a stage-1
+            # survivor — same predicate the oracle's NOT IN (s1) states
+            F.when(F.col("_ex"), "exact")
             .when(F.col("_mh"), "lexical")
             .when(F.col("_ph"), "perceptual")
             .when(F.col("_sem"), "semantic")
