@@ -1808,6 +1808,11 @@ def gopher_decision_frame(d: DataFrame) -> DataFrame:
     — the ONE Gopher-rule definition shared by q_quality_gopher and
     the weak-label trainer of q_quality_classifier, so the rule gate
     and the classifier's supervision cannot diverge."""
+    # NOTE (round 11): a two-step projection (the shingled_docs rule)
+    # is pointless here — with no Generate between them CollapseProject
+    # merges the projects back, and whole-stage codegen's subexpression
+    # elimination already evaluates the tokenizer once per row
+    # (interleaved A/B: parity).
     ts = tokens_expr(F.col("text"))
     n = F.size(ts)
     sum_len = F.aggregate(
@@ -1859,13 +1864,22 @@ def _classifier_teacher(docs: DataFrame) -> DataFrame | None:
     def classes(teacher: DataFrame) -> int:
         return teacher.select("weak_keep").distinct().limit(2).count()
 
+    from ..tables import compact_checkpoint
+
+    # NOT spread: a round-11 interleaved A/B measured spread(docs) a
+    # consistent LOSS on this path (classifier 3.3-3.5 → 4.0-5.5 s,
+    # perplexity 1.1-1.2 → 1.4-2.2 s) — the teacher consumes docs in
+    # several subtrees and AQE does not reuse the repartition
+    # exchange across them, so each re-pays scan+shuffle (the round-4
+    # tfidf lesson); the single-task producer jobs it would fix total
+    # well under that.
     # each teacher frame is consumed several times (class probe, the
     # training join, and the caller's output) — checkpoint once so the
     # gopher scan / bigram pipeline doesn't re-run per consumer
-    gopher = (
-        gopher_decision_frame(docs)
-        .select("doc_id", F.col("keep").alias("weak_keep"))
-        .localCheckpoint(eager=True)
+    gopher = compact_checkpoint(
+        gopher_decision_frame(docs).select(
+            "doc_id", F.col("keep").alias("weak_keep")
+        )
     )
     if classes(gopher) == 2:
         return gopher
@@ -1873,21 +1887,27 @@ def _classifier_teacher(docs: DataFrame) -> DataFrame | None:
     # bigram side's size estimate is the compressed file size, so Spark
     # otherwise BROADCASTS the exploded bigram stream (558 MiB at 16x
     # stress — build died) instead of the vocabulary-sized model
-    scores = perplexity_report(
-        perplexity_terms(doc_bigrams(docs), bigram_model(docs).hint("shuffle_hash"))
-    ).localCheckpoint(eager=True)
+    scores = compact_checkpoint(
+        perplexity_report(
+            perplexity_terms(
+                doc_bigrams(docs), bigram_model(docs).hint("shuffle_hash")
+            )
+        )
+    )
     cutoff = scores.agg(
         F.expr("percentile(avg_nll_scaled, 0.9)").alias("c")
     ).first()["c"]
     if cutoff is None:
         return None
-    ppl = docs.select("doc_id").join(
-        scores.select("doc_id", "avg_nll_scaled"), "doc_id", "left"
-    ).select(
-        "doc_id",
-        # unscorable (too-short) docs carry no evidence → label good
-        (F.coalesce("avg_nll_scaled", F.lit(0)) <= cutoff).alias("weak_keep"),
-    ).localCheckpoint(eager=True)
+    ppl = compact_checkpoint(
+        docs.select("doc_id")
+        .join(scores.select("doc_id", "avg_nll_scaled"), "doc_id", "left")
+        .select(
+            "doc_id",
+            # unscorable (too-short) docs carry no evidence → label good
+            (F.coalesce("avg_nll_scaled", F.lit(0)) <= cutoff).alias("weak_keep"),
+        )
+    )
     return ppl if classes(ppl) == 2 else None
 
 
