@@ -535,7 +535,7 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     source. Sketch frames are k·|sources| rows, so every pairwise
     stage is broadcast-sized regardless of corpus size."""
     from ..operators.dedup import shingles
-    from ..tables import spread
+    from ..tables import compact_checkpoint, spread
 
     # spread BEFORE the hash map: md5-per-shingle is ~20× heavier than
     # the jaccard path's xxhash64, and a one-row-group local scan would
@@ -552,7 +552,7 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("source", tokens_expr(F.col("text")).alias("ts"))
     sh = tok.select("source", F.explode(shingles(F.col("ts"))).alias("sg"))
     h = md5_prefix_int(F.col("sg"))
-    s = sh.select("source", h.alias("h")).distinct().localCheckpoint(eager=True)
+    s = compact_checkpoint(sh.select("source", h.alias("h")).distinct())
     from pyspark.sql import Window
 
     # two-level k-smallest: the salt bounds every sort partition at
@@ -568,14 +568,17 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= THETA_K)
         .drop("_salt", "rk")
     )
-    sk = (
+    sk = compact_checkpoint(
         pre.withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= THETA_K)
         .drop("rk")
-        .localCheckpoint(eager=True)
     )
     th = sk.groupBy("source").agg(F.max("h").alias("hk"))
-    pr = (
+    # checkpointed ONCE: pr is consumed by mt AND the final assembly,
+    # and rebuilding it re-paid the th aggregation + the non-equi
+    # nested-loop self-join per consumer (two identical BNLJ subtrees
+    # in the round-11 before-plan); |sources|² rows — metadata-sized.
+    pr = compact_checkpoint(
         th.alias("a")
         .join(th.alias("b"), F.col("a.source") < F.col("b.source"))
         .select(
@@ -613,9 +616,14 @@ def q_sketch_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("exact_intersection"))
     )
+    # broadcast() is LOAD-BEARING on both right sides: pr/mt/ex all
+    # descend from checkpointed ExistingRDDs with unknown stats, so
+    # Spark otherwise plans two-exchange SortMergeJoins against
+    # |sources|²-row aggregates (the stats-poisoning gotcha); both
+    # stay pair-table-sized at any corpus size.
     return (
-        pr.join(mt.drop("theta_hash"), ["source_a", "source_b"], "left")
-        .join(ex, ["source_a", "source_b"], "left")
+        pr.join(broadcast(mt.drop("theta_hash")), ["source_a", "source_b"], "left")
+        .join(broadcast(ex), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
@@ -5899,12 +5907,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    truth = (
+    from ..tables import compact_checkpoint
+
+    truth = compact_checkpoint(
         sims_all.withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= 3)
         .select("probe_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # consumed by the hit join AND the total
-    )
+    )  # consumed by the hit join AND the total
     ranked = (
         probes.select("probe_id", "pbucket")
         .crossJoin(broadcast(e.select("bucket").distinct()))
@@ -5919,10 +5928,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("probe_id", "bucket", "brank")
     )
-    budgets = spark.createDataFrame([(1,), (2,), (4,), (8,)], "nprobe int")
-    cand = (
-        broadcast(budgets)
-        .join(ranked, F.col("brank") <= F.col("nprobe"))
+    nprobes = [1, 2, 4, 8]
+    budgets = spark.createDataFrame([(b,) for b in nprobes], "nprobe int")
+    # ONE cosine pass at the WIDEST budget, budgets attached AFTER: the
+    # per-(budget, candidate) join shape paid the candidate read + the
+    # cosine kernel once per budget (Σ|cand(b)| ≈ 15/8 of |cand(max)|
+    # on uniform buckets); computing cos_sim on the brank ≤ max set and
+    # replicating only the scored NARROW rows per budget is
+    # row-identical (a vector has ONE bucket, so each (budget, probe,
+    # neighbor) row appears exactly once either way, with the same
+    # deterministic cosine) — guide §1.2/§2.3: fewer passes, replicate
+    # metadata not payloads.
+    cand_max = (
+        ranked.filter(F.col("brank") <= max(nprobes))
         .join(
             e.select(
                 F.col("vec_id").alias("neighbor_id"),
@@ -5935,13 +5953,18 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .join(broadcast(probes.select("probe_id", "pe", "pnrm")), "probe_id")
         .select(
-            "nprobe",
             "probe_id",
             "neighbor_id",
+            "brank",
             cosine_prenormed(
                 F.col("pe"), F.col("ce"), F.col("pnrm"), F.col("cnrm")
             ).alias("cos_sim"),
         )
+    )
+    cand = (
+        broadcast(budgets)
+        .join(cand_max, F.col("brank") <= F.col("nprobe"))
+        .select("nprobe", "probe_id", "neighbor_id", "cos_sim")
     )
     wa = Window.partitionBy("nprobe", "probe_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -5951,9 +5974,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("nprobe", "probe_id", "neighbor_id")
     )
-    hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
-    )
+    # broadcast() is LOAD-BEARING: the checkpointed truth is an
+    # ExistingRDD with unknown stats, so Spark otherwise plans a
+    # two-exchange SortMergeJoin against a |probes|·3-row frame (the
+    # localCheckpoint stats-poisoning gotcha); truth stays bounded by
+    # the probe-sample contract at any corpus size.
+    hits = ann.join(
+        broadcast(truth), ["probe_id", "neighbor_id"]
+    ).groupBy("nprobe").agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     total = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     return (
         budgets
@@ -6551,7 +6579,8 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = parts[0]
     for part in parts[1:]:
         ann = ann.unionByName(part)
-    hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy(
+    # broadcast: checkpointed truth has unknown stats (probe-bounded)
+    hits = ann.join(broadcast(truth), ["probe_id", "neighbor_id"]).groupBy(
         "nprobe", "refine"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     cfg = spark.createDataFrame(
@@ -6631,9 +6660,10 @@ def ivf_recall_report(
     ann = parts[0]
     for part in parts[1:]:
         ann = ann.unionByName(part)
-    hits = ann.join(truth, ["probe_id", "neighbor_id"]).groupBy("nprobe").agg(
-        F.count(F.lit(1)).cast("long").alias("n_hits")
-    )
+    # broadcast: checkpointed truth has unknown stats (probe-bounded)
+    hits = ann.join(
+        broadcast(truth), ["probe_id", "neighbor_id"]
+    ).groupBy("nprobe").agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     budget_df = spark.createDataFrame([(int(b),) for b in budgets], "nprobe int")
     return (
         budget_df
