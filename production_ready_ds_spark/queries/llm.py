@@ -419,7 +419,9 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates crossJoined broadcast — no driver collect."""
     d = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, threshold=JACCARD_THRESHOLD, df_cap=HOT_SHINGLE_DF_CAP)
-    e = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    from ..tables import compact_checkpoint
+
+    e = compact_checkpoint(pairs.select("doc_a", "doc_b"))
     deg = (
         e.select(F.col("doc_a").alias("v"))
         .unionAll(e.select(F.col("doc_b").alias("v")))
@@ -2154,8 +2156,10 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.transform(F.sequence(F.lit(1), ng), gram)).alias("gh"),
         )
         .distinct()
-        .localCheckpoint(eager=True)  # feeds the df agg AND the score join
     )
+    from ..tables import compact_checkpoint
+
+    g = compact_checkpoint(g)  # feeds the df agg AND the score join
     dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("nd"))
     return (
         g.join(dfreq.hint("shuffle_hash"), "gh")
@@ -2318,7 +2322,10 @@ def q_quality_dupgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.struct(i.alias("i"), gram(i).alias("gh")),
             )
         ).alias("x"),
-    ).select("doc_id", "x.i", "x.gh").localCheckpoint(eager=True)
+    ).select("doc_id", "x.i", "x.gh")
+    from ..tables import compact_checkpoint
+
+    g = compact_checkpoint(g)
     dup = g.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
@@ -3839,14 +3846,16 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") + 1 <= F.col("ng") - WINNOW_W + 1)
         .select("doc_id", "mn")
         .distinct()
-        # Same materialize discipline as jaccard_pairs: rank_cap
-        # consumes the frame three times and the self-join twice more —
-        # without the eager checkpoints the md5-gram pipeline re-runs
-        # per consumer (measured ~35 % of the query at sf0.1).
-        .localCheckpoint(eager=True)
     )
-    capped = rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP, peek=True).localCheckpoint(
-        eager=True
+    from ..tables import compact_checkpoint
+
+    # Same materialize discipline as jaccard_pairs: rank_cap
+    # consumes the frame three times and the self-join twice more —
+    # without the eager checkpoints the md5-gram pipeline re-runs
+    # per consumer (measured ~35 % of the query at sf0.1).
+    fps = compact_checkpoint(fps)
+    capped = compact_checkpoint(
+        rank_cap(fps, ["mn"], "doc_id", WINNOW_CAP, peek=True)
     )
     a = capped.select(F.col("doc_id").alias("doc_a"), "mn")
     b = capped.select(F.col("doc_id").alias("doc_b"), "mn")
@@ -3945,7 +3954,9 @@ def _cdc_chunk_frame(spark: SparkSession, sf_dir: str, *, materialize: bool) -> 
             lambda j: F.element_at("ends", j) - F.element_at("starts", j) + 1,
         ),
     )
-    return t.localCheckpoint(eager=True) if materialize else t
+    from ..tables import compact_checkpoint
+
+    return compact_checkpoint(t) if materialize else t
 
 
 @query(
@@ -4294,11 +4305,11 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (both self-join sides) — the jaccard_pairs materialize discipline
     from ..operators.dedup import rank_cap
 
-    ch = ch.withColumn("_ok", F.struct("doc_id", "pos")).localCheckpoint(eager=True)
-    capped = (
-        rank_cap(ch, ["sig"], "_ok", RUN_DF_CAP, peek=True)
-        .drop("_ok")
-        .localCheckpoint(eager=True)
+    from ..tables import compact_checkpoint
+
+    ch = compact_checkpoint(ch.withColumn("_ok", F.struct("doc_id", "pos")))
+    capped = compact_checkpoint(
+        rank_cap(ch, ["sig"], "_ok", RUN_DF_CAP, peek=True).drop("_ok")
     )
     a = capped.select(
         F.col("doc_id").alias("doc_a"),
@@ -5598,9 +5609,11 @@ def hybrid_topk(
     # checkpoint: the k-row candidate frame is consumed TWICE (seed
     # build + rerank scan) — without materialization the whole BM25
     # corpus scan would execute twice per run
-    bm = (
+    from ..tables import compact_checkpoint
+
+    bm = compact_checkpoint(
         candidates if candidates is not None else bm25_topk(docs, terms, k=k)
-    ).localCheckpoint(eager=True)
+    )
     cand = F.broadcast(bm.select(F.col("rank").alias("bm25_rank"), "doc_id")).join(
         emb, "doc_id"
     )
@@ -5741,11 +5754,12 @@ def rrf_topk(
     degrades gracefully because a missing list member just scores 0."""
     from pyspark.sql import Window
 
-    bm = (
+    from ..tables import compact_checkpoint
+
+    bm = compact_checkpoint(
         (candidates if candidates is not None else bm25_topk(docs, terms, k=k))
         .select(F.col("rank").alias("bm25_rank"), "doc_id")
-        .localCheckpoint(eager=True)  # consumed by seed AND fusion
-    )
+    )  # consumed by seed AND fusion
     if ann_candidates is not None:
         ann = ann_candidates.select("ann_rank", "doc_id")
     else:
