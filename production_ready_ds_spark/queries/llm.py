@@ -3406,10 +3406,26 @@ def bigram_model(train_docs: DataFrame) -> DataFrame:
     """Add-one-smoothed bigram LM as a vocabulary-sized table
     (w1, w2, c12, c1, v) — pair counts joined with left marginals and
     the vocab size, the ONE model definition shared by the batch query
-    and the streaming scorer (so the two can never drift)."""
+    and the streaming scorer (so the two can never drift).
+
+    The left marginal is DERIVED from the pair counts rather than
+    re-aggregated from the corpus: c1(w1) = Σ_w2 c12(w1, w2) exactly
+    (every bigram occurrence lands in exactly one (w1, w2) group — an
+    integer identity, not an approximation), so the corpus is
+    tokenized+exploded TWICE here (pair counts, vocab size) instead of
+    three times, and the uc groupBy runs over the vocabulary-sized
+    checkpointed pc frame instead of shuffling the corpus-wide bigram
+    stream a second time (guide §1.2 pass structure, §2.4 remove
+    shuffles). Always called on batch frames (the streaming scorer
+    builds the model from the batch corpus before the stream starts),
+    so the eager checkpoint is safe."""
+    from ..tables import compact_checkpoint
+
     bg = doc_bigrams(train_docs)
-    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pc = compact_checkpoint(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uc = pc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vocab = train_docs.select(
         F.explode(tokens_expr(F.col("text"))).alias("tok")
     ).agg(F.countDistinct("tok").alias("v"))
