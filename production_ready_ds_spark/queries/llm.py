@@ -3122,7 +3122,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("term"))
-    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    # tf feeds BOTH the df rollup and the scored join, and AQE does not
+    # reuse the exchange across the two subtrees (the round-4 lesson):
+    # unmaterialized, the corpus is tokenized+exploded+aggregated twice.
+    # One eager checkpoint makes it one corpus pass; df then aggregates
+    # the vocabulary-bounded checkpoint (guide §1.2, §2.4).
+    from ..tables import compact_checkpoint
+
+    tf = compact_checkpoint(
+        t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
