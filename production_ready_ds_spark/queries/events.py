@@ -237,10 +237,22 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     |estimate − exact| ≤ 0.10·exact, generous headroom over the ~1.6%
     rsd of the default lgConfigK=12 sketch (tests/test_oracle.py still
     holds the estimates to 5%). Deterministic given fixed data."""
+    from ..tables import compact_checkpoint
+
     e = load(spark, sf_dir, "events")
-    per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    # per_type feeds TWO consumers (the per-type output rows and the
+    # merged '__all__' row) — without a materialization each consumer
+    # re-executes the full events scan + count_distinct shuffle, i.e.
+    # two corpus passes at 100 TB for a |event_types|-row frame of
+    # ~1.5 KB sketches (guide §1.2 pass structure; the round-11
+    # q_sketch_theta / tfidf lesson). The global exact count stays its
+    # own pass by necessity: users overlap across types, so the global
+    # COUNT(DISTINCT) cannot be derived from the per-type frame.
+    per_type = compact_checkpoint(
+        e.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
     )
     merged = (
         per_type.agg(
@@ -426,14 +438,24 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned hash joins — no broadcast dependence (works when the
     stage-1 survivor set is itself huge), no windows over the full event
     stream, no per-user state."""
+    from ..tables import compact_checkpoint
+
     e = load(spark, sf_dir, "events")
     day = F.expr(f"INTERVAL {_FUNNEL_WINDOW}")
-    v = (
+    # v and c each feed TWO consumers (their stage-count row and the
+    # next stage's join); without a materialization the v subtree
+    # (events scan + filter + user_id shuffle + min-agg) re-executes
+    # THREE times (under v, c, p) and c's twice — six event-scan passes
+    # instead of three at 100 TB (guide §1.2 pass structure; the
+    # round-11 curation-chain lesson). The checkpoint trades the reused
+    # co-partitioning for one |users|-row exchange per join — events ≫
+    # survivors, so the trade wins at every scale.
+    v = compact_checkpoint(
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
-    c = (
+    c = compact_checkpoint(
         e.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter((F.col("ts") >= F.col("t1")) & (F.col("ts") < F.col("t1") + day))
