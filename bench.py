@@ -58,6 +58,16 @@ def materialize(df) -> None:
 # and the 4x stress ratio (x2.2 for ~8x pair work, SCALE.md) is the
 # scale evidence.
 _FLOOR_NOTES = {
+    "q_quality_classifier_fit_cost": (
+        "the bench number for q_quality_classifier EXCLUDES the "
+        "LBFGS fit: the LR model persists under a corpus-manifest-"
+        "keyed /tmp cache (the reference's model-as-data shape — "
+        "train once, load to classify; queries/llm.py "
+        "q_quality_classifier docstring), so every measured run is "
+        "teacher + load + map-side scoring. The fit re-runs only "
+        "when the corpus changes; read the number as apply-path "
+        "cost, never as including training (round-11 verdict item 8)"
+    ),
     "q_dedup_ngram_jaccard": (
         "residual vs the 1.38 s quiet measurement is cross-session "
         "machine variance (1.3-2x band), not plan structure: round-5 "

@@ -187,15 +187,24 @@ _CONTRACT_ORDER = (
 # slot in after the previously-committed round-8/9/10 blocks — about 22
 # entries deep, i.e. they take their driver turn once the older
 # promises are honored, not ahead of them.
+# ROUND-12 ROTATION (done): CORRECTNESS_r11 shows q_dedup_video +
+# q_dedup_image_clusters hash-green → back; front is now the remaining
+# perceptual-dedup block (video_clusters, audio, audio_clusters) plus
+# q_video_report re-queued out of turn (round-11 verdict item 3: its
+# module was edited after its last driver hash, so it re-earns a row).
 _EXTENSION_PRIORITY = (
-    # ROUND-11 ROTATION: CORRECTNESS_r10 shows q_video_report and
-    # q_sim_topk_filtered_ivf both hash-green → rotated to the back.
-    # Front slots per the committed queue (round-10 verdict item 1):
-    "q_dedup_video",
-    "q_dedup_image_clusters",
+    # ROUND-12 ROTATION: CORRECTNESS_r11 shows q_dedup_video and
+    # q_dedup_image_clusters both hash-green → rotated to the back.
+    # Front slots per the committed queue (round-11 verdict item 4):
+    # the next perceptual-dedup block, then q_video_report pulled BACK
+    # to the front out of turn — round-11's build-phase commits
+    # (8ae5bb0 kernel homing / fa15ef3 modality parametrization)
+    # touched queries/multimodal.py AFTER its last driver hash, so it
+    # must re-earn a hash row before the rest of the queue advances.
     "q_dedup_video_clusters",
     "q_dedup_audio",
     "q_dedup_audio_clusters",
+    "q_video_report",
     "q_search_faceted_indexed",
     "q_sketch_cube",
     "q_sim_topk_filtered",
@@ -391,8 +400,10 @@ _EXTENSION_PRIORITY = (
     "q_search_faceted",
     "q_dedup_image",
     "q_video_frames",
-    "q_video_report",
     "q_sim_topk_filtered_ivf",
+    # verified in round 11 — rotated to the back
+    "q_dedup_video",
+    "q_dedup_image_clusters",
 )
 
 

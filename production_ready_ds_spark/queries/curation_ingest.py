@@ -199,10 +199,16 @@ def _chain_decisions(
     # flags — 4 full passes at 100 TB); now each stage's full-corpus
     # work runs exactly once, inside its own checkpoint job (guide
     # §1.2: fix the pass structure before anything else).
+    # keep-min via a window over the hash groups, NOT groupBy+self-join:
+    # the join form references `hashed` twice, so the corpus scan + md5
+    # ran TWICE inside this one checkpoint (round-12 job profile), and
+    # it paid two exchanges where the window pays one — same rows
+    # (keep_id = MIN(doc_id) OVER (PARTITION BY h), kept iff
+    # doc_id > keep_id), one corpus pass, one shuffle (guide §2.4).
     hashed = d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
-    exk = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    w_ex = Window.partitionBy("h")
     ex_edges = compact_checkpoint(
-        hashed.join(exk, "h")
+        hashed.withColumn("keep_id", F.min("doc_id").over(w_ex))
         .filter(F.col("doc_id") > F.col("keep_id"))
         .select(F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
@@ -210,16 +216,22 @@ def _chain_decisions(
     # the rejected-id frame needs no distinct.
     ex_rej = ex_edges.select(F.col("doc_b").alias("doc_id"))
     s1 = d.join(ex_rej, "doc_id", "left_anti")
-    s1_ids = s1.select("doc_id")
+    d_ids = d.select("doc_id")
     # stage 2: lexical MinHash over exact survivors. Sequential
     # checkpoints per pair set (the _multimodal_members OOM rule: peak
     # memory = max of the generators, never their sum).
     mh_pairs = compact_checkpoint(
         minhash_candidates(minhash_bands(s1)).select("doc_a", "doc_b")
     )
-    s2 = s1_ids.join(
-        mh_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
-    )
+    # survivor id-frames by ONE anti-join against the UNION of the
+    # earlier stages' cached rejected sets — d ▷ A ▷ B ≡ d ▷ (A ∪ B)
+    # is a set identity (no disjointness needed), the union of cached
+    # narrow frames is shuffle-free, and the chained form paid one
+    # corpus-spine join (plus its AQE broadcast job) per earlier stage
+    # inside every consumer's materialization (round-12 job profile;
+    # guide §1.2/§2.4).
+    mh_rej = mh_pairs.select(F.col("doc_b").alias("doc_id"))
+    s2 = d_ids.join(ex_rej.unionByName(mh_rej), "doc_id", "left_anti")
     # stage 3: perceptual image dHash over lexical survivors, at the
     # RAW band tier — the tier the incremental store path blocks on
     # (incremental_hamming_dedup), pinned by mean_bucket_limit so the
@@ -231,8 +243,9 @@ def _chain_decisions(
             mean_bucket_limit=1 << 62,
         ).select("doc_a", "doc_b")
     )
-    s3 = s2.join(
-        ph_pairs.select(F.col("doc_b").alias("doc_id")), "doc_id", "left_anti"
+    ph_rej = ph_pairs.select(F.col("doc_b").alias("doc_id"))
+    s3 = d_ids.join(
+        ex_rej.unionByName(mh_rej).unionByName(ph_rej), "doc_id", "left_anti"
     )
     # stage 4: semantic sign-bucket SemDeDup over perceptual survivors
     # that have an embedding (planes scaled by the FULL corpus — the
@@ -240,7 +253,14 @@ def _chain_decisions(
     # make the blocking depend on upstream decisions)
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     p = _scaled_planes_for(e)
-    panel = (
+    # the panel is materialized ONCE: bucketed_cosine_pairs references
+    # it twice (both cogroup sides), and the panel's lineage is the
+    # WHOLE s1→s2→s3 anti-join chain plus the embeddings join — without
+    # this checkpoint that chain executed twice inside the sem_pairs
+    # materialization (round-12 job profile: 10 of the query's ~55
+    # jobs sat under this one site; at 100 TB it is a duplicated
+    # corpus-spine pass, guide §1.2).
+    panel = compact_checkpoint(
         e.join(
             s3.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
@@ -257,12 +277,19 @@ def _chain_decisions(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
     )
-    # stage 5: unified families + quality keep-best over the spine
+    # stage 5: unified families + quality keep-best over the spine.
+    # No .distinct() on the edge union: the four stage pair sets are
+    # doc_b-DISJOINT by the funnel construction (a stage-k reject never
+    # reaches stage k+1's input, so it can never be a later stage's
+    # doc_b) and each frame is internally distinct — and hash-min
+    # components are invariant under duplicate edges anyway, so the
+    # corpus-pair-wide distinct shuffle bought nothing at any scale
+    # (guide §2.4: a distinct on data that is already unique). The
+    # oracle's UNION dedup keeps its own semantics; fam is identical.
     edges = (
         ex_edges.unionByName(mh_pairs)
         .unionByName(ph_pairs)
         .unionByName(sem_pairs)
-        .distinct()
     )
     fam = connected_components(edges)
     spine = d.select("doc_id", "n_chars").join(
@@ -271,29 +298,44 @@ def _chain_decisions(
     spine = spine.withColumn(
         "family_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     ).drop("cluster_id")
-    flag = lambda df, col: df.select(  # noqa: E731
-        F.col(col).alias("doc_id"), F.lit(True).alias(f"_{col}")
-    ).dropDuplicates(["doc_id"])
-    spine = (
-        spine.join(
-            ex_rej.withColumn("_ex", F.lit(True)), "doc_id", "left"
+    # ONE tagged rejected-doc frame replaces the former four flag
+    # joins (round-12: each broadcast-joined frame cost its own AQE
+    # materialization job, and at 100 TB four |rejects|-row joins
+    # shuffled the spine's key four times). The doc_b sets are
+    # disjoint (above), so each doc carries at most one stage tag
+    # across frames; MIN only dedups doc_b repeats WITHIN a pair
+    # frame — and the stage names' alphabetical order (exact <
+    # lexical < perceptual < semantic) happens to equal the funnel's
+    # CASE priority, so even a hypothetical overlap would resolve to
+    # the oracle's answer.
+    rej = (
+        ex_rej.select("doc_id", F.lit("exact").alias("_stage"))
+        .unionByName(
+            mh_pairs.select(
+                F.col("doc_b").alias("doc_id"), F.lit("lexical").alias("_stage")
+            )
         )
-        .join(flag(mh_pairs, "doc_b").withColumnRenamed("_doc_b", "_mh"), "doc_id", "left")
-        .join(flag(ph_pairs, "doc_b").withColumnRenamed("_doc_b", "_ph"), "doc_id", "left")
-        .join(flag(sem_pairs, "doc_b").withColumnRenamed("_doc_b", "_sem"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "family_id",
-            "n_chars",
-            # _ex true ⇔ doc_id ∈ ex_edges.doc_b ⇔ NOT a stage-1
-            # survivor — same predicate the oracle's NOT IN (s1) states
-            F.when(F.col("_ex"), "exact")
-            .when(F.col("_mh"), "lexical")
-            .when(F.col("_ph"), "perceptual")
-            .when(F.col("_sem"), "semantic")
-            .otherwise("kept")
-            .alias("stage"),
+        .unionByName(
+            ph_pairs.select(
+                F.col("doc_b").alias("doc_id"),
+                F.lit("perceptual").alias("_stage"),
+            )
         )
+        .unionByName(
+            sem_pairs.select(
+                F.col("doc_b").alias("doc_id"), F.lit("semantic").alias("_stage")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_stage").alias("_stage"))
+    )
+    spine = spine.join(rej, "doc_id", "left").select(
+        "doc_id",
+        "family_id",
+        "n_chars",
+        # _stage NULL ⇔ doc never appears as any stage's doc_b ⇔ chain
+        # survivor — same predicates the oracle's CASE states
+        F.coalesce(F.col("_stage"), F.lit("kept")).alias("stage"),
     )
     w = Window.partitionBy("family_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")

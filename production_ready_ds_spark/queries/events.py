@@ -432,12 +432,15 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous stage's timestamp and within the stage window (1 day) —
     the sequential-constraint analytics every event warehouse runs.
 
-    Scale shape: each stage is one filtered min-agg plus an equi-join on
-    ``user_id`` with the range condition applied as a join residual, so
-    all three stages shuffle on the SAME key and AQE plans them as
-    co-partitioned hash joins — no broadcast dependence (works when the
-    stage-1 survivor set is itself huge), no windows over the full event
-    stream, no per-user state."""
+    Scale shape: one events scan per stage (the survivor frames v and c
+    are materialized — see the inline comment), each stage one filtered
+    min-agg plus an equi-join on ``user_id`` with the range condition as
+    a join residual. The checkpointed survivor frames drop their hash
+    partitioning (UnknownPartitioning), so each stage join re-exchanges
+    the |survivors|-row side — an O(|survivors|) shuffle per stage,
+    events ≫ survivors at every scale. No broadcast dependence (works
+    when the stage-1 survivor set is itself huge), no windows over the
+    full event stream, no per-user state."""
     from ..tables import compact_checkpoint
 
     e = load(spark, sf_dir, "events")
@@ -448,8 +451,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THREE times (under v, c, p) and c's twice — six event-scan passes
     # instead of three at 100 TB (guide §1.2 pass structure; the
     # round-11 curation-chain lesson). The checkpoint trades the reused
-    # co-partitioning for one |users|-row exchange per join — events ≫
-    # survivors, so the trade wins at every scale.
+    # co-partitioning for one O(|survivors|)-row exchange per join —
+    # events ≫ survivors, so the trade wins as the corpus grows. Cost
+    # honesty: the survivor frames are O(|users|) rows held via
+    # localCheckpoint in executor-local (non-reliable) storage with
+    # lineage truncated — storage scales with the user population, and
+    # at cluster scale an executor loss is unrecoverable mid-query;
+    # a production deployment would gate this to a reliable persist
+    # (the compact_checkpoint caller's documented trade-off).
     v = compact_checkpoint(
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -3425,14 +3425,25 @@ def bigram_model(train_docs: DataFrame) -> DataFrame:
     three times, and the uc groupBy runs over the vocabulary-sized
     checkpointed pc frame instead of shuffling the corpus-wide bigram
     stream a second time (guide §1.2 pass structure, §2.4 remove
-    shuffles). Always called on batch frames (the streaming scorer
-    builds the model from the batch corpus before the stream starts),
-    so the eager checkpoint is safe."""
-    from ..tables import compact_checkpoint
+    shuffles).
 
+    The pc checkpoint is LAZY on purpose (round-12, closing the
+    round-11 driver-measured regression — q_quality_perplexity 0.73×,
+    q_quality_classifier 0.77×): an EAGER checkpoint here adds a fixed
+    extra job (~0.3 s at bench scale) that the removed corpus pass does
+    not pay back at sf0.1, while the lazy form materializes pc inside
+    the consumer's own job — the corpus-side bigram shuffle is still a
+    single shared shuffle dependency, and both consumers (the uc
+    derivation and the model join) read the persisted blocks, so the
+    100 TB pass-structure win is unchanged with no extra scheduling
+    round-trip. Always called on batch frames (the streaming scorer
+    builds the model from the batch corpus before the stream starts),
+    so the checkpoint is safe."""
     bg = doc_bigrams(train_docs)
-    pc = compact_checkpoint(
-        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
     )
     uc = pc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vocab = train_docs.select(

@@ -827,3 +827,38 @@ def test_mmr_candidate_pass_broadcasts_probes(spark, sf_small):
     assert has_broadcast_join(rels), explain_str(rels, "simple")
     for cols in exchange_input_columns(rels):
         assert "embedding" not in cols and "qe" not in cols, cols
+
+
+def test_compact_checkpoint_scale_contract(spark):
+    """Pin BOTH branches of the size-adaptive checkpoint (round-11
+    verdict item 7 — the contract lived only in the docstring):
+    (a) a bench-scale cached frame NARROWS to ceil(bytes / target),
+    (b) a frame whose cached bytes exceed target x producer-width
+    keeps FULL width — the >=1 GB warehouse no-op — asserted by
+    shrinking CKPT_TARGET_BYTES instead of caching a gigabyte (the
+    branch condition is bytes-vs-target, identical either way), and
+    (c) the coalesce never WIDENS a frame and respects min_parts."""
+    from production_ready_ds_spark import tables
+    from production_ready_ds_spark.tables import compact_checkpoint
+
+    # (a) narrow: a few KB cached over 8 producer partitions -> 1 part
+    small = spark.range(0, 10_000, 1, 8)
+    ck = compact_checkpoint(small)
+    assert ck.rdd.getNumPartitions() == 1, ck.rdd.getNumPartitions()
+    assert ck.count() == 10_000
+
+    # (c) min_parts floor on the same bench-scale shape
+    ck_min = compact_checkpoint(spark.range(0, 10_000, 1, 8), min_parts=4)
+    assert ck_min.rdd.getNumPartitions() == 4
+
+    # (b) no-op past the target: with a 1-byte target every cached
+    # frame is "warehouse-scale" (want >= parts), so the producer's
+    # width must survive untouched
+    old = tables.CKPT_TARGET_BYTES
+    tables.CKPT_TARGET_BYTES = 1
+    try:
+        wide = compact_checkpoint(spark.range(0, 10_000, 1, 8))
+        assert wide.rdd.getNumPartitions() == 8, wide.rdd.getNumPartitions()
+        assert wide.count() == 10_000
+    finally:
+        tables.CKPT_TARGET_BYTES = old
