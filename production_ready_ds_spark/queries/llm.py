@@ -5264,49 +5264,67 @@ def bm25_rank(
     degree of freedom."""
     terms = tuple(dict.fromkeys(terms))
 
-    def tf_expr(term: str):
-        # one-arg closure: a two-arg lambda would bind Spark's
-        # (element, index) HOF signature instead of capturing the term
-        return F.size(F.filter(F.col("ts"), lambda w: w == F.lit(term)))
-
+    # tf for ALL terms in ONE transform expression over a literal term
+    # array, instead of one higher-order filter expression PER term:
+    # the expression tree (and Catalyst's analysis/optimization cost,
+    # 60-70% of these sub-second queries' wall at bench scale) stops
+    # growing with the term count, while the evaluated work per row is
+    # the identical n_terms passes over the token array. The
+    # per-element math below is expression-for-expression the same as
+    # the former per-column form, so every score lands on the same
+    # integer grid (round-12, guide §1.2 — the plan-build cost IS the
+    # bottleneck here; the data plane was already scale-shaped).
+    terms_arr = F.array(*[F.lit(t) for t in terms])
     per_doc = toks.select(
         "doc_id",
         F.size("ts").alias("dl"),
-        *[tf_expr(term).alias(f"tf{i}") for i, term in enumerate(terms)],
+        F.transform(
+            terms_arr,
+            lambda t: F.size(F.filter(F.col("ts"), lambda w: w == t)),
+        ).alias("tfs"),
     )
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sumdl"),
         *[
-            F.sum((F.col(f"tf{i}") > 0).cast("int")).alias(f"df{i}")
+            F.sum((F.element_at("tfs", i + 1) > 0).cast("int")).alias(f"df{i}")
             for i in range(len(terms))
         ],
+    )
+    stats = stats.select(
+        "n",
+        "sumdl",
+        F.array(*[F.col(f"df{i}") for i in range(len(terms))]).alias("dfs"),
     )
     scored = per_doc.join(F.broadcast(stats))
     avgdl = F.col("sumdl") * 1.0 / F.col("n")
 
-    def term_score(i: int):
-        idf_i = F.floor(
-            F.log(
-                1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
-            )
-            * 10000
-            + F.lit(0.5)
+    def term_score(tf: Column, df: Column) -> Column:
+        # identical per-term arithmetic to the former tf{i}/df{i}
+        # column form — same libm inputs, same floor grid
+        idf_t = F.floor(
+            F.log(1 + (F.col("n") - df + 0.5) / (df + 0.5)) * 10000 + F.lit(0.5)
         )
-        w_i = F.floor(
-            F.col(f"tf{i}")
+        w_t = F.floor(
+            tf
             * F.lit(k1 + 1)
-            / (
-                F.col(f"tf{i}")
-                + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl))
-            )
+            / (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * (F.col("dl") / avgdl)))
             * 10000
             + F.lit(0.5)
         )
-        return F.when(F.col(f"tf{i}") == 0, F.lit(0)).otherwise(idf_i * w_i)
+        return F.when(tf == 0, F.lit(0)).otherwise(idf_t * w_t)
 
-    score = sum(term_score(i) for i in range(len(terms)))
-    hits = sum((F.col(f"tf{i}") > 0).cast("int") for i in range(len(terms)))
+    # one aggregate over the term index replaces n_terms summed score
+    # subtrees; the sum is exact integer arithmetic either way
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(len(terms))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + term_score(F.element_at("tfs", i), F.element_at(F.col("dfs"), i)).cast(
+            "long"
+        ),
+    )
+    hits = F.size(F.filter(F.col("tfs"), lambda t: t > 0))
     # limit BEFORE ranking: orderBy+limit plans as TakeOrderedAndProject
     # (partition-local top-k + a k-row merge — no corpus-wide sort, no
     # single-partition global window); the rank window then runs on the

@@ -136,7 +136,24 @@ def _count_pass(
     """One distributed Viterbi count pass: segment every DISTINCT word
     (Arrow-batched pandas UDF, model dict in the closure), aggregate
     piece counts weighted by word frequency, apply the char Laplace
-    floor. The collect is bounded by the model size (a constant)."""
+    floor. The collect is bounded by the model size (a constant).
+
+    NOTE (rounds 11-12, measured negative — do not re-widen): at
+    sf0.1 the cached word dict is ONE partition, so the three Viterbi
+    passes serialize on one core (job profile: 148/150/627 ms
+    single-task jobs) — but BOTH widening variants lose on an
+    interleaved quiet-box A/B. Round 11 (repartition + min_parts-
+    pinned checkpoint on the dict): train+apply 4.15 → 4.64 s and
+    5.87 → 6.82 s. Round 12 (spread() on the pass INPUT only,
+    checkpoint left compact): q_unigram_train min-of-3 ABAB
+    1.941/1.662 s → 2.113/2.502 s. The extra round-robin exchange
+    plus per-pass Python-worker fan-out costs more than the ≤0.6 s
+    of serialized Python it parallelizes at this scale; at warehouse
+    scale the dict groupBy output is already wide, so the widening
+    has no scale posture either. The remaining wall is driver-side
+    (7 sequential bounded actions) and the final pruned-vocab pass
+    (more pieces/word → larger explode), both inherent to the EM
+    shape."""
     seg = pandas_udf(
         lambda s: s.map(lambda t: viterbi_segment(t, logp, MAX_PIECE_LEN)),
         "array<string>",
