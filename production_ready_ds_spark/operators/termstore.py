@@ -23,13 +23,16 @@ moves the tokenize + tf/dl work to INGEST time:
   each segment records its batch's ``n_docs``/``sum_dl`` (counted over
   ALL batch docs, hit or not) and search sums the manifest — O(1)
   metadata, never a corpus aggregate at query time.
-- **Scoring is bit-identical to the scan path.** ``search`` rebuilds
-  the EXACT expression tree of ``bm25_topk`` — same JVM ``F.log``,
-  same rational tf part, same floor(x·1e4+0.5) integer snap — over
-  (postings ⋈ per-term df), with N/Σdl as integer literals whose
-  division produces the same IEEE double the scan path's aggregate
-  row does. Indexed and scan results are therefore EQUAL integers,
-  not approximately equal (equivalence-tested).
+- **Scoring is bit-identical to the scan path.** ``search`` applies
+  the IDENTICAL per-term arithmetic as ``bm25_topk`` — same JVM
+  ``F.log``, same rational tf part, same floor(x·1e4+0.5) integer
+  snap — over (postings ⋈ per-term df), with N/Σdl as integer
+  literals whose division produces the same IEEE double the scan
+  path's aggregate row does. (Since round 12 the scan path evaluates
+  the terms through one transform/aggregate pair instead of per-term
+  columns — the expression SHAPE differs, the per-term ops and the
+  integer grid do not.) Indexed and scan results are therefore EQUAL
+  integers, not approximately equal (equivalence-tested).
 - **Append is O(batch)** (tokenize + one (doc, term) count shuffle +
   one clustered segment write), idempotent under the sigstore
   ``skip_if_range_indexed`` contract, with the same crash ordering
@@ -522,8 +525,9 @@ class TermStore:
     ) -> DataFrame:
         """BM25 top-k from the index: (rank, doc_id, score_scaled,
         n_terms_hit), integer-equal to ``bm25_topk`` over the same
-        corpus (the expression trees match node for node; see module
-        docstring; both paths dedupe repeated query terms — postings
+        corpus (identical per-term arithmetic on the same integer
+        grid; see module docstring; both paths dedupe repeated query
+        terms — postings
         are unique per (term, doc), so a double-scored duplicate could
         never be served from an index). Work: O(Σ matched postings) +
         a k-row merge.
