@@ -935,6 +935,14 @@ def minhash_candidates(
             on_bucket & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         ).select(*norm)
         cand = cand.unionByName(hot_cand)
+    # NOTE (round 12, verified no-op — don't "optimize" this): moving
+    # the threshold filter ahead of the cross-band distinct changes
+    # NOTHING in the physical plan — Catalyst already pushes the
+    # deterministic est_jaccard predicate through the distinct's
+    # Aggregate and into the band self-join's condition (the captured
+    # plans show `... >= threshold` inside the SHJ join condition in
+    # both forms, byte-identical modulo expression ids), so the dedup
+    # shuffle only ever carries surviving pairs.
     return (
         cand.distinct()
         .filter(F.col("est_jaccard") >= threshold)
